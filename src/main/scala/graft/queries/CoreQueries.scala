@@ -1,0 +1,489 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The SURVEY.md §2.12 operator inventory, re-expressed over the driver's
+  * TPC-H-ish testdata. Each entry exercises one operator family of the
+  * reference (file:line cited per query) as a lazy Catalyst plan.
+  *
+  * Scale stance (100 TB): dimension joins take explicit `broadcast` hints
+  * (region/nation/customer/supplier/part are orders of magnitude smaller than
+  * the fact tables); fact-fact joins shuffle on their natural keys and rely on
+  * AQE for skew/coalesce; every query is a pure projection/filter/agg pipeline
+  * so predicate pushdown and column pruning reach the parquet scan.
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // S4/P1 — scan + column projection (reference: transform/__init__.py:227-233).
+    // Column pruning must reach the parquet reader (ReadSchema shows 4 cols).
+    QueryDef(
+      "q_scan_project",
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")),
+
+    // ------------------------------------------------------------------
+    // P5/P7 — range predicates (reference: validate/__init__.py:77-137).
+    // Both bounds push down to the scan (PushedFilters).
+    QueryDef(
+      "q_filter_range",
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+             |FROM lineitem
+             |WHERE l_quantity BETWEEN 10 AND 20 AND l_discount >= 0.05""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .filter($"l_quantity" >= 10 && $"l_quantity" <= 20 && $"l_discount" >= 0.05)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+      }),
+
+    // ------------------------------------------------------------------
+    // P3 — guarded conditional derived column, the cop_proxy pattern
+    // (reference: transform/__init__.py:267-274 — divide only when the
+    // denominator >= 1.0, else NULL; real SQL NULL, not NaN).
+    QueryDef(
+      "q_derived_conditional",
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CASE WHEN l_quantity >= 1.0
+             |       THEN (l_extendedprice * (1.0 - l_discount)) / l_quantity
+             |       ELSE NULL END AS unit_net_price
+             |FROM lineitem""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem").select(
+          $"l_orderkey",
+          $"l_linenumber",
+          when($"l_quantity" >= 1.0,
+            ($"l_extendedprice" * (lit(1.0) - $"l_discount")) / $"l_quantity")
+            .otherwise(lit(null)).as("unit_net_price"))
+      }),
+
+    // ------------------------------------------------------------------
+    // P4 — arithmetic derived column, the temp_deviation pattern
+    // (reference: load/__init__.py:92). Per-row IEEE arithmetic only.
+    QueryDef(
+      "q_derived_arith",
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  l_extendedprice * (1.0 - l_discount) AS revenue,
+             |  l_extendedprice * l_tax AS tax_amount
+             |FROM lineitem""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem").select(
+          $"l_orderkey",
+          $"l_linenumber",
+          ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+          ($"l_extendedprice" * $"l_tax").as("tax_amount"))
+      }),
+
+    // ------------------------------------------------------------------
+    // J1/J2 — fact→dim left equi-join lookup
+    // (reference: transform/__init__.py:213-223). Dim side broadcast.
+    QueryDef(
+      "q_join_dim",
+      Some("""SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+             |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey", "left")
+          .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+      }),
+
+    // ------------------------------------------------------------------
+    // J4 — 5-way star join, inner (reference: load/__init__.py:75-103,
+    // vw_zone_with_weather). lineitem⋈orders shuffles on orderkey; the three
+    // dim joins broadcast, so the whole star is one shuffle.
+    QueryDef(
+      "q_join_star5",
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice,
+             |       o_orderstatus, c_mktsegment, n_name, r_name
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey  = o_orderkey
+             |JOIN customer ON o_custkey   = c_custkey
+             |JOIN nation   ON c_nationkey = n_nationkey
+             |JOIN region   ON n_regionkey = r_regionkey""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+          .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice",
+            "o_orderstatus", "c_mktsegment", "n_name", "r_name")
+      }),
+
+    // ------------------------------------------------------------------
+    // J5 — fact-fact join on a composite key (reference: load/__init__.py:
+    // 107-140, the 3-column fact_meters⋈fact_weather join). Here: events
+    // joined back to its own per-(user, day) rollup. Both sides share the
+    // (user_id, event_date) shuffle key, so AQE can plan a single exchange.
+    QueryDef(
+      "q_join_factfact_composite",
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, CAST(ts AS DATE) AS event_date, value
+             |  FROM events),
+             |d AS (
+             |  SELECT user_id, event_date,
+             |         CAST(COUNT(*) AS BIGINT) AS n_day, MAX(value) AS day_max
+             |  FROM e GROUP BY user_id, event_date)
+             |SELECT e.event_id, e.user_id, e.event_date, e.value, d.n_day, d.day_max
+             |FROM e JOIN d USING (user_id, event_date)""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "events")
+          .select($"event_id", $"user_id", to_date($"ts").as("event_date"), $"value")
+        val d = e.groupBy($"user_id", $"event_date")
+          .agg(count(lit(1)).as("n_day"), max($"value").as("day_max"))
+        e.join(d, Seq("user_id", "event_date"))
+          .select("event_id", "user_id", "event_date", "value", "n_day", "day_max")
+      }),
+
+    // ------------------------------------------------------------------
+    // J6 — dimension fan-out "cross" join (reference: transform/__init__.py:
+    // 393-401, weather replicated per building).
+    QueryDef(
+      "q_fanout_cross",
+      Some("""SELECT r_regionkey, r_name, o_orderpriority
+             |FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "region")
+          .crossJoin(t(s, dir, "orders").select($"o_orderpriority").distinct())
+          .select("r_regionkey", "r_name", "o_orderpriority")
+      }),
+
+    // ------------------------------------------------------------------
+    // A1/J7 — the flagship aggregation star join (reference:
+    // load/__init__.py:143-163, vw_energy_summary: COUNT(DISTINCT), SUMs,
+    // AVGs over a dim-joined fact). sum/avg of l_quantity are exact in
+    // double; the price-weighted revenue is rounded for cross-engine parity.
+    QueryDef(
+      "q_agg_star",
+      Some("""SELECT n_name,
+             |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+             |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+             |  SUM(l_quantity) AS sum_qty,
+             |  AVG(l_quantity) AS avg_qty,
+             |  FLOOR(SUM(l_extendedprice * (1.0 - l_discount)) * 10000.0 + 0.5) / 10000.0 AS revenue
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey  = o_orderkey
+             |JOIN customer ON o_custkey   = c_custkey
+             |JOIN nation   ON c_nationkey = n_nationkey
+             |GROUP BY n_name""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+          .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_name")
+          .agg(
+            countDistinct($"o_orderkey").as("n_orders"),
+            count(lit(1)).as("n_lines"),
+            sum($"l_quantity").as("sum_qty"),
+            avg($"l_quantity").as("avg_qty"),
+            // true revenue is an exact multiple of 1e-4 (2-dec price × 2-dec
+            // discount); floor(x*1e4+0.5)/1e4 recovers it identically in both
+            // engines (IEEE-only ops, and FP sum drift ≪ the 0.5 floor margin)
+            (floor(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")) * 10000.0 + 0.5)
+              .cast("double") / 10000.0).as("revenue"))
+      }),
+
+    // ------------------------------------------------------------------
+    // A2 — grouped sums feeding business rules (reference:
+    // validate/__init__.py:204-227, energy plausibility). The rule predicate
+    // rides on the aggregate as a boolean column.
+    QueryDef(
+      "q_agg_grouped_rules",
+      Some("""SELECT o_custkey, o_orderstatus,
+             |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+             |  FLOOR(SUM(o_totalprice) * 100.0 + 0.5) / 100.0 AS total_price,
+             |  FLOOR(SUM(o_totalprice) * 100.0 + 0.5) / 100.0 > 0.0 AS rule_positive
+             |FROM orders
+             |GROUP BY o_custkey, o_orderstatus""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy($"o_custkey", $"o_orderstatus")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            // true total is an exact 2-decimal value → floor-form round at
+            // scale 2 is boundary-free and engine-identical
+            (floor(sum($"o_totalprice") * 100.0 + 0.5).cast("double") / 100.0)
+              .as("total_price"))
+          .withColumn("rule_positive", $"total_price" > 0.0)
+      }),
+
+    // ------------------------------------------------------------------
+    // A5 — conditional count / count-if (reference: README.md:262, comfort
+    // hours: SUM(CASE WHEN ABS(dev) > k THEN 1 ELSE 0 END)). Expressed as
+    // COUNT(CASE...) so both engines emit BIGINT (DuckDB SUM(int)→HUGEINT).
+    QueryDef(
+      "q_countif",
+      Some("""SELECT
+             |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(COUNT(CASE WHEN ABS(l_extendedprice * l_discount) > 1000.0
+             |             THEN 1 END) AS BIGINT) AS n_big_discount
+             |FROM lineitem""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem").agg(
+          count(lit(1)).as("n_rows"),
+          count(when(abs($"l_extendedprice" * $"l_discount") > 1000.0, 1)).as("n_big_discount"))
+      }),
+
+    // ------------------------------------------------------------------
+    // A6/F1 — binned aggregate / histogram (reference: README.md:267-275,
+    // COP-vs-outdoor-temp per ROUND(temp)). Binning uses FLOOR(x + 0.5) —
+    // round-half-up spelled in IEEE primitives so both engines agree bit-for-
+    // bit (Spark ROUND is HALF_UP via BigDecimal, DuckDB differs on halves).
+    QueryDef(
+      "q_bin_round",
+      Some("""SELECT CAST(FLOOR(o_totalprice / 1000.0 + 0.5) AS BIGINT) AS price_bin,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  (FLOOR(SUM(o_totalprice) * 100.0 + 0.5) / 100.0) / COUNT(*) AS avg_price
+             |FROM orders
+             |GROUP BY 1""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy(floor($"o_totalprice" / 1000.0 + 0.5).as("price_bin"))
+          .agg(
+            count(lit(1)).as("n"),
+            // avg derived from the boundary-free rounded sum so both engines
+            // divide the identical numerator by the identical count
+            ((floor(sum($"o_totalprice") * 100.0 + 0.5).cast("double") / 100.0)
+              / count(lit(1))).as("avg_price"))
+      }),
+
+    // ------------------------------------------------------------------
+    // A7 — distinct / dedup on a key pair (reference: transform/__init__.py:
+    // 96,133 drop_duplicates). SELECT DISTINCT (set semantics) rather than
+    // dropDuplicates (arbitrary-survivor semantics) so the result is
+    // deterministic across engines.
+    QueryDef(
+      "q_dedup",
+      Some("SELECT DISTINCT l_partkey, l_suppkey FROM lineitem"),
+      (s, dir) =>
+        t(s, dir, "lineitem").select("l_partkey", "l_suppkey").distinct()),
+
+    // ------------------------------------------------------------------
+    // W1 — surrogate-key enumeration via row_number over an explicit global
+    // order (reference: transform/__init__.py:170-173, time_key). The single-
+    // partition window is deliberate and bounded: it runs on the *distinct*
+    // key domain (dates), which stays tiny even at 100 TB of facts.
+    QueryDef(
+      "q_surrogate_rownum",
+      Some("""WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date FROM orders)
+             |SELECT order_date,
+             |       CAST(ROW_NUMBER() OVER (ORDER BY order_date) AS INT) AS date_key
+             |FROM d""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .select(to_date($"o_orderdate").as("order_date")).distinct()
+          .withColumn("date_key", row_number().over(Window.orderBy($"order_date")))
+      }),
+
+    // ------------------------------------------------------------------
+    // W2 — lag / consecutive-diff gap detection (reference:
+    // validate/__init__.py:159-168, hourly-gap check). Timestamps compared in
+    // epoch-µs because parquet ns truncates to µs in Spark; ties broken by
+    // event_id so both engines sort identically.
+    QueryDef(
+      "q_gap_lag",
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+             |  FROM events)
+             |SELECT event_id, user_id, ts_us,
+             |  ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us
+             |FROM e""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+        t(s, dir, "events")
+          .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"))
+          .withColumn("gap_us", $"ts_us" - lag($"ts_us", 1).over(w))
+      }),
+
+    // ------------------------------------------------------------------
+    // W4 — calendar decomposition (reference: transform/__init__.py:173-184).
+    // dow follows the reference's pandas convention Mon=0..Sun=6: Spark
+    // dayofweek is Sun=1, so (dayofweek+5)%7; DuckDB isodow is Mon=1, so -1.
+    QueryDef(
+      "q_calendar",
+      Some("""SELECT o_orderkey,
+             |  CAST(year(o_orderdate)  AS INT) AS yr,
+             |  CAST(month(o_orderdate) AS INT) AS mo,
+             |  CAST(day(o_orderdate)   AS INT) AS dom,
+             |  CAST(hour(o_orderdate)  AS INT) AS hr,
+             |  CAST(isodow(o_orderdate) - 1 AS INT) AS dow,
+             |  (isodow(o_orderdate) - 1) >= 5 AS is_weekend
+             |FROM orders""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val dow = (dayofweek($"o_orderdate") + lit(5)) % 7
+        t(s, dir, "orders").select(
+          $"o_orderkey",
+          year($"o_orderdate").as("yr"),
+          month($"o_orderdate").as("mo"),
+          dayofmonth($"o_orderdate").as("dom"),
+          hour($"o_orderdate").as("hr"),
+          dow.as("dow"),
+          (dow >= 5).as("is_weekend"))
+      }),
+
+    // ------------------------------------------------------------------
+    // U1 — union-all of homogeneous slices (reference: transform/__init__.py:
+    // 241, per-run fact concat). unionByName so column order can never drift.
+    QueryDef(
+      "q_union_all",
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, 'returned' AS slice
+             |FROM lineitem WHERE l_returnflag = 'R'
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, l_quantity, 'bulk' AS slice
+             |FROM lineitem WHERE l_quantity > 45""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val a = li.filter($"l_returnflag" === "R")
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity", lit("returned").as("slice"))
+        val b = li.filter($"l_quantity" > 45)
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity", lit("bulk").as("slice"))
+        a.unionByName(b)
+      }),
+
+    // ------------------------------------------------------------------
+    // U3 — set-difference coverage check as an anti-join (reference:
+    // validate/__init__.py:171-180, time keys missing from facts).
+    QueryDef(
+      "q_anti_coverage",
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+          .select("c_custkey", "c_name", "c_mktsegment")
+      }),
+
+    // ------------------------------------------------------------------
+    // O1-O5 — global sort + limit (reference: load/__init__.py:162 ORDER BY;
+    // export_json.py:99-101 head). Unique tiebreak key keeps the top-k stable.
+    // Spark plans this as TakeOrderedAndProject — no global sort materializes.
+    QueryDef(
+      "q_sort_limit",
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+          .limit(10)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+      }),
+
+    // ------------------------------------------------------------------
+    // P6 — null scan per column (reference: validate/__init__.py:49-55).
+    QueryDef(
+      "q_null_check",
+      Some("""SELECT
+             |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(COUNT(CASE WHEN event_type IS NULL THEN 1 END) AS BIGINT) AS null_event_type,
+             |  CAST(COUNT(CASE WHEN value      IS NULL THEN 1 END) AS BIGINT) AS null_value,
+             |  CAST(COUNT(CASE WHEN props      IS NULL THEN 1 END) AS BIGINT) AS null_props
+             |FROM events""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events").agg(
+          count(lit(1)).as("n_rows"),
+          count(when($"event_type".isNull, 1)).as("null_event_type"),
+          count(when($"value".isNull, 1)).as("null_value"),
+          count(when($"props".isNull, 1)).as("null_props"))
+      }),
+
+    // ------------------------------------------------------------------
+    // A9 — monthly rollup, computed honestly (reference: export_json.py:
+    // 156-178 hardcodes the seasonal pattern — fixed here per SURVEY §2.6).
+    QueryDef(
+      "q_monthly_rollup",
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             |       CAST(month(o_orderdate) AS INT) AS mo,
+             |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+             |       FLOOR(SUM(o_totalprice) * 100.0 + 0.5) / 100.0 AS total_price
+             |FROM orders GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy(year($"o_orderdate").as("yr"), month($"o_orderdate").as("mo"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            (floor(sum($"o_totalprice") * 100.0 + 0.5).cast("double") / 100.0)
+              .as("total_price"))
+      }),
+
+    // ------------------------------------------------------------------
+    // §2.6 peak-demand KPI, computed for real (reference: export_json.py:188
+    // hardcodes peak_demand_kw). MAX is exact selection — no FP drift.
+    QueryDef(
+      "q_peak",
+      Some("""SELECT event_type, MAX(value) AS peak_value,
+             |       CAST(COUNT(*) AS BIGINT) AS n_events
+             |FROM events GROUP BY event_type""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy($"event_type")
+          .agg(max($"value").as("peak_value"), count(lit(1)).as("n_events"))
+      }),
+
+    // ------------------------------------------------------------------
+    // F3 — string parsing: prefix token, trailing-number extract, lowercase
+    // (reference: idaice_client.py:151-166 rsplit filename parse;
+    // load/__init__.py:209-210 regex guard; export_json.py:74 lower()).
+    QueryDef(
+      "q_string_parse",
+      Some("""SELECT p_partkey,
+             |  split_part(p_name, ' ', 1) AS name_head,
+             |  CAST(regexp_extract(p_brand, '#(\d+)$', 1) AS INT) AS brand_num,
+             |  lower(p_type) AS type_lc
+             |FROM part""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "part").select(
+          $"p_partkey",
+          substring_index($"p_name", " ", 1).as("name_head"),
+          regexp_extract($"p_brand", "#(\\d+)$", 1).cast("int").as("brand_num"),
+          lower($"p_type").as("type_lc"))
+      }),
+
+    // ------------------------------------------------------------------
+    // F5 — JSON field extraction from a string column (reference:
+    // export_json.py / validate_json.py JSON surface; events.props is
+    // '{"k": <int>}').
+    QueryDef(
+      "q_json_get",
+      Some("""SELECT event_id,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+             |FROM events""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events").select(
+          $"event_id",
+          get_json_object($"props", "$.k").cast("long").as("prop_k"))
+      })
+  )
+}

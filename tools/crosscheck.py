@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local pre-flight emulation of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/crosscheck.py <sfDir> <verifyOutDir>
+
+For each query dumped by graft.Verify: load the Spark parquet result, run the
+oracle SQL in DuckDB over the same testdata parquet, sort columns by name and
+rows by all columns, then compare shape / dtypes / values (exact, and with
+1e-9 relative tolerance for floats so we can distinguish "ulp drift" from
+"real bug"). Dev tool only — the engine itself is pure Scala/Spark.
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(os.path.join(sfdir, "*.parquet")):
+    name = os.path.basename(p)[:-len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+fails = 0
+for name in sorted(oracle):
+    qdir = os.path.join(outdir, name)
+    try:
+        spark_df = canon(con.execute(
+            f"SELECT * FROM read_parquet('{qdir}/*.parquet')").df())
+        duck_df = canon(con.execute(oracle[name]).df())
+    except Exception as e:
+        print(f"FAIL {name}: load/exec error: {e}")
+        fails += 1
+        continue
+    if list(spark_df.columns) != list(duck_df.columns):
+        print(f"FAIL {name}: columns {list(spark_df.columns)} vs {list(duck_df.columns)}")
+        fails += 1
+        continue
+    if len(spark_df) != len(duck_df):
+        print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}")
+        fails += 1
+        continue
+    bad = []
+    for c in spark_df.columns:
+        a, b = spark_df[c], duck_df[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            an, bn = a.astype(float).to_numpy(), b.astype(float).to_numpy()
+            exact = np.array_equal(an, bn, equal_nan=True)
+            close = np.allclose(an, bn, rtol=1e-9, atol=1e-12, equal_nan=True)
+            if not exact:
+                bad.append((c, "float-close" if close else "float-FAR"))
+        else:
+            if not a.equals(b):
+                try:
+                    eq = (a.astype(str) == b.astype(str)).all()
+                except Exception:
+                    eq = False
+                if not eq:
+                    bad.append((c, f"dtype {a.dtype} vs {b.dtype}"))
+    if bad:
+        print(f"FAIL {name}: {bad}")
+        # show first few diffs of first bad col
+        c = bad[0][0]
+        m = spark_df[c].astype(str) != duck_df[c].astype(str)
+        print(pd.concat([spark_df[m].head(3).add_suffix("_spark"),
+                         duck_df[m].head(3).add_suffix("_duck")], axis=1).to_string())
+        fails += 1
+    else:
+        print(f"OK   {name} ({len(spark_df)} rows)")
+print(f"\n{fails} failures / {len(oracle)} queries")
+sys.exit(1 if fails else 0)
