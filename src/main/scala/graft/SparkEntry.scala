@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, ExtQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -11,7 +11,7 @@ import graft.queries.CoreQueries
   */
 object SparkEntry {
 
-  private def allDefs: Seq[QueryDef] = CoreQueries.defs
+  private def allDefs: Seq[QueryDef] = CoreQueries.defs ++ ExtQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q_agg_star = the reference's vw_energy_summary pattern

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for large-scale training-data pipelines:
+  * token counting, language-ID heuristics, quality scoring, fingerprinting.
+  *
+  * All are pure `Column` expressions over built-in Catalyst functions, so
+  * they stay inside whole-stage codegen and scale linearly with no shuffle —
+  * the per-document map phase of a 100 TB corpus job.
+  */
+object TextFunctions {
+
+  /** Whitespace-word count via regexp_count — robust to leading/trailing and
+    * repeated whitespace (unlike split-array length).
+    */
+  def wordCount(text: Column): Column = regexp_count(text, lit("[a-z0-9]+"))
+
+  /** BPE-ish token estimate: count of letter-runs, digit-runs and individual
+    * punctuation marks — the shape of a byte-pair pre-tokenizer — plus the
+    * classic chars/4 heuristic as a second signal.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+
+  def estTokensByChars(text: Column): Column =
+    ceil(length(text) / lit(4.0)).cast("int")
+
+  /** Stopword-marker hit counts per language — a tiny n-gram-free language-ID
+    * heuristic (the real lists would be config, not code).
+    */
+  private val markers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|is|of|to)\\b",
+    "es" -> "\\b(el|la|de|que|los)\\b",
+    "de" -> "\\b(der|die|das|und|ist)\\b")
+
+  def markerHits(text: Column): Seq[(String, Column)] =
+    markers.map { case (lang, re) => lang -> regexp_count(text, lit(re)) }
+
+  /** Argmax over marker hits with a fixed priority order on ties (en>es>de)
+    * so the prediction is deterministic and ANSI-expressible.
+    */
+  def predictedLang(text: Column): Column = {
+    val Seq(en, es, de) = markerHits(text).map(_._2)
+    when(en >= es && en >= de, lit("en"))
+      .when(es >= de, lit("es"))
+      .otherwise(lit("de"))
+  }
+
+  /** Quality score in [0,1]: blend of stopword ratio, alpha ratio and a
+    * length prior — the standard cheap pre-filter shape for corpus cleaning.
+    * Pure IEEE arithmetic → deterministic across engines.
+    */
+  def qualityScore(text: Column): Column = {
+    val words   = wordCount(text).cast("double")
+    val stops   = regexp_count(text, lit("\\b(the|and|is|of|to|a|in)\\b")).cast("double")
+    val alpha   = regexp_count(text, lit("[a-z]")).cast("double")
+    val len     = length(text).cast("double")
+    val stopR   = when(words > 0.0, stops / words).otherwise(lit(0.0))
+    val alphaR  = when(len > 0.0, alpha / len).otherwise(lit(0.0))
+    val lenOk   = when(len >= 20.0 && len <= 10000.0, lit(1.0)).otherwise(lit(0.0))
+    stopR * 0.4 + alphaR * 0.4 + lenOk * 0.2
+  }
+
+  /** 64-bit content fingerprint: xxhash64 of the normalized text (casefold +
+    * whitespace collapse) — the exact-dedup key that survives trivial edits.
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Lowercased whitespace tokens with empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Word-level n-gram shingles as strings ("w1 w2 w3"). Empty array when
+    * the document has fewer than n tokens.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    // guard: sequence(1, k) with k < 1 would generate a *descending* range
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array())
+  }
+}

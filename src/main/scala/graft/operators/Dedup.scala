@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed for the
+  * 100 TB shape: no driver-side state, no O(n²) comparisons — candidate
+  * generation is always a shuffle on a hash key (band bucket / rare shingle /
+  * simhash chunk) followed by small within-bucket joins.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: groups identical texts, keeps the minimum
+    * id as the canonical survivor (deterministic, unlike dropDuplicates).
+    * One hash-shuffle; at scale this is the cheapest possible full-corpus op.
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col(idCol)).as("keep_id"))
+
+  /** MinHash signature column: for each of `nPerms` hash permutations take
+    * the min over the document's `shingleN`-word shingles. Implemented with
+    * xxhash64(shingle, seed) + array_min inside codegen — no UDF, no UDAF.
+    */
+  def minhashSignature(text: Column, shingleN: Int, nPerms: Int): Column = {
+    val sh = shingles(text, shingleN)
+    array((0 until nPerms).map { seed =>
+      array_min(transform(sh, s => xxhash64(s, lit(seed))))
+    }: _*)
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs.
+    *
+    * signature → `nBands` bands of `nPerms/nBands` rows → hash each band →
+    * explode to (band, bucket) → self-join within buckets → distinct pairs
+    * with the number of agreeing bands. `maxBucket` caps pathological buckets
+    * (boilerplate clusters) exactly like production LSH jobs do, keeping the
+    * within-bucket join quadratic only in a bounded constant.
+    */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, nPerms: Int = 32, nBands: Int = 8,
+      maxBucket: Int = 50): DataFrame = {
+    val rowsPerBand = nPerms / nBands
+    val sig = docs
+      .select(col(idCol).as("doc_id"),
+        minhashSignature(col(textCol), shingleN, nPerms).as("sig"))
+      .where(size(filter(col("sig"), s => s.isNotNull)) === nPerms)
+    val bands = sig.select(col("doc_id"), explode(array((0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((slice(col("sig"), b * rowsPerBand + 1, rowsPerBand) +:
+          Seq(lit(b).cast("long"))): _*).as("bucket"))
+    }: _*)).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+
+    val bounded = bands
+      .withColumn("bucket_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .where(col("bucket_n") <= maxBucket)
+
+    val l = bounded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val r = bounded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    l.join(r, Seq("band", "bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** 64-bit SimHash per document: per-token xxhash64, each bit votes ±1,
+    * the sign of each bit-sum forms the fingerprint. Built as 64 conditional
+    * sums in one aggregation — single shuffle on doc id, fully codegen'd.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftrightunsigned(col("h"), j) % 2 === 1, 1).otherwise(-1))
+        .as(s"b$j")
+    }
+    val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val hash = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sums.select(col("doc_id"), hash.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
+    * chunks (any pair within Hamming distance 3 must agree on ≥1 chunk —
+    * pigeonhole), join per chunk, verify with bit_count(xor) ≤ maxHamming.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs, idCol, textCol)
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          (shiftrightunsigned(col("simhash"), c * 16) % 65536L).as("key"))
+      }: _*)).as("ck"))
+      .select(col("doc_id"), col("simhash"), col("ck.chunk"), col("ck.key"))
+    val l = chunks.select(col("chunk"), col("key"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val r = chunks.select(col("chunk"), col("key"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    l.join(r, Seq("chunk", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** N-gram Jaccard near-dup pairs via rare-shingle candidate generation:
+    * shingles with document frequency ≤ `maxDf` nominate candidate pairs
+    * (frequent shingles are boilerplate and would explode the join — the
+    * standard rare-feature trick); Jaccard is then computed exactly from
+    * distinct-shingle counts.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, maxDf: Int = 20, minJaccard: Double = 0.3): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), shingleN)).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val rare = sh.withColumn("df", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .where(col("df") <= maxDf)
+    val inter = rare.select(col("shingle"), col("doc_id").as("doc_a"))
+      .join(rare.select(col("shingle"), col("doc_id").as("doc_b")), Seq("shingle"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_shingles", "n_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+  }
+}

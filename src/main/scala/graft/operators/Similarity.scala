@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column. Two paths per SURVEY.md §7.1(10):
+  *   - brute-force cosine top-k — the exactness baseline; one scan, one
+  *     TakeOrdered, no shuffle of the corpus itself;
+  *   - sign-LSH bucketed top-k — the scale path: corpus is bucketed once by
+  *     hyperplane signs (a map-side op), queries probe only their bucket,
+  *     so a 100 TB corpus never meets an O(n·q) plan.
+  */
+object Similarity {
+
+  /** Literal Column for a query vector (broadcast-by-literal: the vector is
+    * folded into the plan, the idiomatic Spark shape for a single probe).
+    */
+  private def vecLit(v: Seq[Float]) = array(v.map(x => lit(x)): _*)
+
+  /** Exact cosine top-k of `corpus` against one query vector. Ties broken by
+    * id for determinism. Spark plans orderBy+limit as TakeOrderedAndProject —
+    * a per-partition heap + driver merge, not a global sort.
+    */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int): DataFrame =
+    corpus
+      .select(col(idCol), cosine(col(vecCol), vecLit(query)).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .limit(k)
+
+  /** Bucket the corpus by sign-LSH; returns (id, bucket). At scale this is
+    * the build side of an index: write out partitioned by bucket and probes
+    * become partition-pruned scans.
+    */
+  def lshIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      dims: Int, nPlanes: Int): DataFrame =
+    corpus.select(col(idCol),
+      lshBucket(col(vecCol), dims, nPlanes).as("bucket"))
+
+  /** LSH-bucketed ANN top-k: probe only the query's bucket, rank within it.
+    * Recall < 1 by construction (single-probe); `nPlanes` trades recall for
+    * bucket size.
+    */
+  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], dims: Int, nPlanes: Int, k: Int): DataFrame = {
+    val bucketed = corpus.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), dims, nPlanes).as("bucket"))
+    val qBucket = lshBucket(vecLit(query), dims, nPlanes)
+    bucketed
+      .where(col("bucket") === qBucket)
+      .select(col(idCol), col("bucket"),
+        cosine(col(vecCol), vecLit(query)).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs exact cosine above a threshold within LSH buckets — the
+    * embedding-space near-dup operator (SURVEY §7.1(10) "embedding-cosine
+    * near-dup"). Quadratic only within buckets.
+    */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      dims: Int, nPlanes: Int, minSim: Double, maxBucket: Int = 200): DataFrame = {
+    val b = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        lshBucket(col(vecCol), dims, nPlanes).as("bucket"))
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy("bucket")))
+      .where(col("bn") <= maxBucket)
+    val l = b.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("v_a"), col("v_b")).as("cosine_sim"))
+      .where(col("cosine_sim") >= minSim)
+  }
+
+  /** Fetch one stored vector to use as a probe (tiny driver-side action). */
+  def vectorOf(spark: SparkSession, corpus: DataFrame, idCol: String,
+      vecCol: String, id: Long): Seq[Float] =
+    corpus.where(col(idCol) === id).select(col(vecCol))
+      .head().getSeq[Float](0)
+}

@@ -1,0 +1,184 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data-pipeline extension queries (SURVEY.md §7.1(10)) over the
+  * `documents` / `embeddings` testdata: dedup (exact, MinHash-LSH, SimHash,
+  * n-gram Jaccard), similarity search (brute-force + LSH), and text analysis
+  * (language-ID, quality, token counting, fingerprinting).
+  *
+  * Queries whose semantics are ANSI-expressible carry DuckDB oracles; the
+  * hash-based ones (xxhash64 has no DuckDB equivalent) are declared without
+  * an oracle → the driver records a rows-only check.
+  */
+object ExtQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // Exact dedup via content hash (md5 exists in both engines).
+    QueryDef(
+      "q_dedup_exact",
+      Some("""SELECT md5(text) AS text_hash,
+             |       CAST(COUNT(*) AS BIGINT) AS n_copies,
+             |       MIN(doc_id) AS keep_id
+             |FROM documents GROUP BY 1""".stripMargin),
+      (s, dir) => Dedup.exactGroups(docs(s, dir), "doc_id", "text")),
+
+    // ------------------------------------------------------------------
+    // Text stats: length, whitespace, word count. DuckDB len() is BIGINT →
+    // CAST to INT to match Spark's IntegerType.
+    QueryDef(
+      "q_text_stats",
+      Some("""SELECT doc_id,
+             |  CAST(length(text) AS INT) AS len_chars,
+             |  CAST(length(text) - length(replace(text, ' ', '')) AS INT) AS n_spaces,
+             |  CAST(length(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_words
+             |FROM documents""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir).select(
+          $"doc_id",
+          length($"text").as("len_chars"),
+          (length($"text") - length(regexp_replace($"text", " ", ""))).as("n_spaces"),
+          TextFunctions.wordCount($"text").as("n_words"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Token counting: BPE-ish pre-tokenizer regex + chars/4 estimate.
+    QueryDef(
+      "q_token_count",
+      Some("""SELECT doc_id,
+             |  CAST(length(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpeish,
+             |  CAST(ceil(length(text) / 4.0) AS INT) AS est_by_chars
+             |FROM documents""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir).select(
+          $"doc_id",
+          TextFunctions.bpeishTokenCount($"text").as("n_bpeish"),
+          TextFunctions.estTokensByChars($"text").as("est_by_chars"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Language-ID heuristic: stopword-marker argmax with fixed tie order.
+    QueryDef(
+      "q_lang_id",
+      Some("""WITH h AS (
+             |  SELECT doc_id, lang,
+             |    CAST(length(regexp_extract_all(text, '\b(the|and|is|of|to)\b')) AS INT)   AS en_hits,
+             |    CAST(length(regexp_extract_all(text, '\b(el|la|de|que|los)\b')) AS INT)   AS es_hits,
+             |    CAST(length(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS INT) AS de_hits
+             |  FROM documents)
+             |SELECT doc_id, lang, en_hits, es_hits, de_hits,
+             |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+             |       WHEN es_hits >= de_hits THEN 'es'
+             |       ELSE 'de' END AS predicted_lang
+             |FROM h""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val hits = TextFunctions.markerHits($"text")
+        docs(s, dir).select(
+          Seq($"doc_id", $"lang") ++
+            hits.map { case (l, c) => c.as(s"${l}_hits") } :+
+            TextFunctions.predictedLang($"text").as("predicted_lang"): _*)
+      }),
+
+    // ------------------------------------------------------------------
+    // Quality scoring: stopword/alpha/length blend. Per-row IEEE arithmetic
+    // (counts are exact ints; one division) → deterministic cross-engine.
+    QueryDef(
+      "q_text_quality",
+      Some("""SELECT doc_id,
+             |  CASE WHEN CAST(length(regexp_extract_all(text, '[a-z0-9]+')) AS DOUBLE) > 0.0
+             |       THEN CAST(length(regexp_extract_all(text, '\b(the|and|is|of|to|a|in)\b')) AS DOUBLE)
+             |            / CAST(length(regexp_extract_all(text, '[a-z0-9]+')) AS DOUBLE)
+             |       ELSE 0.0 END * 0.4
+             |  + CASE WHEN CAST(length(text) AS DOUBLE) > 0.0
+             |         THEN CAST(length(regexp_extract_all(text, '[a-z]')) AS DOUBLE)
+             |              / CAST(length(text) AS DOUBLE)
+             |         ELSE 0.0 END * 0.4
+             |  + CASE WHEN length(text) BETWEEN 20 AND 10000 THEN 0.2 ELSE 0.0 END
+             |    AS quality_score
+             |FROM documents""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir).select(
+          $"doc_id",
+          TextFunctions.qualityScore($"text").as("quality_score"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Document fingerprinting (xxhash64-based → no DuckDB oracle).
+    QueryDef(
+      "q_fingerprint",
+      None,
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir).select(
+          $"doc_id",
+          TextFunctions.fingerprint($"text").as("fingerprint"),
+          xxhash64($"text").as("raw_hash"))
+      }),
+
+    // ------------------------------------------------------------------
+    // MinHash+LSH near-dup candidate pairs (hash-based → rows-only check).
+    QueryDef(
+      "q_dedup_minhash",
+      None,
+      (s, dir) => Dedup.minhashPairs(docs(s, dir), "doc_id", "text")),
+
+    // ------------------------------------------------------------------
+    // SimHash near-dup pairs within Hamming distance 3.
+    QueryDef(
+      "q_dedup_simhash",
+      None,
+      (s, dir) => Dedup.simhashPairs(docs(s, dir), "doc_id", "text")),
+
+    // ------------------------------------------------------------------
+    // N-gram Jaccard near-dup pairs via rare-shingle candidates.
+    QueryDef(
+      "q_dedup_jaccard",
+      None,
+      (s, dir) => Dedup.jaccardPairs(docs(s, dir), "doc_id", "text")),
+
+    // ------------------------------------------------------------------
+    // Brute-force cosine top-k against a stored probe vector (vec_id=0).
+    QueryDef(
+      "q_sim_bruteforce",
+      None,
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = Similarity.vectorOf(s, e, "vec_id", "embedding", 0L)
+        Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 20)
+      }),
+
+    // ------------------------------------------------------------------
+    // LSH-bucketed ANN top-k (the 100 TB path: probe one bucket, not the corpus).
+    QueryDef(
+      "q_sim_lsh",
+      None,
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = Similarity.vectorOf(s, e, "vec_id", "embedding", 0L)
+        Similarity.lshTopK(e, "vec_id", "embedding", q, dims = 64, nPlanes = 4, k = 20)
+      }),
+
+    // ------------------------------------------------------------------
+    // Embedding-cosine near-dup pairs within LSH buckets.
+    QueryDef(
+      "q_sim_neardup",
+      None,
+      (s, dir) => Similarity.cosineNearDupPairs(
+        emb(s, dir), "vec_id", "embedding", dims = 64, nPlanes = 6, minSim = 0.2))
+  )
+}
