@@ -1,0 +1,218 @@
+package graft.etl
+
+import java.io.{File, FileInputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.util.zip.ZipInputStream
+import scala.collection.mutable
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One simulation run's parsed metadata (reference metadata.json,
+  * generate_synthetic_idaice.py:167-175).
+  */
+final case class RunMetadata(
+    building_id: String,
+    scenario_id: String,
+    building_name: String,
+    location: String,
+    floor_area_m2: Long,
+    description: String,
+    generated_at: String)
+
+/** One extracted run: metadata + the four time-series tables
+  * (reference "run dict", extract/__init__.py:86-93).
+  */
+final case class RunData(
+    runId: String,
+    metadata: RunMetadata,
+    zones: DataFrame,
+    hvac: DataFrame,
+    meters: DataFrame,
+    weather: DataFrame)
+
+/** ZIP-bundle extraction (SURVEY §2.1 S1-S6).
+  *
+  * Two paths:
+  *   - [[extractSimulationData]] / [[extractRuns]]: fidelity path — per-run
+  *     driver-side unzip to a staging dir, then schema-enforced
+  *     `spark.read.csv`. Matches the reference's semantics including layout
+  *     validation and the <50% failure tolerance.
+  *   - [[extractRunsDistributed]]: scale path — `binaryFile` source reads all
+  *     ZIPs on executors, members are decompressed in `flatMap`, lines parsed
+  *     with `from_csv`. No driver bottleneck: 100k run bundles become one
+  *     distributed scan. This is the 100 TB ingest shape.
+  */
+object Extract {
+
+  /** Required members of a run bundle under its single root directory
+    * (reference: extract/__init__.py:49-63).
+    */
+  private val requiredMembers: Set[String] =
+    Schemas.requiredCsvMembers.keySet + "metadata.json"
+
+  private def readZipMembers(zipFile: File): Map[String, Array[Byte]] = {
+    val out = mutable.Map[String, Array[Byte]]()
+    val zin = new ZipInputStream(new FileInputStream(zipFile))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory) out(e.getName) = zin.readAllBytes()
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    out.toMap
+  }
+
+  /** Validates the bundle layout: every member under one root dir, all five
+    * required files present (reference: extract/__init__.py:44-63).
+    * Returns (rootDir, memberBaseName → bytes).
+    */
+  private def validateLayout(zipFile: File,
+      members: Map[String, Array[Byte]]): (String, Map[String, Array[Byte]]) = {
+    if (members.isEmpty)
+      throw new IllegalArgumentException(s"empty archive: $zipFile")
+    val roots = members.keys.map(_.split("/", 2)(0)).toSet
+    if (roots.size != 1)
+      throw new IllegalArgumentException(
+        s"expected a single root directory in $zipFile, found: ${roots.mkString(", ")}")
+    val root = roots.head
+    val byBase = members.map { case (k, v) => k.stripPrefix(s"$root/") -> v }
+    val missing = requiredMembers -- byBase.keySet
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"missing required members in $zipFile: ${missing.toSeq.sorted.mkString(", ")}")
+    (root, byBase)
+  }
+
+  private def parseMetadata(bytes: Array[Byte]): RunMetadata = {
+    // Jackson ships with Spark — parse the one small JSON object driver-side.
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(bytes)
+    def str(f: String): String = {
+      val n = node.get(f)
+      if (n == null) throw new IllegalArgumentException(s"metadata.json missing field: $f")
+      n.asText()
+    }
+    RunMetadata(
+      building_id = str("building_id"),
+      scenario_id = str("scenario_id"),
+      building_name = str("building_name"),
+      location = str("location"),
+      floor_area_m2 = node.get("floor_area_m2").asLong(),
+      description = str("description"),
+      generated_at = if (node.has("generated_at")) node.get("generated_at").asText() else "")
+  }
+
+  /** Extracts one run archive: unzip to a temp staging dir, validate layout,
+    * read the four CSVs with declared schemas (timestamp columns land as
+    * TimestampType directly — reference S6 normalization is free here).
+    */
+  def extractSimulationData(spark: SparkSession, zipPath: String): RunData = {
+    val f = new File(zipPath)
+    if (!f.exists()) throw new java.io.FileNotFoundException(zipPath)
+    val members = Try(readZipMembers(f)) match {
+      case Success(m) => m
+      case Failure(_) => throw new IllegalArgumentException(s"not a valid zip archive: $zipPath")
+    }
+    val (root, byBase) = validateLayout(f, members)
+    val staging: Path = Files.createTempDirectory("graft_run_")
+    staging.toFile.deleteOnExit()
+    byBase.foreach { case (name, bytes) =>
+      Files.write(staging.resolve(name), bytes)
+    }
+    def csv(name: String): DataFrame =
+      spark.read
+        .option("header", "true")
+        .schema(Schemas.requiredCsvMembers(name))
+        .csv(staging.resolve(name).toString)
+    RunData(
+      runId = root,
+      metadata = parseMetadata(byBase("metadata.json")),
+      zones = csv("zones.csv"),
+      hvac = csv("hvac.csv"),
+      meters = csv("meters.csv"),
+      weather = csv("weather.csv"))
+  }
+
+  /** Directory ingest of `run_*.zip` (sorted for determinism), tolerating
+    * up to 50% per-file failures (reference: extract/__init__.py:96-137).
+    */
+  def extractRuns(spark: SparkSession, simulationsDir: String): Seq[RunData] = {
+    val dir = new File(simulationsDir)
+    if (!dir.isDirectory)
+      throw new java.io.FileNotFoundException(s"not a directory: $simulationsDir")
+    val zips = Option(dir.listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("run_") && f.getName.endsWith(".zip"))
+      .sortBy(_.getName)
+    if (zips.isEmpty)
+      throw new IllegalArgumentException(s"no run_*.zip archives in $simulationsDir")
+    val results = zips.map(z => z.getName -> Try(extractSimulationData(spark, z.getPath)))
+    val failures = results.collect { case (n, Failure(e)) => s"$n: ${e.getMessage}" }
+    if (failures.length * 2 >= results.length)
+      throw new RuntimeException(
+        s"too many extraction failures (${failures.length}/${results.length}): " +
+          failures.mkString("; "))
+    failures.foreach(f => System.err.println(s"[extract] skipping failed run $f"))
+    results.collect { case (_, Success(r)) => r }.toSeq
+  }
+
+  /** Keyed single-run lookup: `run_{building}_{scenario}.zip`
+    * (reference: extract/__init__.py:140-161).
+    */
+  def extractRunById(spark: SparkSession, simulationsDir: String,
+      buildingId: String, scenarioId: String): RunData =
+    extractSimulationData(spark,
+      new File(simulationsDir, s"run_${buildingId}_${scenarioId}.zip").getPath)
+
+  /** Scale-path ingest: every `run_*.zip` is read as a binary blob on
+    * executors, unzipped in a flatMap, and its CSV lines parsed with
+    * `from_csv` against the declared schema. Returns one DataFrame per
+    * member kind, each with a `run_id` column. The driver never touches
+    * file contents — ingest parallelism is the file count.
+    */
+  def extractRunsDistributed(spark: SparkSession,
+      simulationsDir: String): Map[String, DataFrame] = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "run_*.zip")
+      .load(simulationsDir)
+      .select($"path", $"content")
+
+    // (run root, member base name, member text)
+    val members = bin.as[(String, Array[Byte])].flatMap { case (_, bytes) =>
+      val zin = new ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+      val out = mutable.Buffer[(String, String, String)]()
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory) {
+          val parts = e.getName.split("/", 2)
+          val base = if (parts.length == 2) parts(1) else parts(0)
+          out += ((parts(0), base, new String(zin.readAllBytes(), StandardCharsets.UTF_8)))
+        }
+        e = zin.getNextEntry
+      }
+      out
+    }.toDF("run_id", "member", "text")
+
+    Schemas.requiredCsvMembers.map { case (name, schema) =>
+      val lines = members
+        .where($"member" === name)
+        .select($"run_id", explode(split($"text", "\r?\n")).as("line"))
+        .where(length(trim($"line")) > 0)
+        .where(!$"line".startsWith("timestamp")) // drop the header row
+      val table = lines.select($"run_id",
+        from_csv($"line", schema, Map.empty[String, String]).as("r"))
+        .select(($"run_id" +: schema.fieldNames.map(f => col(s"r.$f"))): _*)
+      name.stripSuffix(".csv") -> table
+    } + ("metadata" -> {
+      val metaSchema = Schemas.metadataJson
+      members.where($"member" === "metadata.json")
+        .select($"run_id", from_json($"text", metaSchema).as("m"))
+        .select(($"run_id" +: metaSchema.fieldNames.map(f => col(s"m.$f"))): _*)
+    })
+  }
+}

@@ -1,0 +1,156 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Data-quality suite (SURVEY §2.9; reference src/etl/validate/__init__.py).
+  * Errors are collected into a structured report, never thrown — validation
+  * is an analysis surface, not an exception path.
+  *
+  * Each check is one small Spark job producing violation counts; at 100 TB
+  * the four checks still cost ~four scans of the relevant facts (ranges and
+  * nulls could share a scan; kept separate for report clarity, matching the
+  * reference's per-check structure).
+  */
+object Validate {
+
+  final case class CheckResult(valid: Boolean, errors: Seq[String])
+  final case class ValidationReport(isValid: Boolean, checks: Map[String, CheckResult]) {
+    /** Pretty-printer (reference: validate/__init__.py:299-323). */
+    def render: String = {
+      val sb = new StringBuilder
+      sb.append(s"Validation ${if (isValid) "PASSED" else "FAILED"}\n")
+      checks.toSeq.sortBy(_._1).foreach { case (name, r) =>
+        sb.append(s"  [${if (r.valid) "ok" else "FAIL"}] $name\n")
+        r.errors.foreach(e => sb.append(s"    - $e\n"))
+      }
+      sb.toString
+    }
+  }
+
+  /** Value-range rules (reference: validate/__init__.py:77-137; limits also
+    * in config.yaml:34-49): table → (column, lo, hi). Unbounded side = ∞.
+    */
+  val rangeRules: Seq[(String, String, Double, Double)] = Seq(
+    ("fact_zone_conditions", "air_temp_C", 10.0, 35.0),
+    ("fact_zone_conditions", "co2_ppm", 400.0, 2500.0),
+    ("fact_zone_conditions", "rh_pct", 0.0, 100.0),
+    ("fact_weather", "drybulb_C", -30.0, 40.0),
+    ("fact_weather", "ghi_W_m2", 0.0, Double.PositiveInfinity),
+    ("fact_hvac", "power_kw", 0.0, Double.PositiveInfinity),
+    ("fact_hvac", "heating_kw", 0.0, Double.PositiveInfinity),
+    ("fact_hvac", "cooling_kw", 0.0, Double.PositiveInfinity),
+    ("fact_meters", "electric_kwh", 0.0, Double.PositiveInfinity),
+    ("fact_meters", "heating_kwh", 0.0, Double.PositiveInfinity),
+    ("fact_meters", "cooling_kwh", 0.0, Double.PositiveInfinity))
+
+  /** Check 1 — schema: table presence, column presence, nulls outside the
+    * allow-list (reference: validate/__init__.py:18-57). All column null
+    * counts for a table come from ONE aggregate pass.
+    */
+  def checkSchema(schema: Map[String, DataFrame]): CheckResult = {
+    val errors = Schemas.starSchema.toSeq.sortBy(_._1).flatMap { case (name, expected) =>
+      schema.get(name) match {
+        case None => Seq(s"missing table: $name")
+        case Some(df) =>
+          val actualCols = df.columns.toSet
+          val missingCols = expected.fieldNames.filterNot(actualCols.contains)
+          val colErrors = missingCols.map(c => s"$name: missing column $c")
+          val checkable = expected.fieldNames.filter(actualCols.contains)
+            .filterNot(c => Schemas.nullableAllowList.contains((name, c)))
+          val nullErrors = if (checkable.isEmpty) Seq.empty else {
+            val counts = df.agg(
+              count(lit(1)).as("__n"),
+              checkable.map(c => count(when(col(c).isNull, 1)).as(c)): _*).head()
+            checkable.zipWithIndex.collect {
+              case (c, i) if counts.getLong(i + 1) > 0 =>
+                s"$name.$c: ${counts.getLong(i + 1)} null values"
+            }.toSeq
+          }
+          colErrors ++ nullErrors
+      }
+    }
+    CheckResult(errors.isEmpty, errors)
+  }
+
+  /** Check 2 — value ranges (reference: validate/__init__.py:60-139). */
+  def checkValueRanges(schema: Map[String, DataFrame]): CheckResult = {
+    val errors = rangeRules.flatMap { case (table, column, lo, hi) =>
+      schema.get(table).toSeq.flatMap { df =>
+        val pred =
+          if (hi.isPosInfinity) col(column) < lo
+          else col(column) < lo || col(column) > hi
+        val n = df.filter(pred).count()
+        if (n > 0) {
+          val bound = if (hi.isPosInfinity) s">= $lo" else s"in [$lo, $hi]"
+          Some(s"$table.$column: $n values not $bound")
+        } else None
+      }
+    }
+    CheckResult(errors.isEmpty, errors)
+  }
+
+  /** Check 3 — temporal coverage: hourly-gap detection on dim_time (lag
+    * diff ≠ 1h) + per-fact time_key coverage via anti-join
+    * (reference: validate/__init__.py:142-182).
+    */
+  def checkTemporalCoverage(schema: Map[String, DataFrame]): CheckResult = {
+    val errors = scala.collection.mutable.Buffer[String]()
+    schema.get("dim_time").foreach { dimTime =>
+      val gaps = dimTime
+        .withColumn("prev_ts", lag(col("timestamp"), 1).over(Window.orderBy("timestamp")))
+        .where(col("prev_ts").isNotNull &&
+          col("timestamp").cast("long") - col("prev_ts").cast("long") =!= 3600L)
+        .count()
+      if (gaps > 0) errors += s"dim_time: $gaps non-hourly gaps between consecutive timestamps"
+
+      Seq("fact_zone_conditions", "fact_hvac", "fact_meters", "fact_weather").foreach { fact =>
+        schema.get(fact).foreach { df =>
+          val missing = dimTime.select("time_key")
+            .join(df.select("time_key"), Seq("time_key"), "left_anti")
+            .count()
+          if (missing > 0) errors += s"$fact: ${missing} time keys with no rows"
+        }
+      }
+    }
+    CheckResult(errors.isEmpty, errors.toSeq)
+  }
+
+  /** Check 4 — energy plausibility: per (building, scenario) totals must be
+    * positive and electric >= 0.2 × (heating + cooling)
+    * (reference: validate/__init__.py:185-229, rule at :222).
+    */
+  def checkEnergyPlausibility(schema: Map[String, DataFrame]): CheckResult = {
+    val errors = schema.get("fact_meters").toSeq.flatMap { meters =>
+      val sums = meters.groupBy(col("building_id"), col("scenario_id"))
+        .agg(
+          sum(col("electric_kwh")).as("e"),
+          sum(col("heating_kwh")).as("h"),
+          sum(col("cooling_kwh")).as("c"))
+        .collect()
+      sums.toSeq.flatMap { r =>
+        val key = s"${r.getString(0)}/${r.getString(1)}"
+        val (e, h, c) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+        val totalErr =
+          if (e <= 0 || h + c <= 0) Some(s"$key: non-positive energy totals") else None
+        val ratioErr =
+          if (e < 0.2 * (h + c))
+            Some(f"$key: electric ($e%.1f kWh) < 0.2 x thermal (${h + c}%.1f kWh)")
+          else None
+        totalErr.toSeq ++ ratioErr.toSeq
+      }
+    }
+    CheckResult(errors.isEmpty, errors)
+  }
+
+  /** All four checks → report (reference: validate/__init__.py:232-296). */
+  def validateAll(spark: SparkSession, schema: Map[String, DataFrame]): ValidationReport = {
+    val checks = Map(
+      "schema" -> checkSchema(schema),
+      "value_ranges" -> checkValueRanges(schema),
+      "temporal_coverage" -> checkTemporalCoverage(schema),
+      "energy_plausibility" -> checkEnergyPlausibility(schema))
+    ValidationReport(checks.values.forall(_.valid), checks)
+  }
+}

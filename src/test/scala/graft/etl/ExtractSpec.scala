@@ -1,0 +1,87 @@
+package graft.etl
+
+import java.nio.file.Files
+import graft.SparkSpec
+
+class ExtractSpec extends SparkSpec {
+
+  test("extractSimulationData round-trips a synthetic bundle") {
+    val dir = SyntheticRuns.tempDir()
+    val zip = SyntheticRuns.writeRunZip(dir, SyntheticRuns.Spec("B1", "BASE", hours = 24))
+    val run = Extract.extractSimulationData(spark, zip.toString)
+    assert(run.runId == "run_B1_BASE")
+    assert(run.metadata.building_id == "B1")
+    assert(run.metadata.floor_area_m2 == 1000L)
+    assert(run.zones.count() == 24 * 3)
+    assert(run.hvac.count() == 24 * 2)
+    assert(run.meters.count() == 24)
+    assert(run.weather.count() == 24)
+    // schema-declared timestamps, not strings
+    assert(run.zones.schema("timestamp").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
+  test("missing file and non-zip raise distinct errors") {
+    intercept[java.io.FileNotFoundException] {
+      Extract.extractSimulationData(spark, "/nonexistent/run_x.zip")
+    }
+    val junk = Files.createTempFile("graft_bad_", ".zip")
+    Files.writeString(junk, "not a zip at all")
+    intercept[IllegalArgumentException] {
+      Extract.extractSimulationData(spark, junk.toString)
+    }
+  }
+
+  test("missing required member is rejected") {
+    val dir = SyntheticRuns.tempDir()
+    // hand-build a zip without meters.csv
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(dir.resolve("run_B9_X.zip").toFile))
+    def put(n: String, c: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(s"run_B9_X/$n"))
+      zos.write(c.getBytes("UTF-8")); zos.closeEntry()
+    }
+    val full = SyntheticRuns.buildCsvs(SyntheticRuns.Spec("B9", "X", hours = 2))
+    put("metadata.json", SyntheticRuns.metadataJson(SyntheticRuns.Spec("B9", "X")))
+    Seq("zones.csv", "hvac.csv", "weather.csv").foreach(n => put(n, full(n)))
+    zos.close()
+    val e = intercept[IllegalArgumentException] {
+      Extract.extractSimulationData(spark, dir.resolve("run_B9_X.zip").toString)
+    }
+    assert(e.getMessage.contains("meters.csv"))
+  }
+
+  test("extractRuns tolerates <50% failures, fails at >=50%") {
+    val dir = SyntheticRuns.tempDir()
+    SyntheticRuns.writeFixtureDir(dir) // 4 good runs
+    Files.writeString(dir.resolve("run_BAD_1.zip"), "garbage") // 1 bad of 5 → ok
+    val runs = Extract.extractRuns(spark, dir.toString)
+    assert(runs.length == 4)
+
+    val dir2 = SyntheticRuns.tempDir()
+    SyntheticRuns.writeRunZip(dir2, SyntheticRuns.Spec("B1", "BASE", hours = 2))
+    Files.writeString(dir2.resolve("run_BAD_1.zip"), "garbage")
+    Files.writeString(dir2.resolve("run_BAD_2.zip"), "garbage") // 2 bad of 3 → fail
+    intercept[RuntimeException] { Extract.extractRuns(spark, dir2.toString) }
+  }
+
+  test("extractRunById builds the keyed path") {
+    val dir = SyntheticRuns.tempDir()
+    SyntheticRuns.writeFixtureDir(dir)
+    val run = Extract.extractRunById(spark, dir.toString, "B2", "ECO")
+    assert(run.metadata.building_id == "B2" && run.metadata.scenario_id == "ECO")
+  }
+
+  test("distributed extract matches driver-side extract row counts") {
+    val dir = SyntheticRuns.tempDir()
+    SyntheticRuns.writeFixtureDir(dir)
+    val members = Extract.extractRunsDistributed(spark, dir.toString)
+    assert(members("zones").count() == 4 * 48 * 3)
+    assert(members("hvac").count() == 4 * 48 * 2)
+    assert(members("meters").count() == 4 * 48)
+    assert(members("metadata").count() == 4)
+    // parsed types survive from_csv
+    assert(members("zones").schema("air_temp_C").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+  }
+}

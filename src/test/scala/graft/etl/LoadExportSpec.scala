@@ -1,0 +1,85 @@
+package graft.etl
+
+import java.nio.file.Files
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LoadExportSpec extends SparkSpec {
+
+  private lazy val schema: Map[String, org.apache.spark.sql.DataFrame] = {
+    val dir = SyntheticRuns.tempDir()
+    SyntheticRuns.writeFixtureDir(dir)
+    Transform.transformAll(spark, Extract.extractRuns(spark, dir.toString))
+  }
+
+  test("parquet round-trip preserves row counts and schema") {
+    val out = Files.createTempDirectory("graft_load_").toString
+    Load.loadToParquet(schema, out)
+    val names = Load.loadParquetDir(spark, out)
+    assert(names.toSet == schema.keySet)
+    schema.foreach { case (name, df) =>
+      assert(spark.table(name).count() == df.count(), s"row count drift in $name")
+    }
+    assert(spark.table("fact_hvac").schema("cop_proxy").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+  }
+
+  test("loadParquetDir rejects hostile table names") {
+    val out = Files.createTempDirectory("graft_guard_").toString
+    Load.loadToParquet(Map("good_name" -> schema("dim_building")), out)
+    // a name the ^[a-zA-Z0-9_]+$ guard must refuse
+    val bad = new java.io.File(out, "bad-name;drop.parquet")
+    Files.createDirectory(bad.toPath)
+    val names = Load.loadParquetDir(spark, out)
+    assert(names == Seq("good_name"))
+  }
+
+  test("the three views compile and answer the README queries") {
+    Load.registerAll(spark, schema)
+    val summary = Load.query(spark, Load.AnalyticalQueries.scenarioComparison).collect()
+    assert(summary.length == 4) // 2 buildings × 2 scenarios
+    val drift = Load.query(spark, Load.AnalyticalQueries.temperatureDrift)
+    assert(drift.count() == 12) // 2 buildings × 3 zones × 2 scenarios
+    val cop = Load.query(spark, Load.AnalyticalQueries.copVsOutdoorTemp)
+    assert(cop.count() > 0)
+    // view inner-join semantics: zone view rows = fact rows (clean data)
+    assert(spark.table("vw_zone_with_weather").count() ==
+      schema("fact_zone_conditions").count())
+    // derived column present
+    assert(spark.table("vw_zone_with_weather").columns.contains("temp_deviation"))
+  }
+
+  test("energy summary view totals match direct aggregation") {
+    Load.registerAll(spark, schema)
+    val v = spark.table("vw_energy_summary")
+      .agg(sum("total_electric_kwh")).head().getDouble(0)
+    val direct = schema("fact_meters").agg(sum("electric_kwh")).head().getDouble(0)
+    assert(math.abs(v - direct) < 1e-6)
+  }
+
+  test("JSON export: honestly computed, schema-valid document") {
+    Load.registerAll(spark, schema)
+    val summary = Export.buildSummary(spark, schema)
+    val out = Files.createTempDirectory("graft_export_").resolve("summary.json")
+    Export.writeSummaryJson(summary, out.toString)
+    val errors = Export.validateSummaryJson(out.toString)
+    assert(errors.isEmpty, errors.mkString("; "))
+    // the monthly breakdown is computed from data: 48h fixture = 1 month
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val doc = mapper.readTree(Files.readString(out))
+    assert(doc.get("monthly_breakdown").size() == 1)
+    assert(doc.get("annual").get("total_kwh").asDouble() > 0)
+    // peak demand is a real max, not the reference's hardcoded 850
+    assert(doc.get("kpis").get("peak_demand_kw").asDouble() > 0)
+    assert(doc.get("kpis").get("comfort_hours_percent").asDouble() >= 0)
+  }
+
+  test("export validator rejects a broken document") {
+    val p = Files.createTempDirectory("graft_badjson_").resolve("bad.json")
+    Files.writeString(p, """{"pipeline": "x", "annual": {"total_kwh": "oops"}}""")
+    val errs = Export.validateSummaryJson(p.toString)
+    assert(errs.nonEmpty)
+    assert(errs.exists(_.contains("annual.total_kwh")))
+    assert(errs.exists(_.contains("monthly_breakdown")))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.etl
+
+import graft.SparkSpec
+
+class ValidateSpec extends SparkSpec {
+
+  private def buildSchema(corrupt: Map[String, Double] = Map.empty,
+      hours: Int = 24): Map[String, org.apache.spark.sql.DataFrame] = {
+    val dir = SyntheticRuns.tempDir()
+    SyntheticRuns.writeRunZip(dir,
+      SyntheticRuns.Spec("B1", "BASE", hours = hours, corrupt = corrupt))
+    Transform.transformAll(spark, Extract.extractRuns(spark, dir.toString))
+  }
+
+  test("clean data passes all four checks") {
+    val report = Validate.validateAll(spark, buildSchema())
+    assert(report.isValid, report.render)
+    assert(report.checks.keySet ==
+      Set("schema", "value_ranges", "temporal_coverage", "energy_plausibility"))
+  }
+
+  test("nullable allow-list: cop_proxy NULLs do not fail the schema check") {
+    val schema = buildSchema()
+    import org.apache.spark.sql.functions.col
+    assert(schema("fact_hvac").where(col("cop_proxy").isNull).count() > 0)
+    assert(Validate.checkSchema(schema).valid)
+  }
+
+  test("50C zone temperature fails the range check") {
+    val report = Validate.validateAll(spark, buildSchema(Map("air_temp_C" -> 50.0)))
+    assert(!report.isValid)
+    val rr = report.checks("value_ranges")
+    assert(!rr.valid && rr.errors.exists(_.contains("air_temp_C")))
+  }
+
+  test("negative power fails the range check") {
+    val rr = Validate.checkValueRanges(buildSchema(Map("power_kw" -> -5.0)))
+    assert(!rr.valid && rr.errors.exists(_.contains("power_kw")))
+  }
+
+  test("a temporal gap is detected") {
+    import org.apache.spark.sql.functions._
+    val schema = buildSchema()
+    // drop 3 interior hours from dim_time's source: simulate by filtering facts+time
+    val gappy = schema.updated("dim_time",
+      schema("dim_time").where(!col("hour").isin(5, 6, 7)))
+    val tc = Validate.checkTemporalCoverage(gappy)
+    assert(!tc.valid && tc.errors.exists(_.contains("gap")))
+  }
+
+  test("implausible energy ratio is flagged") {
+    import org.apache.spark.sql.functions._
+    val schema = buildSchema()
+    val weak = schema.updated("fact_meters",
+      schema("fact_meters").withColumn("electric_kwh", lit(0.1)))
+    val ep = Validate.checkEnergyPlausibility(weak)
+    assert(!ep.valid && ep.errors.exists(_.contains("electric")))
+  }
+
+  test("missing table is reported by the schema check") {
+    val r = Validate.checkSchema(buildSchema() - "fact_weather")
+    assert(!r.valid && r.errors.contains("missing table: fact_weather"))
+  }
+}
