@@ -369,14 +369,20 @@ object CoreQueries {
     // ------------------------------------------------------------------
     // U3 — set-difference coverage check as an anti-join (reference:
     // validate/__init__.py:171-180, time keys missing from facts).
+    // "Customers with no urgent orders" — the filter keeps the result
+    // non-degenerate (plain customers-without-orders is empty at every SF).
     QueryDef(
       "q_anti_coverage",
       Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
-             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin),
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderpriority = '1-URGENT')""".stripMargin),
       (s, dir) => {
         import s.implicits._
         t(s, dir, "customer")
-          .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+          .join(
+            t(s, dir, "orders").filter($"o_orderpriority" === "1-URGENT"),
+            $"c_custkey" === $"o_custkey", "left_anti")
           .select("c_custkey", "c_name", "c_mktsegment")
       }),
 

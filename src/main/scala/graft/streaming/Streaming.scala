@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming extension (SURVEY §2.10: the reference is batch-only;
+  * this is the engine's streaming mode over event streams, not reference
+  * fidelity). Same logical shapes as the batch queries — windowed sums are
+  * the streaming form of the hourly meter rollup.
+  *
+  * Scale design: watermark bounds state; windowed aggregation state is
+  * per (window, key) — at 100 TB/day the state store shards by key across
+  * executors, and `spark.sql.shuffle.partitions` sizes the state RDD.
+  */
+object Streaming {
+
+  /** The events schema as it arrives on a stream (ts already µs). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-based event stream over a directory of parquet/json drops. */
+  def readEventStream(spark: SparkSession, dir: String, format: String = "parquet"): DataFrame =
+    spark.readStream.schema(eventSchema).format(format).load(dir)
+
+  /** Tumbling-window per-type aggregation with late-data watermark — the
+    * streaming analogue of the batch meter rollup (A9/q_monthly_rollup).
+    */
+  def windowedTypeAgg(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"),
+        max(col("value")).as("peak_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"), col("peak_value"))
+
+  final case class SessionInput(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(nEvents: Long, total: Double, lastTs: Long)
+  final case class SessionOutput(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom per-user running state via mapGroupsWithState (the engine's
+    * stateful-operator surface): keeps a running count/total per user.
+    * `idleTimeout` (processing-time) evicts idle users' state in long-running
+    * deployments; None (default) keeps state forever — use None with
+    * AvailableNow/terminating triggers, where timeout ticks would keep the
+    * query scheduling empty batches.
+    */
+  def runningUserTotals(events: Dataset[SessionInput],
+      idleTimeout: Option[String] = None): Dataset[SessionOutput] = {
+    import events.sparkSession.implicits._
+    val mode = idleTimeout
+      .map(_ => GroupStateTimeout.ProcessingTimeTimeout)
+      .getOrElse(GroupStateTimeout.NoTimeout)
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOutput](mode) {
+        (user: Long, rows: Iterator[SessionInput], state: GroupState[SessionState]) =>
+          val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+          var n = prev.nEvents; var tot = prev.total; var last = prev.lastTs
+          rows.foreach { r =>
+            n += 1; tot += r.value; last = math.max(last, r.ts.getTime)
+          }
+          state.update(SessionState(n, tot, last))
+          idleTimeout.foreach(state.setTimeoutDuration)
+          SessionOutput(user, n, tot)
+      }
+  }
+
+  /** Runs a streaming aggregation to a named in-memory sink with an
+    * AvailableNow trigger (process everything currently on disk, then
+    * terminate). Callers should `awaitTermination()`, NOT
+    * `processAllAvailable()` — the latter can spin forever against
+    * stateful queries that keep scheduling timeout batches.
+    */
+  def runToMemory(agg: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append()): StreamingQuery =
+    agg.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{TextFunctions, VectorFunctions}
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different content about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "el gato que duerme en la casa de la abuela"))
+    .toDF("doc_id", "text")
+
+  test("exactGroups collapses exact duplicates deterministically") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(g.length == 4) // 5 docs, one exact dup pair
+    val dup = g.find(_.getLong(1) == 2L).get
+    assert(dup.getLong(2) == 1L) // min doc_id survives
+  }
+
+  test("minhash signature is stable and pairs find the near-dups") {
+    val sig1 = docs.where($"doc_id" === 1)
+      .select(Dedup.minhashSignature($"text", 3, 16)).head().getSeq[Long](0)
+    val sig1b = docs.where($"doc_id" === 1)
+      .select(Dedup.minhashSignature($"text", 3, 16)).head().getSeq[Long](0)
+    assert(sig1 == sig1b && sig1.length == 16)
+
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleN = 3, nPerms = 16, nBands = 8).collect()
+    val pairSet = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet.contains((1L, 4L))) // exact dup: all bands agree
+    // near-dup 1-2 shares most shingles → should collide on some band
+    assert(pairSet.contains((1L, 2L)) || pairSet.contains((2L, 4L)))
+    // the unrelated doc never pairs
+    assert(!pairs.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
+  }
+
+  test("simhash: identical texts get identical hashes, near-dups are close") {
+    val sh = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("jaccardPairs computes exact jaccard on candidates") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, maxDf = 10, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toList
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 4L).get
+    assert(exact._3 == 1.0) // identical shingle sets
+    val near = pairs.find(p => p._1 == 1L && p._2 == 2L).get
+    // 7 shingles each, 6 shared → 6/8
+    assert(math.abs(near._3 - 0.75) < 1e-12)
+  }
+
+  test("vector ops: dot/norm/cosine on known vectors") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f)),
+      (2L, Seq(1.0f, 2.0f, 2.0f), Seq(1.0f, 2.0f, 2.0f)))
+      .toDF("id", "a", "b")
+    val r = df.orderBy("id").select(
+      VectorFunctions.dot($"a", $"b"),
+      VectorFunctions.norm2($"a"),
+      VectorFunctions.cosine($"a", $"b")).collect()
+    assert(r(0).getDouble(0) == 0.0)
+    assert(r(0).getDouble(1) == 1.0)
+    assert(r(0).getDouble(2) == 0.0) // orthogonal
+    assert(r(1).getDouble(0) == 9.0)
+    assert(r(1).getDouble(1) == 3.0)
+    assert(math.abs(r(1).getDouble(2) - 1.0) < 1e-15) // parallel
+  }
+
+  test("cosine emits NULL (not NaN) on zero vectors") {
+    val df = Seq((1L, Seq(0.0f, 0.0f), Seq(1.0f, 1.0f))).toDF("id", "a", "b")
+    val r = df.select(VectorFunctions.cosine($"a", $"b")).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("bruteForceTopK ranks by cosine with id tiebreak") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      Seq(1.0f, 0.0f), 3).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 4L, 2L)) // ties 1,4 by id
+    assert(top(0).getDouble(1) == 1.0)
+  }
+
+  test("text functions: tokens, shingles, counts, lang") {
+    val df = Seq((1L, "the cat and the hat is on the mat")).toDF("id", "text")
+    val r = df.select(
+      TextFunctions.wordCount($"text"),
+      size(TextFunctions.shingles($"text", 3)),
+      TextFunctions.predictedLang($"text"),
+      TextFunctions.estTokensByChars($"text")).head()
+    assert(r.getInt(0) == 9)
+    assert(r.getInt(1) == 7) // 9 tokens → 7 trigrams
+    assert(r.getString(2) == "en")
+    assert(r.getInt(3) == math.ceil(33 / 4.0).toInt)
+    // short text → empty shingles, not a descending-sequence crash
+    val empty = Seq((1L, "one two")).toDF("id", "text")
+      .select(size(TextFunctions.shingles($"text", 3))).head().getInt(0)
+    assert(empty == 0)
+  }
+
+  test("fingerprint is whitespace/case-normalized") {
+    val df = Seq(
+      (1L, "Hello   World"), (2L, "hello world"), (3L, "hello worlds"))
+      .toDF("id", "text")
+    val fps = df.orderBy("id")
+      .select(TextFunctions.fingerprint($"text")).collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+}
