@@ -73,15 +73,22 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
-  /** Word-level n-gram shingles as strings ("w1 w2 w3"). Empty array when
-    * the document has fewer than n tokens.
+  /** Word-level n-gram shingles from an ALREADY-MATERIALIZED token array
+    * column. Callers must tokenize into a real column first
+    * (`df.select(tokens($"text").as("toks"))`) — passing the tokens
+    * *expression* here would re-evaluate the whole tokenize subtree once per
+    * shingle index inside the transform lambda (measured O(tokens²) per doc,
+    * ~50× slower at 56 tokens/doc). Empty array when fewer than n tokens.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     // guard: sequence(1, k) with k < 1 would generate a *descending* range
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - lit(n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array())
-  }
+
+  /** Convenience single-expression form. Only for one-off scalar use — see
+    * the [[shinglesFromTokens]] caveat; hot paths must materialize tokens.
+    */
+  def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
 }

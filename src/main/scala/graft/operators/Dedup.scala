@@ -10,6 +10,7 @@ import org.apache.spark.sql.functions._
   * simhash chunk) followed by small within-bucket joins.
   */
 object Dedup {
+  import PairGen.groupPairs
 
   /** Exact dedup by content hash: groups identical texts, keeps the minimum
     * id as the canonical survivor (deterministic, unlike dropDuplicates).
@@ -34,6 +35,13 @@ object Dedup {
 
   /** MinHash+LSH near-duplicate candidate pairs.
     *
+    * Signatures are computed in the scale-friendly flat shape: explode
+    * shingles once, hash `nPerms` flat columns, take `min` per doc — the
+    * mins combine map-side (partial aggregation), so the shuffle carries one
+    * row per (doc × perm), not the shingle sets. (The Column-expression
+    * [[minhashSignature]] form duplicates the whole tokenize→shingle tree
+    * per permutation — measured 75× slower at sf0.1.)
+    *
     * signature → `nBands` bands of `nPerms/nBands` rows → hash each band →
     * explode to (band, bucket) → self-join within buckets → distinct pairs
     * with the number of agreeing bands. `maxBucket` caps pathological buckets
@@ -44,27 +52,23 @@ object Dedup {
       shingleN: Int = 3, nPerms: Int = 32, nBands: Int = 8,
       maxBucket: Int = 50): DataFrame = {
     val rowsPerBand = nPerms / nBands
-    val sig = docs
-      .select(col(idCol).as("doc_id"),
-        minhashSignature(col(textCol), shingleN, nPerms).as("sig"))
-      .where(size(filter(col("sig"), s => s.isNotNull)) === nPerms)
+    val sh = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), shingleN)).as("shingle"))
+    val sig = sh.groupBy(col("doc_id")).agg(
+      min(xxhash64(col("shingle"), lit(0))).as("h0"),
+      (1 until nPerms).map(seed =>
+        min(xxhash64(col("shingle"), lit(seed))).as(s"h$seed")): _*)
     val bands = sig.select(col("doc_id"), explode(array((0 until nBands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((slice(col("sig"), b * rowsPerBand + 1, rowsPerBand) +:
-          Seq(lit(b).cast("long"))): _*).as("bucket"))
+        xxhash64(((b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"h$i")) :+ lit(b).cast("long")): _*).as("bucket"))
     }: _*)).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.bucket"))
 
-    val bounded = bands
-      .withColumn("bucket_n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-      .where(col("bucket_n") <= maxBucket)
-
-    val l = bounded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
-    val r = bounded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
-    l.join(r, Seq("band", "bucket"))
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+    groupPairs(bands, Seq("band", "bucket"), col("doc_id"), maxBucket)
+      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
+      .select(col("doc_a"), col("doc_b"), col("n_bands"))
   }
 
   /** 64-bit SimHash per document: per-token xxhash64, each bit votes ±1,
@@ -91,22 +95,18 @@ object Dedup {
     * pigeonhole), join per chunk, verify with bit_count(xor) ≤ maxHamming.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val sh = simhash(docs, idCol, textCol)
     val chunks = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
           (shiftrightunsigned(col("simhash"), c * 16) % 65536L).as("key"))
       }: _*)).as("ck"))
-      .select(col("doc_id"), col("simhash"), col("ck.chunk"), col("ck.key"))
-    val l = chunks.select(col("chunk"), col("key"),
-      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-    val r = chunks.select(col("chunk"), col("key"),
-      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-    l.join(r, Seq("chunk", "key"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .select(col("ck.chunk"), col("ck.key"),
+        struct(col("doc_id"), col("simhash")).as("ds"))
+    groupPairs(chunks, Seq("chunk", "key"), col("ds"), maxBucket)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
@@ -119,17 +119,14 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, maxDf: Int = 20, minJaccard: Double = 0.3): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-        explode(shingles(col(textCol), shingleN)).as("shingle"))
+    val sh = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), shingleN)).as("shingle"))
       .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val rare = sh.withColumn("df", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-      .where(col("df") <= maxDf)
-    val inter = rare.select(col("shingle"), col("doc_id").as("doc_a"))
-      .join(rare.select(col("shingle"), col("doc_id").as("doc_b")), Seq("shingle"))
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    val inter = groupPairs(sh, Seq("shingle"), col("doc_id"), maxDf)
+      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n_shingles", "n_a"), Seq("doc_a"))

@@ -63,16 +63,12 @@ object Similarity {
     */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       dims: Int, nPlanes: Int, minSim: Double, maxBucket: Int = 200): DataFrame = {
-    val b = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-        lshBucket(col(vecCol), dims, nPlanes).as("bucket"))
-      .withColumn("bn", count(lit(1)).over(Window.partitionBy("bucket")))
-      .where(col("bn") <= maxBucket)
-    val l = b.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        cosine(col("v_a"), col("v_b")).as("cosine_sim"))
+    val b = corpus.select(
+      lshBucket(col(vecCol), dims, nPlanes).as("bucket"),
+      struct(col(idCol).as("id"), col(vecCol).as("v")).as("iv"))
+    PairGen.groupPairs(b, Seq("bucket"), col("iv"), maxBucket)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("cosine_sim"))
       .where(col("cosine_sim") >= minSim)
   }
 
