@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.VectorFunctions._
+import graft.functions.VectorNative.{cosine, lshBucket}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window

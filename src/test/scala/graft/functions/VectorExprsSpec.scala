@@ -1,0 +1,108 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.extensions.GraftExtensions
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** The native codegen vector expressions must be drop-in replacements for
+  * the HOF forms: same arithmetic order, same NULL conventions — asserted
+  * here as exact (bitwise) equality, not approximate.
+  */
+class VectorExprsSpec extends SparkSpec {
+
+  private def vecs: DataFrame = {
+    import spark.implicits._
+    // deterministic pseudo-random 8-dim float vectors incl. a zero vector
+    val rows = (0L until 50L).map { i =>
+      val v = Array.tabulate(8)(j =>
+        if (i == 7) 0f else ((i * 31 + j * 17) % 23 - 11).toFloat / 7f)
+      (i, v)
+    }
+    rows.toDF("id", "v")
+  }
+
+  private def pairs: DataFrame =
+    vecs.as("a").crossJoin(vecs.toDF("id2", "w").as("b"))
+
+  test("native dot == HOF dot, exactly") {
+    val d = pairs.select(
+      VectorFunctions.dot(col("v"), col("w")).as("hof"),
+      VectorNative.dot(col("v"), col("w")).as("nat"))
+    assert(d.where(col("hof") =!= col("nat")).count() === 0)
+    assert(d.where(col("nat").isNull).count() === 0)
+  }
+
+  test("native cosine == HOF cosine, incl. zero-norm -> NULL") {
+    val d = pairs.select(col("id"), col("id2"),
+      VectorFunctions.cosine(col("v"), col("w")).as("hof"),
+      VectorNative.cosine(col("v"), col("w")).as("nat"))
+    assert(d.where(col("hof") =!= col("nat")).count() === 0)
+    assert(d.where(col("hof").isNull =!= col("nat").isNull).count() === 0)
+    // the zero vector (id 7) pairs with everything as NULL
+    assert(d.where(col("id") === 7 && col("nat").isNotNull).count() === 0)
+  }
+
+  test("native norm2 == HOF norm2") {
+    val d = vecs.select(
+      VectorFunctions.norm2(col("v")).as("hof"),
+      VectorNative.norm2(col("v")).as("nat"))
+    assert(d.where(col("hof") =!= col("nat")).count() === 0)
+  }
+
+  test("native lsh bucket == HOF lsh bucket for every (dims, nPlanes) used") {
+    for (nPlanes <- Seq(4, 6, 16)) {
+      val d = vecs.select(
+        VectorFunctions.lshBucket(col("v"), 8, nPlanes).as("hof"),
+        VectorNative.lshBucket(col("v"), 8, nPlanes).as("nat"))
+      assert(d.where(col("hof") =!= col("nat")).count() === 0,
+        s"mismatch at nPlanes=$nPlanes")
+    }
+  }
+
+  test("length-mismatch yields NULL (dot/cosine) and NULL bucket") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("v", "w")
+    val r = df.select(
+      VectorNative.dot(col("v"), col("w")),
+      VectorNative.cosine(col("v"), col("w")),
+      VectorNative.lshBucket(col("v"), dims = 3, nPlanes = 4)).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("SQL registration: graft_* callable from spark.sql") {
+    GraftExtensions.register(spark)
+    vecs.createOrReplaceTempView("vexprs_vecs")
+    val rows = spark.sql(
+      """SELECT id,
+        |       graft_dot(v, v)  AS d,
+        |       graft_norm2(v)   AS n,
+        |       graft_cosine(v, v) AS c,
+        |       graft_lsh_bucket(v, 8, 6) AS b
+        |FROM vexprs_vecs WHERE id IN (0, 7)
+        |ORDER BY id""".stripMargin).collect()
+    val Array(r0, r7) = rows
+    assert(math.abs(r0.getDouble(3) - 1.0) < 1e-12)   // cos(v,v)=1
+    assert(r7.isNullAt(3))                             // zero vector -> NULL
+    assert(r7.getDouble(1) === 0.0 && r7.getDouble(2) === 0.0)
+    assert(!r0.isNullAt(4))
+  }
+
+  test("codegen plan: native cosine stays inside WholeStageCodegen") {
+    // LocalTableScan inputs never codegen; use a Range source so the plan
+    // shape reflects what a parquet scan would produce.
+    val df = spark.range(100).select(
+      transform(sequence(lit(0), lit(7)),
+        j => (j + col("id")).cast("float")).as("v"))
+    val plan = df
+      .select(VectorNative.cosine(col("v"), reverse(col("v"))).as("c"))
+      .queryExecution.executedPlan.toString
+    // `*(n)` marks a WholeStageCodegen span in the compact plan string —
+    // the Project evaluating graft_cosine must carry it
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_cosine") && l.trim.startsWith("*(")))
+    // and it evaluates without codegen fallback errors
+    assert(df.select(VectorNative.cosine(col("v"), reverse(col("v"))))
+      .where(col("graft_cosine(v, reverse(v))").isNotNull).count() === 100)
+  }
+}
