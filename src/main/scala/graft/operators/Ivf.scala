@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.functions.VectorNative.{cosine, dot, norm2}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate-nearest-neighbor index over an
+  * `array<float>` embedding column — the coarse-quantizer scale path the
+  * brute-force scan ([[Similarity.bruteForceTopK]]) and sign-LSH
+  * ([[Similarity.lshTopK]]) variants bracket:
+  *
+  *   - '''train''': Lloyd's k-means over the corpus, expressed entirely as
+  *     DataFrame aggregations (one shuffle per iteration); only the k×dims
+  *     centroid matrix ever reaches the driver.
+  *   - '''assign''': each vector's nearest centroid, computed inside
+  *     whole-stage codegen via the native dot expression — a map-only op.
+  *   - '''probe''': rank only the `nProbe` clusters nearest the query.
+  *
+  * At 100 TB the assigned corpus is written `partitionBy("cluster")`, so a
+  * probe is a partition-pruned scan of nProbe/k of the data; nothing here
+  * ever materializes the corpus on the driver or compares all pairs.
+  */
+object Ivf {
+
+  /** A trained coarse quantizer: row i is the centroid of cluster i. */
+  final case class Model(centroids: Array[Array[Float]]) {
+    def k: Int = centroids.length
+
+    /** Cluster ids of the `nProbe` centroids nearest `query` (exact L2,
+      * computed on the driver — the centroid table is tiny by construction).
+      */
+    def nearestClusters(query: Seq[Float], nProbe: Int): Seq[Int] =
+      centroids.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < c.length) { val t = c(j).toDouble - query(j).toDouble; d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(identity).take(nProbe).map(_._2).toSeq
+  }
+
+  private def vecLit(v: Seq[Float]): Column = array(v.map(x => lit(x)): _*)
+
+  /** argmin over centroids of ‖v−c‖², computed as argmax of (v·c − ‖c‖²/2)
+    * (the ‖v‖² term is constant per row). One native-dot per centroid, all
+    * inside codegen; ties break to the smallest cluster id via the struct
+    * ordering trick (array_max compares fields left-to-right).
+    */
+  private def assignExpr(vec: Column, centroids: Array[Array[Float]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val halfNormSq = c.map(x => x.toDouble * x.toDouble).sum / 2.0
+      struct((dot(vec, vecLit(c.toSeq)) - lit(halfNormSq)).as("score"),
+        lit(-i).as("neg_id"))
+    }
+    (-array_max(array(scored: _*)).getField("neg_id")).cast("int")
+  }
+
+  /** ‖v−c‖² minimized over the current centroids (full squared L2 — the
+    * per-row ‖v‖² term matters here because farthest-point init compares
+    * the minimum ACROSS rows).
+    */
+  private def minDistSq(vec: Column, centroids: Array[Array[Float]]): Column =
+    centroids.map { c =>
+      val normSq = c.map(x => x.toDouble * x.toDouble).sum
+      norm2(vec) * norm2(vec) + lit(normSq) - lit(2.0) * dot(vec, vecLit(c.toSeq))
+    }.reduce(least(_, _))
+
+  /** Lloyd's k-means with deterministic farthest-point (maxmin) init: seed
+    * with the vector of smallest `xxhash64(id)`, then repeatedly take the
+    * point maximizing its distance to the chosen set — on well-separated
+    * data this provably lands one seed per cluster, where uniform sampling
+    * can collapse two seeds into one cluster. Each pick and each Lloyd
+    * iteration is one distributed pass; only k×dims floats ever reach the
+    * driver. (At 100 TB, run init on a corpus sample; Lloyd passes stay
+    * full-corpus.) Clusters that lose all members keep their previous
+    * centroid.
+    */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Model = {
+    val first = corpus
+      .select(col(vecCol)).orderBy(xxhash64(col(idCol)), col(idCol)).limit(1)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(first.nonEmpty, "cannot train IVF on an empty corpus")
+    var cents: Array[Array[Float]] = first
+    while (cents.length < k) {
+      val far = corpus
+        .select(col(vecCol), minDistSq(col(vecCol), cents).as("d"))
+        .orderBy(col("d").desc, col(idCol))
+        .limit(1).collect()(0).getSeq[Float](0).toArray
+      cents = cents :+ far
+    }
+
+    for (_ <- 0 until iters) {
+      val next = cents.map(_.clone())
+      corpus
+        .select(assignExpr(col(vecCol), cents).as("cluster"),
+          posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cluster"),
+          transform(col("pm"), p => p.getField("m").cast("float")).as("centroid"))
+        .collect()
+        .foreach(r => next(r.getInt(0)) = r.getSeq[Float](1).toArray)
+      cents = next
+    }
+    Model(cents)
+  }
+
+  /** Adds the nearest-centroid `cluster` column — the index build. At scale,
+    * persist this `partitionBy("cluster")` and probes become partition-pruned.
+    */
+  def assign(corpus: DataFrame, vecCol: String, model: Model): DataFrame =
+    corpus.withColumn("cluster", assignExpr(col(vecCol), model.centroids))
+
+  /** IVF top-k: cosine-rank only the `nProbe` clusters nearest the query.
+    * Recall < 1 by construction (like every IVF); nProbe/k is the knob.
+    * The final orderBy+limit plans as TakeOrderedAndProject (per-partition
+    * heap + driver merge of k rows), not a global sort.
+    */
+  def topK(corpus: DataFrame, idCol: String, vecCol: String, model: Model,
+      query: Seq[Float], nProbe: Int, k: Int): DataFrame = {
+    val probes = model.nearestClusters(query, nProbe)
+    assign(corpus, vecCol, model)
+      .where(col("cluster").isin(probes: _*))
+      .select(col(idCol), col("cluster"),
+        cosine(col(vecCol), vecLit(query)).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .limit(k)
+  }
+}

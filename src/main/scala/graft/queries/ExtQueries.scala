@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Ivf, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -179,6 +179,20 @@ object ExtQueries {
       "q_sim_neardup",
       None,
       (s, dir) => Similarity.cosineNearDupPairs(
-        emb(s, dir), "vec_id", "embedding", dims = 64, nPlanes = 6, minSim = 0.2))
+        emb(s, dir), "vec_id", "embedding", dims = 64, nPlanes = 6, minSim = 0.2)),
+
+    // ------------------------------------------------------------------
+    // IVF ANN top-k: k-means coarse quantizer (trained here — 2 Lloyd
+    // iterations, one shuffle each), then rank only the nProbe nearest
+    // clusters. The index-build + probe pattern of a 100 TB ANN serving path.
+    QueryDef(
+      "q_sim_ivf",
+      None,
+      (s, dir) => {
+        val e = emb(s, dir)
+        val model = Ivf.train(e, "vec_id", "embedding", k = 8, iters = 2)
+        val q = Similarity.vectorOf(s, e, "vec_id", "embedding", 0L)
+        Ivf.topK(e, "vec_id", "embedding", model, q, nProbe = 2, k = 20)
+      })
   )
 }

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan shape assertions — the "would this survive 100×" gate.
+  * Correctness says what a query returns; these tests pin HOW it runs:
+  * dims broadcast (one shuffle per star), filters/projections reach the
+  * parquet scan, top-k plans as a heap not a global sort, and aggregation is
+  * partial (map-side) before the exchange. A regression here is a silent
+  * 10× at scale even while every oracle still matches.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Final (post-AQE) executed plan string of a named inventory query. */
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()   // drive AQE to its final plan
+    finalPlan(df.queryExecution.executedPlan).toString
+  }
+
+  private def finalPlan(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => a.executedPlan
+    case other => other
+  }
+
+  test("star joins broadcast every dimension (one shuffle for the whole star)") {
+    for (q <- Seq("q_join_star5", "q_agg_star")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: no broadcast join\n$p")
+      // the only sort-merge/shuffle join allowed is the fact⋈fact edge
+      // (lineitem⋈orders); dims must never shuffle
+      val smj = p.linesIterator.count(_.contains("SortMergeJoin"))
+      val shj = p.linesIterator.count(_.contains("ShuffledHashJoin"))
+      assert(smj + shj <= 1, s"$q: ${smj + shj} shuffle joins — dims not broadcast\n$p")
+    }
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val df = SparkEntry.queries("q_filter_range")(spark, sf)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: ["), scan)
+    assert(scan.contains("GreaterThanOrEqual(l_quantity") ||
+      scan.contains("GreaterThanOrEqual(l_discount"), s"range filter not pushed:\n$scan")
+  }
+
+  test("column pruning: 2-column projection reads a 2-column schema") {
+    val df = SparkEntry.queries("q_scan_project")(spark, sf)
+    val scan = df.queryExecution.executedPlan.toString
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // q_scan_project selects a fixed subset; the scan must not read all 16
+    // lineitem columns
+    assert(!readSchema.contains("l_comment"), s"unpruned scan: $readSchema")
+    assert(!readSchema.contains("l_shipinstruct"), s"unpruned scan: $readSchema")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, never a global sort") {
+    for (q <- Seq("q_sort_limit", "q_sim_bruteforce")) {
+      val p = planOf(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q: no top-k heap\n$p")
+    }
+  }
+
+  test("aggregation is partial before the exchange (map-side combine)") {
+    val p = planOf("q_agg_grouped_rules")
+    // HashAggregate appears twice per grouping: partial then final
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"no partial aggregation:\n$p")
+    assert(p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("whole-stage codegen covers the scan→filter→project hot path") {
+    val df = SparkEntry.queries("q_derived_arith")(spark, sf)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan).toString
+    assert(p.linesIterator.exists(_.trim.startsWith("*(")), s"no codegen span:\n$p")
+  }
+
+  test("the intentional cross join is the ONLY cartesian in the inventory") {
+    val cross = planOf("q_fanout_cross")
+    assert(cross.contains("BroadcastNestedLoopJoin") || cross.contains("CartesianProduct"),
+      s"q_fanout_cross lost its cross join\n$cross")
+    for (q <- Seq("q_join_star5", "q_join_dim", "q_join_factfact_composite", "q_agg_star")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: unexpected cartesian\n$p")
+    }
+  }
+
+  test("fact-fact composite join reuses one exchange for agg + join (AQE)") {
+    val p = planOf("q_join_factfact_composite")
+    // both sides hash-partition on (user_id, event_date) — the join itself
+    // must not introduce a third repartitioning of the fact
+    assert(p.contains("hashpartitioning(user_id"), p)
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import graft.functions.{TextFunctions, VectorFunctions, VectorNative}
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck operator-algebra properties (SURVEY.md §5): invariants that
+  * must hold for EVERY input, not just the fixtures — the class of bug the
+  * example-based suites can't see. Generators are sampled with fixed seeds
+  * (the scalatestplus forAll bridge isn't in the offline cache), so runs
+  * are reproducible.
+  */
+class PropertySpec extends SparkSpec {
+
+  /** Deterministically sample `n` values from `gen` (seeds 0..n-1). */
+  private def samples[T](gen: Gen[T], n: Int = 8, size: Int = 30): Seq[T] =
+    (0 until n).flatMap(i => gen(Gen.Parameters.default.withSize(size), Seed(i.toLong)))
+
+  private val genRows: Gen[List[(Long, Double)]] =
+    Gen.listOf(Gen.zip(Gen.chooseNum(0L, 50L), Gen.chooseNum(-100.0, 100.0)))
+
+  private def kv(rows: List[(Long, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("k", "v")
+  }
+
+  test("filter-pushdown invariance: filter∘project ≡ project∘filter; filters commute") {
+    for (rows <- samples(genRows)) {
+      val base = kv(rows)
+      val a = base.select(col("k"), (col("v") * 2).as("w")).filter(col("k") > 10)
+      val b = base.filter(col("k") > 10).select(col("k"), (col("v") * 2).as("w"))
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+      val f1 = base.filter(col("v") > 0).filter(col("k") % 2 === 0)
+      val f2 = base.filter(col("k") % 2 === 0).filter(col("v") > 0)
+      assert(f1.count() === f2.count())
+    }
+  }
+
+  test("union-count additivity; grouped sums re-aggregate to the global sum") {
+    val pairs = samples(Gen.zip(genRows, genRows))
+    for ((xs, ys) <- pairs) {
+      val (a, b) = (kv(xs), kv(ys))
+      assert(a.unionByName(b).count() === a.count() + b.count())
+      val g = a.groupBy("k").agg(sum("v").as("s")).agg(sum("s")).head()
+      val d = a.agg(sum("v")).head()
+      assert(g.isNullAt(0) === d.isNullAt(0))
+      if (!g.isNullAt(0))
+        assert(math.abs(g.getDouble(0) - d.getDouble(0)) <=
+          1e-9 * (1 + math.abs(d.getDouble(0))))
+    }
+  }
+
+  test("exact-dedup partitions the corpus: Σ n_copies = |docs|, keep_id ∈ its group") {
+    val genDocs = Gen.listOf(Gen.oneOf("aa bb cc", "dd ee", "aa bb cc dd", "zz", ""))
+    for (docs <- samples(genDocs)) {
+      import spark.implicits._
+      val d = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val g = Dedup.exactGroups(d, "doc_id", "text")
+      val total = g.agg(sum("n_copies")).head()
+      assert((if (total.isNullAt(0)) 0L else total.getLong(0)) === d.count())
+      val bad = g.join(
+        d.select(col("doc_id").as("keep_id"), md5(col("text")).as("h")), Seq("keep_id"))
+        .filter(col("h") =!= col("text_hash"))
+      assert(bad.count() === 0)
+    }
+  }
+
+  test("cosine ∈ [-1,1] ∪ NULL and cos(v,v)=1 for nonzero v — HOF and native impls") {
+    val genVec = Gen.listOfN(6, Gen.chooseNum(-10f, 10f))
+    for (vecs <- samples(Gen.nonEmptyListOf(genVec), n = 6)) {
+      import spark.implicits._
+      val d = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }.toDF("id", "v")
+      val pair = d.as("a").crossJoin(d.select(col("v").as("w")).as("b"))
+      for (impl <- Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column](
+          VectorFunctions.cosine, VectorNative.cosine)) {
+        val c = pair.select(impl(col("v"), col("w")).as("c"))
+        assert(c.filter(col("c").isNotNull &&
+          (col("c") < -1.0 - 1e-9 || col("c") > 1.0 + 1e-9)).count() === 0)
+        val self = d.filter(VectorFunctions.norm2(col("v")) > 0)
+          .select(impl(col("v"), col("v")).as("c"))
+        assert(self.filter(col("c").isNull || abs(col("c") - 1.0) > 1e-9).count() === 0)
+      }
+    }
+  }
+
+  test("identical documents always surface as an all-bands MinHash pair") {
+    val genText = Gen.listOfN(6, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+      .map(_.mkString(" "))
+    for (texts <- samples(Gen.listOfN(6, genText), n = 5)) {
+      import spark.implicits._
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val pairs = Dedup.minhashPairs(d, "doc_id", "text", shingleN = 2, nPerms = 8, nBands = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val dupGroups = texts.zipWithIndex.groupBy(_._1).values.filter(_.size > 1)
+      for {
+        grp <- dupGroups
+        ids = grp.map(_._2.toLong).sorted
+        Seq(i, j) <- ids.combinations(2)
+      } assert(pairs.get((i, j)).contains(4L), s"identical docs ($i,$j) not an all-band pair")
+    }
+  }
+
+  test("tokens/shingles algebra: |shingles| = max(0, |tokens| - n + 1)") {
+    val genText = Gen.listOf(Gen.oneOf("ab", "cd", "ef", "gh")).map(_.mkString(" "))
+    for {
+      texts <- samples(Gen.listOf(genText), n = 4)
+      n <- 1 to 4
+    } {
+      import spark.implicits._
+      val d = texts.toDF("text")
+      val bad = d.select(
+        size(TextFunctions.tokens(col("text"))).as("nt"),
+        size(TextFunctions.shingles(col("text"), n)).as("ns"))
+        .filter(col("ns") =!= greatest(col("nt") - (n - 1), lit(0)))
+      assert(bad.count() === 0, s"shingle-count algebra broken at n=$n")
+    }
+  }
+}
