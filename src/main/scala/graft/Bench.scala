@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: absorb one-time JVM/codegen/parquet-reader init so the
+    // first timed query measures the query, not session bring-up.
+    Tables.load(spark, sfDir, "lineitem").limit(1000)
+      .groupBy("l_returnflag").count().count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

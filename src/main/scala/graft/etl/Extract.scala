@@ -201,7 +201,11 @@ object Extract {
     Schemas.requiredCsvMembers.map { case (name, schema) =>
       val lines = members
         .where($"member" === name)
-        .select($"run_id", explode(split($"text", "\r?\n")).as("line"))
+        // arrayBarrier: stops InferFiltersFromGenerate from re-splitting the
+        // whole file text inside a pushed-down per-row filter
+        .select($"run_id",
+          explode(graft.functions.TextFunctions.arrayBarrier(
+            split($"text", "\r?\n"))).as("line"))
         .where(length(trim($"line")) > 0)
         .where(!$"line".startsWith("timestamp")) // drop the header row
       val table = lines.select($"run_id",

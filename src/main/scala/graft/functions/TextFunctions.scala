@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column builders for large-scale training-data pipelines:
@@ -68,6 +69,22 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Optimizer barrier for an EXPENSIVE string-array expression that is about
+    * to be exploded: a nondeterministic identity. Without it,
+    * `InferFiltersFromGenerate` synthesizes a `size(g)>0 AND isnotnull(g)`
+    * filter for the Generate, and predicate pushdown then substitutes the
+    * whole array-building expression into that filter at the scan — the
+    * tokenize→shingle chain ends up evaluated ~3× per row (measured 17× wall
+    * on the sf0.1 shingle explode: 8.9 s → 0.5 s with the barrier).
+    * Nondeterminism forbids both the alias inlining and the pushdown, so the
+    * inferred guard evaluates against the materialized attribute instead.
+    * Cost: one Catalyst↔JVM round-trip of the array per row — noise next to
+    * any chain worth guarding. Values are unchanged; "nondeterministic" is
+    * only the optimizer contract.
+    */
+  val arrayBarrier: UserDefinedFunction =
+    udf((a: Seq[String]) => a).asNondeterministic()
 
   /** Lowercased whitespace tokens with empties removed. */
   def tokens(text: Column): Column =

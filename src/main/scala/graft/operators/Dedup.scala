@@ -54,7 +54,8 @@ object Dedup {
     val rowsPerBand = nPerms / nBands
     val sh = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), shingleN)).as("shingle"))
+      .select(col("doc_id"),
+        explode(arrayBarrier(shinglesFromTokens(col("toks"), shingleN))).as("shingle"))
     val sig = sh.groupBy(col("doc_id")).agg(
       min(xxhash64(col("shingle"), lit(0))).as("h0"),
       (1 until nPerms).map(seed =>
@@ -77,7 +78,7 @@ object Dedup {
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
-      explode(tokens(col(textCol))).as("token"))
+      explode(arrayBarrier(tokens(col(textCol)))).as("token"))
       .withColumn("h", xxhash64(col("token")))
     val bitSums = (0 until 64).map { j =>
       sum(when(shiftrightunsigned(col("h"), j) % 2 === 1, 1).otherwise(-1))
@@ -119,19 +120,26 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, maxDf: Int = 20, minJaccard: Double = 0.3): DataFrame = {
-    val sh = docs
+    // Per-doc shingle dedup is ROW-LOCAL (array_distinct) — no shuffle — and
+    // the set size rides along with the doc id through candidate generation,
+    // so Jaccard needs no join back to a sizes table. The explode sits ABOVE
+    // the projection that materializes the array, so the tokenize→shingle
+    // chain evaluates once per row (not once per consumer expression), and
+    // the explicit repartition(shingle) is a shuffle both groupPairs passes
+    // (group-size count + pair join) reuse via ReusedExchange — the chain
+    // runs once per row total, like the candidate passes need anyway.
+    val byDoc = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), shingleN)).as("shingle"))
-      .distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val inter = groupPairs(sh, Seq("shingle"), col("doc_id"), maxDf)
-      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
+      .select(col("doc_id"),
+        arrayBarrier(array_distinct(shinglesFromTokens(col("toks"), shingleN))).as("shs"))
+      .select(col("doc_id"), col("shs"), explode(col("shs")).as("shingle"))
+      .select(col("doc_id"), size(col("shs")).as("n"), col("shingle"))
+      .repartition(col("shingle"))
+    groupPairs(byDoc, Seq("shingle"),
+        struct(col("doc_id"), col("n")).as("dn"), maxDf)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_shingles", "n_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_shingles", "n_b"), Seq("doc_b"))
       .withColumn("jaccard",
         col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")).cast("double"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.VectorNative.{cosine, dot, norm2}
+import graft.functions.VectorNative.{cosine, dot}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -53,39 +53,40 @@ object Ivf {
     (-array_max(array(scored: _*)).getField("neg_id")).cast("int")
   }
 
-  /** ‖v−c‖² minimized over the current centroids (full squared L2 — the
-    * per-row ‖v‖² term matters here because farthest-point init compares
-    * the minimum ACROSS rows).
-    */
-  private def minDistSq(vec: Column, centroids: Array[Array[Float]]): Column =
-    centroids.map { c =>
-      val normSq = c.map(x => x.toDouble * x.toDouble).sum
-      norm2(vec) * norm2(vec) + lit(normSq) - lit(2.0) * dot(vec, vecLit(c.toSeq))
-    }.reduce(least(_, _))
+  private def l2sq(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var j = 0
+    while (j < a.length) { val t = a(j).toDouble - b(j).toDouble; d += t * t; j += 1 }
+    d
+  }
 
-  /** Lloyd's k-means with deterministic farthest-point (maxmin) init: seed
-    * with the vector of smallest `xxhash64(id)`, then repeatedly take the
-    * point maximizing its distance to the chosen set — on well-separated
-    * data this provably lands one seed per cluster, where uniform sampling
-    * can collapse two seeds into one cluster. Each pick and each Lloyd
-    * iteration is one distributed pass; only k×dims floats ever reach the
-    * driver. (At 100 TB, run init on a corpus sample; Lloyd passes stay
-    * full-corpus.) Clusters that lose all members keep their previous
-    * centroid.
+  /** Lloyd's k-means with kmeans‖-style deterministic init: ONE distributed
+    * pass draws a hash-ordered uniform sample of `initOversample × k`
+    * candidates, then farthest-point (maxmin) refinement runs on the driver
+    * over that small set — on well-separated data maxmin provably lands one
+    * seed per cluster, where plain uniform sampling can collapse two seeds
+    * into one. Each Lloyd iteration is one distributed pass (codegen'd
+    * assignment → per-(cluster, dim) mean with map-side partial agg); only
+    * O(k×dims) floats ever reach the driver. Clusters that lose all members
+    * keep their previous centroid.
     */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): Model = {
-    val first = corpus
-      .select(col(vecCol)).orderBy(xxhash64(col(idCol)), col(idCol)).limit(1)
+      k: Int, iters: Int, initOversample: Int = 32): Model = {
+    val cand: Array[Array[Float]] = corpus
+      .select(col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(math.max(k, initOversample * k))
       .collect().map(_.getSeq[Float](0).toArray)
-    require(first.nonEmpty, "cannot train IVF on an empty corpus")
-    var cents: Array[Array[Float]] = first
+    require(cand.nonEmpty, "cannot train IVF on an empty corpus")
+    var cents: Array[Array[Float]] = Array(cand.head)
     while (cents.length < k) {
-      val far = corpus
-        .select(col(vecCol), minDistSq(col(vecCol), cents).as("d"))
-        .orderBy(col("d").desc, col(idCol))
-        .limit(1).collect()(0).getSeq[Float](0).toArray
-      cents = cents :+ far
+      // strict > keeps the pick deterministic (first-seen wins on ties,
+      // including the all-chosen case where every distance is 0)
+      var best = cand.head; var bestD = -1.0
+      for (v <- cand) {
+        val d = cents.map(c => l2sq(v, c)).min
+        if (d > bestD) { bestD = d; best = v }
+      }
+      cents = cents :+ best
     }
 
     for (_ <- 0 until iters) {
