@@ -89,18 +89,20 @@ object Ivf {
       cents = cents :+ best
     }
 
+    val dims = cents.head.length
     for (_ <- 0 until iters) {
       val next = cents.map(_.clone())
+      // per-dimension means as dims parallel avg aggregates: partial (map-side)
+      // aggregation shrinks the shuffle to k rows × dims columns — no
+      // posexplode blow-up of the corpus to rows × dims rows
+      val avgs = (0 until dims).map(j => avg(element_at(col(vecCol), j + 1)))
       corpus
-        .select(assignExpr(col(vecCol), cents).as("cluster"),
-          posexplode(col(vecCol)).as(Seq("pos", "x")))
-        .groupBy(col("cluster"), col("pos")).agg(avg(col("x")).as("m"))
-        .groupBy(col("cluster"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cluster"),
-          transform(col("pm"), p => p.getField("m").cast("float")).as("centroid"))
+        .select(assignExpr(col(vecCol), cents).as("cluster"), col(vecCol))
+        .groupBy(col("cluster")).agg(avgs.head, avgs.tail: _*)
         .collect()
-        .foreach(r => next(r.getInt(0)) = r.getSeq[Float](1).toArray)
+        .foreach { r =>
+          next(r.getInt(0)) = Array.tabulate(dims)(j => r.getDouble(j + 1).toFloat)
+        }
       cents = next
     }
     Model(cents)

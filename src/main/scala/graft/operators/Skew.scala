@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for hot keys that overwhelm a single shuffle
+  * partition. AQE's skew-join split (on by default) handles most cases at
+  * runtime; these are for the shapes AQE cannot rewrite — skewed
+  * AGGREGATIONS, and joins where the planner can't observe the skew (e.g.
+  * freshly exploded candidate keys with no stats).
+  *
+  * Both transforms are output-equivalent to their unsalted forms (asserted
+  * by SkewSpec), so callers can flip them on per-key-distribution without
+  * touching semantics.
+  */
+object Skew {
+
+  /** Deterministic per-row salt in [0, nSalts): hash of the whole row's
+    * columns (no rand() — retries and re-executions must land identically).
+    */
+  private def rowSalt(df: DataFrame, nSalts: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(nSalts.toLong)).cast("int")
+
+  /** Salted equi-join: the (big, skewed) left side gets a per-row salt; the
+    * small right side is replicated `nSalts`× so every (key, salt) bucket
+    * can match. A hot key's rows then spread over `nSalts` shuffle
+    * partitions instead of one. Supports "inner" and "left" (the big side
+    * must be the left argument; replicating the right side would duplicate
+    * right-side rows under right/full joins).
+    *
+    * Prefer `broadcast(small)` when the small side fits in memory — salting
+    * is for when it doesn't, but a hot key still melts one reducer.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      nSalts: Int, joinType: String = "inner"): DataFrame = {
+    require(nSalts > 0, "nSalts must be positive")
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoin supports inner/left, got $joinType")
+    val saltedBig = big.withColumn("__salt", rowSalt(big, nSalts))
+    val saltedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    saltedBig.join(saltedSmall, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Two-phase skewed aggregation: partial-aggregate on (keys, salt), then
+    * final-aggregate on keys — a hot group's rows combine across `nSalts`
+    * reducers before the (tiny) per-group merge. Only sound for algebraic
+    * aggregates; this covers the engine's common sum/count/min/max shape.
+    * (Spark's own partial aggregation combines map-side per PARTITION; this
+    * adds a reduce-side split for when one group exceeds a single reducer.)
+    */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
+      nSalts: Int): DataFrame = {
+    require(nSalts > 0, "nSalts must be positive")
+    val keyCols = keys.map(col)
+    df.withColumn("__salt", rowSalt(df, nSalts))
+      .groupBy((keyCols :+ col("__salt")): _*)
+      .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pn"),
+        min(col(valueCol)).as("__pmin"), max(col(valueCol)).as("__pmax"))
+      .groupBy(keyCols: _*)
+      .agg(sum(col("__psum")).as(s"sum_$valueCol"),
+        sum(col("__pn")).as("n_rows"),
+        min(col("__pmin")).as(s"min_$valueCol"),
+        max(col("__pmax")).as(s"max_$valueCol"))
+  }
+}
