@@ -1,6 +1,6 @@
 package graft.extensions
 
-import graft.functions.expr.{GraftCosine, GraftDot, GraftLshBucket, GraftNorm2}
+import graft.functions.expr.{GraftCosine, GraftDot, GraftLshBucket, GraftNorm2, GraftWinnow}
 import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -66,6 +66,13 @@ object GraftExtensions {
         arity("graft_lsh_bucket", args, 3)
         GraftLshBucket(args.head,
           intLit(args(1), "dims"), intLit(args(2), "n_planes"))
+      }),
+    ("graft_winnow",
+      info("graft_winnow",
+        "graft_winnow(text, k, w) - winnowing rolling-hash fingerprints (MOSS)."),
+      (args: Seq[Expression]) => {
+        arity("graft_winnow", args, 3)
+        GraftWinnow(args.head, intLit(args(1), "k"), intLit(args(2), "w"))
       }))
 
   /** Imperative registration on an already-built session. */

@@ -70,6 +70,18 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Winnowing rolling-hash fingerprints (MOSS): `array<bigint>` of selected
+    * k-gram hashes; any shared substring of length ≥ w+k−1 between two
+    * documents shares at least one fingerprint. Native O(n) expression
+    * ([[graft.functions.expr.GraftWinnow]]); normalize first so whitespace
+    * and case edits don't shift the k-gram frame.
+    */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    B.column(graft.functions.expr.GraftWinnow(
+      B.expression(regexp_replace(lower(text), "\\s+", " ")), k, w))
+  }
+
   /** Optimizer barrier for an EXPENSIVE string-array expression that is about
     * to be exploded: a nondeterministic identity. Without it,
     * `InferFiltersFromGenerate` synthesizes a `size(g)>0 AND isnotnull(g)`
@@ -85,6 +97,10 @@ object TextFunctions {
     */
   val arrayBarrier: UserDefinedFunction =
     udf((a: Seq[String]) => a).asNondeterministic()
+
+  /** [[arrayBarrier]] for `array<bigint>` columns (hash fingerprints). */
+  val longArrayBarrier: UserDefinedFunction =
+    udf((a: Seq[Long]) => a).asNondeterministic()
 
   /** Lowercased whitespace tokens with empties removed. */
   def tokens(text: Column): Column =

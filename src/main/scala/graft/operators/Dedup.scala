@@ -112,6 +112,25 @@ object Dedup {
       .distinct()
   }
 
+  /** Winnowing near-dup pairs: documents sharing ≥ `minShared` winnow
+    * fingerprints (any common substring of length ≥ w+k−1 guarantees a
+    * shared fingerprint — substring-level overlap, robust where word
+    * shingles miss reflowed/untokenizable text). Same scale shape as the
+    * other LSH-family ops: explode fingerprints, rare-fingerprint candidate
+    * buckets (df ≤ maxDf), bounded within-bucket pairing, count agreement.
+    */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, maxDf: Int = 20, minShared: Int = 2): DataFrame = {
+    val fp = docs
+      .select(col(idCol).as("doc_id"),
+        explode(longArrayBarrier(
+          array_distinct(winnowFingerprints(col(textCol), k, w)))).as("fp"))
+    groupPairs(fp, Seq("fp"), col("doc_id"), maxDf)
+      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** N-gram Jaccard near-dup pairs via rare-shingle candidate generation:
     * shingles with document frequency ≤ `maxDf` nominate candidate pairs
     * (frequent shingles are boilerplate and would explode the join — the

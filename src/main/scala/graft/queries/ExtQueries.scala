@@ -131,6 +131,27 @@ object ExtQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Winnowing rolling-hash fingerprints (native O(n) expression; MOSS).
+    // Hash-based → rows-only check.
+    QueryDef(
+      "q_fingerprint_winnow",
+      None,
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir).select(
+          $"doc_id",
+          TextFunctions.winnowFingerprints($"text").as("fingerprints"),
+          size(TextFunctions.winnowFingerprints($"text")).as("n_fp"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Winnow near-dup pairs: substring-level overlap via shared fingerprints.
+    QueryDef(
+      "q_dedup_winnow",
+      None,
+      (s, dir) => Dedup.winnowPairs(docs(s, dir), "doc_id", "text")),
+
+    // ------------------------------------------------------------------
     // MinHash+LSH near-dup candidate pairs (hash-based → rows-only check).
     QueryDef(
       "q_dedup_minhash",
