@@ -320,6 +320,59 @@ object CoreQueries {
       }),
 
     // ------------------------------------------------------------------
+    // W-ext — tumbling-window aggregation on event time: the batch twin of
+    // the streaming path (streaming/Streaming.windowedTypeAgg) so the same
+    // logical shape is oracle-checked. window().start of a 1-hour tumbling
+    // window == date_trunc('hour'); compared as epoch µs per the events-ns
+    // convention. Sums of events.value are fractional doubles → snapped to
+    // their true 2-decimal precision (QueryDef rules).
+    QueryDef(
+      "q_window_tumbling",
+      Some("""SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
+             |  event_type,
+             |  CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS sum_value,
+             |  MAX(value) AS peak_value
+             |FROM events
+             |GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy(window($"ts", "1 hour"), $"event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            (floor(sum($"value") * 100.0 + 0.5).cast("double") / 100.0).as("sum_value"),
+            max($"value").as("peak_value"))
+          .select(
+            unix_micros($"window.start").as("window_start_us"),
+            $"event_type", $"n_events", $"sum_value", $"peak_value")
+      }),
+
+    // ------------------------------------------------------------------
+    // W-ext — analytic frame window: 3-row moving average per user (the
+    // "hourly load profile" analytic the reference's notebooks describe).
+    // Frame is exactly 3 doubles accumulated in the same order in both
+    // engines → exact; deterministic order via (ts, event_id).
+    QueryDef(
+      "q_moving_avg",
+      Some("""SELECT event_id, user_id, value,
+             |  AVG(value) OVER (PARTITION BY user_id
+             |                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+             |                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+             |                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS INT) AS rn
+             |FROM events""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val order = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"), $"event_id")
+        val frame = order.rowsBetween(-2, Window.currentRow)
+        t(s, dir, "events").select(
+          $"event_id", $"user_id", $"value",
+          avg($"value").over(frame).as("mov_avg"),
+          row_number().over(order).as("rn"))
+      }),
+
+    // ------------------------------------------------------------------
     // W4 — calendar decomposition (reference: transform/__init__.py:173-184).
     // dow follows the reference's pandas convention Mon=0..Sun=6: Spark
     // dayofweek is Sun=1, so (dayofweek+5)%7; DuckDB isodow is Mon=1, so -1.
