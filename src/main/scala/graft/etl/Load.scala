@@ -60,6 +60,30 @@ object Load {
     */
   def query(spark: SparkSession, sql: String): DataFrame = spark.sql(sql)
 
+  /** Bucketed managed-table sink — the co-located-join layout SCALE.md
+    * promises for fact-fact edges: two tables bucketed (and sorted) on
+    * their join key with equal bucket counts join with NO shuffle exchange
+    * (asserted by StorageLayoutSpec). This is the 100 TB answer to the
+    * star queries' one remaining shuffle join.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(tableNameRe.matches(table), s"invalid table name: $table")
+    require(bucketCols.nonEmpty && nBuckets > 0, "need bucket columns and buckets")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // an in-memory catalog forgets tables across sessions but leaves their
+    // warehouse directories; clear any orphan so CTAS doesn't refuse
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    ws.saveAsTable(table)
+  }
+
   /** vw_zone_with_weather (reference: load/__init__.py:75-103): zone
     * conditions + calendar + building + outdoor weather, inner joins, with
     * the derived temp_deviation. The fact-fact join (zone⋈weather on

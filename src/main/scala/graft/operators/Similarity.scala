@@ -72,6 +72,27 @@ object Similarity {
       .where(col("cosine_sim") >= minSim)
   }
 
+  /** Materialize the LSH index at rest: corpus partitioned by bucket, so a
+    * probe is a PARTITION-PRUNED scan of ~1/2^nPlanes of the data
+    * (StorageLayoutSpec asserts the PartitionFilters reach the scan). This
+    * is the serving layout for the 100 TB corpus.
+    */
+  def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      dims: Int, nPlanes: Int, path: String): Unit =
+    corpus.select(col(idCol), col(vecCol),
+        lshBucket(col(vecCol), dims, nPlanes).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Probe a written index: reads ONLY the query's bucket partition. */
+  def probeIndex(spark: SparkSession, path: String, idCol: String,
+      vecCol: String, query: Seq[Float], dims: Int, nPlanes: Int, k: Int): DataFrame =
+    spark.read.parquet(path)
+      .where(col("bucket") === lshBucket(vecLit(query), dims, nPlanes))
+      .select(col(idCol), col("bucket"),
+        cosine(col(vecCol), vecLit(query)).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .limit(k)
+
   /** Fetch one stored vector to use as a probe (tiny driver-side action). */
   def vectorOf(spark: SparkSession, corpus: DataFrame, idCol: String,
       vecCol: String, id: Long): Seq[Float] =

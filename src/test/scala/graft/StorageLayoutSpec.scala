@@ -1,0 +1,75 @@
+package graft
+
+import graft.etl.Load
+import graft.operators.Similarity
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** At-rest layout claims from SCALE.md, proven at plan level:
+  *   - two tables bucketed on their join key co-locate → the join plans
+  *     with NO shuffle exchange;
+  *   - an LSH index written partitionBy(bucket) probes via partition
+  *     pruning → the scan reads one bucket directory, not the corpus.
+  */
+class StorageLayoutSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def finalPlan(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => a.executedPlan
+    case other => other
+  }
+
+  test("bucketed fact-fact join plans with no shuffle exchange") {
+    val lineitem = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val orders = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    Load.writeBucketed(lineitem, "b_lineitem", Seq("l_orderkey"), 4, Seq("l_orderkey"))
+    Load.writeBucketed(orders, "b_orders", Seq("o_orderkey"), 4, Seq("o_orderkey"))
+
+    // at real scale neither fact side broadcasts — recreate that context so
+    // the planner actually exercises the co-located bucketed path
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val joined =
+      try {
+        val j = spark.table("b_lineitem")
+          .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+        j.collect()
+        val plan = finalPlan(j.queryExecution.executedPlan).toString
+        assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+        assert(plan.contains("SelectedBucketsCount"), plan)
+        j
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+
+    // and it returns the same rows as the unbucketed join
+    val plain = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_linenumber", "l_quantity",
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    assert(joined.select(plain.columns.map(col): _*).exceptAll(plain).isEmpty)
+    assert(plain.exceptAll(joined.select(plain.columns.map(col): _*)).isEmpty)
+  }
+
+  test("LSH index probe is a partition-pruned scan with identical results") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val path = "target/lsh_index_test"
+    Similarity.writeIndex(emb, "vec_id", "embedding", dims = 64, nPlanes = 4, path)
+    val q = Similarity.vectorOf(spark, emb, "vec_id", "embedding", 0L)
+
+    val probe = Similarity.probeIndex(spark, path, "vec_id", "embedding",
+      q, dims = 64, nPlanes = 4, k = 10)
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("bucket"),
+      s"probe not partition-pruned:\n$scan")
+
+    // same ranking as the in-memory LSH top-k over the full corpus
+    val direct = Similarity.lshTopK(emb, "vec_id", "embedding", q,
+      dims = 64, nPlanes = 4, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val pruned = probe.select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(pruned === direct)
+  }
+}
