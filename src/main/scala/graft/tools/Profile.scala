@@ -5,7 +5,10 @@ import graft.functions.TextFunctions._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev-only stage profiler for the heavy extension operators. */
+/** Dev-only stage profiler for the heavy extension operators (uses the same
+  * materialize-tokens + arrayBarrier idioms as the operators — see
+  * SCALE.md "Optimizer pathologies" for why both matter).
+  */
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -26,7 +29,9 @@ object Profile {
     val docs = Tables.load(spark, sfDir, "documents")
     docs.count() // warm
 
-    val sh = docs.select(col("doc_id"), explode(shingles(col("text"), 3)).as("shingle"))
+    val tok = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val sh = tok.select(col("doc_id"),
+      explode(arrayBarrier(shinglesFromTokens(col("toks"), 3))).as("shingle"))
     time("explode shingles count")(sh.count())
     val hashed1 = sh.select(col("doc_id"), xxhash64(col("shingle"), lit(0)).as("h"))
     time("hash x1 count")(hashed1.count())
@@ -39,10 +44,14 @@ object Profile {
         .map(i => col(s"h$i")) :+ lit(b).cast("long")): _*).as("bucket"))
     }: _*)).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.bucket"))
     time("bands")(bands.count())
-    val pairs = graft.operators.Dedup.minhashPairs(docs, "doc_id", "text")
-    time("full minhashPairs")(pairs.count())
-    val jac = graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text")
-    time("full jaccardPairs")(jac.count())
+    time("full minhashPairs")(
+      graft.operators.Dedup.minhashPairs(docs, "doc_id", "text").count())
+    time("full jaccardPairs")(
+      graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text").count())
+    time("full winnowPairs")(
+      graft.operators.Dedup.winnowPairs(docs, "doc_id", "text").count())
+    time("full simhashPairs")(
+      graft.operators.Dedup.simhashPairs(docs, "doc_id", "text").count())
     spark.stop()
   }
 }
