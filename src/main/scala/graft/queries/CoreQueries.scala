@@ -543,6 +543,67 @@ object CoreQueries {
         t(s, dir, "events").select(
           $"event_id",
           get_json_object($"props", "$.k").cast("long").as("prop_k"))
+      }),
+
+    // ------------------------------------------------------------------
+    // A8 — descriptive moments (reference: describe()/std in
+    // tests/test_generate_synthetic_idaice.py:138-139). stddev/avg over
+    // fractional doubles drift in the last bits across engines → snapped to
+    // 1e-6 (drift ~1e-10 ≪ the 5e-7 floor margin; see QueryDef rules).
+    QueryDef(
+      "q_stats_moments",
+      Some("""SELECT event_type,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  FLOOR(AVG(value) * 1000000.0 + 0.5) / 1000000.0 AS avg_value,
+             |  FLOOR(stddev_samp(value) * 1000000.0 + 0.5) / 1000000.0 AS std_value,
+             |  MIN(value) AS min_value,
+             |  MAX(value) AS max_value
+             |FROM events GROUP BY event_type""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events").groupBy($"event_type").agg(
+          count(lit(1)).as("n"),
+          (floor(avg($"value") * 1000000.0 + 0.5).cast("double") / 1000000.0).as("avg_value"),
+          (floor(stddev_samp($"value") * 1000000.0 + 0.5).cast("double") / 1000000.0).as("std_value"),
+          min($"value").as("min_value"),
+          max($"value").as("max_value"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Beyond-reference: hierarchical subtotals via ROLLUP (year, month) —
+    // grouping-sets coverage the reference's monthly table implies but never
+    // computes. NULL group markers align across engines; l_quantity sums are
+    // integer-valued doubles → exact.
+    QueryDef(
+      "q_rollup",
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             |       CAST(month(o_orderdate) AS INT) AS mo,
+             |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+             |       FLOOR(SUM(o_totalprice) * 100.0 + 0.5) / 100.0 AS sum_price
+             |FROM orders GROUP BY ROLLUP (1, 2)""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .rollup(year($"o_orderdate").as("yr"), month($"o_orderdate").as("mo"))
+          .agg(count(lit(1)).as("n_orders"),
+            (floor(sum($"o_totalprice") * 100.0 + 0.5).cast("double") / 100.0).as("sum_price"))
+      }),
+
+    // ------------------------------------------------------------------
+    // §7.3 — approx distinct (HLL++). Estimates differ across engines by
+    // construction → rows-only check; ApproxSpec bounds the error vs exact.
+    QueryDef(
+      "q_approx_distinct",
+      None,
+      (s, dir) => {
+        import s.implicits._
+        // rsd=0.01: ~50 KB of HLL registers per aggregate — the accuracy/
+        // memory knob a 100 TB profile job would set explicitly
+        t(s, dir, "lineitem").agg(
+          approx_count_distinct($"l_partkey", rsd = 0.01).as("approx_parts"),
+          countDistinct($"l_partkey").as("exact_parts"),
+          approx_count_distinct($"l_orderkey", rsd = 0.01).as("approx_orders"),
+          countDistinct($"l_orderkey").as("exact_orders"))
       })
   )
 }

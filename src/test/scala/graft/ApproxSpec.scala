@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** approx_count_distinct (HLL++) must stay within its error bound against
+  * the exact count on real testdata — the check the rows-only harness
+  * can't perform.
+  */
+class ApproxSpec extends SparkSpec {
+
+  test("q_approx_distinct estimates within 5% of exact counts") {
+    val r = SparkEntry.queries("q_approx_distinct")(spark, "/root/testdata/sf0.001").head()
+    val (approxParts, exactParts) = (r.getLong(0), r.getLong(1))
+    val (approxOrders, exactOrders) = (r.getLong(2), r.getLong(3))
+    assert(exactParts > 0 && exactOrders > 0)
+    assert(math.abs(approxParts - exactParts).toDouble / exactParts < 0.05,
+      s"parts: approx $approxParts vs exact $exactParts")
+    assert(math.abs(approxOrders - exactOrders).toDouble / exactOrders < 0.05,
+      s"orders: approx $approxOrders vs exact $exactOrders")
+  }
+
+  test("rollup emits per-month rows, per-year subtotals, and a grand total") {
+    val df = SparkEntry.queries("q_rollup")(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    val years = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    val months = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(grand.length === 1)
+    assert(years.nonEmpty && months.nonEmpty)
+    // counts are additive up the hierarchy
+    assert(grand.head.getLong(2) === years.map(_.getLong(2)).sum)
+    assert(grand.head.getLong(2) === months.map(_.getLong(2)).sum)
+  }
+}
