@@ -101,7 +101,11 @@ object Ivf {
         .groupBy(col("cluster")).agg(avgs.head, avgs.tail: _*)
         .collect()
         .foreach { r =>
-          next(r.getInt(0)) = Array.tabulate(dims)(j => r.getDouble(j + 1).toFloat)
+          // a dim can be null only if every member vector was shorter than
+          // `dims` (malformed input); keep the old centroid coordinate there
+          val old = next(r.getInt(0))
+          next(r.getInt(0)) = Array.tabulate(dims)(j =>
+            if (r.isNullAt(j + 1)) old(j) else r.getDouble(j + 1).toFloat)
         }
       cents = next
     }

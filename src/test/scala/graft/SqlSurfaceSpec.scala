@@ -1,0 +1,81 @@
+package graft
+
+import graft.extensions.GraftExtensions
+import org.apache.spark.sql.functions._
+
+/** The engine must be fully drivable through `spark.sql` — the parity
+  * surface for the reference's `query_duckdb` entry point (its primary
+  * query interface, reference load/__init__.py:167-185): testdata tables
+  * registered as views + the graft_* native functions registered in the
+  * session give an end-to-end SQL-only workflow.
+  */
+class SqlSurfaceSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val ready: Unit = {
+    Tables.registerAll(spark, sf)
+    GraftExtensions.register(spark)
+  }
+
+  test("star-join aggregation in pure SQL matches the DataFrame builder") {
+    ready
+    val sql = spark.sql(
+      """SELECT n_name, COUNT(*) AS n_lines, SUM(l_quantity) AS sum_qty
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey  = o_orderkey
+        |JOIN customer ON o_custkey   = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin)
+    val df = SparkEntry.queries("q_agg_star")(spark, sf)
+      .select(col("n_name"), col("n_lines"), col("sum_qty"))
+    assert(sql.exceptAll(df).isEmpty && df.exceptAll(sql).isEmpty)
+  }
+
+  test("ANN search in pure SQL via graft_cosine") {
+    ready
+    val top = spark.sql(
+      """SELECT a.vec_id, graft_cosine(a.embedding, b.embedding) AS sim
+        |FROM embeddings a
+        |JOIN embeddings b ON b.vec_id = 0
+        |WHERE a.vec_id != 0
+        |ORDER BY sim DESC, a.vec_id LIMIT 5""".stripMargin).collect()
+    assert(top.length === 5)
+    assert(top.forall(r => math.abs(r.getDouble(1)) <= 1.0 + 1e-12))
+    // descending order
+    assert(top.sliding(2).forall(p => p(0).getDouble(1) >= p(1).getDouble(1)))
+  }
+
+  test("near-dup fingerprinting in pure SQL via graft_winnow") {
+    ready
+    val shared = spark.sql(
+      """WITH fp AS (
+        |  SELECT DISTINCT doc_id, f
+        |  FROM (SELECT doc_id, explode(graft_winnow(lower(text), 8, 4)) AS f
+        |        FROM documents WHERE doc_id < 50))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin)
+    // shared DISTINCT fingerprints are a set intersection — bounded by the
+    // smaller distinct-fingerprint set
+    val perDoc = spark.sql(
+      """SELECT doc_id, size(array_distinct(graft_winnow(lower(text), 8, 4))) AS n
+        |FROM documents WHERE doc_id < 50""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(shared.collect().forall(r =>
+      r.getLong(2) <= math.min(perDoc(r.getLong(0)), perDoc(r.getLong(1)))))
+  }
+
+  test("the three analytical views answer over a registered star schema") {
+    ready
+    // build a tiny star schema from synthetic runs and query a view in SQL
+    val dir = graft.etl.SyntheticRuns.tempDir()
+    graft.etl.SyntheticRuns.writeFixtureDir(dir)
+    val schema = graft.etl.Transform.transformAll(spark,
+      graft.etl.Extract.extractRuns(spark, dir.toString))
+    graft.etl.Load.registerAll(spark, schema)
+    val out = spark.sql(
+      "SELECT building_id, total_electric_kwh FROM vw_energy_summary").collect()
+    assert(out.nonEmpty)
+  }
+}
