@@ -590,6 +590,55 @@ object CoreQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Beyond-reference: gap-based sessionization — the canonical event-
+    // pipeline operator. session_idx = running count of gaps > 30 min per
+    // user (two stacked windows over the same (user, ts, id) order → ONE
+    // shuffle + one sort at execution).
+    QueryDef(
+      "q_sessionize",
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+             |  FROM events),
+             |g AS (
+             |  SELECT event_id, user_id, ts_us,
+             |    CASE WHEN ts_us - LAG(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+             |SELECT event_id, user_id, ts_us,
+             |  CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+             |FROM g""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+        t(s, dir, "events")
+          .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"))
+          .withColumn("new_sess",
+            when($"ts_us" - lag($"ts_us", 1).over(w) > 1800000000L, 1L).otherwise(0L))
+          .withColumn("session_idx",
+            sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .drop("new_sess")
+      }),
+
+    // ------------------------------------------------------------------
+    // A8-ext — exact percentiles (sorted interpolation, deterministic unlike
+    // approx sketches). Interpolation rounding differs in the last bits
+    // across engines → snapped to 1e-6.
+    QueryDef(
+      "q_percentile",
+      Some("""SELECT event_type,
+             |  FLOOR(quantile_cont(value, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+             |  FLOOR(quantile_cont(value, 0.9) * 1000000.0 + 0.5) / 1000000.0 AS p90
+             |FROM events GROUP BY event_type""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events").groupBy($"event_type").agg(
+          (floor(expr("percentile(value, 0.5)") * 1000000.0 + 0.5).cast("double")
+            / 1000000.0).as("p50"),
+          (floor(expr("percentile(value, 0.9)") * 1000000.0 + 0.5).cast("double")
+            / 1000000.0).as("p90"))
+      }),
+
+    // ------------------------------------------------------------------
     // §7.3 — approx distinct (HLL++). Estimates differ across engines by
     // construction → rows-only check; ApproxSpec bounds the error vs exact.
     QueryDef(
