@@ -21,6 +21,16 @@ private[expr] trait FloatArrayInputs extends Expression {
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires array<float> inputs; ${bad.mkString("; ")}")
   }
+
+  /** Whether any input schema admits NULL elements. When false (e.g. arrays
+    * built by `array(lit...)`), the element null checks compile away and the
+    * loop stays branch-free. A NULL element yields a NULL result — matching
+    * the HOF forms, which null-poison their aggregate — never a silent 0.
+    */
+  protected lazy val elementsMayBeNull: Boolean = children.exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  })
 }
 
 /** Native Catalyst expressions for the embedding-vector hot path.
@@ -31,7 +41,11 @@ private[expr] trait FloatArrayInputs extends Expression {
   * codegen instead — the preference order mandated by SURVEY.md §7.3
   * ("custom Expression only if codegen perf demands it"). Arithmetic is
   * bit-identical to the HOF forms: per-element `(double)float` widening,
-  * left-to-right accumulation in double, same zero-norm → NULL convention.
+  * left-to-right accumulation in double, same zero-norm → NULL convention,
+  * and a NULL element yields NULL (as the HOF aggregates null-poison) —
+  * the checks compile away when the schema says containsNull=false.
+  * (Exception: the HOF lshBucket degrades a NULL element to a garbage
+  * bucket via `when(null >= 0)`→0 bits; the native form returns NULL.)
   *
   * All four are also SQL-registered (`graft_dot`, `graft_norm2`,
   * `graft_cosine`, `graft_lsh_bucket`) via [[graft.extensions.GraftExtensions]].
@@ -63,7 +77,10 @@ case class GraftDot(left: Expression, right: Expression)
     if (n != y.numElements()) null
     else {
       var d = 0.0; var i = 0
-      while (i < n) { d += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      while (i < n) {
+        if (elementsMayBeNull && (x.isNullAt(i) || y.isNullAt(i))) return null
+        d += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1
+      }
       d
     }
   }
@@ -71,6 +88,8 @@ case class GraftDot(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i"); val d = ctx.freshName("d")
+      val nullCheck = if (elementsMayBeNull)
+        s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }" else ""
       s"""
          |final int $n = $x.numElements();
          |if ($n != $y.numElements()) {
@@ -78,9 +97,10 @@ case class GraftDot(left: Expression, right: Expression)
          |} else {
          |  double $d = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    $d += (double) $x.getFloat($i) * (double) $y.getFloat($i);
          |  }
-         |  ${ev.value} = $d;
+         |  if (!${ev.isNull}) { ${ev.value} = $d; }
          |}
        """.stripMargin
     })
@@ -89,17 +109,21 @@ case class GraftDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** √(Σ aᵢ²) in double. */
+/** √(Σ aᵢ²) in double; NULL if any element is NULL. */
 case class GraftNorm2(child: Expression)
     extends UnaryExpression with FloatArrayInputs {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable || elementsMayBeNull
   override def prettyName: String = "graft_norm2"
 
   override protected def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     var s = 0.0; var i = 0; val n = x.numElements()
-    while (i < n) { val xi = x.getFloat(i).toDouble; s += xi * xi; i += 1 }
+    while (i < n) {
+      if (elementsMayBeNull && x.isNullAt(i)) return null
+      val xi = x.getFloat(i).toDouble; s += xi * xi; i += 1
+    }
     math.sqrt(s)
   }
 
@@ -107,14 +131,17 @@ case class GraftNorm2(child: Expression)
     nullSafeCodeGen(ctx, ev, x => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val s = ctx.freshName("s"); val xi = ctx.freshName("xi")
+      val nullCheck = if (elementsMayBeNull)
+        s"if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }" else ""
       s"""
          |final int $n = $x.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  final double $xi = (double) $x.getFloat($i);
          |  $s += $xi * $xi;
          |}
-         |${ev.value} = java.lang.Math.sqrt($s);
+         |if (!${ev.isNull}) { ${ev.value} = java.lang.Math.sqrt($s); }
        """.stripMargin
     })
 
@@ -137,6 +164,10 @@ case class GraftCosine(left: Expression, right: Expression)
     val n = x.numElements()
     if (n != y.numElements()) null
     else {
+      if (elementsMayBeNull) {
+        var i = 0
+        while (i < n) { if (x.isNullAt(i) || y.isNullAt(i)) return null; i += 1 }
+      }
       val (d, na, nb) = VectorExprs.dotNorms(x, y, n)
       val nn = math.sqrt(na) * math.sqrt(nb)
       if (nn > 0.0) d / nn else null
@@ -148,6 +179,8 @@ case class GraftCosine(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val d = ctx.freshName("d"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi"); val nn = ctx.freshName("nn")
+      val nullCheck = if (elementsMayBeNull)
+        s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }" else ""
       s"""
          |final int $n = $x.numElements();
          |if ($n != $y.numElements()) {
@@ -155,12 +188,15 @@ case class GraftCosine(left: Expression, right: Expression)
          |} else {
          |  double $d = 0.0, $na = 0.0, $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    final double $xi = (double) $x.getFloat($i);
          |    final double $yi = (double) $y.getFloat($i);
          |    $d += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |  }
-         |  final double $nn = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |  if ($nn > 0.0) { ${ev.value} = $d / $nn; } else { ${ev.isNull} = true; }
+         |  if (!${ev.isNull}) {
+         |    final double $nn = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |    if ($nn > 0.0) { ${ev.value} = $d / $nn; } else { ${ev.isNull} = true; }
+         |  }
          |}
        """.stripMargin
     })
@@ -199,6 +235,10 @@ case class GraftLshBucket(child: Expression, dims: Int, nPlanes: Int)
     val v = a.asInstanceOf[ArrayData]
     if (v.numElements() != dims) null
     else {
+      if (elementsMayBeNull) {
+        var j = 0
+        while (j < dims) { if (v.isNullAt(j)) return null; j += 1 }
+      }
       var acc = 0L; var p = 0
       while (p < nPlanes) {
         val w = planes(p); var d = 0.0; var j = 0
@@ -215,20 +255,28 @@ case class GraftLshBucket(child: Expression, dims: Int, nPlanes: Int)
       val planesRef = ctx.addReferenceObj("graftLshPlanes", planes, "double[][]")
       val acc = ctx.freshName("acc"); val p = ctx.freshName("p")
       val j = ctx.freshName("j"); val d = ctx.freshName("d"); val w = ctx.freshName("w")
+      val j2 = ctx.freshName("j2")
+      val nullCheck = if (elementsMayBeNull)
+        s"""for (int $j2 = 0; $j2 < $dims; $j2++) {
+           |  if ($v.isNullAt($j2)) { ${ev.isNull} = true; break; }
+           |}""".stripMargin else ""
       s"""
          |if ($v.numElements() != $dims) {
          |  ${ev.isNull} = true;
          |} else {
-         |  long $acc = 0L;
-         |  for (int $p = 0; $p < $nPlanes; $p++) {
-         |    final double[] $w = $planesRef[$p];
-         |    double $d = 0.0;
-         |    for (int $j = 0; $j < $dims; $j++) {
-         |      $d += (double) $v.getFloat($j) * $w[$j];
+         |  $nullCheck
+         |  if (!${ev.isNull}) {
+         |    long $acc = 0L;
+         |    for (int $p = 0; $p < $nPlanes; $p++) {
+         |      final double[] $w = $planesRef[$p];
+         |      double $d = 0.0;
+         |      for (int $j = 0; $j < $dims; $j++) {
+         |        $d += (double) $v.getFloat($j) * $w[$j];
+         |      }
+         |      if ($d >= 0.0) $acc += (1L << $p);
          |    }
-         |    if ($d >= 0.0) $acc += (1L << $p);
+         |    ${ev.value} = $acc;
          |  }
-         |  ${ev.value} = $acc;
          |}
        """.stripMargin
     })

@@ -29,12 +29,13 @@ object Ivf {
     /** Cluster ids of the `nProbe` centroids nearest `query` (exact L2,
       * computed on the driver — the centroid table is tiny by construction).
       */
-    def nearestClusters(query: Seq[Float], nProbe: Int): Seq[Int] =
-      centroids.zipWithIndex.map { case (c, i) =>
-        var d = 0.0; var j = 0
-        while (j < c.length) { val t = c(j).toDouble - query(j).toDouble; d += t * t; j += 1 }
-        (d, i)
-      }.sortBy(identity).take(nProbe).map(_._2).toSeq
+    def nearestClusters(query: Seq[Float], nProbe: Int): Seq[Int] = {
+      require(centroids.isEmpty || query.length == centroids.head.length,
+        s"query has ${query.length} dims, centroids have ${centroids.head.length}")
+      val q = query.toArray
+      centroids.zipWithIndex.map { case (c, i) => (l2sq(c, q), i) }
+        .sortBy(identity).take(nProbe).map(_._2).toSeq
+    }
   }
 
   private def vecLit(v: Seq[Float]): Column = array(v.map(x => lit(x)): _*)
@@ -53,9 +54,12 @@ object Ivf {
     (-array_max(array(scored: _*)).getField("neg_id")).cast("int")
   }
 
-  private def l2sq(a: Array[Float], b: Array[Float]): Double = {
+  private[operators] def l2sq(a: Array[Float], b: Array[Float]): Double = {
+    // min length: distance to a malformed short vector is undefined anyway —
+    // never index past either array (a short seed must not crash maxmin init)
+    val n = math.min(a.length, b.length)
     var d = 0.0; var j = 0
-    while (j < a.length) { val t = a(j).toDouble - b(j).toDouble; d += t * t; j += 1 }
+    while (j < n) { val t = a(j).toDouble - b(j).toDouble; d += t * t; j += 1 }
     d
   }
 
@@ -94,8 +98,11 @@ object Ivf {
       val next = cents.map(_.clone())
       // per-dimension means as dims parallel avg aggregates: partial (map-side)
       // aggregation shrinks the shuffle to k rows × dims columns — no
-      // posexplode blow-up of the corpus to rows × dims rows
-      val avgs = (0 until dims).map(j => avg(element_at(col(vecCol), j + 1)))
+      // posexplode blow-up of the corpus to rows × dims rows.
+      // try_element_at: under ANSI mode (Spark 4 default) element_at would
+      // THROW on a malformed short vector; try_ yields NULL, avg skips it,
+      // and the null-dim guard below keeps the old centroid coordinate.
+      val avgs = (0 until dims).map(j => avg(try_element_at(col(vecCol), lit(j + 1))))
       corpus
         .select(assignExpr(col(vecCol), cents).as("cluster"), col(vecCol))
         .groupBy(col("cluster")).agg(avgs.head, avgs.tail: _*)

@@ -15,11 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic per-row salt in [0, nSalts): hash of the whole row's
-    * columns (no rand() — retries and re-executions must land identically).
+  /** Per-row salt in [0, nSalts): position-based, NOT value-based — hashing
+    * row values would give every copy of a duplicated hot row the same salt,
+    * defeating the spread exactly in the common duplicate-row skew case.
+    * monotonically_increasing_id is partition-local counter + partition id,
+    * so consecutive duplicates cycle through all salts, and it is stable
+    * under task retry (same partition, same order ⇒ same ids). No rand():
+    * re-executions must land identically.
     */
-  private def rowSalt(df: DataFrame, nSalts: Int): Column =
-    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(nSalts.toLong)).cast("int")
+  private def rowSalt(nSalts: Int): Column =
+    pmod(monotonically_increasing_id(), lit(nSalts.toLong)).cast("int")
 
   /** Salted equi-join: the (big, skewed) left side gets a per-row salt; the
     * small right side is replicated `nSalts`× so every (key, salt) bucket
@@ -36,7 +41,7 @@ object Skew {
     require(nSalts > 0, "nSalts must be positive")
     require(joinType == "inner" || joinType == "left",
       s"saltedJoin supports inner/left, got $joinType")
-    val saltedBig = big.withColumn("__salt", rowSalt(big, nSalts))
+    val saltedBig = big.withColumn("__salt", rowSalt(nSalts))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalts - 1))))
     saltedBig.join(saltedSmall, keys :+ "__salt", joinType).drop("__salt")
@@ -53,7 +58,7 @@ object Skew {
       nSalts: Int): DataFrame = {
     require(nSalts > 0, "nSalts must be positive")
     val keyCols = keys.map(col)
-    df.withColumn("__salt", rowSalt(df, nSalts))
+    df.withColumn("__salt", rowSalt(nSalts))
       .groupBy((keyCols :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pn"),
         min(col(valueCol)).as("__pmin"), max(col(valueCol)).as("__pmax"))

@@ -60,6 +60,31 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
+  test("NULL element yields NULL (matching HOF null-poisoning), never 0.0") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(Some(1f), None, Some(2f)), Seq(Some(1f), Some(1f), Some(1f))),
+      (Seq(Some(1f), Some(2f), Some(3f)), Seq(Some(2f), Some(2f), Some(2f))))
+      .toDF("v", "w")
+    val r = df.select(
+      VectorNative.dot(col("v"), col("w")).as("nd"),
+      VectorFunctions.dot(col("v"), col("w")).as("hd"),
+      VectorNative.cosine(col("v"), col("w")).as("nc"),
+      VectorFunctions.cosine(col("v"), col("w")).as("hc"),
+      VectorNative.norm2(col("v")).as("nn"),
+      VectorFunctions.norm2(col("v")).as("hn"),
+      VectorNative.lshBucket(col("v"), dims = 3, nPlanes = 4).as("nb"))
+      .collect()
+    val withNull = r(0)
+    assert(withNull.isNullAt(0) && withNull.isNullAt(1)) // dot: both NULL
+    assert(withNull.isNullAt(2) && withNull.isNullAt(3)) // cosine: both NULL
+    assert(withNull.isNullAt(4) && withNull.isNullAt(5)) // norm2: both NULL
+    assert(withNull.isNullAt(6))                         // native bucket NULL
+    val clean = r(1)
+    assert(!clean.isNullAt(0) && clean.getDouble(0) === 12.0)
+    assert(!clean.isNullAt(6))
+  }
+
   test("length-mismatch yields NULL (dot/cosine) and NULL bucket") {
     import spark.implicits._
     val df = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("v", "w")

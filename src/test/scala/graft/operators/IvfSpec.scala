@@ -63,6 +63,15 @@ class IvfSpec extends SparkSpec {
     assert(all.toSeq === brute.toSeq)
   }
 
+  test("train survives malformed (short) vectors under ANSI mode") {
+    import spark.implicits._
+    val mixed = corpus.union(
+      Seq((999L, Array(1f, 2f))).toDF("vec_id", "embedding"))
+    // must not throw (try_element_at + null-dim guard); clusters still form
+    val model = Ivf.train(mixed, "vec_id", "embedding", k = 3, iters = 2)
+    assert(model.k === 3 && model.centroids.forall(_.length === 4))
+  }
+
   test("nearestClusters orders probes by true L2 distance") {
     val m = Ivf.Model(Array(
       Array(0f, 0f), Array(5f, 0f), Array(0f, 5f)))
