@@ -20,11 +20,14 @@ object Tables {
   val all: Seq[String]   = dims ++ facts ++ ext
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects outright;
+    // read it as a long (ns since epoch) and truncate to µs exactly like
+    // DuckDB's CAST(ts_ns AS TIMESTAMP) so oracle comparisons agree.
+    // The flag is session-wide and there is no per-read option for it, so it
+    // is set unconditionally here — behavior must not depend on whether the
+    // events table happened to be loaded first.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects outright;
-      // read it as a long (ns since epoch) and truncate to µs exactly like
-      // DuckDB's CAST(ts_ns AS TIMESTAMP) so oracle comparisons agree.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$sfDir/$name.parquet")

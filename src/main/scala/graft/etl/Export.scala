@@ -22,14 +22,36 @@ object Export {
 
   /** Builds the summary document as a one-row nested DataFrame from a
     * registered star schema; serialize with [[writeSummaryJson]].
+    *
+    * The document describes ONE (building, scenario) — its `scenario` struct
+    * is singular — so every aggregate (annual, monthly, peak, comfort) is
+    * filtered to that pair. Default scope: the lexicographically-first
+    * building and scenario (deterministic). The reference sums whatever
+    * table it finds across all entities while attributing it to hardcoded
+    * metadata (export_json.py:181-190) — a fidelity gap closed here, like
+    * the hardcoded monthly pattern and peak.
     */
   def buildSummary(spark: SparkSession, schema: Map[String, DataFrame],
-      co2FactorKgPerKwh: Double = 0.229): DataFrame = {
+      co2FactorKgPerKwh: Double = 0.229,
+      buildingId: Option[String] = None,
+      scenarioId: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val meters = schema("fact_meters")
     val dimTime = schema("dim_time").select($"time_key", $"timestamp", $"month")
-    val building = schema("dim_building").orderBy($"building_id").limit(1)
-    val scenario = schema("dim_scenario").orderBy($"scenario_id").limit(1)
+
+    def one(df: DataFrame, keyCol: String, want: Option[String], what: String) = {
+      val picked = want.map(v => df.where(col(keyCol) === v)).getOrElse(df)
+        .orderBy(col(keyCol)).limit(1).collect()
+      require(picked.nonEmpty,
+        s"cannot export: no $what row${want.fold("")(v => s" for $keyCol=$v")}")
+      picked.head
+    }
+    val bRow = one(schema("dim_building"), "building_id", buildingId, "dim_building")
+    val sRow = one(schema("dim_scenario"), "scenario_id", scenarioId, "dim_scenario")
+    val bId = bRow.getString(bRow.fieldIndex("building_id"))
+    val sId = sRow.getString(0)
+
+    val meters = schema("fact_meters")
+      .where($"building_id" === bId && $"scenario_id" === sId)
 
     // column synonyms (reference S12/A3): tolerate renamed meter columns
     val eCol = resolve(meters, Seq("electric", "elec")).getOrElse("electric_kwh")
@@ -38,41 +60,46 @@ object Export {
 
     val withMonth = meters.join(broadcast(dimTime), Seq("time_key"), "left")
 
-    // annual totals (A3) + honestly-computed peak (max hourly electric, kW ≈ kWh/h)
+    // annual totals (A3) + honestly-computed peak (max hourly electric,
+    // kW ≈ kWh/h) + covered hours, one pass over the scoped fact
     val annualRow = withMonth.agg(
       sum(col(eCol)).as("electric"),
       sum(col(hCol)).as("heating"),
       sum(col(cCol)).as("cooling"),
-      max(col(eCol)).as("peak")).head()
+      max(col(eCol)).as("peak"),
+      countDistinct(col("time_key")).as("hours")).head()
+    require(!annualRow.isNullAt(0),
+      s"cannot export: fact_meters has no rows for ($bId, $sId)")
     val (e, h, c, peak) = (annualRow.getDouble(0), annualRow.getDouble(1),
       annualRow.getDouble(2), annualRow.getDouble(3))
     val total = e + h + c
+    val hours = annualRow.getLong(4)
 
-    // honestly-computed monthly breakdown (A9), collected as array<struct>
+    // honestly-computed monthly breakdown (A9); sorted on the driver —
+    // collect_list order after a shuffle is not guaranteed
     val monthly = withMonth
       .groupBy(col("month"))
       .agg(
         sum(col(hCol)).as("heating_kwh"),
         sum(col(cCol)).as("cooling_kwh"),
         (sum(col(eCol)) + sum(col(hCol)) + sum(col(cCol))).as("total_kwh"))
-      .orderBy(col("month"))
-      .agg(collect_list(struct(
-        col("month"), col("heating_kwh"), col("cooling_kwh"), col("total_kwh"))))
-      .head().getSeq[org.apache.spark.sql.Row](0)
+      .collect().sortBy(_.getInt(0)).toSeq
 
-    // comfort hours from zone conditions (A5 done for real)
-    val comfort = schema.get("fact_zone_conditions").map { z =>
-      val r = z.agg(
-        count(lit(1)).as("n"),
-        count(when(abs(col("air_temp_C") - col("setpoint_C")) <= 1.0, 1)).as("ok")).head()
-      if (r.getLong(0) == 0) 0.0 else r.getLong(1).toDouble / r.getLong(0) * 100.0
-    }.getOrElse(0.0)
+    // comfort hours from this building's zones under this scenario (A5)
+    val comfort = (schema.get("fact_zone_conditions"), schema.get("dim_zone")) match {
+      case (Some(z), Some(dz)) =>
+        val zoneKeys = dz.where($"building_id" === bId).select($"zone_key")
+        val r = z.where($"scenario_id" === sId)
+          .join(broadcast(zoneKeys), Seq("zone_key"), "left_semi")
+          .agg(
+            count(lit(1)).as("n"),
+            count(when(abs(col("air_temp_C") - col("setpoint_C")) <= 1.0, 1)).as("ok"))
+          .head()
+        if (r.getLong(0) == 0) 0.0 else r.getLong(1).toDouble / r.getLong(0) * 100.0
+      case _ => 0.0
+    }
 
-    val bRow = building.head()
-    val sRow = scenario.head()
     val floorArea = bRow.getLong(bRow.fieldIndex("floor_area_m2")).toDouble
-
-    val hours = dimTime.count()
     val doc = Seq((
       "graft-spark",
       java.time.Instant.now().toString,

@@ -50,6 +50,27 @@ object Extract {
   /** Required members of a run bundle under its single root directory
     * (reference: extract/__init__.py:49-63).
     */
+  /** Staged run dirs, removed recursively at JVM exit. (deleteOnExit on a
+    * non-empty directory silently fails — the staged CSV copies would leak;
+    * the CSVs must live until exit because Spark reads them lazily.)
+    */
+  private val stagingDirs = java.util.Collections.synchronizedList(
+    new java.util.ArrayList[Path]())
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      stagingDirs.forEach { dir =>
+        Try {
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+        }
+        ()
+      }))
+  private def registerStagingCleanup(dir: Path): Unit = {
+    cleanupHook
+    stagingDirs.add(dir)
+    ()
+  }
+
   private val requiredMembers: Set[String] =
     Schemas.requiredCsvMembers.keySet + "metadata.json"
 
@@ -96,12 +117,19 @@ object Extract {
       if (n == null) throw new IllegalArgumentException(s"metadata.json missing field: $f")
       n.asText()
     }
+    val floorArea = {
+      val n = node.get("floor_area_m2")
+      if (n == null || !n.canConvertToLong)
+        throw new IllegalArgumentException(
+          "metadata.json missing or non-numeric field: floor_area_m2")
+      n.asLong()
+    }
     RunMetadata(
       building_id = str("building_id"),
       scenario_id = str("scenario_id"),
       building_name = str("building_name"),
       location = str("location"),
-      floor_area_m2 = node.get("floor_area_m2").asLong(),
+      floor_area_m2 = floorArea,
       description = str("description"),
       generated_at = if (node.has("generated_at")) node.get("generated_at").asText() else "")
   }
@@ -119,8 +147,10 @@ object Extract {
     }
     val (root, byBase) = validateLayout(f, members)
     val staging: Path = Files.createTempDirectory("graft_run_")
-    staging.toFile.deleteOnExit()
-    byBase.foreach { case (name, bytes) =>
+    registerStagingCleanup(staging)
+    // stage only the five members we read — a bundle may carry extra nested
+    // files (logs/ etc.) whose parent dirs don't exist in the staging root
+    byBase.view.filterKeys(requiredMembers).foreach { case (name, bytes) =>
       Files.write(staging.resolve(name), bytes)
     }
     def csv(name: String): DataFrame =

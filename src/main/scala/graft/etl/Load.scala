@@ -74,9 +74,11 @@ object Load {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     // an in-memory catalog forgets tables across sessions but leaves their
     // warehouse directories; clear any orphan so CTAS doesn't refuse
-    // the metastore lowercases table names — check the directory it will use
+    // the metastore lowercases table names (Locale.ROOT — default-locale
+    // lowercasing diverges on e.g. Turkish dotless i)
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite").format("parquet")

@@ -42,7 +42,7 @@ object Pipeline {
   /** Runs the pipeline; returns the process exit code. */
   def run(spark: SparkSession, cfg: Config): Int = {
     // [1/4] extract
-    val schema =
+    val built =
       if (cfg.distributed) {
         val members = Extract.extractRunsDistributed(spark, cfg.simulationsDir)
         Transform.transformAllDistributed(spark, members)
@@ -52,34 +52,40 @@ object Pipeline {
         // [2/4] transform
         Transform.transformAll(spark, runs)
       }
+    // validate issues ~20 counting actions and load+export re-consume every
+    // table: cache the star schema once instead of re-deriving the whole
+    // extract→transform DAG per action (the reference holds it in memory)
+    val schema = built.view.mapValues(_.cache()).toMap
+    try {
 
-    // [3/4] validate (skippable, reference run_pipeline.py:95-125)
-    if (!cfg.skipValidation) {
-      val report = Validate.validateAll(spark, schema)
-      println(report.render)
-      if (!report.isValid && !cfg.force) {
-        System.err.println("[pipeline] validation failed; rerun with --force to load anyway")
-        return 2
+      // [3/4] validate (skippable, reference run_pipeline.py:95-125)
+      if (!cfg.skipValidation) {
+        val report = Validate.validateAll(spark, schema)
+        println(report.render)
+        if (!report.isValid && !cfg.force) {
+          System.err.println("[pipeline] validation failed; rerun with --force to load anyway")
+          return 2
+        }
       }
-    }
 
-    // [4/4] load
-    Load.loadToParquet(schema, cfg.outputDir)
-    Load.registerAll(spark, schema)
-    println(s"[pipeline] loaded ${schema.size} tables to ${cfg.outputDir}")
+      // [4/4] load
+      Load.loadToParquet(schema, cfg.outputDir)
+      Load.registerAll(spark, schema)
+      println(s"[pipeline] loaded ${schema.size} tables to ${cfg.outputDir}")
 
-    if (cfg.exportJson) {
-      val summary = Export.buildSummary(spark, schema)
-      val out = s"${cfg.outputDir}/ida_ice_simulation_summary.json"
-      Export.writeSummaryJson(summary, out)
-      val errs = Export.validateSummaryJson(out)
-      if (errs.nonEmpty) {
-        errs.foreach(e => System.err.println(s"[export] $e"))
-        return 1
+      if (cfg.exportJson) {
+        val summary = Export.buildSummary(spark, schema)
+        val out = s"${cfg.outputDir}/ida_ice_simulation_summary.json"
+        Export.writeSummaryJson(summary, out)
+        val errs = Export.validateSummaryJson(out)
+        if (errs.nonEmpty) {
+          errs.foreach(e => System.err.println(s"[export] $e"))
+          return 1
+        }
+        println(s"[pipeline] exported summary to $out")
       }
-      println(s"[pipeline] exported summary to $out")
-    }
-    0
+      0
+    } finally schema.values.foreach(_.unpersist())
   }
 
   def main(args: Array[String]): Unit = {

@@ -33,7 +33,10 @@ object Transform {
     require(runs.nonEmpty, "no runs to transform")
     import spark.implicits._
     build(spark,
-      meta = runs.map(_.metadata).toDF(),
+      // __ord = position in the (sorted-zip) run list, so "first-seen" dedup
+      // below is the reference's file-order semantics, not partition luck
+      meta = runs.map(_.metadata).zipWithIndex.toDF("m", "__ord")
+        .select($"m.*", $"__ord"),
       zonesAll = runs.map(_.zones).reduce(_ unionByName _),
       hvacAll = runs.map(_.hvac).reduce(_ unionByName _),
       metersAll = runs.map(_.meters).reduce(_ unionByName _),
@@ -48,7 +51,9 @@ object Transform {
   def transformAllDistributed(spark: SparkSession,
       members: Map[String, DataFrame]): Map[String, DataFrame] =
     build(spark,
-      meta = members("metadata"),
+      // run_id is the deterministic "first-seen" order in a distributed
+      // listing (lexicographic = the driver path's sorted-zip order)
+      meta = members("metadata").withColumn("__ord", col("run_id")).drop("run_id"),
       zonesAll = members("zones").drop("run_id"),
       hvacAll = members("hvac").drop("run_id"),
       metersAll = members("meters").drop("run_id"),
@@ -59,17 +64,19 @@ object Transform {
       weatherOne: DataFrame): Map[String, DataFrame] = {
     import spark.implicits._
 
-    // ---- dims from metadata (first-seen dedup per key; reference :29-41,:61-71)
+    // ---- dims from metadata (first-seen dedup per key; reference :29-41,
+    // :61-71). min_by on the explicit __ord, NOT first(): Spark's first()
+    // picks whichever partition is consumed first and flips across runs.
     val dimBuilding = meta
       .groupBy($"building_id")
-      .agg(
-        first($"building_name").as("building_name"),
-        first($"location").as("location"),
-        first($"floor_area_m2").as("floor_area_m2"))
+      .agg(min_by(
+        struct($"building_name", $"location", $"floor_area_m2"), $"__ord").as("m"))
+      .select($"building_id", $"m.*")
       .orderBy($"building_id")
     val dimScenario = meta
       .groupBy($"scenario_id")
-      .agg(first($"description").as("description"))
+      .agg(min_by(struct($"description"), $"__ord").as("m"))
+      .select($"scenario_id", $"m.*")
       .orderBy($"scenario_id")
 
     // ---- dim_zone / dim_ahu: distinct ids, sorted, keyed (reference :75-145)

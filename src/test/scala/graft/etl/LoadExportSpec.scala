@@ -57,6 +57,30 @@ class LoadExportSpec extends SparkSpec {
     assert(math.abs(v - direct) < 1e-6)
   }
 
+  test("summary aggregates ONLY the selected (building, scenario), not all runs") {
+    // fixture = 2 buildings x 2 scenarios; default scope is (B1, BASE)
+    val summary = Export.buildSummary(spark, schema)
+    val total = summary.select("annual.total_kwh").head().getDouble(0)
+    val scoped = schema("fact_meters")
+      .filter(col("building_id") === "B1" && col("scenario_id") === "BASE")
+      .agg(sum(col("electric_kwh") + col("heating_kwh") + col("cooling_kwh")))
+      .head().getDouble(0)
+    val global = schema("fact_meters")
+      .agg(sum(col("electric_kwh") + col("heating_kwh") + col("cooling_kwh")))
+      .head().getDouble(0)
+    assert(math.abs(total - scoped) < 1e-6, s"summary total $total != scoped $scoped")
+    assert(math.abs(total - global) > 1.0, "summary is still a cross-run mix")
+    // explicit scope selection works too
+    val eco = Export.buildSummary(spark, schema,
+      buildingId = Some("B2"), scenarioId = Some("ECO"))
+    assert(eco.select("scenario.name").head().getString(0) === "ECO")
+    // and an unknown scope fails with a diagnosable message
+    val err = intercept[IllegalArgumentException] {
+      Export.buildSummary(spark, schema, buildingId = Some("NOPE"))
+    }
+    assert(err.getMessage.contains("NOPE"))
+  }
+
   test("JSON export: honestly computed, schema-valid document") {
     Load.registerAll(spark, schema)
     val summary = Export.buildSummary(spark, schema)
