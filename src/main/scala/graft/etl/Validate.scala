@@ -131,7 +131,10 @@ object Validate {
         .collect()
       sums.toSeq.flatMap { r =>
         val key = s"${r.getString(0)}/${r.getString(1)}"
-        val (e, h, c) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+        // sum() is NULL when a group's values are all NULL — exactly the
+        // dirty data this check exists to report, so treat as 0, not NPE
+        def d(i: Int): Double = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
+        val (e, h, c) = (d(2), d(3), d(4))
         val totalErr =
           if (e <= 0 || h + c <= 0) Some(s"$key: non-positive energy totals") else None
         val ratioErr =

@@ -14,16 +14,17 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Whitespace-word count via regexp_count — robust to leading/trailing and
-    * repeated whitespace (unlike split-array length).
+    * repeated whitespace (unlike split-array length). Case-folded first, like
+    * [[tokens]]/[[fingerprint]]: an ALL-CAPS document has words too.
     */
-  def wordCount(text: Column): Column = regexp_count(text, lit("[a-z0-9]+"))
+  def wordCount(text: Column): Column = regexp_count(lower(text), lit("[a-z0-9]+"))
 
   /** BPE-ish token estimate: count of letter-runs, digit-runs and individual
     * punctuation marks — the shape of a byte-pair pre-tokenizer — plus the
-    * classic chars/4 heuristic as a second signal.
+    * classic chars/4 heuristic as a second signal. Case-folded.
     */
   def bpeishTokenCount(text: Column): Column =
-    regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+    regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
 
   def estTokensByChars(text: Column): Column =
     ceil(length(text) / lit(4.0)).cast("int")
@@ -37,7 +38,7 @@ object TextFunctions {
     "de" -> "\\b(der|die|das|und|ist)\\b")
 
   def markerHits(text: Column): Seq[(String, Column)] =
-    markers.map { case (lang, re) => lang -> regexp_count(text, lit(re)) }
+    markers.map { case (lang, re) => lang -> regexp_count(lower(text), lit(re)) }
 
   /** Argmax over marker hits with a fixed priority order on ties (en>es>de)
     * so the prediction is deterministic and ANSI-expressible.
@@ -55,8 +56,8 @@ object TextFunctions {
     */
   def qualityScore(text: Column): Column = {
     val words   = wordCount(text).cast("double")
-    val stops   = regexp_count(text, lit("\\b(the|and|is|of|to|a|in)\\b")).cast("double")
-    val alpha   = regexp_count(text, lit("[a-z]")).cast("double")
+    val stops   = regexp_count(lower(text), lit("\\b(the|and|is|of|to|a|in)\\b")).cast("double")
+    val alpha   = regexp_count(lower(text), lit("[a-z]")).cast("double")
     val len     = length(text).cast("double")
     val stopR   = when(words > 0.0, stops / words).otherwise(lit(0.0))
     val alphaR  = when(len > 0.0, alpha / len).otherwise(lit(0.0))

@@ -76,7 +76,9 @@ object Multimodal {
       .flatMap { case (id, bytes) =>
         (0 until n).iterator.map { i =>
           // STUB: a real decoder would seek frame i; we slice the payload
-          val start = if (bytes.isEmpty) 0 else (i * bytes.length / math.max(n, 1))
+          // Long arithmetic: i * length overflows Int for GB-scale payloads
+          val start = if (bytes.isEmpty) 0
+            else (i.toLong * bytes.length / math.max(n, 1)).toInt
           MediaFrame(id, i, java.util.Arrays.copyOfRange(
             bytes, start, math.min(bytes.length, start + 16)))
         }

@@ -51,6 +51,11 @@ object Dedup {
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, nPerms: Int = 32, nBands: Int = 8,
       maxBucket: Int = 50): DataFrame = {
+    // nBands > nPerms would give every band a constant bucket (all docs in
+    // one dropped-oversized group → silently zero pairs); a non-dividing
+    // nBands would silently discard the remainder permutations
+    require(nBands >= 1 && nBands <= nPerms && nPerms % nBands == 0,
+      s"nBands ($nBands) must divide nPerms ($nPerms)")
     val rowsPerBand = nPerms / nBands
     val sh = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
@@ -81,7 +86,10 @@ object Dedup {
       explode(arrayBarrier(tokens(col(textCol)))).as("token"))
       .withColumn("h", xxhash64(col("token")))
     val bitSums = (0 until 64).map { j =>
-      sum(when(shiftrightunsigned(col("h"), j) % 2 === 1, 1).otherwise(-1))
+      // bitwiseAND, not % 2: Spark % follows the dividend's sign, so a
+      // negative odd hash gives -1 and bit 0's vote would be wrong for
+      // half of all tokens
+      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"b$j")
     }
     val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
@@ -100,8 +108,11 @@ object Dedup {
     val sh = simhash(docs, idCol, textCol)
     val chunks = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { c =>
+        // mask, not % 65536: signed % would give negative simhashes a
+        // different chunk-0 key than positive ones with identical low bits,
+        // silently breaking the pigeonhole guarantee for half the corpus
         struct(lit(c).as("chunk"),
-          (shiftrightunsigned(col("simhash"), c * 16) % 65536L).as("key"))
+          shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("key"))
       }: _*)).as("ck"))
       .select(col("ck.chunk"), col("ck.key"),
         struct(col("doc_id"), col("simhash")).as("ds"))
@@ -134,8 +145,14 @@ object Dedup {
   /** N-gram Jaccard near-dup pairs via rare-shingle candidate generation:
     * shingles with document frequency ≤ `maxDf` nominate candidate pairs
     * (frequent shingles are boilerplate and would explode the join — the
-    * standard rare-feature trick); Jaccard is then computed exactly from
-    * distinct-shingle counts.
+    * standard rare-feature trick).
+    *
+    * The emitted `jaccard` is a LOWER BOUND on the true Jaccard: the
+    * intersection count covers only shared shingles with df ≤ `maxDf`,
+    * while the union term counts all distinct shingles. Pairs whose overlap
+    * is mostly high-df boilerplate score low by design — that is the
+    * rare-feature weighting doing its job — but callers comparing against
+    * an exact-Jaccard threshold should know the bound direction.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, maxDf: Int = 20, minJaccard: Double = 0.3): DataFrame = {

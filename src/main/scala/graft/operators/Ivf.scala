@@ -43,7 +43,10 @@ object Ivf {
   /** argmin over centroids of ‖v−c‖², computed as argmax of (v·c − ‖c‖²/2)
     * (the ‖v‖² term is constant per row). One native-dot per centroid, all
     * inside codegen; ties break to the smallest cluster id via the struct
-    * ordering trick (array_max compares fields left-to-right).
+    * ordering trick (array_max compares fields left-to-right). A malformed
+    * vector (wrong dims / NULL element) gets a NULL cluster — same
+    * convention as [[graft.functions.expr.GraftLshBucket]] — instead of
+    * silently landing in cluster 0 through the all-NULL-score tie-break.
     */
   private def assignExpr(vec: Column, centroids: Array[Array[Float]]): Column = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
@@ -51,7 +54,10 @@ object Ivf {
       struct((dot(vec, vecLit(c.toSeq)) - lit(halfNormSq)).as("score"),
         lit(-i).as("neg_id"))
     }
-    (-array_max(array(scored: _*)).getField("neg_id")).cast("int")
+    val arg = (-array_max(array(scored: _*)).getField("neg_id")).cast("int")
+    // dot is NULL exactly when the vector is malformed (for every centroid
+    // alike, so checking the first suffices)
+    when(dot(vec, vecLit(centroids.head.toSeq)).isNotNull, arg)
   }
 
   private[operators] def l2sq(a: Array[Float], b: Array[Float]): Double = {
@@ -76,6 +82,9 @@ object Ivf {
   def train(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, initOversample: Int = 32): Model = {
     val cand: Array[Array[Float]] = corpus
+      // NULL vectors would NPE the collect; NULL elements would NPE the
+      // unboxing — both are malformed input, excluded from training
+      .where(col(vecCol).isNotNull && !exists(col(vecCol), _.isNull))
       .select(col(vecCol))
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(math.max(k, initOversample * k))
@@ -105,6 +114,7 @@ object Ivf {
       val avgs = (0 until dims).map(j => avg(try_element_at(col(vecCol), lit(j + 1))))
       corpus
         .select(assignExpr(col(vecCol), cents).as("cluster"), col(vecCol))
+        .where(col("cluster").isNotNull) // malformed vectors don't vote
         .groupBy(col("cluster")).agg(avgs.head, avgs.tail: _*)
         .collect()
         .foreach { r =>

@@ -42,7 +42,7 @@ object ExtQueries {
       Some("""SELECT doc_id,
              |  CAST(length(text) AS INT) AS len_chars,
              |  CAST(length(text) - length(replace(text, ' ', '')) AS INT) AS n_spaces,
-             |  CAST(length(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_words
+             |  CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_words
              |FROM documents""".stripMargin),
       (s, dir) => {
         import s.implicits._
@@ -58,7 +58,7 @@ object ExtQueries {
     QueryDef(
       "q_token_count",
       Some("""SELECT doc_id,
-             |  CAST(length(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpeish,
+             |  CAST(length(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpeish,
              |  CAST(ceil(length(text) / 4.0) AS INT) AS est_by_chars
              |FROM documents""".stripMargin),
       (s, dir) => {
@@ -75,9 +75,9 @@ object ExtQueries {
       "q_lang_id",
       Some("""WITH h AS (
              |  SELECT doc_id, lang,
-             |    CAST(length(regexp_extract_all(text, '\b(the|and|is|of|to)\b')) AS INT)   AS en_hits,
-             |    CAST(length(regexp_extract_all(text, '\b(el|la|de|que|los)\b')) AS INT)   AS es_hits,
-             |    CAST(length(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS INT) AS de_hits
+             |    CAST(length(regexp_extract_all(lower(text), '\b(the|and|is|of|to)\b')) AS INT)   AS en_hits,
+             |    CAST(length(regexp_extract_all(lower(text), '\b(el|la|de|que|los)\b')) AS INT)   AS es_hits,
+             |    CAST(length(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS INT) AS de_hits
              |  FROM documents)
              |SELECT doc_id, lang, en_hits, es_hits, de_hits,
              |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
@@ -99,12 +99,12 @@ object ExtQueries {
     QueryDef(
       "q_text_quality",
       Some("""SELECT doc_id,
-             |  CASE WHEN CAST(length(regexp_extract_all(text, '[a-z0-9]+')) AS DOUBLE) > 0.0
-             |       THEN CAST(length(regexp_extract_all(text, '\b(the|and|is|of|to|a|in)\b')) AS DOUBLE)
-             |            / CAST(length(regexp_extract_all(text, '[a-z0-9]+')) AS DOUBLE)
+             |  CASE WHEN CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) > 0.0
+             |       THEN CAST(length(regexp_extract_all(lower(text), '\b(the|and|is|of|to|a|in)\b')) AS DOUBLE)
+             |            / CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE)
              |       ELSE 0.0 END * 0.4
              |  + CASE WHEN CAST(length(text) AS DOUBLE) > 0.0
-             |         THEN CAST(length(regexp_extract_all(text, '[a-z]')) AS DOUBLE)
+             |         THEN CAST(length(regexp_extract_all(lower(text), '[a-z]')) AS DOUBLE)
              |              / CAST(length(text) AS DOUBLE)
              |         ELSE 0.0 END * 0.4
              |  + CASE WHEN length(text) BETWEEN 20 AND 10000 THEN 0.2 ELSE 0.0 END

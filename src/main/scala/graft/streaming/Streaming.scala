@@ -65,13 +65,21 @@ object Streaming {
       .mapGroupsWithState[SessionState, SessionOutput](mode) {
         (user: Long, rows: Iterator[SessionInput], state: GroupState[SessionState]) =>
           val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
-          var n = prev.nEvents; var tot = prev.total; var last = prev.lastTs
-          rows.foreach { r =>
-            n += 1; tot += r.value; last = math.max(last, r.ts.getTime)
+          if (state.hasTimedOut) {
+            // idle expiry: EVICT (the point of the timeout) and flush the
+            // final totals. Re-updating here would resurrect the state and
+            // re-emit a duplicate row every interval, forever.
+            state.remove()
+            SessionOutput(user, prev.nEvents, prev.total)
+          } else {
+            var n = prev.nEvents; var tot = prev.total; var last = prev.lastTs
+            rows.foreach { r =>
+              n += 1; tot += r.value; last = math.max(last, r.ts.getTime)
+            }
+            state.update(SessionState(n, tot, last))
+            idleTimeout.foreach(state.setTimeoutDuration)
+            SessionOutput(user, n, tot)
           }
-          state.update(SessionState(n, tot, last))
-          idleTimeout.foreach(state.setTimeoutDuration)
-          SessionOutput(user, n, tot)
       }
   }
 
