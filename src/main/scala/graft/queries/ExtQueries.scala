@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Ivf, Similarity}
+import graft.operators.{Corpus, Dedup, Ivf, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -201,6 +201,17 @@ object ExtQueries {
       None,
       (s, dir) => Similarity.cosineNearDupPairs(
         emb(s, dir), "vec_id", "embedding", dims = 64, nPlanes = 6, minSim = 0.2)),
+
+    // ------------------------------------------------------------------
+    // End-to-end corpus cleaning funnel: quality → lang → exact dedup →
+    // MinHash near-dedup, with per-document drop reasons (hash-based
+    // near-dup stage → rows-only check).
+    QueryDef(
+      "q_corpus_clean",
+      None,
+      (s, dir) => Corpus.funnel(
+        Corpus.clean(docs(s, dir), "doc_id", "text",
+          minQuality = 0.2, keepLangs = Set("en", "es", "de")))),
 
     // ------------------------------------------------------------------
     // IVF ANN top-k: k-means coarse quantizer (trained here — 2 Lloyd

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Corpus.clean: each stage drops what it should, reasons follow the stage
+  * precedence, and the funnel adds up.
+  */
+class CorpusSpec extends SparkSpec {
+
+  private val goodEn = "the cat and the dog is of a house in the town and " +
+    "it is nice to see the garden of the house in the morning light"
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (0L, goodEn),                                  // kept
+      (1L, goodEn),                                  // exact dup of 0 -> drop
+      (2L, goodEn + " with one extra clause added"), // near dup of 0 -> drop
+      (3L, "el la de que los " * 8),                 // spanish -> lang
+      (4L, "12345 67890"),                           // no alpha, no stops -> quality
+      (5L, "the sun and the moon is of a sky in the night and it is good " +
+        "to watch the stars of the sky in the evening air"))   // kept, distinct
+      .toDF("doc_id", "text")
+  }
+
+  test("stages drop with the right reasons; funnel adds up") {
+    val cleaned = Corpus.clean(docs, "doc_id", "text",
+      minQuality = 0.3, keepLangs = Set("en"), minBands = 4,
+      shingleN = 2, nPerms = 16, nBands = 8)
+    val reasons = cleaned.select("doc_id", "drop_reason", "keep")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) "kept" else r.getString(1))).toMap
+
+    assert(reasons(0L) === "kept")
+    assert(reasons(1L) === "exact_dup")
+    assert(reasons(2L) === "near_dup")
+    assert(reasons(3L) === "lang")
+    assert(reasons(4L) === "quality")
+    assert(reasons(5L) === "kept")
+
+    val funnel = Corpus.funnel(cleaned).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(funnel.values.sum === 6L)
+    assert(funnel("kept") === 2L)
+
+    // survivors carry no duplicate text
+    val kept = cleaned.filter(col("keep"))
+    assert(kept.select("text").distinct().count() === kept.count())
+  }
+
+  test("precedence: a low-quality duplicate reports quality, not dup") {
+    import spark.implicits._
+    val d = Seq((0L, "12345 67890"), (1L, "12345 67890")).toDF("doc_id", "text")
+    val reasons = Corpus.clean(d, "doc_id", "text", minBands = 4,
+      shingleN = 2, nPerms = 16, nBands = 8)
+      .select("drop_reason").collect().map(_.getString(0))
+    assert(reasons.forall(_ === "quality"))
+  }
+}
