@@ -440,6 +440,44 @@ object CoreQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Beyond-reference: semi join (the positive twin of q_anti_coverage —
+    // customers WITH an urgent order, no row multiplication).
+    QueryDef(
+      "q_semi_join",
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey
+             |                AND o_orderpriority = '1-URGENT')""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .join(
+            t(s, dir, "orders").filter($"o_orderpriority" === "1-URGENT"),
+            $"c_custkey" === $"o_custkey", "left_semi")
+          .select("c_custkey", "c_name")
+      }),
+
+    // ------------------------------------------------------------------
+    // Beyond-reference: INTERSECT / EXCEPT set ops (SURVEY §2.7 notes the
+    // reference has none — completing the set-op matrix). DISTINCT
+    // semantics in both engines.
+    QueryDef(
+      "q_set_ops",
+      Some("""WITH hi AS (SELECT l_partkey FROM lineitem WHERE l_quantity >= 30),
+             |     disc AS (SELECT l_partkey FROM lineitem WHERE l_discount >= 0.05)
+             |SELECT 'both' AS side, l_partkey FROM (SELECT * FROM hi INTERSECT SELECT * FROM disc)
+             |UNION ALL
+             |SELECT 'hi_only' AS side, l_partkey FROM (SELECT * FROM hi EXCEPT SELECT * FROM disc)""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val hi = li.filter($"l_quantity" >= 30).select($"l_partkey")
+        val disc = li.filter($"l_discount" >= 0.05).select($"l_partkey")
+        hi.intersect(disc).select(lit("both").as("side"), $"l_partkey")
+          .unionByName(hi.except(disc).select(lit("hi_only").as("side"), $"l_partkey"))
+      }),
+
+    // ------------------------------------------------------------------
     // O1-O5 — global sort + limit (reference: load/__init__.py:162 ORDER BY;
     // export_json.py:99-101 head). Unique tiebreak key keeps the top-k stable.
     // Spark plans this as TakeOrderedAndProject — no global sort materializes.

@@ -83,7 +83,8 @@ class PlanSpec extends SparkSpec {
     val cross = planOf("q_fanout_cross")
     assert(cross.contains("BroadcastNestedLoopJoin") || cross.contains("CartesianProduct"),
       s"q_fanout_cross lost its cross join\n$cross")
-    for (q <- Seq("q_join_star5", "q_join_dim", "q_join_factfact_composite", "q_agg_star")) {
+    for (q <- Seq("q_join_star5", "q_join_dim", "q_join_factfact_composite",
+        "q_agg_star", "q_corpus_clean", "q_semi_join")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q: unexpected cartesian\n$p")
