@@ -48,7 +48,7 @@ object Export {
     val bRow = one(schema("dim_building"), "building_id", buildingId, "dim_building")
     val sRow = one(schema("dim_scenario"), "scenario_id", scenarioId, "dim_scenario")
     val bId = bRow.getString(bRow.fieldIndex("building_id"))
-    val sId = sRow.getString(0)
+    val sId = sRow.getString(sRow.fieldIndex("scenario_id"))
 
     val meters = schema("fact_meters")
       .where($"building_id" === bId && $"scenario_id" === sId)
@@ -67,13 +67,16 @@ object Export {
       sum(col(hCol)).as("heating"),
       sum(col(cCol)).as("cooling"),
       max(col(eCol)).as("peak"),
+      count(lit(1)).as("n_rows"),
       countDistinct(col("time_key")).as("hours")).head()
-    require(!annualRow.isNullAt(0),
+    require(annualRow.getLong(4) > 0,
       s"cannot export: fact_meters has no rows for ($bId, $sId)")
-    val (e, h, c, peak) = (annualRow.getDouble(0), annualRow.getDouble(1),
-      annualRow.getDouble(2), annualRow.getDouble(3))
+    // an all-NULL measure column sums to NULL — report 0, don't NPE
+    // (same dirty-data class Validate's plausibility check tolerates)
+    def d(i: Int): Double = if (annualRow.isNullAt(i)) 0.0 else annualRow.getDouble(i)
+    val (e, h, c, peak) = (d(0), d(1), d(2), d(3))
     val total = e + h + c
-    val hours = annualRow.getLong(4)
+    val hours = annualRow.getLong(5)
 
     // honestly-computed monthly breakdown (A9); sorted on the driver —
     // collect_list order after a shuffle is not guaranteed
@@ -83,7 +86,9 @@ object Export {
         sum(col(hCol)).as("heating_kwh"),
         sum(col(cCol)).as("cooling_kwh"),
         (sum(col(eCol)) + sum(col(hCol)) + sum(col(cCol))).as("total_kwh"))
-      .collect().sortBy(_.getInt(0)).toSeq
+      // a NULL month group (meters row whose time_key missed dim_time) has
+      // no place in a month-indexed breakdown; drop it rather than NPE
+      .collect().filter(!_.isNullAt(0)).sortBy(_.getInt(0)).toSeq
 
     // comfort hours from this building's zones under this scenario (A5)
     val comfort = (schema.get("fact_zone_conditions"), schema.get("dim_zone")) match {
@@ -103,7 +108,7 @@ object Export {
     val doc = Seq((
       "graft-spark",
       java.time.Instant.now().toString,
-      (sRow.getString(0), bRow.getString(bRow.fieldIndex("building_name")),
+      (sId, bRow.getString(bRow.fieldIndex("building_name")),
         bRow.getString(bRow.fieldIndex("location")), floorArea, s"$hours hours"),
       (total, h, c, e),
       monthly.map(m => (m.getInt(0), m.getDouble(1), m.getDouble(2), m.getDouble(3))),

@@ -60,8 +60,10 @@ object Extract {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       stagingDirs.forEach { dir =>
         Try {
-          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          val walk = Files.walk(dir)
+          try walk.sorted(java.util.Comparator.reverseOrder())
             .forEach(p => Files.deleteIfExists(p))
+          finally walk.close()
         }
         ()
       }))

@@ -80,8 +80,12 @@ object Transform {
       .orderBy($"scenario_id")
 
     // ---- dim_zone / dim_ahu: distinct ids, sorted, keyed (reference :75-145)
-    val dimZone = zonesAll.select($"building_id", $"zone_id", $"zone_name")
-      .dropDuplicates("building_id", "zone_id")
+    // min(zone_name), not dropDuplicates: dropDuplicates keeps a partition-
+    // order-dependent row, so a zone renamed between runs would flip names
+    // across executions; min is deterministic regardless of partitioning
+    val dimZone = zonesAll
+      .groupBy($"building_id", $"zone_id")
+      .agg(min($"zone_name").as("zone_name"))
       .withColumn("zone_key",
         row_number().over(Window.orderBy($"building_id", $"zone_id")).cast("long"))
       .select($"zone_key", $"building_id", $"zone_id", $"zone_name")

@@ -59,7 +59,10 @@ object Corpus {
       .join(keepers, col("__hash") === col("text_hash"), "left")
       .join(nearDrops, id === col("__near_drop"), "left")
       .withColumn("drop_reason",
-        when(col("quality_score") < minQuality, "quality")
+        // NULL text first: every later gate evaluates to NULL (not true)
+        // for it, so without this a NULL document FAILS OPEN as keep=true
+        when(col(textCol).isNull, "null_text")
+          .when(col("quality_score") < minQuality, "quality")
           .when(!col("predicted_lang").isin(keepLangs.toSeq: _*), "lang")
           .when(id =!= col("keep_id"), "exact_dup")
           .when(col("__near_drop").isNotNull, "near_dup"))

@@ -49,6 +49,19 @@ class CorpusSpec extends SparkSpec {
     assert(kept.select("text").distinct().count() === kept.count())
   }
 
+  test("NULL text never fails open: dropped as null_text") {
+    import spark.implicits._
+    val d = Seq((0L, Some(goodEn)), (1L, None), (2L, None))
+      .toDF("doc_id", "text")
+    val cleaned = Corpus.clean(d, "doc_id", "text",
+      minQuality = 0.0, keepLangs = Set("en", "es", "de"),
+      minBands = 4, shingleN = 2, nPerms = 16, nBands = 8)
+    val reasons = cleaned.select("doc_id", "drop_reason").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) "kept" else r.getString(1))).toMap
+    assert(reasons(0L) === "kept")
+    assert(reasons(1L) === "null_text" && reasons(2L) === "null_text")
+  }
+
   test("precedence: a low-quality duplicate reports quality, not dup") {
     import spark.implicits._
     val d = Seq((0L, "12345 67890"), (1L, "12345 67890")).toDF("doc_id", "text")
