@@ -11,7 +11,14 @@ import graft.queries.{CoreQueries, ExtQueries}
   */
 object SparkEntry {
 
-  private def allDefs: Seq[QueryDef] = CoreQueries.defs ++ ExtQueries.defs
+  private def allDefs: Seq[QueryDef] = {
+    val defs = CoreQueries.defs ++ ExtQueries.defs
+    // a name collision would silently drop a QueryDef from the .toMap below
+    // and shrink the driver's correctness gate without any error
+    val dups = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    defs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q_agg_star = the reference's vw_energy_summary pattern

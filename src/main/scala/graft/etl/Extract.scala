@@ -155,11 +155,25 @@ object Extract {
     byBase.view.filterKeys(requiredMembers).foreach { case (name, bytes) =>
       Files.write(staging.resolve(name), bytes)
     }
-    def csv(name: String): DataFrame =
-      spark.read
+    def csv(name: String): DataFrame = {
+      val df = spark.read
         .option("header", "true")
+        // FAILFAST: the declared schemas say nullable=false; PERMISSIVE
+        // would silently null a malformed cell in a column Catalyst is told
+        // is non-null.
+        .option("mode", "FAILFAST")
         .schema(Schemas.requiredCsvMembers(name))
         .csv(staging.resolve(name).toString)
+      // FAILFAST alone is lazy — the parse error would detonate at the first
+      // downstream ACTION, killing the whole pipeline. One eager FULL-WIDTH
+      // pass here (foreach, NOT count — count prunes every column and parses
+      // nothing) makes a corrupt file fail its RUN, which extractRuns' 50%
+      // tolerance absorbs — the reference's (eager pandas) failure unit.
+      // Driver-staged fidelity path only; the distributed path has no
+      // per-run tolerance to preserve.
+      df.foreach(_ => ())
+      df
+    }
     RunData(
       runId = root,
       metadata = parseMetadata(byBase("metadata.json")),

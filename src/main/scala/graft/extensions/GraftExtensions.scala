@@ -17,13 +17,15 @@ import org.apache.spark.sql.types.IntegerType
   *
   * after which `spark.sql("SELECT graft_cosine(a.embedding, b.embedding)...")`
   * works anywhere SQL does. [[GraftExtensions.register]] does the same on an
-  * already-built session (used by Verify/Bench whose sessions the driver owns).
+  * already-built session (Verify and Bench call it right after building
+  * theirs, so the SQL surface is live in both driver harnesses).
   *
   * Registered functions:
   *   - `graft_dot(array<float>, array<float>) -> double`
   *   - `graft_norm2(array<float>) -> double`
   *   - `graft_cosine(array<float>, array<float>) -> double`
   *   - `graft_lsh_bucket(array<float>, dims INT, n_planes INT) -> bigint`
+  *   - `graft_winnow(text STRING, k INT, w INT) -> array<bigint>`
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._

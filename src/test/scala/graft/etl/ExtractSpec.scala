@@ -65,6 +65,32 @@ class ExtractSpec extends SparkSpec {
     intercept[RuntimeException] { Extract.extractRuns(spark, dir2.toString) }
   }
 
+  test("a corrupt CSV fails only its own run (FAILFAST is per-run eager)") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = SyntheticRuns.tempDir()
+    SyntheticRuns.writeFixtureDir(dir) // 4 good runs
+    // a 5th run whose zones.csv has an unparsable row in a double column
+    val root = "run_BX_SCX"
+    val zos = new ZipOutputStream(
+      new java.io.FileOutputStream(dir.resolve(s"$root.zip").toFile))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(s"$root/$name")); zos.write(content.getBytes)
+      zos.closeEntry()
+    }
+    val good = SyntheticRuns.buildCsvs(SyntheticRuns.Spec("BX", "SCX", hours = 2))
+    put("metadata.json", SyntheticRuns.metadataJson(SyntheticRuns.Spec("BX", "SCX")))
+    good.foreach { case (n, c) =>
+      put(n, if (n == "zones.csv")
+        c.linesIterator.toSeq.head + "\nnot-a-timestamp,BX,SCX,Z1,Zone 1,oops,21,600,45\n"
+      else c)
+    }
+    zos.close()
+    val runs = Extract.extractRuns(spark, dir.toString)
+    // the corrupt run is dropped (1 of 5 < 50%), the rest parse clean
+    assert(runs.length == 4)
+    assert(!runs.exists(_.metadata.building_id == "BX"))
+  }
+
   test("extractRunById builds the keyed path") {
     val dir = SyntheticRuns.tempDir()
     SyntheticRuns.writeFixtureDir(dir)
