@@ -685,12 +685,20 @@ object CoreQueries {
       (s, dir) => {
         import s.implicits._
         // rsd=0.01: ~50 KB of HLL registers per aggregate — the accuracy/
-        // memory knob a 100 TB profile job would set explicitly
-        t(s, dir, "lineitem").agg(
+        // memory knob a 100 TB profile job would set explicitly.
+        // HLL sketches and multi-column DISTINCT aggregates live in SEPARATE
+        // Aggregates: mixing a TypedImperativeAggregate with Expand-based
+        // distincts forces a sort-based fallback (measured 20s vs 2s at
+        // sf0.1); two hash aggregates + a 1-row cross join is the fast shape
+        val li = t(s, dir, "lineitem")
+        val approx = li.agg(
           approx_count_distinct($"l_partkey", rsd = 0.01).as("approx_parts"),
+          approx_count_distinct($"l_orderkey", rsd = 0.01).as("approx_orders"))
+        val exact = li.agg(
           countDistinct($"l_partkey").as("exact_parts"),
-          approx_count_distinct($"l_orderkey", rsd = 0.01).as("approx_orders"),
           countDistinct($"l_orderkey").as("exact_orders"))
+        approx.crossJoin(exact)
+          .select($"approx_parts", $"exact_parts", $"approx_orders", $"exact_orders")
       })
   )
 }
