@@ -80,12 +80,15 @@ object Export {
 
     // honestly-computed monthly breakdown (A9); sorted on the driver —
     // collect_list order after a shuffle is not guaranteed
+    // coalesce each sum: a month whose measure column is all-NULL must export
+    // as 0.0, not NPE in getDouble below (same dirty-data class as `d` above)
     val monthly = withMonth
       .groupBy(col("month"))
       .agg(
-        sum(col(hCol)).as("heating_kwh"),
-        sum(col(cCol)).as("cooling_kwh"),
-        (sum(col(eCol)) + sum(col(hCol)) + sum(col(cCol))).as("total_kwh"))
+        coalesce(sum(col(hCol)), lit(0.0)).as("heating_kwh"),
+        coalesce(sum(col(cCol)), lit(0.0)).as("cooling_kwh"),
+        (coalesce(sum(col(eCol)), lit(0.0)) + coalesce(sum(col(hCol)), lit(0.0))
+          + coalesce(sum(col(cCol)), lit(0.0))).as("total_kwh"))
       // a NULL month group (meters row whose time_key missed dim_time) has
       // no place in a month-indexed breakdown; drop it rather than NPE
       .collect().filter(!_.isNullAt(0)).sortBy(_.getInt(0)).toSeq
@@ -105,20 +108,34 @@ object Export {
     }
 
     val floorArea = bRow.getLong(bRow.fieldIndex("floor_area_m2")).toDouble
-    val doc = Seq((
-      "graft-spark",
-      java.time.Instant.now().toString,
-      (sId, bRow.getString(bRow.fieldIndex("building_name")),
+    renderSummaryDoc(spark,
+      scenario = (sId, bRow.getString(bRow.fieldIndex("building_name")),
         bRow.getString(bRow.fieldIndex("location")), floorArea, s"$hours hours"),
-      (total, h, c, e),
-      monthly.map(m => (m.getInt(0), m.getDouble(1), m.getDouble(2), m.getDouble(3))),
-      (if (floorArea > 0) total / floorArea else 0.0,
+      annual = (total, h, c, e),
+      monthly = monthly.map(m => (m.getInt(0), m.getDouble(1), m.getDouble(2), m.getDouble(3))),
+      kpis = (if (floorArea > 0) total / floorArea else 0.0,
         if (floorArea > 0) h / floorArea else 0.0,
         if (floorArea > 0) c / floorArea else 0.0,
         total * co2FactorKgPerKwh / 1000.0,
         if (floorArea > 0) total * co2FactorKgPerKwh / floorArea else 0.0,
         peak,
-        comfort)))
+        comfort))
+  }
+
+  /** Shared document assembly: one-row nested frame in the canonical export
+    * schema, used by [[buildSummary]] (star-schema path) and
+    * [[summaryFromDir]] (S12 fallback path).
+    */
+  private def renderSummaryDoc(spark: SparkSession,
+      scenario: (String, String, String, Double, String),
+      annual: (Double, Double, Double, Double),
+      monthly: Seq[(Int, Double, Double, Double)],
+      kpis: (Double, Double, Double, Double, Double, Double, Double)): DataFrame = {
+    import spark.implicits._
+    val doc = Seq((
+      "graft-spark",
+      java.time.Instant.now().toString,
+      scenario, annual, monthly, kpis))
       .toDF("pipeline", "generated_at", "scenario", "annual", "monthly_breakdown", "kpis")
 
     doc.select(
@@ -144,6 +161,140 @@ object Export {
         $"kpis._5".as("co2_intensity_kg_m2"),
         $"kpis._6".as("peak_demand_kw"),
         $"kpis._7".as("comfort_hours_percent")).as("kpis"))
+  }
+
+  /** S12 — multi-source fallback reader (reference export_json.py:64-119):
+    * tolerate a half-present artifacts directory by probing, first non-empty
+    * source wins:
+    *
+    *   1. `*.parquet` under `dir/parquet/`, preferring file names containing
+    *      `meter`/`energy` (all preferred files unioned by name);
+    *   2. the session catalog — `vw_energy_summary`, then `fact_meters`,
+    *      then the first listed table (the Spark analogue of the
+    *      reference's DuckDB-file tier);
+    *   3. any `*.parquet` or `*.csv` directly in `dir`, first readable.
+    *
+    * Unreadable candidates are skipped (the reference's try/except-per-file),
+    * and an EMPTY source falls through to the next tier (`df.empty` check,
+    * export_json.py:84,108). Paths go through the Hadoop FileSystem API, so
+    * `dir` may live on any Spark-supported filesystem, not just local disk.
+    */
+  def resolveMeterSource(spark: SparkSession, dir: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def ls(glob: String): Seq[Path] = {
+      val p = new Path(glob)
+      val fs = p.getFileSystem(hconf)
+      Option(fs.globStatus(p)).map(_.toSeq.map(_.getPath)).getOrElse(Seq.empty)
+    }
+    def nonEmpty(df: DataFrame): Option[DataFrame] =
+      if (df.take(1).nonEmpty) Some(df) else None
+    def tryRead(read: => DataFrame): Option[DataFrame] =
+      scala.util.Try(read).toOption.flatMap(nonEmpty)
+
+    val tier1 = {
+      val all = ls(s"$dir/parquet/*.parquet")
+      val preferred = all.filter { p =>
+        val n = p.getName.toLowerCase
+        n.contains("meter") || n.contains("energy")
+      }
+      val pick = if (preferred.nonEmpty) preferred else all
+      if (pick.isEmpty) None
+      else tryRead(pick.map(p => spark.read.parquet(p.toString))
+        .reduce(_.unionByName(_, allowMissingColumns = true)))
+    }
+    lazy val tier2 = Seq("vw_energy_summary", "fact_meters")
+      .collectFirst { case t if spark.catalog.tableExists(t) => spark.table(t) }
+      .orElse(spark.catalog.listTables().collect()
+        .sortBy(_.name).headOption.map(t => spark.table(t.name)))
+      .flatMap(nonEmpty)
+    lazy val tier3 =
+      (ls(s"$dir/*.parquet").map(p => () => spark.read.parquet(p.toString)) ++
+        ls(s"$dir/*.csv").map(p => () => spark.read
+          .option("header", "true").option("inferSchema", "true").csv(p.toString)))
+        .view.flatMap(f => tryRead(f())).headOption
+
+    tier1.orElse(tier2).orElse(tier3)
+  }
+
+  /** Reference's column-synonym lists (export_json.py:124-127). */
+  private val heatingSyn = Seq("heating", "heat")
+  private val coolingSyn = Seq("cooling", "cool")
+  private val electricSyn = Seq("electric", "elec", "power")
+  private val totalSyn = Seq("total")
+
+  /** S12 — summary export over whatever [[resolveMeterSource]] found: a flat
+    * meter-like table rather than a registered star schema. Aggregates via
+    * the same column-synonym resolution as [[buildSummary]]; when heating +
+    * cooling + electric all resolve to zero, falls back to a `total`-like
+    * column (reference export_json.py:144-146). The monthly breakdown is
+    * derived honestly when the source carries a `month` column or any
+    * timestamp column — and is otherwise EMPTY, never the reference's
+    * hardcoded seasonal pattern; likewise no data at all throws instead of
+    * fabricating the sample document (export_json.py:192-227) — the same
+    * documented fidelity deviation as the star path's peak/monthly.
+    *
+    * Scenario metadata is caller-supplied ([[FlatScenario]]): a flat table
+    * has no dim_building to read floor area from, so intensity KPIs are 0.0
+    * unless the caller provides the area.
+    */
+  final case class FlatScenario(
+      name: String = "unknown",
+      buildingType: String = "unknown",
+      location: String = "unknown",
+      floorAreaM2: Double = 0.0,
+      simulationPeriod: String = "unknown")
+
+  def summaryFromDir(spark: SparkSession, dir: String,
+      co2FactorKgPerKwh: Double = 0.229,
+      scenario: FlatScenario = FlatScenario()): DataFrame = {
+    val df = resolveMeterSource(spark, dir).getOrElse(throw new IllegalArgumentException(
+      s"cannot export: no non-empty meter-like source under $dir " +
+        "(parquet/ glob, catalog views/tables, or loose parquet/csv)"))
+
+    val eCol = resolve(df, electricSyn)
+    val hCol = resolve(df, heatingSyn)
+    val cCol = resolve(df, coolingSyn)
+    def sumOf(c: Option[String]) =
+      c.map(n => coalesce(sum(col(n).cast("double")), lit(0.0))).getOrElse(sum(lit(0.0)))
+
+    val a = df.agg(
+      sumOf(eCol).as("e"), sumOf(hCol).as("h"), sumOf(cCol).as("c"),
+      eCol.map(n => coalesce(max(col(n).cast("double")), lit(0.0)))
+        .getOrElse(max(lit(0.0))).as("peak"),
+      sumOf(resolve(df, totalSyn)).as("t")).head()
+    val (e, h, c, peak) = (a.getDouble(0), a.getDouble(1), a.getDouble(2), a.getDouble(3))
+    val total = if (e + h + c > 0.0) e + h + c else a.getDouble(4)
+
+    // honest monthly: a month column, else any timestamp column, else none
+    val monthExpr = df.columns.find(_.equalsIgnoreCase("month"))
+      .map(n => col(n).cast("int"))
+      .orElse(df.schema.fields
+        .find(_.dataType == org.apache.spark.sql.types.TimestampType)
+        .map(f => month(col(f.name))))
+    val monthly = monthExpr match {
+      case Some(m) =>
+        df.groupBy(m.as("month"))
+          .agg(sumOf(hCol).as("h"), sumOf(cCol).as("c"),
+            (sumOf(hCol) + sumOf(cCol) + sumOf(eCol)).as("t"))
+          .collect().filter(!_.isNullAt(0)).sortBy(_.getInt(0))
+          .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
+      case None => Seq.empty
+    }
+
+    val area = scenario.floorAreaM2
+    renderSummaryDoc(spark,
+      scenario = (scenario.name, scenario.buildingType, scenario.location,
+        area, scenario.simulationPeriod),
+      annual = (total, h, c, e),
+      monthly = monthly,
+      kpis = (if (area > 0) total / area else 0.0,
+        if (area > 0) h / area else 0.0,
+        if (area > 0) c / area else 0.0,
+        total * co2FactorKgPerKwh / 1000.0,
+        if (area > 0) total * co2FactorKgPerKwh / area else 0.0,
+        peak,
+        0.0))
   }
 
   /** Serializes the one-row summary to a pretty JSON document

@@ -110,7 +110,7 @@ object Extract {
     (root, byBase)
   }
 
-  private def parseMetadata(bytes: Array[Byte]): RunMetadata = {
+  private[etl] def parseMetadata(bytes: Array[Byte]): RunMetadata = {
     // Jackson ships with Spark — parse the one small JSON object driver-side.
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(bytes)

@@ -37,7 +37,11 @@ object Transform {
       // below is the reference's file-order semantics, not partition luck
       meta = runs.map(_.metadata).zipWithIndex.toDF("m", "__ord")
         .select($"m.*", $"__ord"),
-      zonesAll = runs.map(_.zones).reduce(_ unionByName _),
+      // zones carry __ord too: dim_zone's name dedup is first-seen BY RUN
+      // (reference keeps the first run's zone_name for a renamed zone)
+      zonesAll = runs.map(_.zones).zipWithIndex
+        .map { case (df, i) => df.withColumn("__ord", lit(i)) }
+        .reduce(_ unionByName _),
       hvacAll = runs.map(_.hvac).reduce(_ unionByName _),
       metersAll = runs.map(_.meters).reduce(_ unionByName _),
       // weather identical across runs → read once (reference :373-382)
@@ -54,7 +58,7 @@ object Transform {
       // run_id is the deterministic "first-seen" order in a distributed
       // listing (lexicographic = the driver path's sorted-zip order)
       meta = members("metadata").withColumn("__ord", col("run_id")).drop("run_id"),
-      zonesAll = members("zones").drop("run_id"),
+      zonesAll = members("zones").withColumn("__ord", col("run_id")).drop("run_id"),
       hvacAll = members("hvac").drop("run_id"),
       metersAll = members("meters").drop("run_id"),
       weatherOne = members("weather").drop("run_id").dropDuplicates("timestamp"))
@@ -80,12 +84,14 @@ object Transform {
       .orderBy($"scenario_id")
 
     // ---- dim_zone / dim_ahu: distinct ids, sorted, keyed (reference :75-145)
-    // min(zone_name), not dropDuplicates: dropDuplicates keeps a partition-
-    // order-dependent row, so a zone renamed between runs would flip names
-    // across executions; min is deterministic regardless of partitioning
+    // min(struct(__ord, name)), not dropDuplicates: dropDuplicates keeps a
+    // partition-order-dependent row. Ordering by (__ord, name) gives the
+    // reference's first-seen-by-run semantics for a zone renamed between
+    // runs, with a deterministic min-name tiebreak within one run.
     val dimZone = zonesAll
       .groupBy($"building_id", $"zone_id")
-      .agg(min($"zone_name").as("zone_name"))
+      .agg(min(struct($"__ord", $"zone_name")).as("m"))
+      .select($"building_id", $"zone_id", $"m.zone_name".as("zone_name"))
       .withColumn("zone_key",
         row_number().over(Window.orderBy($"building_id", $"zone_id")).cast("long"))
       .select($"zone_key", $"building_id", $"zone_id", $"zone_name")

@@ -8,10 +8,10 @@ import org.apache.spark.sql.expressions.Window
   * Errors are collected into a structured report, never thrown — validation
   * is an analysis surface, not an exception path.
   *
-  * Each check is one small Spark job producing violation counts; at 100 TB
-  * the four checks still cost ~four scans of the relevant facts (ranges and
-  * nulls could share a scan; kept separate for report clarity, matching the
-  * reference's per-check structure).
+  * Each check fuses its per-column/per-rule counts into one aggregate pass
+  * per table (checkSchema: all null counts in one agg; checkValueRanges:
+  * all of a table's range rules in one agg) — at 100 TB the whole suite
+  * costs one scan per (check, table), never one per rule.
   */
 object Validate {
 
@@ -74,18 +74,36 @@ object Validate {
     CheckResult(errors.isEmpty, errors)
   }
 
-  /** Check 2 — value ranges (reference: validate/__init__.py:60-139). */
+  /** Check 2 — value ranges (reference: validate/__init__.py:60-139).
+    * All of a table's rules are counted in ONE aggregate pass (the
+    * [[checkSchema]] pattern): 11 rules cost 3 table scans, not 11.
+    * `count(when(pred,1))` skips NULLs exactly like the per-rule
+    * `filter(pred).count()` it replaces (NULL comparisons are not
+    * violations — nulls are check 1's job).
+    */
   def checkValueRanges(schema: Map[String, DataFrame]): CheckResult = {
-    val errors = rangeRules.flatMap { case (table, column, lo, hi) =>
-      schema.get(table).toSeq.flatMap { df =>
-        val pred =
-          if (hi.isPosInfinity) col(column) < lo
-          else col(column) < lo || col(column) > hi
-        val n = df.filter(pred).count()
-        if (n > 0) {
-          val bound = if (hi.isPosInfinity) s">= $lo" else s"in [$lo, $hi]"
-          Some(s"$table.$column: $n values not $bound")
-        } else None
+    def violation(column: String, lo: Double, hi: Double) =
+      if (hi.isPosInfinity) col(column) < lo
+      else col(column) < lo || col(column) > hi
+
+    // one fused aggregate per table → rule-index → violation count
+    val counted: Map[Int, Long] = rangeRules.zipWithIndex
+      .groupBy { case ((table, _, _, _), _) => table }
+      .flatMap { case (table, rules) =>
+        schema.get(table).toSeq.flatMap { df =>
+          val aggs = rules.map { case ((_, column, lo, hi), idx) =>
+            count(when(violation(column, lo, hi), 1)).as(s"v$idx")
+          }
+          val row = df.agg(aggs.head, aggs.tail: _*).head()
+          rules.map(_._2).zipWithIndex.map { case (idx, i) => idx -> row.getLong(i) }
+        }
+      }
+
+    // report in declared rule order, independent of the groupBy's ordering
+    val errors = rangeRules.zipWithIndex.flatMap { case ((table, column, lo, hi), idx) =>
+      counted.get(idx).filter(_ > 0).map { n =>
+        val bound = if (hi.isPosInfinity) s">= $lo" else s"in [$lo, $hi]"
+        s"$table.$column: $n values not $bound"
       }
     }
     CheckResult(errors.isEmpty, errors)

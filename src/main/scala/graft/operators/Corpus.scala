@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   * the shape production cleaning jobs want (drop accounting is a first-class
   * deliverable, not a side effect).
   *
-  * Scale: stages 1-2 ride the scan; stage 3 is one shuffle on the content
-  * hash; stage 4 is the LSH candidate shape (bounded buckets, no O(n²)).
+  * Scale: ONE annotate scan computes quality/lang/hash/tokens and persists
+  * (MEMORY_AND_DISK — spills, never OOMs); stage 3 is one shuffle of
+  * (hash, id) off that cache; stage 4 is the LSH candidate shape (bounded
+  * buckets, no O(n²)) fed the shared tokens. The raw corpus is read once.
   * Near-dup keeps the smaller doc_id of every confident pair — the standard
   * greedy approximation of connected-component dedup (no iterative
   * union-find job; a doc paired only with already-dropped docs is still
@@ -37,24 +39,34 @@ object Corpus {
 
     val id = col(idCol)
 
-    // stages 1+2: map-only annotations
+    // ONE annotate scan computes everything every stage needs — quality,
+    // lang, content hash, tokens — then persists (spilling to disk at
+    // corpus scale): three downstream consumers (exact-dup groups, minhash
+    // candidates, final assembly) read the materialized pass instead of
+    // re-scanning + re-tokenizing the raw corpus three times.
     val annotated = docs
       .withColumn("quality_score", TextFunctions.qualityScore(col(textCol)))
       .withColumn("predicted_lang", TextFunctions.predictedLang(col(textCol)))
+      .withColumn("__hash", md5(col(textCol)))
+      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // stage 3: exact-dup survivors (min id per content hash)
-    val keepers = Dedup.exactGroups(docs, idCol, textCol)
-      .select(col("text_hash"), col("keep_id"))
+    // stage 3: exact-dup survivors (min id per content hash); only
+    // (__hash, id) reaches the shuffle — column pruning on the cache
+    val keepers = annotated
+      .groupBy(col("__hash").as("text_hash"))
+      .agg(min(id).as("keep_id"))
 
     // stage 4: near-dup drops = larger id of every confident candidate pair
-    // (pairs are (a < b) by construction)
+    // (pairs are (a < b) by construction); shares the annotate pass's tokens
     val nearDrops = Dedup
-      .minhashPairs(docs, idCol, textCol, shingleN, nPerms, nBands)
+      .minhashPairsFromTokens(
+        annotated.select(id.as("doc_id"), col("__toks").as("toks")),
+        shingleN, nPerms, nBands)
       .where(col("n_bands") >= minBands)
       .select(col("doc_b").as("__near_drop")).distinct()
 
     annotated
-      .withColumn("__hash", md5(col(textCol)))
       // keepers is one row per DISTINCT text — corpus-sized, never broadcast
       .join(keepers, col("__hash") === col("text_hash"), "left")
       .join(nearDrops, id === col("__near_drop"), "left")
@@ -67,7 +79,7 @@ object Corpus {
           .when(id =!= col("keep_id"), "exact_dup")
           .when(col("__near_drop").isNotNull, "near_dup"))
       .withColumn("keep", col("drop_reason").isNull)
-      .drop("__hash", "text_hash", "keep_id", "__near_drop")
+      .drop("__hash", "__toks", "text_hash", "keep_id", "__near_drop")
   }
 
   /** Per-stage funnel counts over a [[clean]] result — the audit artifact. */

@@ -50,6 +50,17 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, nPerms: Int = 32, nBands: Int = 8,
+      maxBucket: Int = 50): DataFrame =
+    minhashPairsFromTokens(
+      docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks")),
+      shingleN, nPerms, nBands, maxBucket)
+
+  /** [[minhashPairs]] over ALREADY-TOKENIZED input `(doc_id, toks)` — the
+    * composition hook for pipelines (e.g. [[Corpus.clean]]) that tokenize
+    * once in a shared annotate pass instead of re-scanning raw text here.
+    */
+  def minhashPairsFromTokens(tokenized: DataFrame,
+      shingleN: Int = 3, nPerms: Int = 32, nBands: Int = 8,
       maxBucket: Int = 50): DataFrame = {
     // nBands > nPerms would give every band a constant bucket (all docs in
     // one dropped-oversized group → silently zero pairs); a non-dividing
@@ -57,8 +68,7 @@ object Dedup {
     require(nBands >= 1 && nBands <= nPerms && nPerms % nBands == 0,
       s"nBands ($nBands) must divide nPerms ($nPerms)")
     val rowsPerBand = nPerms / nBands
-    val sh = docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    val sh = tokenized
       .select(col("doc_id"),
         explode(arrayBarrier(shinglesFromTokens(col("toks"), shingleN))).as("shingle"))
     val sig = sh.groupBy(col("doc_id")).agg(

@@ -19,9 +19,14 @@ object Skew {
     * row values would give every copy of a duplicated hot row the same salt,
     * defeating the spread exactly in the common duplicate-row skew case.
     * monotonically_increasing_id is partition-local counter + partition id,
-    * so consecutive duplicates cycle through all salts, and it is stable
-    * under task retry (same partition, same order ⇒ same ids). No rand():
-    * re-executions must land identically.
+    * so consecutive duplicates cycle through all salts. Retry stability
+    * holds only when the upstream partition contents and order are
+    * deterministic (e.g. directly after a file scan); after a shuffle, a
+    * fetch-failure re-execution may re-salt rows differently — harmless
+    * here because join/agg RESULTS never depend on which salt a row got,
+    * only the spread does. Callers needing bitwise-identical intermediate
+    * salts should salt from a unique key column instead. No rand():
+    * same reasoning, one fewer moving part.
     */
   private def rowSalt(nSalts: Int): Column =
     pmod(monotonically_increasing_id(), lit(nSalts.toLong)).cast("int")

@@ -98,6 +98,59 @@ class LoadExportSpec extends SparkSpec {
     assert(doc.get("kpis").get("comfort_hours_percent").asDouble() >= 0)
   }
 
+  test("S12 fallback tier 1: parquet/ glob prefers meter-named files") {
+    val dir = Files.createTempDirectory("graft_s12a_")
+    val pq = dir.resolve("parquet")
+    schema("fact_meters").write.parquet(pq.resolve("fact_meters.parquet").toString)
+    schema("dim_building").write.parquet(pq.resolve("dim_building.parquet").toString)
+    val src = Export.resolveMeterSource(spark, dir.toString)
+    assert(src.isDefined)
+    // the meter-named file won; the dim was not unioned in
+    assert(src.get.columns.contains("electric_kwh"))
+    assert(!src.get.columns.contains("building_name"))
+    val doc = Export.summaryFromDir(spark, dir.toString)
+    val total = doc.select("annual.total_kwh").head().getDouble(0)
+    val direct = schema("fact_meters")
+      .agg(sum(col("electric_kwh") + col("heating_kwh") + col("cooling_kwh")))
+      .head().getDouble(0)
+    assert(math.abs(total - direct) < 1e-6)
+  }
+
+  test("S12 fallback tier 2: catalog views win when parquet/ is absent or empty") {
+    val dir = Files.createTempDirectory("graft_s12b_")
+    // an EMPTY parquet tier must fall through (reference's df.empty check)
+    schema("fact_meters").limit(0).write
+      .parquet(dir.resolve("parquet").resolve("meters_empty.parquet").toString)
+    Load.registerAll(spark, schema)
+    val viaView = Export.resolveMeterSource(spark, dir.toString)
+    assert(viaView.isDefined)
+    // vw_energy_summary is preferred over fact_meters
+    assert(viaView.get.columns.sameElements(spark.table("vw_energy_summary").columns))
+    spark.catalog.dropTempView("vw_energy_summary")
+    val viaFact = Export.resolveMeterSource(spark, dir.toString)
+    assert(viaFact.isDefined && viaFact.get.columns.contains("electric_kwh"))
+  }
+
+  test("S12 fallback tier 3: loose csv; an empty dir fails loudly") {
+    // fresh session = no temp views; drop persistent tables so the
+    // any-catalog-table tier cannot win
+    val s = spark.newSession()
+    s.catalog.listTables().collect().filter(!_.isTemporary)
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS `${t.name}`"))
+    val dir = Files.createTempDirectory("graft_s12c_")
+    Files.writeString(dir.resolve("meters.csv"),
+      "electric_kwh,heating_kwh\n1.5,2.5\n2.5,3.5\n")
+    val doc = Export.summaryFromDir(s, dir.toString)
+    assert(doc.select("annual.electric_kwh").head().getDouble(0) == 4.0)
+    assert(doc.select("annual.total_kwh").head().getDouble(0) == 10.0)
+    // no source at all: loud failure, never the reference's fabricated sample
+    val empty = Files.createTempDirectory("graft_s12d_")
+    val err = intercept[IllegalArgumentException] {
+      Export.summaryFromDir(s, empty.toString)
+    }
+    assert(err.getMessage.contains("no non-empty meter-like source"))
+  }
+
   test("export validator rejects a broken document") {
     val p = Files.createTempDirectory("graft_badjson_").resolve("bad.json")
     Files.writeString(p, """{"pipeline": "x", "annual": {"total_kwh": "oops"}}""")

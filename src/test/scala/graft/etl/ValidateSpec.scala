@@ -38,6 +38,31 @@ class ValidateSpec extends SparkSpec {
     assert(!rr.valid && rr.errors.exists(_.contains("power_kw")))
   }
 
+  test("range check runs ONE aggregate action per table, not one per rule") {
+    val schema = buildSchema()
+    val nTables = Validate.rangeRules.map(_._1).distinct.count(schema.contains)
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        actions.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      assert(Validate.checkValueRanges(schema).valid)
+      // the listener bus is async: wait for the counter to settle
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var last = -1
+      while (System.nanoTime() < deadline && actions.get() != last) {
+        last = actions.get(); Thread.sleep(300)
+      }
+      assert(actions.get() == nTables,
+        s"expected $nTables fused aggregate actions (one per table), saw ${actions.get()}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("a temporal gap is detected") {
     import org.apache.spark.sql.functions._
     val schema = buildSchema()
