@@ -1,8 +1,10 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** End-to-end corpus cleaning — the composition an LLM training-data
   * pipeline actually runs, built from this engine's own operators:
@@ -18,16 +20,48 @@ import org.apache.spark.sql.functions._
   * the shape production cleaning jobs want (drop accounting is a first-class
   * deliverable, not a side effect).
   *
-  * Scale: ONE annotate scan computes quality/lang/hash/tokens and persists
-  * (MEMORY_AND_DISK — spills, never OOMs); stage 3 is one shuffle of
-  * (hash, id) off that cache; stage 4 is the LSH candidate shape (bounded
-  * buckets, no O(n²)) fed the shared tokens. The raw corpus is read once.
+  * Scale: ONE narrow annotate pass computes (id, content hash, tokens) and
+  * persists JUST that projection (MEMORY_AND_DISK — spills, never OOMs);
+  * stage 3 is one shuffle of (hash, id) off that cache; stage 4 is the LSH
+  * candidate shape (bounded buckets, no O(n²)) fed the shared tokens. The
+  * map-only quality/lang columns are NOT cached — they ride the final
+  * assembly's raw scan for free, so the pinned footprint is hash+tokens,
+  * never the full document schema (at 100 TB, caching text+annotations as a
+  * cleaning side effect would materialize the whole corpus to executor
+  * storage). The cache releases itself after the first caller action that
+  * consumed it (see [[unpersistAfterAction]]) — a `clean(...)` result held
+  * lazily does not pin storage for the session lifetime.
   * Near-dup keeps the smaller doc_id of every confident pair — the standard
   * greedy approximation of connected-component dedup (no iterative
   * union-find job; a doc paired only with already-dropped docs is still
   * dropped, which over-drops slightly and never under-drops).
   */
 object Corpus {
+
+  /** One-shot self-releasing cache: unpersist `cached` as soon as the first
+    * action whose analyzed plan contains it completes (success OR failure),
+    * then deregister. Actions that never touch the cache leave it alone; if
+    * the caller never runs an action the lazy persist never materializes, so
+    * nothing leaks either way. Releasing is only a cache-drop — a second
+    * action on the same DataFrame recomputes and stays correct.
+    */
+  private def unpersistAfterAction(spark: SparkSession, cached: DataFrame): Unit = {
+    val cachedPlan = cached.queryExecution.analyzed
+    val listener: QueryExecutionListener = new QueryExecutionListener {
+      private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private def maybeRelease(qe: QueryExecution): Unit =
+        if (qe.analyzed.exists(_.sameResult(cachedPlan)) &&
+          done.compareAndSet(false, true)) {
+          cached.unpersist(blocking = false)
+          spark.listenerManager.unregister(this)
+        }
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        maybeRelease(qe)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+        maybeRelease(qe)
+    }
+    spark.listenerManager.register(listener)
+  }
 
   def clean(docs: DataFrame, idCol: String, textCol: String,
       minQuality: Double = 0.3,
@@ -39,21 +73,23 @@ object Corpus {
 
     val id = col(idCol)
 
-    // ONE annotate scan computes everything every stage needs — quality,
-    // lang, content hash, tokens — then persists (spilling to disk at
-    // corpus scale): three downstream consumers (exact-dup groups, minhash
-    // candidates, final assembly) read the materialized pass instead of
-    // re-scanning + re-tokenizing the raw corpus three times.
-    val annotated = docs
-      .withColumn("quality_score", TextFunctions.qualityScore(col(textCol)))
-      .withColumn("predicted_lang", TextFunctions.predictedLang(col(textCol)))
-      .withColumn("__hash", md5(col(textCol)))
-      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
+    // ONE narrow annotate scan computes what BOTH dedup stages need — id,
+    // content hash, tokens — and persists only that: the two shuffle-side
+    // consumers (exact-dup groups, minhash candidates) read the materialized
+    // pass instead of re-tokenizing the raw corpus twice. Deliberately NOT
+    // cached: text, quality, lang — map-only, recomputed on the assembly
+    // scan below (a cache holding the full doc schema would pin the whole
+    // corpus to executor storage as a side effect of cleaning).
+    val narrow = docs
+      .select(id,
+        md5(col(textCol)).as("__hash"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    unpersistAfterAction(docs.sparkSession, narrow)
 
     // stage 3: exact-dup survivors (min id per content hash); only
     // (__hash, id) reaches the shuffle — column pruning on the cache
-    val keepers = annotated
+    val keepers = narrow
       .groupBy(col("__hash").as("text_hash"))
       .agg(min(id).as("keep_id"))
 
@@ -61,12 +97,18 @@ object Corpus {
     // (pairs are (a < b) by construction); shares the annotate pass's tokens
     val nearDrops = Dedup
       .minhashPairsFromTokens(
-        annotated.select(id.as("doc_id"), col("__toks").as("toks")),
+        narrow.select(id.as("doc_id"), col("__toks").as("toks")),
         shingleN, nPerms, nBands)
       .where(col("n_bands") >= minBands)
       .select(col("doc_b").as("__near_drop")).distinct()
 
-    annotated
+    docs
+      // quality/lang/hash are map-only — they ride this scan inside codegen;
+      // md5 here is bit-identical to the cached __hash, so the keepers join
+      // key lines up without touching the cache a third time
+      .withColumn("quality_score", TextFunctions.qualityScore(col(textCol)))
+      .withColumn("predicted_lang", TextFunctions.predictedLang(col(textCol)))
+      .withColumn("__hash", md5(col(textCol)))
       // keepers is one row per DISTINCT text — corpus-sized, never broadcast
       .join(keepers, col("__hash") === col("text_hash"), "left")
       .join(nearDrops, id === col("__near_drop"), "left")
@@ -79,7 +121,7 @@ object Corpus {
           .when(id =!= col("keep_id"), "exact_dup")
           .when(col("__near_drop").isNotNull, "near_dup"))
       .withColumn("keep", col("drop_reason").isNull)
-      .drop("__hash", "__toks", "text_hash", "keep_id", "__near_drop")
+      .drop("__hash", "text_hash", "keep_id", "__near_drop")
   }
 
   /** Per-stage funnel counts over a [[clean]] result — the audit artifact. */

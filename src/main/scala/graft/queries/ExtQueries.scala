@@ -177,17 +177,66 @@ object ExtQueries {
       (s, dir) => Dedup.simhashPairs(docs(s, dir), "doc_id", "text")),
 
     // ------------------------------------------------------------------
-    // N-gram Jaccard near-dup pairs via rare-shingle candidates.
+    // N-gram Jaccard near-dup pairs via rare-shingle candidates. Fully
+    // ANSI-expressible (whitespace tokens → 3-gram shingles → df∈[2,20]
+    // candidate shingles → pair count → exact int/int division), so it
+    // carries a direct DuckDB oracle: `regexp_split_to_array(lower, '\s+')`
+    // ≡ Spark `split`, `range(1, len-1)` ≡ `sequence(1, size-2)` (range is
+    // end-exclusive), `t[i:i+2]` is DuckDB's 1-based inclusive slice ≡
+    // `slice(toks, i, 3)`, and HAVING count BETWEEN 2 AND 20 ≡ PairGen's
+    // count-first group filter. jaccard = bigint/bigint cast to double is
+    // a single IEEE division — exact in both engines.
     QueryDef(
       "q_dedup_jaccard",
-      None,
+      Some("""WITH sh AS (
+             |  SELECT doc_id,
+             |    list_distinct(
+             |      CASE WHEN len(t) >= 3
+             |           THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+             |           ELSE [] END) AS shs
+             |  FROM (SELECT doc_id,
+             |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+             |        FROM documents)
+             |), ex AS (
+             |  SELECT doc_id, len(shs) AS n, unnest(shs) AS shingle FROM sh
+             |), keep AS (
+             |  SELECT shingle FROM ex GROUP BY 1 HAVING count(*) BETWEEN 2 AND 20
+             |), pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b,
+             |         CAST(count(*) AS BIGINT) AS n_inter
+             |  FROM ex a JOIN keep k ON a.shingle = k.shingle
+             |            JOIN ex b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2, 3, 4
+             |)
+             |SELECT doc_a, doc_b, n_inter,
+             |       CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard
+             |FROM pairs
+             |WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.3""".stripMargin),
       (s, dir) => Dedup.jaccardPairs(docs(s, dir), "doc_id", "text")),
 
     // ------------------------------------------------------------------
     // Brute-force cosine top-k against a stored probe vector (vec_id=0).
+    // Oracled: GraftCosine accumulates dot/|a|²/|b|² left-to-right in double
+    // ((double)float widening per element) and divides by sqrt(na)*sqrt(nb);
+    // DuckDB's list_sum over a double list_transform is the same sequential
+    // double accumulation, so the SQL below is BIT-exact (verified: 500/500
+    // vectors, max |Δ| = 0.0 — unlike list_cosine_similarity, which computes
+    // in float and drifts ~1e-7). Deterministic tie-break on vec_id makes
+    // the LIMIT boundary stable.
     QueryDef(
       "q_sim_bruteforce",
-      None,
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |c AS (
+             |  SELECT vec_id,
+             |    list_sum(list_transform(range(1, len(embedding)+1),
+             |             i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS d,
+             |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+             |      * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nn
+             |  FROM embeddings, q)
+             |SELECT vec_id, CASE WHEN nn > 0 THEN d / nn END AS cosine_sim
+             |FROM c
+             |ORDER BY cosine_sim DESC NULLS LAST, vec_id
+             |LIMIT 20""".stripMargin),
       (s, dir) => {
         val e = emb(s, dir)
         val q = Similarity.vectorOf(s, e, "vec_id", "embedding", 0L)
