@@ -31,6 +31,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allDefs.map(d => d.name -> d.build).toMap
 
+  /** Query names in DECLARATION order — Bench runs them in this order so
+    * build-then-probe pairs (q_sim_ivf_build → q_sim_ivf) measure what they
+    * claim, and per-round bench comparisons aren't scrambled by Map hashing.
+    */
+  def orderedQueryNames: Seq[String] = allDefs.map(_.name)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */

@@ -12,9 +12,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the PRODUCTION extension wiring: this is the first session of the
+      // JVM, so the config string drives Spark's reflective applyExtensions
+      // -> GraftExtensions.apply(injectFunction) — the injector path itself,
+      // not the imperative register() fallback for pre-built sessions
+      .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.extensions.GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       // remove any stale output FIRST: if this round's build breaks the

@@ -103,6 +103,13 @@ object TextFunctions {
   val longArrayBarrier: UserDefinedFunction =
     udf((a: Seq[Long]) => a).asNondeterministic()
 
+  /** [[longArrayBarrier]] variant whose elements may be NULL (boxed) — for
+    * arrays of per-table LSH buckets, where a malformed vector hashes to
+    * NULL in every table rather than failing the whole row.
+    */
+  val nullableLongArrayBarrier: UserDefinedFunction =
+    udf((a: Seq[java.lang.Long]) => a).asNondeterministic()
+
   /** Lowercased whitespace tokens with empties removed. */
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)

@@ -21,6 +21,30 @@ object VectorNative {
   def cosine(a: Column, b: Column): Column =
     B.column(GraftCosine(B.expression(a), B.expression(b)))
 
-  def lshBucket(v: Column, dims: Int, nPlanes: Int): Column =
-    B.column(GraftLshBucket(B.expression(v), dims, nPlanes))
+  /** `planeOffset` selects an independent hyperplane family (table t of a
+    * multi-table LSH passes t*nPlanes) — weights for plane p come from index
+    * (planeOffset+p)·dims+j, so offset families never share a hyperplane.
+    */
+  def lshBucket(v: Column, dims: Int, nPlanes: Int, planeOffset: Int = 0): Column =
+    B.column(GraftLshBucket(B.expression(v), dims, nPlanes, planeOffset))
+
+  /** Driver-side bucket of a KNOWN query vector (the probe side of ANN):
+    * evaluates the same expression once and folds the result into the plan
+    * as a literal, so a probe filter costs one long-compare per row instead
+    * of re-hashing the query against every hyperplane per row — and
+    * partition pruning sees a constant. None for a malformed query
+    * (wrong dims), mirroring the expression's NULL.
+    */
+  def lshBucketOf(v: Seq[Float], dims: Int, nPlanes: Int,
+      planeOffset: Int = 0): Option[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+    // raw Catalyst literals, not the public array(lit(...)) Column: Spark 4
+    // Columns stay UNRESOLVED until analysis, and an unresolved tree cannot
+    // be eval'd driver-side
+    val arr = CreateArray(v.map(x =>
+      Literal(x, org.apache.spark.sql.types.FloatType)))
+    val e = GraftLshBucket(arr, dims, nPlanes, planeOffset)
+    Option(e.eval(org.apache.spark.sql.catalyst.InternalRow.empty))
+      .map(_.asInstanceOf[Long])
+  }
 }

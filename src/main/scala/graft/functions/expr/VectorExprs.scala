@@ -217,9 +217,11 @@ case class GraftCosine(left: Expression, right: Expression)
   * yields a degenerate bucket there; malformed input is a validation error
   * upstream, see etl.Validate).
   */
-case class GraftLshBucket(child: Expression, dims: Int, nPlanes: Int)
+case class GraftLshBucket(child: Expression, dims: Int, nPlanes: Int,
+    planeOffset: Int = 0)
     extends UnaryExpression with FloatArrayInputs {
   require(nPlanes > 0 && nPlanes < 64, "nPlanes must be in [1, 63]")
+  require(planeOffset >= 0, "planeOffset must be >= 0")
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -228,7 +230,7 @@ case class GraftLshBucket(child: Expression, dims: Int, nPlanes: Int)
   /** weights(p)(j) — must match VectorFunctions.lshBucket exactly. */
   @transient private lazy val planes: Array[Array[Double]] =
     Array.tabulate(nPlanes, dims) { (p, j) =>
-      (XXH64.hashInt(p * dims + j, 42L) % 1000001L).toDouble / 1000000.0
+      (XXH64.hashInt((planeOffset + p) * dims + j, 42L) % 1000001L).toDouble / 1000000.0
     }
 
   override protected def nullSafeEval(a: Any): Any = {

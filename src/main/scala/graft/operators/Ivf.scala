@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorNative.{cosine, dot}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate-nearest-neighbor index over an
@@ -134,6 +134,55 @@ object Ivf {
     */
   def assign(corpus: DataFrame, vecCol: String, model: Model): DataFrame =
     corpus.withColumn("cluster", assignExpr(col(vecCol), model.centroids))
+
+  /** Materialize the IVF index at rest — the train-once/probe-many split a
+    * serving path needs (mirrors [[Similarity.writeIndex]] for LSH):
+    * `path`/data holds the corpus `partitionBy("cluster")` so a probe is a
+    * partition-pruned scan of ~nProbe/k of the data, and `path`/centroids
+    * holds the k×dims centroid matrix so probing never re-trains.
+    * Malformed vectors (NULL cluster) are excluded — they can never be
+    * probed (nearestClusters returns real ids) and a `cluster=__HIVE_DEFAULT
+    * partition would poison partition pruning.
+    */
+  def writeClustered(corpus: DataFrame, idCol: String, vecCol: String,
+      model: Model, path: String): Unit = {
+    assign(corpus, vecCol, model)
+      .where(col("cluster").isNotNull)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/data")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load the trained coarse quantizer back from a [[writeClustered]] layout
+    * (tiny driver-side read: k rows of dims floats).
+    */
+  def loadModel(spark: SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cluster")).select(col("centroid")).collect()
+    require(rows.nonEmpty, s"no centroids at $path/centroids")
+    Model(rows.map(_.getSeq[Float](0).toArray))
+  }
+
+  /** Probe a written index: partition-pruned scan of the `nProbe` clusters
+    * nearest the query — train cost paid once at [[writeClustered]] time,
+    * never per query (StorageLayoutSpec asserts the PartitionFilters reach
+    * the scan).
+    */
+  def probeClustered(spark: SparkSession, path: String, idCol: String,
+      vecCol: String, query: Seq[Float], nProbe: Int, k: Int): DataFrame = {
+    val probes = loadModel(spark, path).nearestClusters(query, nProbe)
+    spark.read.parquet(s"$path/data")
+      .where(col("cluster").isin(probes: _*))
+      .select(col(idCol), col("cluster"),
+        cosine(col(vecCol), vecLit(query)).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .limit(k)
+  }
 
   /** IVF top-k: cosine-rank only the `nProbe` clusters nearest the query.
     * Recall < 1 by construction (like every IVF); nProbe/k is the knob.

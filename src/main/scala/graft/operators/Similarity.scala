@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.{TextFunctions, VectorNative}
 import graft.functions.VectorNative.{cosine, lshBucket}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -40,18 +41,30 @@ object Similarity {
     corpus.select(col(idCol),
       lshBucket(col(vecCol), dims, nPlanes).as("bucket"))
 
-  /** LSH-bucketed ANN top-k: probe only the query's bucket, rank within it.
-    * Recall < 1 by construction (single-probe); `nPlanes` trades recall for
-    * bucket size.
+  /** LSH-bucketed ANN top-k: probe only the query's bucket(s), rank within.
+    * Recall < 1 by construction; `nPlanes` trades recall for bucket size and
+    * `nTables` OR-amplifies (a vector qualifies if it shares the query's
+    * bucket in ANY of the `nTables` independent hyperplane families — the
+    * standard multi-table LSH design: recall 1-(1-p^nPlanes)^nTables).
+    * Each query-side bucket is folded to a LITERAL on the driver
+    * ([[VectorNative.lshBucketOf]]), so the probe filter is nTables
+    * long-compares per row on top of the corpus-side buckets — one map-only
+    * scan, no explode, no extra shuffle.
     */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Float], dims: Int, nPlanes: Int, k: Int): DataFrame = {
-    val bucketed = corpus.select(col(idCol), col(vecCol),
-      lshBucket(col(vecCol), dims, nPlanes).as("bucket"))
-    val qBucket = lshBucket(vecLit(query), dims, nPlanes)
-    bucketed
-      .where(col("bucket") === qBucket)
-      .select(col(idCol), col("bucket"),
+      query: Seq[Float], dims: Int, nPlanes: Int, k: Int,
+      nTables: Int = 1): DataFrame = {
+    require(nTables >= 1, s"nTables ($nTables) must be >= 1")
+    val hit = (0 until nTables).map { t =>
+      VectorNative.lshBucketOf(query, dims, nPlanes, t * nPlanes) match {
+        case Some(qb) => lshBucket(col(vecCol), dims, nPlanes, t * nPlanes) === lit(qb)
+        case None => lit(false) // malformed query matches nothing
+      }
+    }.reduce(_ || _)
+    corpus
+      .where(hit)
+      .select(col(idCol),
+        lshBucket(col(vecCol), dims, nPlanes).as("bucket"),
         cosine(col(vecCol), vecLit(query)).as("cosine_sim"))
       .orderBy(col("cosine_sim").desc, col(idCol))
       .limit(k)
@@ -59,17 +72,29 @@ object Similarity {
 
   /** All-pairs exact cosine above a threshold within LSH buckets — the
     * embedding-space near-dup operator (SURVEY §7.1(10) "embedding-cosine
-    * near-dup"). Quadratic only within buckets.
+    * near-dup"). Quadratic only within buckets. `nTables` OR-amplifies
+    * recall (pair found if it collides in ANY independent hyperplane
+    * family); candidates are deduped across tables before emission. The
+    * per-row bucket array sits behind a barrier UDF so the posexplode
+    * cannot be cloned into a pushed-down per-row filter (the measured-17×
+    * InferFiltersFromGenerate pathology — see TextFunctions.arrayBarrier).
     */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      dims: Int, nPlanes: Int, minSim: Double, maxBucket: Int = 200): DataFrame = {
-    val b = corpus.select(
-      lshBucket(col(vecCol), dims, nPlanes).as("bucket"),
-      struct(col(idCol).as("id"), col(vecCol).as("v")).as("iv"))
-    PairGen.groupPairs(b, Seq("bucket"), col("iv"), maxBucket)
+      dims: Int, nPlanes: Int, minSim: Double, maxBucket: Int = 200,
+      nTables: Int = 1): DataFrame = {
+    require(nTables >= 1, s"nTables ($nTables) must be >= 1")
+    val b = corpus
+      .select(
+        struct(col(idCol).as("id"), col(vecCol).as("v")).as("iv"),
+        TextFunctions.nullableLongArrayBarrier(array((0 until nTables).map { t =>
+          lshBucket(col(vecCol), dims, nPlanes, t * nPlanes)
+        }: _*)).as("bs"))
+      .select(col("iv"), posexplode(col("bs")).as(Seq("t", "bucket")))
+    PairGen.groupPairs(b, Seq("t", "bucket"), col("iv"), maxBucket)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         cosine(col("a.v"), col("b.v")).as("cosine_sim"))
       .where(col("cosine_sim") >= minSim)
+      .distinct()
   }
 
   /** Materialize the LSH index at rest: corpus partitioned by bucket, so a
@@ -83,15 +108,21 @@ object Similarity {
         lshBucket(col(vecCol), dims, nPlanes).as("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
-  /** Probe a written index: reads ONLY the query's bucket partition. */
+  /** Probe a written index: reads ONLY the query's bucket partition (the
+    * query bucket is folded to a literal so partition pruning compares a
+    * constant, never re-evaluates the hash).
+    */
   def probeIndex(spark: SparkSession, path: String, idCol: String,
-      vecCol: String, query: Seq[Float], dims: Int, nPlanes: Int, k: Int): DataFrame =
+      vecCol: String, query: Seq[Float], dims: Int, nPlanes: Int, k: Int): DataFrame = {
+    val qb = VectorNative.lshBucketOf(query, dims, nPlanes)
+      .map(lit(_)).getOrElse(lit(null))
     spark.read.parquet(path)
-      .where(col("bucket") === lshBucket(vecLit(query), dims, nPlanes))
+      .where(col("bucket") === qb)
       .select(col(idCol), col("bucket"),
         cosine(col(vecCol), vecLit(query)).as("cosine_sim"))
       .orderBy(col("cosine_sim").desc, col(idCol))
       .limit(k)
+  }
 
   /** Fetch one stored vector to use as a probe (tiny driver-side action). */
   def vectorOf(spark: SparkSession, corpus: DataFrame, idCol: String,

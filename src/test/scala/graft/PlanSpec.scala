@@ -97,4 +97,32 @@ class PlanSpec extends SparkSpec {
     // must not introduce a third repartitioning of the fact
     assert(p.contains("hashpartitioning(user_id"), p)
   }
+
+  test("surrogate-key windows only ever consume post-distinct inputs " +
+    "(row_number over a raw fact would single-partition the corpus)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, LogicalPlan, Window => LWindow}
+    // the deliberate no-partition windows are justified ONLY because their
+    // input is a distinct/aggregated key domain (tiny even at 100 TB of
+    // facts); this guard fails the build if anyone ever moves row_number
+    // onto an unaggregated scan
+    def guarded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate | _: Deduplicate => true
+      case l if l.children.isEmpty => false
+      case o => o.children.forall(guarded)
+    }
+    def assertGuarded(df: DataFrame, what: String): Unit = {
+      val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(wins.nonEmpty, s"$what: expected a surrogate-key window in the plan")
+      wins.foreach(w => assert(guarded(w.child),
+        s"$what: a window consumes a raw scan on some input path:\n${w.child}"))
+    }
+    val dir = graft.etl.SyntheticRuns.tempDir()
+    graft.etl.SyntheticRuns.writeFixtureDir(dir)
+    val schema = graft.etl.Transform.transformAll(spark,
+      graft.etl.Extract.extractRuns(spark, dir.toString))
+    for (d <- Seq("dim_zone", "dim_ahu", "dim_time"))
+      assertGuarded(schema(d), d)
+    assertGuarded(SparkEntry.queries("q_surrogate_rownum")(spark, sf),
+      "q_surrogate_rownum")
+  }
 }

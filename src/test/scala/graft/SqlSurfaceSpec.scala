@@ -66,6 +66,49 @@ class SqlSurfaceSpec extends SparkSpec {
       r.getLong(2) <= math.min(perDoc(r.getLong(0)), perDoc(r.getLong(1)))))
   }
 
+  test("spark.sql.extensions injector: a FRESH session built through the " +
+    "reflective injector path gets every graft_* function (the production " +
+    "wiring, not the imperative register())") {
+    ready
+    import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+    // Reproduce Spark's applyExtensions mechanics exactly: load the class
+    // named by spark.sql.extensions reflectively, instantiate its no-arg
+    // constructor, apply it to the builder's SparkSessionExtensions. (The
+    // literal config string is only consulted when a SparkContext is first
+    // created, which Verify/Bench do — this suite shares one context, so it
+    // drives the same code through withExtensions.)
+    val injector = Class.forName("graft.extensions.GraftExtensions")
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[SparkSessionExtensions => Unit]
+    // getOrCreate returns the existing default session unchanged, so clear
+    // both slots to force a genuinely new session (same SparkContext) whose
+    // graft functions come ONLY from the injector
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val fresh = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(injector)
+        .config("spark.sql.shuffle.partitions", "2")
+        .getOrCreate()
+      assert(fresh ne spark, "builder returned the old session — injector path not exercised")
+      val c = fresh.sql(
+        """SELECT graft_cosine(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)),
+          |                    array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS c""".stripMargin)
+        .head().getDouble(0)
+      assert(c === 1.0)
+      // 4-arg multi-table form resolves through the injector too
+      val b = fresh.sql(
+        """SELECT graft_lsh_bucket(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 2, 3, 3) AS b"""
+      ).head().getLong(0)
+      assert(b >= 0L && b < 8L)
+      // do NOT fresh.stop(): it shares the suite-wide SparkContext
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("the three analytical views answer over a registered star schema") {
     ready
     // build a tiny star schema from synthetic runs and query a view in SQL

@@ -72,4 +72,28 @@ class StorageLayoutSpec extends SparkSpec {
     val pruned = probe.select("vec_id").collect().map(_.getLong(0)).toSeq
     assert(pruned === direct)
   }
+
+  test("IVF clustered index probe is a partition-pruned scan matching " +
+    "the in-memory topK") {
+    import graft.operators.Ivf
+    val emb = Tables.load(spark, sf, "embeddings")
+    val model = Ivf.train(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val path = "target/ivf_index_test"
+    Ivf.writeClustered(emb, "vec_id", "embedding", model, path)
+    val q = Similarity.vectorOf(spark, emb, "vec_id", "embedding", 0L)
+
+    val probe = Ivf.probeClustered(spark, path, "vec_id", "embedding",
+      q, nProbe = 2, k = 10)
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cluster"),
+      s"IVF probe not partition-pruned:\n$scan")
+
+    // probing the written layout ≡ probing the in-memory model: the
+    // round-tripped centroids pick the same clusters and the pruned scan
+    // ranks the same vectors
+    val direct = Ivf.topK(emb, "vec_id", "embedding", model, q, nProbe = 2, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val pruned = probe.select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(pruned === direct)
+  }
 }

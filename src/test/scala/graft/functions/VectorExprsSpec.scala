@@ -60,6 +60,39 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
+  test("planeOffset: native == HOF, families are independent, and the " +
+    "driver-side lshBucketOf folds to the same bucket") {
+    for (off <- Seq(0, 4, 8)) {
+      val d = vecs.select(
+        VectorFunctions.lshBucket(col("v"), 8, 4, off).as("hof"),
+        VectorNative.lshBucket(col("v"), 8, 4, off).as("nat"))
+      assert(d.where(col("hof") =!= col("nat")).count() === 0,
+        s"mismatch at planeOffset=$off")
+    }
+    // offset families use disjoint hyperplanes → bucketings must differ
+    // somewhere (identical everywhere would mean the offset is ignored)
+    val two = vecs.select(
+      VectorNative.lshBucket(col("v"), 8, 4, 0).as("t0"),
+      VectorNative.lshBucket(col("v"), 8, 4, 4).as("t1"))
+    assert(two.where(col("t0") =!= col("t1")).count() > 0,
+      "planeOffset=4 produced the identical bucketing as planeOffset=0")
+    // driver-side fold == distributed evaluation, per offset
+    val probe = Seq(0.5f, -1f, 2f, 0.25f, -0.75f, 1f, -2f, 0.125f)
+    for (off <- Seq(0, 4)) {
+      val lit = graft.functions.VectorNative.lshBucketOf(probe, 8, 4, off)
+      val dist = spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(probe)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType, containsNull = false)))))
+        .select(VectorNative.lshBucket(col("v"), 8, 4, off)).head()
+      assert(lit === Some(dist.getLong(0)), s"fold mismatch at offset $off")
+    }
+    // malformed query (wrong dims) folds to None, matching the NULL column
+    assert(graft.functions.VectorNative.lshBucketOf(Seq(1f, 2f), 8, 4).isEmpty)
+  }
+
   test("NULL element yields NULL (matching HOF null-poisoning), never 0.0") {
     import spark.implicits._
     val df = Seq(
