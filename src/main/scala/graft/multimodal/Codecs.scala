@@ -1,0 +1,137 @@
+package graft.multimodal
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+/** REAL pure-JVM media codecs — no external libraries, no JNI:
+  *
+  *   - container sniffing by magic bytes (BMP / PNG / JPEG / WAV-RIFF);
+  *   - header parsers that read dimensions / sample layout directly from the
+  *     byte layout of each format (documented offset-by-offset below);
+  *   - full image pixel decode + resize through `javax.imageio` (ships with
+  *     the JDK's java.desktop module — BMP, PNG, JPEG readers are built in)
+  *     with bilinear `Graphics2D` resampling, all headless-safe;
+  *   - WAV PCM16 sample decode with block-aligned seeking.
+  *
+  * These are the decode seams [[Multimodal]] routes through: a payload whose
+  * magic bytes identify a supported container takes the REAL path end to end
+  * (parse → decode → transform); only unrecognized containers (e.g. video,
+  * which has no pure-JVM decoder) fall back to the clearly-marked
+  * deterministic stub.
+  *
+  * Everything here is executor-side, allocation-light, and driver-free: one
+  * call per row inside a `mapPartitions` batch, no shared state.
+  */
+object Codecs {
+
+  final case class ImageMeta(format: String, width: Int, height: Int, bitsPerPixel: Int)
+  final case class WavMeta(channels: Int, sampleRate: Int, bitsPerSample: Int,
+      dataOffset: Int, dataBytes: Int) {
+    def blockAlign: Int = channels * math.max(bitsPerSample / 8, 1)
+    def nSampleFrames: Int = if (blockAlign == 0) 0 else dataBytes / blockAlign
+  }
+
+  // ---- little/big-endian readers (bounds-checked by callers) -------------
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def be32(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+  /** Container sniff by magic bytes: "bmp" | "png" | "jpeg" | "wav" | "unknown". */
+  def sniff(b: Array[Byte]): String =
+    if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b.length >= 8 && u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G' && u8(b, 4) == 0x0d && u8(b, 5) == 0x0a && u8(b, 6) == 0x1a &&
+      u8(b, 7) == 0x0a) "png"
+    else if (b.length >= 3 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8 &&
+      u8(b, 2) == 0xff) "jpeg"
+    else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
+    else "unknown"
+
+  /** Image dimensions straight from the header bytes — no pixel decode.
+    *   - BMP: BITMAPINFOHEADER at offset 14; width LE32 @18, height LE32 @22
+    *     (negative height = top-down rows → abs), bpp LE16 @28.
+    *   - PNG: IHDR is always the first chunk at offset 8 (len BE32 + "IHDR");
+    *     width BE32 @16, height BE32 @20, bit depth @24.
+    *   - JPEG: walk FF-prefixed segments; SOF0/1/2 (baseline/extended/
+    *     progressive) carry height BE16 @+5, width BE16 @+7, precision @+4.
+    */
+  def imageMeta(b: Array[Byte]): Option[ImageMeta] = sniff(b) match {
+    case "bmp" if b.length >= 30 =>
+      Some(ImageMeta("bmp", le32(b, 18), math.abs(le32(b, 22)), le16(b, 28)))
+    case "png" if b.length >= 26 &&
+      b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R' =>
+      Some(ImageMeta("png", be32(b, 16), be32(b, 20), u8(b, 24)))
+    case "jpeg" =>
+      var i = 2
+      while (i + 9 < b.length && u8(b, i) == 0xff) {
+        val marker = u8(b, i + 1)
+        if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2)
+          return Some(ImageMeta("jpeg", be16(b, i + 7), be16(b, i + 5), u8(b, i + 4) * 8))
+        // standalone markers (D0-D9) have no length field
+        i += (if (marker >= 0xd0 && marker <= 0xd9) 2 else 2 + be16(b, i + 2))
+      }
+      None
+    case _ => None
+  }
+
+  /** RIFF/WAVE chunk walk: "fmt " carries channels LE16 @+10, sampleRate
+    * LE32 @+12, bitsPerSample LE16 @+22 (offsets from the chunk id); "data"
+    * gives the PCM byte extent. Chunks are word-aligned (odd sizes pad 1).
+    */
+  def wavMeta(b: Array[Byte]): Option[WavMeta] = {
+    if (sniff(b) != "wav") return None
+    var channels, rate, bits = 0
+    var dataOff, dataLen = -1
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = le32(b, i + 4)
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ' &&
+        i + 24 <= b.length) {
+        channels = le16(b, i + 10); rate = le32(b, i + 12); bits = le16(b, i + 22)
+      } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
+        dataOff = i + 8; dataLen = math.min(size, b.length - dataOff)
+      }
+      i += 8 + size + (size & 1)
+    }
+    if (channels > 0 && dataOff >= 0) Some(WavMeta(channels, rate, bits, dataOff, dataLen))
+    else None
+  }
+
+  /** PCM16 LE samples [from, from+n) of channel 0 — a REAL block-aligned
+    * seek + decode (the audio analogue of frame extraction).
+    */
+  def wavSamples(b: Array[Byte], from: Int, n: Int): Option[Array[Int]] =
+    wavMeta(b).filter(_.bitsPerSample == 16).map { m =>
+      (from until math.min(from + n, m.nSampleFrames)).map { s =>
+        le16(b, m.dataOffset + s * m.blockAlign).toShort.toInt
+      }.toArray
+    }
+
+  /** Full pixel decode via the JDK's built-in readers (BMP/PNG/JPEG/GIF).
+    * None when no reader claims the bytes — the caller's stub seam.
+    */
+  def decodeImage(b: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(b)))
+
+  /** REAL resize: decode → bilinear Graphics2D resample → PNG re-encode.
+    * Headless-safe (BufferedImage rasters never touch a display).
+    */
+  def resizeToPng(b: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] =
+    decodeImage(b).map { img =>
+      val out = new java.awt.image.BufferedImage(
+        targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, targetW, targetH, null)
+      } finally g.dispose()
+      val baos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", baos)
+      baos.toByteArray
+    }
+}

@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed in batched executor-side passes.
   *
-  * The Spark-side plumbing (schema, partitioning, batch iteration shape) is
-  * real and tested; the codec calls themselves are STUBBED with
-  * deterministic fakes because no image/audio libraries exist in this
-  * container — each stub is clearly marked and would be replaced by a JNI /
-  * library call at the same call site.
+  * Decode routing: payloads whose magic bytes identify a supported container
+  * take a REAL pure-JVM path end to end ([[Codecs]] — BMP/PNG/JPEG header
+  * parse + `javax.imageio` pixel decode + resize; WAV chunk parse + PCM16
+  * sample extraction). Only unrecognized containers (e.g. video, which has
+  * no pure-JVM decoder in this container) fall back to the clearly-marked
+  * deterministic stub, at the same call sites a JNI codec would plug into.
   *
   * Scale notes: binary payloads ride the normal columnar batches; decode is
   * a mapPartitions pass (no shuffle), so a 100 TB media corpus decodes at
@@ -25,12 +26,17 @@ object Multimodal {
       n_bytes: Long,
       width: Int,
       height: Int,
-      n_frames: Int)
+      n_frames: Int,
+      container: String,     // sniffed magic-byte format; "unknown" -> stub
+      sample_rate: Int,      // audio only; 0 for images/stub
+      channels: Int)         // audio only; 0 for images/stub
 
   final case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  /** STUB decode: derives deterministic fake dimensions from the payload
-    * hash. Real implementation: image codec (JPEG/PNG header parse).
+  /** STUB decode for UNRECOGNIZED containers only: derives deterministic
+    * fake dimensions from the payload hash. A real video codec would replace
+    * exactly this call site; recognized formats never reach it (see
+    * [[decodeMeta]]).
     */
   private def decodeMetaStub(id: Long, mediaType: String, bytes: Array[Byte]): MediaMeta = {
     val h = java.util.Arrays.hashCode(bytes)
@@ -38,15 +44,36 @@ object Multimodal {
       media_id = id,
       media_type = mediaType,
       n_bytes = bytes.length.toLong,
-      width = 64 + math.abs(h % 1024),         // STUB: header parse
+      width = 64 + math.abs(h % 1024),           // STUB: header parse
       height = 64 + math.abs((h / 1024) % 1024), // STUB: header parse
-      n_frames = 1 + math.abs(h % 8))           // STUB: container probe
+      n_frames = 1 + math.abs(h % 8),            // STUB: container probe
+      container = "unknown",
+      sample_rate = 0,
+      channels = 0)
   }
+
+  /** Per-payload metadata: REAL header parse for BMP/PNG/JPEG/WAV, stub for
+    * everything else.
+    */
+  private[multimodal] def decodeMeta(id: Long, mediaType: String,
+      bytes: Array[Byte]): MediaMeta =
+    Codecs.imageMeta(bytes) match {
+      case Some(im) =>
+        MediaMeta(id, mediaType, bytes.length.toLong, im.width, im.height,
+          n_frames = 1, container = im.format, sample_rate = 0, channels = 0)
+      case None => Codecs.wavMeta(bytes) match {
+        case Some(am) =>
+          MediaMeta(id, mediaType, bytes.length.toLong, width = 0, height = 0,
+            n_frames = am.nSampleFrames, container = "wav",
+            sample_rate = am.sampleRate, channels = am.channels)
+        case None => decodeMetaStub(id, mediaType, bytes)
+      }
+    }
 
   /** Attach a media-type column from a filename/source hint. */
   def withMediaType(df: DataFrame, hintCol: String): DataFrame =
     df.withColumn("media_type",
-      when(col(hintCol).rlike("(?i)\\.(jpe?g|png)$"), "image")
+      when(col(hintCol).rlike("(?i)\\.(jpe?g|png|bmp)$"), "image")
         .when(col(hintCol).rlike("(?i)\\.(wav|mp3|flac)$"), "audio")
         .when(col(hintCol).rlike("(?i)\\.(mp4|mkv|webm)$"), "video")
         .otherwise("binary"))
@@ -60,34 +87,70 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(typeCol), col(binCol))
       .as[(Long, String, Array[Byte])]
-      .mapPartitions(_.map { case (id, t, b) => decodeMetaStub(id, t, b) })
+      .mapPartitions(_.map { case (id, t, b) => decodeMeta(id, t, b) })
   }
 
-  /** STUB frame sampling: emits `n` deterministic pseudo-frames per media
-    * row (real implementation: keyframe extraction). Shows the 1→N expansion
-    * shape (flatMap, still shuffle-free).
+  /** Frame sampling, 1→N expansion without shuffle.
+    *   - WAV payloads: REAL block-aligned seeks — frame i is a window of
+    *     `frameBytes` raw PCM bytes starting at sample i·nFrames⁻¹·total
+    *     (what an audio featurizer consumes).
+    *   - other payloads: STUB byte-slice standing in for keyframe extraction
+    *     (a video codec's seek would replace the slice).
     */
   def sampleFrames(df: DataFrame, idCol: String, binCol: String,
-      n: Int): Dataset[MediaFrame] = {
+      n: Int, frameBytes: Int = 16): Dataset[MediaFrame] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
+        val wav = Codecs.wavMeta(bytes)
         (0 until n).iterator.map { i =>
-          // STUB: a real decoder would seek frame i; we slice the payload
-          // Long arithmetic: i * length overflows Int for GB-scale payloads
-          val start = if (bytes.isEmpty) 0
-            else (i.toLong * bytes.length / math.max(n, 1)).toInt
-          MediaFrame(id, i, java.util.Arrays.copyOfRange(
-            bytes, start, math.min(bytes.length, start + 16)))
+          val slice = wav match {
+            case Some(m) if m.nSampleFrames > 0 =>
+              // REAL audio frame: seek to the i-th evenly-spaced sample,
+              // copy a block-aligned window of PCM bytes
+              val s = (i.toLong * m.nSampleFrames / math.max(n, 1)).toInt
+              val start = m.dataOffset + s * m.blockAlign
+              java.util.Arrays.copyOfRange(bytes, start,
+                math.min(bytes.length, start + frameBytes))
+            case _ =>
+              // STUB: a real decoder would seek frame i; we slice the payload
+              // Long arithmetic: i * length overflows Int for GB-scale payloads
+              val start = if (bytes.isEmpty) 0
+                else (i.toLong * bytes.length / math.max(n, 1)).toInt
+              java.util.Arrays.copyOfRange(bytes, start,
+                math.min(bytes.length, start + frameBytes))
+          }
+          MediaFrame(id, i, slice)
         }
       }
   }
 
-  /** STUB resize: passthrough marking the target size in metadata (real
-    * implementation: pixel resample). Demonstrates binary→binary transforms
-    * staying columnar.
+  /** REAL image resize over payload bytes: decode (BMP/PNG/JPEG via the
+    * JDK's readers) → bilinear resample → PNG re-encode, one batched
+    * map-only pass. Payloads no reader claims pass through as NULL with
+    * `resized=false` (NULL-not-garbage, the engine-wide convention).
+    */
+  def resizePayloads(df: DataFrame, idCol: String, binCol: String,
+      targetW: Int, targetH: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        Codecs.resizeToPng(b, targetW, targetH) match {
+          case Some(png) => (id, png, true)
+          case None => (id, null: Array[Byte], false)
+        }
+      })
+      .toDF("media_id", "payload", "resized")
+      .withColumn("width", when(col("resized"), targetW))
+      .withColumn("height", when(col("resized"), targetH))
+  }
+
+  /** Metadata-level resize marker (kept for meta-only pipelines that carry
+    * no payload column; [[resizePayloads]] is the real pixel path).
     */
   def resizeImages(meta: Dataset[MediaMeta], targetW: Int, targetH: Int): DataFrame = {
     import meta.sparkSession.implicits._
@@ -97,8 +160,9 @@ object Multimodal {
   }
 
   /** Demo pipeline over the documents table: text bytes stand in for media
-    * payloads (the container has no real media), exercising the full
-    * binary-column path: cast → type tag → batched meta extract.
+    * payloads (no real media in the testdata), exercising the full
+    * binary-column path: cast → type tag → batched meta extract. Text bytes
+    * sniff as "unknown" → deterministic stub dims by design.
     */
   def documentsAsMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaMeta] = {
     val media = docs.select(

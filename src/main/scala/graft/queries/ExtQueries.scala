@@ -22,6 +22,58 @@ object ExtQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** DuckDB replica of [[graft.functions.expr.Winnow]] (k=8, w=4) as a CTE
+    * chain ending in `fps(doc_id, fp)` — an INDEPENDENT re-derivation of the
+    * native expression, exact to the bit:
+    *   - the Rabin-Karp base-257 rolling hash with Long WRAPAROUND is
+    *     re-expressed as the direct degree-7 polynomial per position in
+    *     HUGEINT, reduced mod 2^64, then shifted back to signed BIGINT
+    *     (max polynomial value ≈ 2^64.05, far inside HUGEINT);
+    *   - byte values are `ord(char)` — valid because the corpus is ASCII
+    *     (UTF-8 bytes ≡ code points; the driver's testdata generator emits
+    *     ASCII only) and every doc is ≥ 48 chars so m > w always holds;
+    *   - rightmost-window-min = w+1 − position of the min in the REVERSED
+    *     window; consecutive duplicate selections collapse by position
+    *     (the winnowing dedup rule).
+    * Verified bit-identical on all 54,500 exploded fingerprints at sf0.01.
+    */
+  private val winnowFpsCte: String = {
+    val poly =
+      """( ord(s[i])::HUGEINT * 74051159531521793
+        |            + ord(s[i+1])::HUGEINT * 288136807515649
+        |            + ord(s[i+2])::HUGEINT * 1121154893057
+        |            + ord(s[i+3])::HUGEINT * 4362470401
+        |            + ord(s[i+4])::HUGEINT * 16974593
+        |            + ord(s[i+5])::HUGEINT * 66049
+        |            + ord(s[i+6])::HUGEINT * 257
+        |            + ord(s[i+7])::HUGEINT
+        |           ) % 18446744073709551616::HUGEINT""".stripMargin
+    s"""WITH norm AS (
+       |  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS s FROM documents
+       |), h AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, len(s) - 6), i ->
+       |      CAST($poly - CASE WHEN $poly >= 9223372036854775808::HUGEINT
+       |             THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+       |           AS BIGINT)) AS hs
+       |  FROM norm
+       |), sel AS (
+       |  SELECT doc_id, hs,
+       |    list_transform(range(1, len(hs) - 2), t ->
+       |      t - 1 + 5 - list_position(list_reverse(hs[t:t+3]), list_min(hs[t:t+3]))
+       |    ) AS sels
+       |  FROM h
+       |), kept AS (
+       |  SELECT doc_id, hs,
+       |    list_concat([sels[1]],
+       |      list_transform(list_filter(range(2, len(sels)+1), t -> sels[t] != sels[t-1]),
+       |                     t -> sels[t])) AS ks
+       |  FROM sel
+       |), fps AS (
+       |  SELECT doc_id, list_transform(ks, j -> hs[j]) AS fp FROM kept
+       |)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -132,7 +184,10 @@ object ExtQueries {
 
     // ------------------------------------------------------------------
     // Winnowing rolling-hash fingerprints (native O(n) expression; MOSS).
-    // Hash-based → rows-only check. Declared shape is scalar-only — exploded
+    // Oracled via the full DuckDB re-derivation in [[winnowFpsCte]] — the
+    // strongest check in the inventory: an independent engine recomputes the
+    // rolling hash AND the window selection bit-for-bit. Declared shape is
+    // scalar-only — exploded
     // (doc_id, fp_pos, fingerprint) rows — because the external compare sorts
     // by column values and cannot order a raw array<bigint> cell. posexplode
     // keeps per-document ordering observable; _outer keeps fingerprint-less
@@ -142,7 +197,11 @@ object ExtQueries {
     // on the analogous shingle explode).
     QueryDef(
       "q_fingerprint_winnow",
-      None,
+      Some(s"""$winnowFpsCte
+             |SELECT doc_id, u.fp_pos AS fp_pos, u.fingerprint AS fingerprint FROM (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(fp)+1),
+             |    t -> struct_pack(fp_pos := CAST(t-1 AS INT), fingerprint := fp[t]))) AS u
+             |  FROM fps)""".stripMargin),
       (s, dir) => {
         import s.implicits._
         docs(s, dir)
@@ -157,9 +216,21 @@ object ExtQueries {
 
     // ------------------------------------------------------------------
     // Winnow near-dup pairs: substring-level overlap via shared fingerprints.
+    // Oracled off the same [[winnowFpsCte]]: distinct fingerprints per doc,
+    // rare-fingerprint candidates (df in [2,20] ≡ PairGen's count-first
+    // filter), pair counts with the >= 2 shared floor.
     QueryDef(
       "q_dedup_winnow",
-      None,
+      Some(s"""$winnowFpsCte, dfp AS (
+             |  SELECT doc_id, unnest(list_distinct(fp)) AS f FROM fps
+             |), keepf AS (
+             |  SELECT f FROM dfp GROUP BY 1 HAVING count(*) BETWEEN 2 AND 20
+             |)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+             |FROM dfp a JOIN keepf k ON a.f = k.f
+             |           JOIN dfp b ON b.f = a.f AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2
+             |HAVING count(*) >= 2""".stripMargin),
       (s, dir) => Dedup.winnowPairs(docs(s, dir), "doc_id", "text")),
 
     // ------------------------------------------------------------------

@@ -1,0 +1,132 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-bytes tests for the REAL pure-JVM codecs: hand-assembled BMP and
+  * WAV files with every header byte written explicitly, plus ImageIO-encoded
+  * PNG/JPEG golden images — the parsers must read back exactly what the
+  * bytes say, and the pixel paths must round-trip.
+  */
+class CodecsSpec extends AnyFunSuite {
+
+  /** Minimal 24bpp bottom-up BMP: 2×2 pixels, rows padded to 4 bytes.
+    * Layout: BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40) + 2 rows × 8
+    * bytes (6 pixel bytes + 2 pad). Pixels (BGR, bottom row first):
+    * bottom = red, green; top = blue, white.
+    */
+  private def goldenBmp: Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+    out.write('B'); out.write('M')
+    le32(14 + 40 + 16)    // file size
+    le32(0)               // reserved
+    le32(14 + 40)         // pixel data offset
+    le32(40)              // DIB header size
+    le32(2); le32(2)      // width, height
+    le16(1); le16(24)     // planes, bpp
+    le32(0); le32(16)     // no compression, image size
+    le32(2835); le32(2835); le32(0); le32(0) // ppm, palette
+    // bottom row: red (00 00 FF), green (00 FF 00), pad
+    out.write(Array[Byte](0, 0, -1, 0, -1, 0, 0, 0))
+    // top row: blue (FF 00 00), white (FF FF FF), pad
+    out.write(Array[Byte](-1, 0, 0, -1, -1, -1, 0, 0))
+    out.toByteArray
+  }
+
+  /** Minimal PCM16 mono WAV @ 8000 Hz with samples 0, 1000, -1000, 32767,
+    * -32768, 5, -5, 0.
+    */
+  private def goldenWav: Array[Byte] = {
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, 5, -5, 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+    out.write("RIFF".getBytes); le32(36 + samples.length * 2)
+    out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); le32(16)
+    le16(1)       // PCM
+    le16(1)       // mono
+    le32(8000)    // sample rate
+    le32(16000)   // byte rate
+    le16(2)       // block align
+    le16(16)      // bits per sample
+    out.write("data".getBytes); le32(samples.length * 2)
+    samples.foreach(s => le16(s & 0xffff))
+    out.toByteArray
+  }
+
+  private def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y * 7) << 8)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, baos)
+    baos.toByteArray
+  }
+
+  test("sniff recognizes each container by magic bytes") {
+    assert(Codecs.sniff(goldenBmp) === "bmp")
+    assert(Codecs.sniff(goldenWav) === "wav")
+    assert(Codecs.sniff(encode("png", 3, 2)) === "png")
+    assert(Codecs.sniff(encode("jpg", 3, 2)) === "jpeg")
+    assert(Codecs.sniff("just some text".getBytes) === "unknown")
+    assert(Codecs.sniff(Array.emptyByteArray) === "unknown")
+  }
+
+  test("BMP header parse reads the exact golden dimensions") {
+    assert(Codecs.imageMeta(goldenBmp) === Some(Codecs.ImageMeta("bmp", 2, 2, 24)))
+  }
+
+  test("PNG and JPEG header parse match what ImageIO encoded") {
+    val png = Codecs.imageMeta(encode("png", 17, 9))
+    assert(png.map(m => (m.format, m.width, m.height)) === Some(("png", 17, 9)))
+    val jpg = Codecs.imageMeta(encode("jpg", 33, 21))
+    assert(jpg.map(m => (m.format, m.width, m.height)) === Some(("jpeg", 33, 21)))
+  }
+
+  test("BMP pixel decode returns the exact golden pixels") {
+    val img = Codecs.decodeImage(goldenBmp).get
+    assert(img.getWidth === 2 && img.getHeight === 2)
+    def rgb(x: Int, y: Int): Int = img.getRGB(x, y) & 0xffffff
+    assert(rgb(0, 0) === 0x0000ff) // top-left blue
+    assert(rgb(1, 0) === 0xffffff) // top-right white
+    assert(rgb(0, 1) === 0xff0000) // bottom-left red
+    assert(rgb(1, 1) === 0x00ff00) // bottom-right green
+  }
+
+  test("resizeToPng really resamples: output decodes at the target size") {
+    val out = Codecs.resizeToPng(goldenBmp, 8, 4).get
+    assert(Codecs.sniff(out) === "png")
+    val back = Codecs.decodeImage(out).get
+    assert(back.getWidth === 8 && back.getHeight === 4)
+    // non-decodable input -> None, never garbage
+    assert(Codecs.resizeToPng("not an image".getBytes, 8, 4).isEmpty)
+  }
+
+  test("WAV header parse reads the exact golden layout") {
+    val m = Codecs.wavMeta(goldenWav).get
+    assert(m.channels === 1 && m.sampleRate === 8000 && m.bitsPerSample === 16)
+    assert(m.blockAlign === 2 && m.nSampleFrames === 8)
+    assert(m.dataOffset === 44 && m.dataBytes === 16)
+  }
+
+  test("WAV PCM16 decode returns the exact golden samples incl. extremes") {
+    assert(Codecs.wavSamples(goldenWav, 0, 8).get.toSeq ===
+      Seq(0, 1000, -1000, 32767, -32768, 5, -5, 0))
+    // block-aligned seek mid-stream
+    assert(Codecs.wavSamples(goldenWav, 3, 2).get.toSeq === Seq(32767, -32768))
+    // reads clamp at the end instead of over-running
+    assert(Codecs.wavSamples(goldenWav, 6, 99).get.toSeq === Seq(-5, 0))
+  }
+
+  test("decodeMeta routes real formats to real parsers, unknown to the stub") {
+    val bmp = Multimodal.decodeMeta(1L, "image", goldenBmp)
+    assert(bmp.container === "bmp" && bmp.width === 2 && bmp.height === 2)
+    val wav = Multimodal.decodeMeta(2L, "audio", goldenWav)
+    assert(wav.container === "wav" && wav.n_frames === 8 &&
+      wav.sample_rate === 8000 && wav.channels === 1)
+    val stub = Multimodal.decodeMeta(3L, "binary", "opaque".getBytes)
+    assert(stub.container === "unknown" && stub.width >= 64)
+  }
+}
