@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, ExtQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, ExtQueries, MediaQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,8 @@ import graft.queries.{CoreQueries, ExtQueries}
 object SparkEntry {
 
   private def allDefs: Seq[QueryDef] = {
-    val defs = CoreQueries.defs ++ ExtQueries.defs
+    val defs = CoreQueries.defs ++ ExtQueries.defs ++
+      AnalyticsQueries.defs ++ MediaQueries.defs
     // a name collision would silently drop a QueryDef from the .toMap below
     // and shrink the driver's correctness gate without any error
     val dups = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }

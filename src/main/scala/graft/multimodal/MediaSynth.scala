@@ -1,0 +1,85 @@
+package graft.multimodal
+
+/** Deterministic media-payload synthesizers — the ENCODER half of the codec
+  * differential gate. [[Codecs]] parses real byte layouts; these write the
+  * same layouts from scalar parameters, so a Spark query can synthesize a
+  * payload per row, push it through the REAL decode path, and a DuckDB
+  * oracle can recompute every emitted field from the parameters with plain
+  * arithmetic (q_media_meta / q_media_resize). No randomness, no
+  * wall-clock: byte-identical output for equal inputs on every executor.
+  */
+object MediaSynth {
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** Rows are padded to 4-byte boundaries per the BMP spec. */
+  def bmpRowStride(width: Int): Int = (width * 3 + 3) & ~3
+
+  /** Total file size of a 24bpp BMP: 54-byte header + padded pixel rows. */
+  def bmpBytes(width: Int, height: Int): Int = 54 + height * bmpRowStride(width)
+
+  /** Solid-color 24bpp bottom-up BMP (BITMAPINFOHEADER), the format
+    * [[Codecs.imageMeta]] parses and `javax.imageio` decodes. Pixel order in
+    * a BMP row is B,G,R.
+    */
+  def bmp(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val stride = bmpRowStride(width)
+    val total = bmpBytes(width, height)
+    val out = new java.io.ByteArrayOutputStream(total)
+    out.write('B'); out.write('M')
+    out.write(le32(total)); out.write(le32(0)); out.write(le32(54))
+    out.write(le32(40))                 // BITMAPINFOHEADER
+    out.write(le32(width)); out.write(le32(height))
+    out.write(le16(1)); out.write(le16(24))   // planes, bpp
+    out.write(le32(0))                  // BI_RGB, uncompressed
+    out.write(le32(height * stride))
+    out.write(le32(2835)); out.write(le32(2835)) // 72 dpi
+    out.write(le32(0)); out.write(le32(0))
+    val row = new Array[Byte](stride)
+    var x = 0
+    while (x < width) {
+      row(x * 3) = b.toByte; row(x * 3 + 1) = g.toByte; row(x * 3 + 2) = r.toByte
+      x += 1
+    }
+    var y = 0
+    while (y < height) { out.write(row); y += 1 }
+    out.toByteArray
+  }
+
+  /** Total file size of a canonical 44-byte-header PCM WAV. */
+  def wavBytes(nFrames: Int, channels: Int): Int = 44 + nFrames * 2 * channels
+
+  /** PCM16 RIFF/WAVE with the canonical fmt+data layout [[Codecs.wavMeta]]
+    * walks. Sample s of channel c is the deterministic ramp
+    * `(s * 31 + c * 7) mod 32768` — seekable ground truth for
+    * [[Codecs.wavSamples]].
+    */
+  def wav(sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] = {
+    val blockAlign = channels * 2
+    val dataLen = nFrames * blockAlign
+    val out = new java.io.ByteArrayOutputStream(44 + dataLen)
+    out.write('R'); out.write('I'); out.write('F'); out.write('F')
+    out.write(le32(36 + dataLen))
+    out.write('W'); out.write('A'); out.write('V'); out.write('E')
+    out.write('f'); out.write('m'); out.write('t'); out.write(' ')
+    out.write(le32(16))
+    out.write(le16(1))                  // PCM
+    out.write(le16(channels))
+    out.write(le32(sampleRate))
+    out.write(le32(sampleRate * blockAlign))
+    out.write(le16(blockAlign)); out.write(le16(16))
+    out.write('d'); out.write('a'); out.write('t'); out.write('a')
+    out.write(le32(dataLen))
+    var s = 0
+    while (s < nFrames) {
+      var c = 0
+      while (c < channels) { out.write(le16((s * 31 + c * 7) % 32768)); c += 1 }
+      s += 1
+    }
+    out.toByteArray
+  }
+}

@@ -1,0 +1,156 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.AsOf
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Advanced-analytics extension queries: temporal joins (as-of, banded
+  * self-join), multi-dimensional rollups (CUBE), and grouped top-k — the
+  * operations an analyst of the reference's time-series output runs next,
+  * each expressed in the scalable Spark shape and each carrying a DuckDB
+  * oracle (DuckDB's native ASOF JOIN / inequality join / CUBE re-derive the
+  * semantics independently).
+  *
+  * Determinism: ranking and banding use only exact values (integer-valued
+  * doubles, epoch µs, BIGINT ids) per the QueryDef rules, so cross-engine
+  * hash compare is exact — fractional-double sums are snapped where emitted.
+  */
+object AnalyticsQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** 5 minutes in µs: the event-pair band and the bucket width (equal by
+    * construction — see q_event_pairs).
+    */
+  private val BandUs = 300000000L
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // As-of join: each click joined to the user's most recent purchase at or
+    // before it (attribution lookup). Spark side is AsOf.joinAsOf (union +
+    // one-shuffle window carry-forward); DuckDB's native ASOF LEFT JOIN is
+    // the independent oracle. Purchases are pre-deduped to one row per
+    // (user, ts) — with ties, which row wins is unspecified in ANY engine.
+    QueryDef(
+      "q_asof_join",
+      Some("""WITH l AS (
+             |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+             |  FROM events WHERE event_type = 'click'),
+             |r AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             |         max(event_id) AS ref_purchase
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+             |SELECT l.event_id, l.user_id, l.ts_us,
+             |       r.ts_us AS ts_us_right, r.ref_purchase,
+             |       l.ts_us - r.ts_us AS wait_us
+             |FROM l ASOF LEFT JOIN r
+             |  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "events")
+          .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+            $"event_type")
+        val clicks = e.where($"event_type" === "click").drop("event_type")
+        val purchases = e.where($"event_type" === "purchase")
+          .groupBy($"user_id", $"ts_us")
+          .agg(max($"event_id").as("ref_purchase"))
+        AsOf.joinAsOf(clicks, purchases, key = "user_id", ts = "ts_us",
+            carryCols = Seq("ref_purchase"))
+          .withColumn("wait_us", $"ts_us" - $"ts_us_right")
+          .select($"event_id", $"user_id", $"ts_us", $"ts_us_right",
+            $"ref_purchase", $"wait_us")
+      }),
+
+    // ------------------------------------------------------------------
+    // Banded self-join: ordered pairs of same-user events within 5 minutes
+    // (co-occurrence mining). The naive form is an inequality self-join that
+    // Spark can only plan as a per-user cartesian; the scalable form buckets
+    // ts to the band width so |t_b - t_a| <= B implies bucket(b) ∈
+    // {bucket(a), bucket(a)+1} — explode the EARLIER side into those two
+    // buckets and the join becomes a pure equi-join on (user, bucket), with
+    // the band + ordering re-checked as a cheap post-filter. Each pair is
+    // found exactly once (the two candidate buckets are distinct). 2×
+    // row duplication on one side buys a hash join instead of a cartesian —
+    // the trade that survives 100 TB.
+    QueryDef(
+      "q_event_pairs",
+      Some(s"""WITH e AS (
+             |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+             |  FROM events)
+             |SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+             |       b.ts_us - a.ts_us AS dt_us
+             |FROM e a JOIN e b
+             |  ON a.user_id = b.user_id
+             | AND b.ts_us - a.ts_us BETWEEN 0 AND $BandUs
+             | AND (a.ts_us < b.ts_us
+             |      OR (a.ts_us = b.ts_us AND a.event_id < b.event_id))""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "events")
+          .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"))
+          .withColumn("bk", floor($"ts_us" / BandUs))
+        val a = e.select($"user_id", $"event_id".as("id_a"),
+            $"ts_us".as("ts_a"),
+            explode(array($"bk", $"bk" + 1)).as("bk"))
+        val b = e.select($"user_id", $"event_id".as("id_b"),
+          $"ts_us".as("ts_b"), $"bk")
+        a.join(b, Seq("user_id", "bk"))
+          .where(($"ts_b" - $"ts_a").between(0, BandUs) &&
+            ($"ts_a" < $"ts_b" || ($"ts_a" === $"ts_b" && $"id_a" < $"id_b")))
+          .select($"user_id", $"id_a", $"id_b", ($"ts_b" - $"ts_a").as("dt_us"))
+      }),
+
+    // ------------------------------------------------------------------
+    // CUBE over (returnflag, linestatus): all 4 grouping sets in ONE pass —
+    // Spark expands grouping sets inside a single hash aggregate (one
+    // shuffle), vs 4 separate scans. Quantity sums are exact (integer-valued
+    // doubles); price sums snapped to their true 2-decimal precision.
+    QueryDef(
+      "q_cube",
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  SUM(l_quantity) AS sum_qty,
+             |  FLOOR(SUM(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sum_price
+             |FROM lineitem
+             |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .cube($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n_rows"),
+            sum($"l_quantity").as("sum_qty"),
+            (floor(sum($"l_extendedprice") * 100.0 + 0.5) / 100.0).as("sum_price"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Grouped top-k: 3 highest-quantity parts per returnflag. Ranking metric
+    // is an exact sum (integer-valued doubles) with a total tiebreak, so the
+    // cut is deterministic cross-engine. rank<=k over a window plans as
+    // WindowGroupLimit in Spark 4: the per-partition top-k is pre-pruned
+    // BEFORE the shuffle, so the full ranked set never materializes.
+    QueryDef(
+      "q_topk_group",
+      Some("""WITH r AS (
+             |  SELECT l_returnflag, l_partkey, SUM(l_quantity) AS qty
+             |  FROM lineitem GROUP BY 1, 2)
+             |SELECT l_returnflag, l_partkey, qty, rnk FROM (
+             |  SELECT *, CAST(ROW_NUMBER() OVER (
+             |    PARTITION BY l_returnflag ORDER BY qty DESC, l_partkey) AS INT) AS rnk
+             |  FROM r)
+             |WHERE rnk <= 3""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val byPart = t(s, dir, "lineitem")
+          .groupBy($"l_returnflag", $"l_partkey")
+          .agg(sum($"l_quantity").as("qty"))
+        val w = Window.partitionBy($"l_returnflag")
+          .orderBy($"qty".desc, $"l_partkey")
+        byPart.withColumn("rnk", row_number().over(w))
+          .where($"rnk" <= 3)
+      })
+  )
+}

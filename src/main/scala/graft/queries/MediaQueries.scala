@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.multimodal.{Codecs, MediaSynth, Multimodal}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal decode queries — the differential gate for the REAL pure-JVM
+  * codec path ([[graft.multimodal.Codecs]]).
+  *
+  * Shape of the proof: each row synthesizes a real BMP/WAV payload whose
+  * every parameter is a pure function of `documents` columns
+  * ([[MediaSynth]]), pushes it through the production decode path
+  * (header parse, `javax.imageio` pixel decode, bilinear resize, PCM frame
+  * seek), and emits only fields a DuckDB oracle can recompute from the same
+  * columns with plain arithmetic. The encoder and decoder never share code
+  * (writer builds byte layouts forward, parser walks them independently), so
+  * a hash match means the byte-level format logic is right — not that two
+  * copies of one bug agree.
+  *
+  * Scale shape: synthesis + decode are one fused mapPartitions pass per
+  * query — no shuffle, no driver traffic, payload bytes never leave the
+  * executor. This is exactly the layout a 100 TB media corpus needs: decode
+  * cost scales with input splits and nothing else.
+  */
+object MediaQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** payload parameters, derived ONLY from (doc_id, n_chars) — mirrored
+    * verbatim by the DuckDB oracles
+    */
+  private def bmpW(nChars: Long): Int = 16 + (nChars % 512).toInt
+  private def bmpH(docId: Long): Int = 16 + (docId % 512).toInt
+  private def wavRate(docId: Long): Int = 8000 + 1000 * (docId % 8).toInt
+  private def wavChannels(docId: Long): Int = 1 + ((docId / 2) % 2).toInt
+  private def wavFrames(nChars: Long): Int = 10 + (nChars % 100).toInt
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // Metadata extraction: even doc_ids become 24bpp BMPs, odd become PCM16
+    // WAVs; Multimodal.extractMeta routes both through the REAL header
+    // parsers (magic-byte sniff → BMP LE fields / RIFF chunk walk). The
+    // oracle recomputes byte counts (incl. BMP 4-byte row padding), pixel
+    // dims, PCM frame counts, rates, and channel layout from first
+    // principles.
+    QueryDef(
+      "q_media_meta",
+      Some("""SELECT doc_id AS media_id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+             |  CAST(CASE WHEN doc_id % 2 = 0
+             |    THEN 54 + (16 + doc_id % 512) * (((16 + n_chars % 512) * 3 + 3) // 4 * 4)
+             |    ELSE 44 + (10 + n_chars % 100) * 2 * (1 + (doc_id // 2) % 2)
+             |  END AS BIGINT) AS n_bytes,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + n_chars % 512 ELSE 0 END AS INT) AS width,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 512 ELSE 0 END AS INT) AS height,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 10 + n_chars % 100 END AS INT) AS n_frames,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS container,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 + 1000 * (doc_id % 8) END AS INT) AS sample_rate,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 + (doc_id // 2) % 2 END AS INT) AS channels
+             |FROM documents""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val payloads = docs(s, dir)
+          .select($"doc_id", $"n_chars").as[(Long, Long)]
+          .mapPartitions(_.map { case (id, nc) =>
+            if (id % 2 == 0)
+              (id, "image", MediaSynth.bmp(bmpW(nc), bmpH(id), 100, 150, 200))
+            else
+              (id, "audio",
+                MediaSynth.wav(wavRate(id), wavChannels(id), wavFrames(nc)))
+          })
+          .toDF("media_id", "media_type", "payload")
+        Multimodal.extractMeta(payloads, "media_id", "media_type", "payload")
+          .toDF()
+      }),
+
+    // ------------------------------------------------------------------
+    // Pixel round-trip: solid-color 8x8 BMP → imageio decode → bilinear
+    // 3x3 resample → PNG encode → re-decode → center pixel. Bilinear
+    // interpolation of a constant image is that constant (weights sum to 1),
+    // so the oracle recomputes the exact channel values from doc_id; width/
+    // height come from re-parsing the produced PNG's IHDR, not from the
+    // request, so a resize that lied about dimensions would fail the gate.
+    QueryDef(
+      "q_media_resize",
+      Some("""SELECT doc_id AS media_id, TRUE AS resized,
+             |  CAST(3 AS INT) AS width, CAST(3 AS INT) AS height,
+             |  CAST(doc_id % 256 AS INT) AS r,
+             |  CAST((doc_id * 7) % 256 AS INT) AS g,
+             |  CAST((doc_id * 13) % 256 AS INT) AS b
+             |FROM documents""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .select($"doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val src = MediaSynth.bmp(8, 8,
+              (id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt)
+            Codecs.resizeToPng(src, 3, 3).flatMap { png =>
+              for {
+                meta <- Codecs.imageMeta(png)
+                img <- Codecs.decodeImage(png)
+              } yield {
+                val px = img.getRGB(1, 1)
+                (id, true, meta.width, meta.height,
+                  (px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)
+              }
+            }.getOrElse((id, false, 0, 0, 0, 0, 0))
+          })
+          .toDF("media_id", "resized", "width", "height", "r", "g", "b")
+      }),
+
+    // ------------------------------------------------------------------
+    // Frame sampling: 4 evenly-spaced REAL PCM seeks per WAV payload
+    // (Multimodal.sampleFrames block-aligned path). Each frame's first
+    // channel-0 sample must equal the synthesizer's ramp at the seeked
+    // sample index s = floor(i·nFrames/4) — position arithmetic (dataOffset
+    // + s·blockAlign) is verified end-to-end, off-by-one-byte fails the gate.
+    QueryDef(
+      "q_media_frames",
+      Some("""WITH d AS (
+             |  SELECT doc_id, 10 + n_chars % 100 AS nf FROM documents
+             |  WHERE doc_id % 2 = 1)
+             |SELECT doc_id AS media_id, CAST(t.i AS INT) AS frame_idx,
+             |  CAST(((t.i * nf // 4) * 31) % 32768 AS INT) AS sample0
+             |FROM d, range(0, 4) t(i)""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val wavs = docs(s, dir)
+          .select($"doc_id", $"n_chars").as[(Long, Long)]
+          .filter(_._1 % 2 == 1)
+          .mapPartitions(_.map { case (id, nc) =>
+            (id, MediaSynth.wav(wavRate(id), wavChannels(id), wavFrames(nc)))
+          })
+          .toDF("media_id", "payload")
+        Multimodal.sampleFrames(wavs, "media_id", "payload", n = 4)
+          .map(f => (f.media_id, f.frame_idx,
+            (f.frame(0) & 0xff) | ((f.frame(1) & 0xff) << 8)))
+          .toDF("media_id", "frame_idx", "sample0")
+      })
+  )
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CoreQueries, ExtQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, ExtQueries, MediaQueries}
 
 /** Smoke + contract checks over the declared inventory at sf0.001. The deep
   * correctness gate is the driver's DuckDB differential (Verify.scala +
@@ -10,7 +10,8 @@ import graft.queries.{CoreQueries, ExtQueries}
 class QueriesSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
-  private val defs = CoreQueries.defs ++ ExtQueries.defs
+  private val defs = CoreQueries.defs ++ ExtQueries.defs ++
+    AnalyticsQueries.defs ++ MediaQueries.defs
 
   test("no duplicate query names") {
     val names = defs.map(_.name)

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Semantics + plan shape of [[AsOf.joinAsOf]] on hand-built cases whose
+  * expected matches are derivable by eye (the sf-scale differential proof is
+  * q_asof_join's DuckDB ASOF JOIN oracle).
+  */
+class AsOfSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // left: (key, ts, lbl) / right: (key, ts, px, note)
+  private lazy val left = Seq(
+    ("a", 10L, "l1"), // before any right row -> NULL match
+    ("a", 20L, "l2"), // exactly at right ts 20 -> inclusive match
+    ("a", 35L, "l3"), // between 30 and 40 -> 30
+    ("b", 99L, "l4"), // key with no right rows at all -> NULL
+    ("c", 50L, "l5")  // right row has NULL px: must still match ts 40, not leak older
+  ).toDF("k", "t", "lbl")
+
+  private lazy val right = Seq(
+    ("a", 20L, Some(200), "r20"),
+    ("a", 30L, Some(300), "r30"),
+    ("a", 40L, Some(400), "r40"),
+    ("c", 10L, Some(111), "c10"),
+    ("c", 40L, None, "c40")
+  ).toDF("k", "t", "px", "note")
+
+  private lazy val result =
+    AsOf.joinAsOf(left, right, key = "k", ts = "t",
+        carryCols = Seq("px", "note"))
+      .collect().map(r => r.getAs[String]("lbl") -> r).toMap
+
+  test("row before any right match carries NULLs") {
+    val r = result("l1")
+    assert(r.isNullAt(r.fieldIndex("t_right")) && r.isNullAt(r.fieldIndex("px")))
+  }
+
+  test("match at identical ts is inclusive (>=, DuckDB ASOF semantics)") {
+    val r = result("l2")
+    assert(r.getAs[Long]("t_right") == 20L && r.getAs[Int]("px") == 200)
+  }
+
+  test("picks the most recent right row, not just any earlier one") {
+    val r = result("l3")
+    assert(r.getAs[Long]("t_right") == 30L && r.getAs[Int]("px") == 300)
+  }
+
+  test("key absent from right side yields NULL match, row preserved") {
+    val r = result("l4")
+    assert(r.isNullAt(r.fieldIndex("t_right")))
+  }
+
+  test("NULL in a carried column does NOT leak through to an older right row") {
+    // the struct travels atomically: l5 must match right (c, 40) whose px is
+    // NULL — a per-column last(ignoreNulls) would wrongly surface px=111
+    // from (c, 10) while note said c40
+    val r = result("l5")
+    assert(r.getAs[Long]("t_right") == 40L)
+    assert(r.isNullAt(r.fieldIndex("px")))
+    assert(r.getAs[String]("note") == "c40")
+  }
+
+  test("plan: exactly one shuffle, no join operator, no row amplification") {
+    val df = AsOf.joinAsOf(left, right, "k", "t", Seq("px"))
+    df.collect()   // drive AQE to its final plan
+    // AQE renders the plan twice (final + initial); count the final only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val shuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected 1 shuffle:\n$plan")
+    assert(!plan.toLowerCase.contains("join"),
+      s"as-of must not plan a join operator:\n$plan")
+  }
+}

@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** Plan-shape gates for the advanced-analytics queries: the banded self-join
+  * must stay an equi-join (never a cartesian), grouped top-k must pre-prune
+  * below the shuffle (WindowGroupLimit), and CUBE must be one aggregate.
+  * Value-level correctness is each query's DuckDB oracle; here the banded
+  * join is additionally cross-checked against the naive theta-join on the
+  * same data, proving the bucket trick finds exactly the same pairs.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executed(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p: SparkPlan => p
+    }).toString
+  }
+
+  test("q_event_pairs: banded self-join plans as an equi-join, never cartesian") {
+    val p = executed("q_event_pairs")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"banded join degenerated to a product:\n$p")
+    assert(p.contains("Join"), s"expected a hash/merge equi-join:\n$p")
+  }
+
+  test("q_event_pairs: bucket trick == naive theta-join (same pairs, exactly)") {
+    import spark.implicits._
+    val e = graft.Tables.load(spark, sf, "events")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"))
+    val naive = e.as("a").join(e.as("b"),
+        $"a.user_id" === $"b.user_id" &&
+          ($"b.ts_us" - $"a.ts_us").between(0, 300000000L) &&
+          ($"a.ts_us" < $"b.ts_us" ||
+            ($"a.ts_us" === $"b.ts_us" && $"a.event_id" < $"b.event_id")))
+      .select($"a.user_id", $"a.event_id".as("id_a"), $"b.event_id".as("id_b"),
+        ($"b.ts_us" - $"a.ts_us").as("dt_us"))
+    val bucketed = SparkEntry.queries("q_event_pairs")(spark, sf)
+    assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty,
+      "bucketed pair set differs from naive theta-join")
+  }
+
+  test("q_topk_group: rank<=k pre-prunes below the shuffle (WindowGroupLimit)") {
+    val p = executed("q_topk_group")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k per group did not plan a group-limit pushdown:\n$p")
+  }
+
+  test("q_cube: all grouping sets in ONE aggregate pass (Expand, single scan)") {
+    val p = executed("q_cube")
+    assert(p.contains("Expand"), s"CUBE should expand grouping sets:\n$p")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"CUBE must read lineitem once, saw $scans scans:\n$p")
+  }
+}
