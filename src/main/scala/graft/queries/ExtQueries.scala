@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.functions.TextFunctions
-import graft.operators.{Corpus, Dedup, Ivf, Similarity}
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{Components, Corpus, Dedup, Ivf, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -73,6 +73,39 @@ object ExtQueries {
        |  SELECT doc_id, list_transform(ks, j -> hs[j]) AS fp FROM kept
        |)""".stripMargin
   }
+
+  /** Shared DuckDB CTE chain ending in `pairs(doc_a, doc_b, n_a, n_b,
+    * n_inter)` — the n-gram Jaccard candidate pairs (whitespace tokens →
+    * 3-gram shingles → df∈[2,20] rare-shingle candidates → pair intersection
+    * counts): `regexp_split_to_array(lower, '\s+')` ≡ Spark `split`,
+    * `range(1, len-1)` ≡ `sequence(1, size-2)` (range is end-exclusive),
+    * `t[i:i+2]` is DuckDB's 1-based inclusive slice ≡ `slice(toks, i, 3)`,
+    * HAVING count BETWEEN 2 AND 20 ≡ PairGen's count-first group filter.
+    * jaccard = bigint/bigint cast to double is a single IEEE division —
+    * exact in both engines. Consumed by q_dedup_jaccard (pair list) and
+    * q_dedup_clusters (transitive closure over the same graph).
+    */
+  private val jaccardPairsCte: String =
+    """sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(
+      |      CASE WHEN len(t) >= 3
+      |           THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+      |           ELSE [] END) AS shs
+      |  FROM (SELECT doc_id,
+      |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+      |        FROM documents)
+      |), ex AS (
+      |  SELECT doc_id, len(shs) AS n, unnest(shs) AS shingle FROM sh
+      |), keep AS (
+      |  SELECT shingle FROM ex GROUP BY 1 HAVING count(*) BETWEEN 2 AND 20
+      |), pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b,
+      |         CAST(count(*) AS BIGINT) AS n_inter
+      |  FROM ex a JOIN keep k ON a.shingle = k.shingle
+      |            JOIN ex b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4
+      |)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -259,31 +292,43 @@ object ExtQueries {
     // a single IEEE division — exact in both engines.
     QueryDef(
       "q_dedup_jaccard",
-      Some("""WITH sh AS (
-             |  SELECT doc_id,
-             |    list_distinct(
-             |      CASE WHEN len(t) >= 3
-             |           THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-             |           ELSE [] END) AS shs
-             |  FROM (SELECT doc_id,
-             |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
-             |        FROM documents)
-             |), ex AS (
-             |  SELECT doc_id, len(shs) AS n, unnest(shs) AS shingle FROM sh
-             |), keep AS (
-             |  SELECT shingle FROM ex GROUP BY 1 HAVING count(*) BETWEEN 2 AND 20
-             |), pairs AS (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b,
-             |         CAST(count(*) AS BIGINT) AS n_inter
-             |  FROM ex a JOIN keep k ON a.shingle = k.shingle
-             |            JOIN ex b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
-             |  GROUP BY 1, 2, 3, 4
-             |)
+      Some(s"""WITH $jaccardPairsCte
              |SELECT doc_a, doc_b, n_inter,
              |       CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard
              |FROM pairs
              |WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.3""".stripMargin),
       (s, dir) => Dedup.jaccardPairs(docs(s, dir), "doc_id", "text")),
+
+    // ------------------------------------------------------------------
+    // Near-dup CLUSTERING: connected components over the Jaccard pair graph
+    // (Components.connectedComponents, min-label propagation) + canonical
+    // selection — the step that turns pairs into delete decisions; A~B~C
+    // collapses to one kept doc even though (A,C) was never a direct pair.
+    // Oracle: DuckDB recursive CTE computes min-reachable-id over the SAME
+    // pair graph — an independent transitive closure vs Spark's iterative
+    // label propagation.
+    QueryDef(
+      "q_dedup_clusters",
+      Some(s"""WITH RECURSIVE $jaccardPairsCte, edges AS (
+             |  SELECT doc_a AS a, doc_b AS b FROM pairs
+             |  WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.3
+             |), und AS (
+             |  SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
+             |), reach(n, m) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT u.b, r.m FROM reach r JOIN und u ON u.a = r.n
+             |)
+             |SELECT n AS doc_id, min(m) AS component, min(m) = n AS is_canonical
+             |FROM reach GROUP BY n""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val pairs = Dedup.jaccardPairs(d, "doc_id", "text")
+        Components
+          .connectedComponents(d.select("doc_id"), "doc_id",
+            pairs, "doc_a", "doc_b")
+          .withColumn("is_canonical", col("component") === col("doc_id"))
+      }),
 
     // ------------------------------------------------------------------
     // Brute-force cosine top-k against a stored probe vector (vec_id=0).
@@ -312,6 +357,80 @@ object ExtQueries {
         val e = emb(s, dir)
         val q = Similarity.vectorOf(s, e, "vec_id", "embedding", 0L)
         Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 20)
+      }),
+
+    // ------------------------------------------------------------------
+    // Int8 scalar quantization of the embedding corpus — the 4×-smaller
+    // at-rest layout for ANN at 100 TB. Every quantized int is bit-exact
+    // cross-engine (widening, division, floor: all IEEE-deterministic), so
+    // the oracle checks the scale plus three exact integer projections of
+    // the full quantized vector (first element, Σq, Σq²) per row.
+    QueryDef(
+      "q_quantize_int8",
+      Some("""WITH s AS (
+             |  SELECT vec_id, embedding,
+             |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+             |  FROM embeddings),
+             |qd AS (
+             |  SELECT vec_id, scale,
+             |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+             |      ELSE CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT) END) AS q
+             |  FROM s)
+             |SELECT vec_id, scale, q[1] AS q0,
+             |  CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS qnorm2,
+             |  CAST(list_sum(q) AS BIGINT) AS qsum
+             |FROM qd""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        emb(s, dir)
+          .withColumn("scale", VectorFunctions.int8Scale($"embedding"))
+          .withColumn("q", VectorFunctions.quantizeInt8($"embedding", $"scale"))
+          .select($"vec_id", $"scale",
+            element_at($"q", 1).as("q0"),
+            VectorFunctions.dotInt($"q", $"q").as("qnorm2"),
+            aggregate($"q", lit(0L), (acc, x) => acc + x.cast("long")).as("qsum"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Cosine top-k over the QUANTIZED corpus — per-vector scales cancel in
+    // cosine, so int8 vectors rank almost exactly like the originals at 1/4
+    // the scan bytes. Unlike float-accumulation ANN, the score here is a
+    // pure function of exact integers (int dot, int norms, one double
+    // divide), so the top-k boundary is deterministic and the whole path is
+    // hash-oracled — the first fully-oracled ANN variant in the inventory.
+    QueryDef(
+      "q_sim_quantized",
+      Some("""WITH s AS (
+             |  SELECT vec_id, embedding,
+             |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+             |  FROM embeddings),
+             |qd AS (
+             |  SELECT vec_id, scale,
+             |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+             |      ELSE CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT) END) AS q
+             |  FROM s),
+             |p AS (SELECT q AS pq FROM qd WHERE vec_id = 0),
+             |c AS (
+             |  SELECT vec_id,
+             |    CAST(list_sum(list_transform(range(1, len(q)+1),
+             |         i -> CAST(q[i] AS BIGINT) * pq[i])) AS BIGINT) AS d,
+             |    sqrt(CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT)*x)) AS DOUBLE))
+             |      * sqrt(CAST(list_sum(list_transform(pq, x -> CAST(x AS BIGINT)*x)) AS DOUBLE)) AS nn
+             |  FROM qd, p)
+             |SELECT vec_id, CASE WHEN nn > 0 THEN CAST(d AS DOUBLE) / nn END AS qcos
+             |FROM c
+             |ORDER BY qcos DESC NULLS LAST, vec_id
+             |LIMIT 20""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val quantized = emb(s, dir)
+          .withColumn("scale", VectorFunctions.int8Scale($"embedding"))
+          .withColumn("q", VectorFunctions.quantizeInt8($"embedding", $"scale"))
+        val probe = quantized.where($"vec_id" === 0).select($"q".as("pq"))
+        quantized.crossJoin(broadcast(probe))
+          .select($"vec_id", VectorFunctions.cosineInt($"q", $"pq").as("qcos"))
+          .orderBy($"qcos".desc_nulls_last, $"vec_id")
+          .limit(20)
       }),
 
     // ------------------------------------------------------------------

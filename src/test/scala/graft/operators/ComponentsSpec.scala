@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Semantics of [[Components.connectedComponents]] on graphs whose
+  * components are derivable by eye (sf-scale differential proof:
+  * q_dedup_clusters' DuckDB recursive-CTE oracle).
+  */
+class ComponentsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def comps(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(
+        nodes.toDF("id"), "id", edges.toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain collapses transitively: a-b, b-c, c-d all reach min") {
+    // diameter 3 — takes >1 propagation round, exercises the loop
+    val m = comps(Seq(1L, 2L, 3L, 4L), Seq((4L, 3L), (2L, 1L), (3L, 2L)))
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("isolated nodes are their own singleton component") {
+    val m = comps(Seq(10L, 20L, 30L), Seq((10L, 20L)))
+    assert(m == Map(10L -> 10L, 20L -> 10L, 30L -> 30L))
+  }
+
+  test("two separate components do not merge") {
+    val m = comps(Seq(1L, 2L, 7L, 8L, 9L), Seq((1L, 2L), (9L, 7L), (8L, 9L)))
+    assert(m == Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
+  test("edge endpoints absent from the node list still resolve via nodes given") {
+    // hub-and-spoke (star): one round to converge, any listing order
+    val m = comps(Seq(5L, 6L, 7L, 8L), Seq((7L, 5L), (5L, 8L), (6L, 5L)))
+    assert(m.values.toSet == Set(5L))
+  }
+}
