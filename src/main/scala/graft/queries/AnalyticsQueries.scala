@@ -127,6 +127,108 @@ object AnalyticsQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Pivot: linestatus values rotated into columns via the relational
+    // pivot surface (Spark lowers it to grouped conditional aggregates —
+    // one hash agg, no extra pass). DuckDB oracle uses FILTER aggregates:
+    // the portable spelling of the same semantics. Explicit pivot values
+    // ('F','O') keep the plan static — at 100 TB an implicit pivot would
+    // run a distinct-scan job just to discover column names. A pivot cell
+    // with NO input rows is NULL even for count (the agg never runs) while
+    // SQL's COUNT FILTER is 0 — coalesce reconciles the convention.
+    QueryDef(
+      "q_pivot",
+      Some("""SELECT l_returnflag,
+             |  SUM(l_quantity) FILTER (WHERE l_linestatus = 'F') AS qty_f,
+             |  SUM(l_quantity) FILTER (WHERE l_linestatus = 'O') AS qty_o,
+             |  CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_f,
+             |  CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS n_o
+             |FROM lineitem GROUP BY 1""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(sum($"l_quantity").as("qty"), count(lit(1)).as("n"))
+          .select($"l_returnflag",
+            $"F_qty".as("qty_f"), $"O_qty".as("qty_o"),
+            coalesce($"F_n", lit(0L)).as("n_f"),
+            coalesce($"O_n", lit(0L)).as("n_o"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Unpivot (wide → long): three measure columns melted to (metric, value)
+    // rows via stack() — a generator, not a join: 3× rows, zero shuffle,
+    // stays inside whole-stage codegen. Values pass through untouched
+    // (per-row doubles are IEEE-exact), oracle is the UNION ALL spelling.
+    QueryDef(
+      "q_unpivot",
+      Some("""SELECT l_orderkey, l_linenumber, 'qty' AS metric, l_quantity AS value FROM lineitem
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'disc', l_discount FROM lineitem""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem").select($"l_orderkey", $"l_linenumber",
+          expr("stack(3, 'qty', l_quantity, 'price', l_extendedprice, " +
+            "'disc', l_discount) as (metric, value)"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Conversion funnel: ordered signup → click → purchase per user, each
+    // step's timestamp constrained to be at or after the previous step's.
+    // Sequential dependency means 3 chained (filter → agg → join) stages —
+    // each stage's right side is one row per qualifying user (≪ events), so
+    // AQE broadcasts the step tables and the event scan stays the only big
+    // input. Times are exact µs minima → deterministic cross-engine.
+    QueryDef(
+      "q_funnel_steps",
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+             |  FROM events),
+             |u AS (SELECT DISTINCT user_id FROM e),
+             |s1 AS (SELECT user_id, min(ts_us) AS t_signup FROM e
+             |       WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(e.ts_us) AS t_click FROM e
+             |       JOIN s1 ON e.user_id = s1.user_id
+             |       WHERE e.event_type = 'click' AND e.ts_us >= s1.t_signup GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(e.ts_us) AS t_purchase FROM e
+             |       JOIN s2 ON e.user_id = s2.user_id
+             |       WHERE e.event_type = 'purchase' AND e.ts_us >= s2.t_click GROUP BY 1)
+             |SELECT u.user_id, s1.t_signup, s2.t_click, s3.t_purchase,
+             |  CAST(CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+             |            WHEN s2.t_click IS NOT NULL THEN 2
+             |            WHEN s1.t_signup IS NOT NULL THEN 1
+             |            ELSE 0 END AS INT) AS stage
+             |FROM u
+             |LEFT JOIN s1 USING (user_id)
+             |LEFT JOIN s2 USING (user_id)
+             |LEFT JOIN s3 USING (user_id)""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "events")
+          .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_type")
+        val users = e.select($"user_id").distinct()
+        val s1 = e.where($"event_type" === "signup")
+          .groupBy($"user_id").agg(min($"ts_us").as("t_signup"))
+        val s2 = e.join(s1, "user_id")
+          .where($"event_type" === "click" && $"ts_us" >= $"t_signup")
+          .groupBy($"user_id").agg(min($"ts_us").as("t_click"))
+        val s3 = e.join(s2, "user_id")
+          .where($"event_type" === "purchase" && $"ts_us" >= $"t_click")
+          .groupBy($"user_id").agg(min($"ts_us").as("t_purchase"))
+        users
+          .join(s1, Seq("user_id"), "left")
+          .join(s2, Seq("user_id"), "left")
+          .join(s3, Seq("user_id"), "left")
+          .withColumn("stage",
+            when($"t_purchase".isNotNull, 3)
+              .when($"t_click".isNotNull, 2)
+              .when($"t_signup".isNotNull, 1)
+              .otherwise(0))
+      }),
+
+    // ------------------------------------------------------------------
     // Grouped top-k: 3 highest-quantity parts per returnflag. Ranking metric
     // is an exact sum (integer-valued doubles) with a total tiebreak, so the
     // cut is deterministic cross-engine. rank<=k over a window plans as

@@ -83,6 +83,21 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup on ingest — the streaming twin of Dedup.exact
+    * (an LLM-data pipeline deduplicates at the door, not in nightly
+    * batches). `dropDuplicatesWithinWatermark` keys state by `idCols` and
+    * the watermark BOUNDS the state store: a key's entry is evicted once
+    * the watermark passes its event time, so state size tracks the late-
+    * data horizon, not stream history — the only formulation that survives
+    * an unbounded stream. (Plain `dropDuplicates` on a stream keeps every
+    * key forever.)
+    */
+  def dedupStream(events: DataFrame, idCols: Seq[String] = Seq("event_id"),
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** Runs a streaming aggregation to a named in-memory sink with an
     * AvailableNow trigger (process everything currently on disk, then
     * terminate). Callers should `awaitTermination()`, NOT

@@ -38,6 +38,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamTotal == spark.read.parquet(dir).count())
   }
 
+  test("streaming dedup drops in-stream duplicates, watermark bounds state") {
+    import spark.implicits._
+    // stage events UNIONED with a duplicated slice — the stream must emit
+    // each event_id exactly once
+    val dir = Files.createTempDirectory("graft_stream_dup_").toString
+    val base = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    base.unionAll(base.limit(200)).repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/drop1")
+
+    val q = Streaming.runToMemory(
+      Streaming.dedupStream(Streaming.readEventStream(spark, s"$dir/drop1")),
+      "dedup_stream")
+    q.awaitTermination(120000); q.stop()
+
+    val got = spark.table("dedup_stream")
+    assert(got.count() == base.count(), "each event_id must survive exactly once")
+    assert(got.select("event_id").distinct().count() == got.count())
+  }
+
   test("stateful running totals per user via mapGroupsWithState") {
     import spark.implicits._
     val dir = stageEvents()
