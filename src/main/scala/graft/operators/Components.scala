@@ -55,7 +55,7 @@ object Components {
 
     var labels = nodes.select(col(idCol).cast("long").as("n")).distinct()
       .withColumn("comp", col("n"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var prevSum = labels.agg(sum("comp")).head().getLong(0)
     var iter = 0
     var converged = false
@@ -64,10 +64,12 @@ object Components {
       val nbrMin = und.join(labels, und("a") === labels("n"))
         .groupBy(und("b").as("n2"))
         .agg(min("comp").as("nbr_comp"))
+      // lazy checkpoint: the convergence action below is what materializes
+      // it — one job per round, not a checkpoint job + a sum job
       val next = labels.join(nbrMin, labels("n") === nbrMin("n2"), "left")
         .select(col("n"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val s = next.agg(sum("comp")).head().getLong(0)
       converged = s == prevSum
       prevSum = s

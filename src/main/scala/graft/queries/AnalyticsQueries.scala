@@ -105,6 +105,95 @@ object AnalyticsQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Time-weighted average — the correct mean for irregularly-sampled
+    // meter readings (a plain AVG over-weights bursts): Σ vᵢ·Δtᵢ / Σ Δtᵢ
+    // with Δt from lead(). One window + one agg on the same key = the
+    // window's sort carries into the agg, single shuffle. Δt is exact
+    // integer µs; the double ratio is snapped at 1e-6 (its cross-engine
+    // drift is ~1e-13 relative — QueryDef determinism rules).
+    QueryDef(
+      "q_time_weighted",
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+             |  FROM events),
+             |d AS (
+             |  SELECT user_id, value,
+             |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us AS dt
+             |  FROM e)
+             |SELECT user_id,
+             |  CAST(SUM(dt) AS BIGINT) AS total_us,
+             |  FLOOR(SUM(value * dt) / SUM(dt) * 1000000 + 0.5) / 1000000 AS twa
+             |FROM d WHERE dt IS NOT NULL
+             |GROUP BY 1 HAVING SUM(dt) > 0""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+        t(s, dir, "events")
+          .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"), $"value")
+          .withColumn("dt", lead($"ts_us", 1).over(w) - $"ts_us")
+          .where($"dt".isNotNull)
+          .groupBy($"user_id")
+          .agg(sum($"dt").as("total_us"), sum($"value" * $"dt").as("num"))
+          .where($"total_us" > 0)
+          .select($"user_id", $"total_us",
+            (floor($"num" / $"total_us" * 1000000.0 + 0.5) / 1000000.0).as("twa"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Resample + forward-fill: snap each user's readings to an hourly grid
+    // (their own [min,max] hour range via sequence()+explode — generated
+    // distributed, never on the driver) and carry the last observation
+    // forward through empty hours. "Last in hour" is picked by a
+    // deterministic (ts, event_id) DESC row_number — not first()/last()
+    // aggregates, whose result is partition-order luck. Values pass through
+    // untouched (single row's double, no accumulation) → exact compare.
+    // The gap-fill window rides the same (user, hour) sort as the grid
+    // join, and the first grid slot always has a reading (the grid starts
+    // AT the first observation's hour), so no leading NULLs.
+    QueryDef(
+      "q_resample_ffill",
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, value,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             |    epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hr_us
+             |  FROM events),
+             |hv AS (
+             |  SELECT user_id, hr_us, value FROM (
+             |    SELECT user_id, hr_us, value,
+             |      row_number() OVER (PARTITION BY user_id, hr_us
+             |                         ORDER BY ts_us DESC, event_id DESC) AS rn
+             |    FROM e) WHERE rn = 1),
+             |bounds AS (SELECT user_id, min(hr_us) AS h0, max(hr_us) AS h1 FROM e GROUP BY 1),
+             |grid AS (
+             |  SELECT user_id, unnest(generate_series(h0, h1, 3600000000)) AS hr_us
+             |  FROM bounds)
+             |SELECT g.user_id, g.hr_us,
+             |  last_value(hv.value IGNORE NULLS) OVER (
+             |    PARTITION BY g.user_id ORDER BY g.hr_us
+             |    ROWS UNBOUNDED PRECEDING) AS value_ffill
+             |FROM grid g LEFT JOIN hv ON g.user_id = hv.user_id AND g.hr_us = hv.hr_us""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "events")
+          .select($"event_id", $"user_id", $"value",
+            unix_micros($"ts").as("ts_us"),
+            unix_micros(date_trunc("hour", $"ts")).as("hr_us"))
+        val lastInHour = Window.partitionBy($"user_id", $"hr_us")
+          .orderBy($"ts_us".desc, $"event_id".desc)
+        val hv = e.withColumn("rn", row_number().over(lastInHour))
+          .where($"rn" === 1).select($"user_id", $"hr_us", $"value")
+        val grid = e.groupBy($"user_id")
+          .agg(min($"hr_us").as("h0"), max($"hr_us").as("h1"))
+          .select($"user_id",
+            explode(sequence($"h0", $"h1", lit(3600000000L))).as("hr_us"))
+        val ffill = Window.partitionBy($"user_id").orderBy($"hr_us")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hv, Seq("user_id", "hr_us"), "left")
+          .select($"user_id", $"hr_us",
+            last($"value", ignoreNulls = true).over(ffill).as("value_ffill"))
+      }),
+
+    // ------------------------------------------------------------------
     // CUBE over (returnflag, linestatus): all 4 grouping sets in ONE pass —
     // Spark expands grouping sets inside a single hash aggregate (one
     // shuffle), vs 4 separate scans. Quantity sums are exact (integer-valued
