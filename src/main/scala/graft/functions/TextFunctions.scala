@@ -114,6 +114,14 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
+  /** Alphanumeric terms (`[a-z0-9]+` over lowercased text) as an array —
+    * the same tokenizer [[wordCount]] counts, materialized for term-level
+    * work (TF-IDF). Mirrors DuckDB `regexp_extract_all(lower(text),
+    * '[a-z0-9]+')` exactly.
+    */
+  def termsAlnum(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
   /** Word-level n-gram shingles from an ALREADY-MATERIALIZED token array
     * column. Callers must tokenize into a real column first
     * (`df.select(tokens($"text").as("toks"))`) — passing the tokens

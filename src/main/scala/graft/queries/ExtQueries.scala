@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.operators.{Components, Corpus, Dedup, Ivf, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data-pipeline extension queries (SURVEY.md §7.1(10)) over the
@@ -265,6 +266,76 @@ object ExtQueries {
              |GROUP BY 1, 2
              |HAVING count(*) >= 2""".stripMargin),
       (s, dir) => Dedup.winnowPairs(docs(s, dir), "doc_id", "text")),
+
+    // ------------------------------------------------------------------
+    // TF-IDF: top-5 salient terms per document. tf and df are exact counts
+    // (df derived FROM the tf relation — one doc-term dedup serves both, no
+    // second corpus pass); N rides in as a broadcast 1-row agg. Ranking uses
+    // only exact keys (tf DESC, df ASC, term) so the top-5 cut never depends
+    // on float comparison; the tf·ln((N+1)/(df+1)) score itself is emitted
+    // snapped at 1e-4 (engines' ln() differ by ≤1–2 ulp ≈ 1e-15 relative —
+    // far inside the snap). rnk<=5 plans as WindowGroupLimit.
+    QueryDef(
+      "q_tfidf",
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+             |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             |    row_number() OVER (PARTITION BY tf.doc_id
+             |                       ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rnk,
+             |    FLOOR(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)) * 10000 + 0.5) / 10000 AS tfidf
+             |  FROM tf JOIN df USING (term), n)
+             |SELECT doc_id, term, tf, df, CAST(rnk AS INT) AS rnk, tfidf
+             |FROM scored WHERE rnk <= 5""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val d = docs(s, dir)
+        val tok = d.select($"doc_id",
+          explode(TextFunctions.arrayBarrier(
+            TextFunctions.termsAlnum($"text"))).as("term"))
+        val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        val dfRel = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        val n = d.agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy($"doc_id")
+          .orderBy($"tf".desc, $"df".asc, $"term".asc)
+        tf.join(dfRel, "term")
+          .crossJoin(broadcast(n))
+          .withColumn("rnk", row_number().over(w))
+          .where($"rnk" <= 5)
+          .select($"doc_id", $"term", $"tf", $"df", $"rnk",
+            (floor($"tf" * log(($"n" + 1.0) / ($"df" + 1.0)) * 10000.0 + 0.5)
+              / 10000.0).as("tfidf"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Edit-distance verification of near-dup candidates: exact Levenshtein
+    // over 80-char prefixes, but ONLY on the (already-filtered, tiny)
+    // Jaccard candidate pairs — O(pairs·80²), never O(n²·len²). The pair
+    // list broadcasts into two dim-style joins against documents. Both
+    // engines implement unit-cost Levenshtein natively → exact INT compare.
+    QueryDef(
+      "q_dedup_editdist",
+      Some(s"""WITH $jaccardPairsCte, e AS (
+             |  SELECT doc_a, doc_b FROM pairs
+             |  WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.3)
+             |SELECT e.doc_a, e.doc_b,
+             |  CAST(levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS INT) AS edit80
+             |FROM e JOIN documents a ON e.doc_a = a.doc_id
+             |       JOIN documents b ON e.doc_b = b.doc_id""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val d = docs(s, dir)
+        val pairs = Dedup.jaccardPairs(d, "doc_id", "text")
+          .select($"doc_a", $"doc_b")
+        val ta = d.select($"doc_id".as("doc_a"), substring($"text", 1, 80).as("pa"))
+        val tb = d.select($"doc_id".as("doc_b"), substring($"text", 1, 80).as("pb"))
+        pairs.join(ta, "doc_a").join(tb, "doc_b")
+          .select($"doc_a", $"doc_b", levenshtein($"pa", $"pb").as("edit80"))
+      }),
 
     // ------------------------------------------------------------------
     // MinHash+LSH near-dup candidate pairs (hash-based → rows-only check).
