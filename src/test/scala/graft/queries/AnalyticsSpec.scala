@@ -60,4 +60,29 @@ class AnalyticsSpec extends SparkSpec {
     val scans = p.linesIterator.count(_.contains("Scan parquet"))
     assert(scans == 1, s"CUBE must read lineitem once, saw $scans scans:\n$p")
   }
+
+  test("q_tfidf: top-5 cut pre-prunes below the shuffle (WindowGroupLimit)") {
+    val p = executed("q_tfidf")
+    assert(p.contains("WindowGroupLimit"),
+      s"tf-idf top-5 did not plan a group-limit pushdown:\n$p")
+  }
+
+  test("q_funnel_steps / q_dedup_editdist / q_resample_ffill: no cartesian products") {
+    for (q <- Seq("q_funnel_steps", "q_dedup_editdist", "q_resample_ffill")) {
+      val p = executed(q)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian:\n$p")
+    }
+  }
+
+  test("q_dedup_editdist: tiny candidate pair list broadcasts into the doc joins") {
+    val p = executed("q_dedup_editdist")
+    assert(p.contains("BroadcastHashJoin"),
+      s"pair joins should broadcast the candidate side:\n$p")
+  }
+
+  test("q_pivot: one hash aggregate, no per-pivot-value scans") {
+    val p = executed("q_pivot")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"pivot must read lineitem once, saw $scans:\n$p")
+  }
 }
