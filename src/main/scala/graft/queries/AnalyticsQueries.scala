@@ -318,6 +318,67 @@ object AnalyticsQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Bivariate statistics: Pearson correlation + least-squares regression
+    // per group, one pass (both engines lower these to single-pass
+    // co-moment aggregates — no second scan, normal partial-agg shuffle).
+    // Snap scales follow the drift analysis: corr/r² are normalized to
+    // [-1,1] (relative drift ~1e-10 → 1e-6 snap), slope ~covar/var ~ O(10)
+    // (1e-4), intercept ~O(5e4) with ~1e-6 absolute drift (1e-2 snap).
+    // Raw co-moment sums (Σxy, Σx²...) are deliberately NOT emitted: at
+    // 600k rows their accumulated drift exceeds any usable snap precision.
+    QueryDef(
+      "q_corr_regr",
+      Some("""SELECT l_returnflag,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  FLOOR(corr(l_quantity, l_extendedprice) * 1000000 + 0.5) / 1000000 AS corr_qp,
+             |  FLOOR(regr_slope(l_extendedprice, l_quantity) * 10000 + 0.5) / 10000 AS slope,
+             |  FLOOR(regr_intercept(l_extendedprice, l_quantity) * 100 + 0.5) / 100 AS icept,
+             |  FLOOR(regr_r2(l_extendedprice, l_quantity) * 1000000 + 0.5) / 1000000 AS r2
+             |FROM lineitem GROUP BY 1""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            (floor(corr($"l_quantity", $"l_extendedprice") * 1000000.0 + 0.5)
+              / 1000000.0).as("corr_qp"),
+            (floor(regr_slope($"l_extendedprice", $"l_quantity") * 10000.0 + 0.5)
+              / 10000.0).as("slope"),
+            (floor(regr_intercept($"l_extendedprice", $"l_quantity") * 100.0 + 0.5)
+              / 100.0).as("icept"),
+            (floor(regr_r2($"l_extendedprice", $"l_quantity") * 1000000.0 + 0.5)
+              / 1000000.0).as("r2"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Deterministic stratified sampling: 2 orders per customer, selected by
+    // md5 of the key — a seedless, engine-independent pseudo-random order
+    // (identical hex in both engines, so the SAMPLE ITSELF is oracle-exact,
+    // unlike rand()-based sampling which no two engines can agree on).
+    // row_number<=k again plans as WindowGroupLimit: each partition keeps
+    // its local top-2 before the shuffle, so the full per-customer ordering
+    // never materializes — the shape that makes stratified sampling viable
+    // on a 100 TB fact table.
+    QueryDef(
+      "q_sample_stratified",
+      Some("""SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS rn FROM (
+             |  SELECT o_custkey, o_orderkey,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
+             |  FROM orders)
+             |WHERE rn <= 2""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy(md5($"o_orderkey".cast("string").cast("binary")), $"o_orderkey")
+        t(s, dir, "orders")
+          .select($"o_custkey", $"o_orderkey")
+          .withColumn("rn", row_number().over(w))
+          .where($"rn" <= 2)
+      }),
+
+    // ------------------------------------------------------------------
     // Grouped top-k: 3 highest-quantity parts per returnflag. Ranking metric
     // is an exact sum (integer-valued doubles) with a total tiebreak, so the
     // cut is deterministic cross-engine. rank<=k over a window plans as
