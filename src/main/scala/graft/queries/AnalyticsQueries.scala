@@ -379,6 +379,56 @@ object AnalyticsQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Ranking-function family: ntile / percent_rank / cume_dist / dense_rank
+    // over one shared window — Spark evaluates all four in a single Window
+    // operator pass (one sort, one shuffle). Total order (qty, orderkey)
+    // makes every rank value deterministic; percent_rank and cume_dist are
+    // small exact rationals (k/n with n≤bucket size) → safe to emit raw.
+    QueryDef(
+      "q_rank_family",
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(ntile(4) OVER w AS INT) AS quartile,
+             |  CAST(dense_rank() OVER w AS INT) AS drnk,
+             |  percent_rank() OVER w AS prnk,
+             |  cume_dist() OVER w AS cdist
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice", $"o_orderkey")
+        t(s, dir, "orders").select(
+          $"o_custkey", $"o_orderkey",
+          ntile(4).over(w).as("quartile"),
+          dense_rank().over(w).as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cdist"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Collect-aggregate family: set/list aggregation per group. Raw
+    // collect_list order is partition-arrival luck in EVERY engine, so the
+    // deterministic spelling is sort-after-collect — emitted as a joined
+    // string because the external compare cannot order array cells.
+    // array_sort(collect_set(x)) ≡ list_sort(list_distinct(list(x))).
+    QueryDef(
+      "q_array_agg",
+      Some("""SELECT l_returnflag,
+             |  array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
+             |  CAST(len(list_distinct(list(l_partkey % 10))) AS INT) AS n_pk_mod,
+             |  array_to_string(list_sort(list_distinct(list(CAST(l_linenumber AS VARCHAR)))), ',') AS linenos
+             |FROM lineitem GROUP BY 1""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            array_join(array_sort(collect_set($"l_linestatus")), ",").as("statuses"),
+            size(collect_set($"l_partkey" % 10)).as("n_pk_mod"),
+            array_join(array_sort(collect_set($"l_linenumber".cast("string"))), ",")
+              .as("linenos"))
+      }),
+
+    // ------------------------------------------------------------------
     // Grouped top-k: 3 highest-quantity parts per returnflag. Ranking metric
     // is an exact sum (integer-valued doubles) with a total tiebreak, so the
     // cut is deterministic cross-engine. rank<=k over a window plans as
