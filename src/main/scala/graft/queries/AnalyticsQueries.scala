@@ -379,6 +379,48 @@ object AnalyticsQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Correlated EXISTS subquery — exercises Catalyst's decorrelation
+    // (RewritePredicateSubquery lowers it to a left-semi hash join; the
+    // correlated predicate becomes the join condition, no per-row re-scan).
+    // Same answer shape as an explicit semi-join, but through the SQL
+    // subquery surface a reference user would actually write.
+    QueryDef(
+      "q_exists_subquery",
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (
+             |  SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin),
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("customer")
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT c_custkey, c_name FROM customer c
+                 WHERE EXISTS (
+                   SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderpriority = '1-URGENT')""")
+      }),
+
+    // ------------------------------------------------------------------
+    // Correlated SCALAR subquery — per-row max over the same key.
+    // Catalyst decorrelates to an aggregate + join (one extra scan of
+    // orders, shared shuffle key), never a per-row re-execution; rows tying
+    // the per-customer max are kept by BOTH engines (= semantics), so the
+    // result is exact without tie-breaking.
+    QueryDef(
+      "q_scalar_subquery",
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM orders o
+             |WHERE o_totalprice = (
+             |  SELECT max(o2.o_totalprice) FROM orders o2
+             |  WHERE o2.o_custkey = o.o_custkey)""".stripMargin),
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT o_custkey, o_orderkey, o_totalprice FROM orders o
+                 WHERE o_totalprice = (
+                   SELECT max(o2.o_totalprice) FROM orders o2
+                   WHERE o2.o_custkey = o.o_custkey)""")
+      }),
+
+    // ------------------------------------------------------------------
     // Ranking-function family: ntile / percent_rank / cume_dist / dense_rank
     // over one shared window — Spark evaluates all four in a single Window
     // operator pass (one sort, one shuffle). Total order (qty, orderkey)
