@@ -379,6 +379,34 @@ object AnalyticsQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Full outer join — both-sided preservation: customers with only urgent
+    // orders, only low-priority orders, or both (the two pre-aggregations
+    // make each side unique on the key, so the join is 1:1 and both NULL
+    // fringes are genuinely exercised). Shuffle on the shared key; both
+    // agg exchanges reuse the same partitioning.
+    QueryDef(
+      "q_join_full_outer",
+      Some("""WITH u AS (
+             |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_urgent
+             |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+             |l AS (
+             |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_low
+             |  FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY 1)
+             |SELECT COALESCE(u.o_custkey, l.o_custkey) AS custkey,
+             |       u.n_urgent, l.n_low
+             |FROM u FULL OUTER JOIN l ON u.o_custkey = l.o_custkey""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+        val urgent = o.where($"o_orderpriority" === "1-URGENT")
+          .groupBy($"o_custkey".as("uk")).agg(count(lit(1)).as("n_urgent"))
+        val low = o.where($"o_orderpriority" === "5-LOW")
+          .groupBy($"o_custkey".as("lk")).agg(count(lit(1)).as("n_low"))
+        urgent.join(low, $"uk" === $"lk", "full_outer")
+          .select(coalesce($"uk", $"lk").as("custkey"), $"n_urgent", $"n_low")
+      }),
+
+    // ------------------------------------------------------------------
     // Correlated EXISTS subquery — exercises Catalyst's decorrelation
     // (RewritePredicateSubquery lowers it to a left-semi hash join; the
     // correlated predicate becomes the join condition, no per-row re-scan).
