@@ -174,6 +174,12 @@ object Dedup {
     // the explicit repartition(shingle) is a shuffle both groupPairs passes
     // (group-size count + pair join) reuse via ReusedExchange — the chain
     // runs once per row total, like the candidate passes need anyway.
+    // Keys stay exact strings: hashing shingles to longs before the shuffle
+    // was measured (sf0.1, warm) at 2.23s vs 2.05s — the xxhash64 map cost
+    // exceeds the shuffle-byte saving at any per-executor partition size
+    // this pipeline produces, and exact keys keep the DuckDB differential
+    // collision-free. Revisit only if profile shows the shingle exchange
+    // (not the pair join) dominating.
     val byDoc = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .select(col("doc_id"),
