@@ -379,6 +379,36 @@ object AnalyticsQueries {
       }),
 
     // ------------------------------------------------------------------
+    // RANGE-framed window: trailing 1-hour sum/count per user — the frame
+    // is bounded by the ORDER-BY VALUE (event time), not a row count, so
+    // bursty users aggregate a genuinely different set than q_moving_avg's
+    // ROWS frame. Same one-shuffle window shape; the frame CONTENT is
+    // deterministic (exact µs bounds), the double sum inside it is snapped
+    // to the value's 2-decimal precision.
+    QueryDef(
+      "q_range_window",
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, value,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+             |  FROM events)
+             |SELECT event_id, user_id, ts_us,
+             |  CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+             |  FLOOR(SUM(value) OVER w * 100.0 + 0.5) / 100.0 AS sum_1h
+             |FROM e
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+          .rangeBetween(-3600000000L, Window.currentRow)
+        t(s, dir, "events")
+          .select($"event_id", $"user_id", $"value", unix_micros($"ts").as("ts_us"))
+          .select($"event_id", $"user_id", $"ts_us",
+            count(lit(1)).over(w).as("n_1h"),
+            (floor(sum($"value").over(w) * 100.0 + 0.5) / 100.0).as("sum_1h"))
+      }),
+
+    // ------------------------------------------------------------------
     // Full outer join — both-sided preservation: customers with only urgent
     // orders, only low-priority orders, or both (the two pre-aggregations
     // make each side unique on the key, so the join is 1:1 and both NULL

@@ -98,6 +98,17 @@ object Streaming {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Stream-static enrichment: left-join a micro-batched stream against a
+    * broadcast dimension — each micro-batch joins in-memory with no state
+    * store and no shuffle of the stream side (the standard pattern for
+    * attaching slowly-changing reference data to a live feed; Spark
+    * re-resolves the static side per batch, so a refreshed dim view is
+    * picked up without restarting the query).
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    events.join(broadcast(dim), keys, "left")
+
   /** Runs a streaming aggregation to a named in-memory sink with an
     * AvailableNow trigger (process everything currently on disk, then
     * terminate). Callers should `awaitTermination()`, NOT

@@ -57,6 +57,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("event_id").distinct().count() == got.count())
   }
 
+  test("stream-static enrichment joins every event, no rows lost") {
+    import spark.implicits._
+    val dir = stageEvents()
+    // static dim derived from the same data: every user gets a tier
+    val dim = spark.read.parquet(dir)
+      .select($"user_id").distinct()
+      .withColumn("tier", when($"user_id" % 2 === 0, "even").otherwise("odd"))
+    val q = Streaming.runToMemory(
+      Streaming.enrichStream(
+        Streaming.readEventStream(spark, dir), dim, Seq("user_id")),
+      "enriched")
+    q.awaitTermination(120000); q.stop()
+    val got = spark.table("enriched")
+    assert(got.count() == spark.read.parquet(dir).count())
+    assert(got.where($"tier".isNull).count() == 0, "every event must enrich")
+  }
+
   test("stateful running totals per user via mapGroupsWithState") {
     import spark.implicits._
     val dir = stageEvents()
