@@ -479,6 +479,25 @@ object AnalyticsQueries {
       }),
 
     // ------------------------------------------------------------------
+    // ANSI-safe casts: TRY_CAST yields NULL (not a runtime error, not a
+    // garbage value) on unparseable strings and on numeric overflow — the
+    // engine-wide NULL-not-garbage convention at the cast surface. Both
+    // failure modes are exercised deterministically.
+    QueryDef(
+      "q_try_cast",
+      Some("""SELECT doc_id,
+             |  TRY_CAST(substr(text, 1, 1) AS INT) AS first_char_int,
+             |  TRY_CAST(doc_id * 100000000000 AS INT) AS overflow_int,
+             |  TRY_CAST(substr(text, 1, 4) AS DOUBLE) AS prefix_double
+             |FROM documents""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "documents").selectExpr(
+          "doc_id",
+          "try_cast(substr(text, 1, 1) AS INT) AS first_char_int",
+          "try_cast(doc_id * 100000000000 AS INT) AS overflow_int",
+          "try_cast(substr(text, 1, 4) AS DOUBLE) AS prefix_double")),
+
+    // ------------------------------------------------------------------
     // Ranking-function family: ntile / percent_rank / cume_dist / dense_rank
     // over one shared window — Spark evaluates all four in a single Window
     // operator pass (one sort, one shuffle). Total order (qty, orderkey)

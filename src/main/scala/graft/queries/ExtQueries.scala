@@ -323,7 +323,10 @@ object ExtQueries {
              |  SELECT doc_a, doc_b FROM pairs
              |  WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.3)
              |SELECT e.doc_a, e.doc_b,
-             |  CAST(levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS INT) AS edit80
+             |  CAST(levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS INT) AS edit80,
+             |  CAST(CASE WHEN levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) <= 20
+             |            THEN levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80))
+             |            ELSE -1 END AS INT) AS edit80_bounded
              |FROM e JOIN documents a ON e.doc_a = a.doc_id
              |       JOIN documents b ON e.doc_b = b.doc_id""".stripMargin),
       (s, dir) => {
@@ -334,7 +337,11 @@ object ExtQueries {
         val ta = d.select($"doc_id".as("doc_a"), substring($"text", 1, 80).as("pa"))
         val tb = d.select($"doc_id".as("doc_b"), substring($"text", 1, 80).as("pb"))
         pairs.join(ta, "doc_a").join(tb, "doc_b")
-          .select($"doc_a", $"doc_b", levenshtein($"pa", $"pb").as("edit80"))
+          .select($"doc_a", $"doc_b", levenshtein($"pa", $"pb").as("edit80"),
+            // the at-scale form: threshold arg caps the DP band (O(k·n) not
+            // O(n²)) and returns -1 past the bound — the oracle spells the
+            // same contract with an unbounded distance + CASE
+            levenshtein($"pa", $"pb", 20).as("edit80_bounded"))
       }),
 
     // ------------------------------------------------------------------

@@ -109,6 +109,54 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("injected optimizer rule rewrites self-cosine to a norm guard " +
+    "(exact 1.0 / NULL on zero-norm), leaves distinct-arg cosine alone") {
+    ready
+    import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+    val injector = Class.forName("graft.extensions.GraftExtensions")
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[SparkSessionExtensions => Unit]
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val fresh = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(injector)
+        .config("spark.sql.shuffle.partitions", "2")
+        .getOrCreate()
+      // constant input: the rewrite plus constant folding collapse the whole
+      // expression to the literal 1.0 — no vector math in the plan at all
+      val const = fresh.sql(
+        """SELECT graft_cosine(v, v) AS c FROM (
+          |  SELECT array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)) AS v)""".stripMargin)
+      val constOpt = const.queryExecution.optimizedPlan.toString
+      assert(!constOpt.contains("graft_cosine"), s"self-cosine survived:\n$constOpt")
+      assert(const.head().getDouble(0) == 1.0)
+      // non-foldable input: the O(d) norm guard remains, the O(3d) cosine
+      // is gone, and the algebraic value is EXACTLY 1.0 (evaluated ±ulp)
+      val self = fresh.sql(
+        """SELECT graft_cosine(v, v) AS c FROM (
+          |  SELECT array(CAST(id + 3 AS FLOAT), CAST(4.0 AS FLOAT)) AS v FROM range(1))""".stripMargin)
+      val opt = self.queryExecution.optimizedPlan.toString
+      assert(opt.contains("graft_norm2") && !opt.contains("graft_cosine"),
+        s"self-cosine not rewritten:\n$opt")
+      assert(self.head().getDouble(0) == 1.0)
+      // zero-norm keeps the NULL-not-NaN convention through the rewrite
+      val z = fresh.sql(
+        """SELECT graft_cosine(v, v) AS c FROM (
+          |  SELECT array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)) AS v)""".stripMargin)
+      assert(z.head().isNullAt(0))
+      // distinct (non-foldable) arguments are untouched
+      val diff = fresh.sql(
+        """SELECT graft_cosine(array(CAST(id AS FLOAT)), array(CAST(id + 1 AS FLOAT))) AS c
+          |FROM range(1)""".stripMargin)
+      assert(diff.queryExecution.optimizedPlan.toString.contains("graft_cosine"))
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("the three analytical views answer over a registered star schema") {
     ready
     // build a tiny star schema from synthetic runs and query a view in SQL
