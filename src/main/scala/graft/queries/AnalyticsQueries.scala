@@ -479,6 +479,44 @@ object AnalyticsQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Running DISTINCT count over a window — COUNT(DISTINCT) OVER is not
+    // supported by either engine, so both spell the standard relational
+    // rewrite: flag each (user, type)'s FIRST occurrence (row_number = 1
+    // over the secondary window), then running-sum the flags over the
+    // primary one. Two window passes sharing one user-keyed shuffle; both
+    // orders are total (ts, event_id) → exact.
+    QueryDef(
+      "q_window_distinct",
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+             |  FROM events),
+             |f AS (
+             |  SELECT event_id, user_id, ts_us,
+             |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+             |                                 ORDER BY ts_us, event_id) = 1
+             |         THEN 1 ELSE 0 END AS first_seen
+             |  FROM e)
+             |SELECT event_id, user_id, ts_us,
+             |  CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct_types
+             |FROM f""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val byUserType = Window.partitionBy($"user_id", $"event_type")
+          .orderBy($"ts_us", $"event_id")
+        val running = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .select($"event_id", $"user_id", $"event_type",
+            unix_micros($"ts").as("ts_us"))
+          .withColumn("first_seen",
+            when(row_number().over(byUserType) === 1, 1L).otherwise(0L))
+          .select($"event_id", $"user_id", $"ts_us",
+            sum($"first_seen").over(running).as("n_distinct_types"))
+      }),
+
+    // ------------------------------------------------------------------
     // ANSI-safe casts: TRY_CAST yields NULL (not a runtime error, not a
     // garbage value) on unparseable strings and on numeric overflow — the
     // engine-wide NULL-not-garbage convention at the cast surface. Both

@@ -512,6 +512,48 @@ object ExtQueries {
       }),
 
     // ------------------------------------------------------------------
+    // BATCH ANN serving: top-3 per probe for a set of probe vectors in ONE
+    // plan — the realistic serving shape (a query batch, not a scalar
+    // probe). Probes broadcast into the corpus scan (corpus never
+    // shuffles); the per-probe cut is rank-over-partition, which plans as
+    // WindowGroupLimit: each corpus partition keeps 3 rows per probe
+    // before the exchange. Same bit-exact fixed-order cosine as
+    // q_sim_bruteforce, so fully hash-oracled.
+    QueryDef(
+      "q_sim_batch",
+      Some("""WITH p AS (
+             |  SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 5),
+             |c AS (
+             |  SELECT p.probe_id, e.vec_id,
+             |    list_sum(list_transform(range(1, len(e.embedding)+1),
+             |             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.pv[i] AS DOUBLE))) AS d,
+             |    sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+             |      * sqrt(list_sum(list_transform(p.pv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nn
+             |  FROM embeddings e, p
+             |  WHERE e.vec_id != p.probe_id)
+             |SELECT probe_id, vec_id, cosine_sim, CAST(rnk AS INT) AS rnk FROM (
+             |  SELECT probe_id, vec_id,
+             |    CASE WHEN nn > 0 THEN d / nn END AS cosine_sim,
+             |    row_number() OVER (PARTITION BY probe_id
+             |      ORDER BY CASE WHEN nn > 0 THEN d / nn END DESC NULLS LAST, vec_id) AS rnk
+             |  FROM c)
+             |WHERE rnk <= 3""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val e = emb(s, dir)
+        val probes = e.where($"vec_id" < 5)
+          .select($"vec_id".as("probe_id"), $"embedding".as("pv"))
+        val w = Window.partitionBy($"probe_id")
+          .orderBy($"cosine_sim".desc_nulls_last, $"vec_id")
+        e.crossJoin(broadcast(probes))
+          .where($"vec_id" =!= $"probe_id")
+          .select($"probe_id", $"vec_id",
+            graft.functions.VectorNative.cosine($"embedding", $"pv").as("cosine_sim"))
+          .withColumn("rnk", row_number().over(w))
+          .where($"rnk" <= 3)
+      }),
+
+    // ------------------------------------------------------------------
     // LSH-bucketed ANN top-k (the 100 TB path: probe a handful of buckets,
     // not the corpus). 8 independent hyperplane tables OR-amplify recall
     // (RecallSpec gates recall@20 against the brute-force ground truth).

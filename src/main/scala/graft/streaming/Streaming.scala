@@ -98,6 +98,56 @@ object Streaming {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+  final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long)
+
+  /** Cross-batch streaming sessionization — the streaming twin of
+    * q_sessionize: a user's events split into sessions on silences longer
+    * than `gapUs`, with the still-open tail carried in state and STITCHED
+    * into the next micro-batch (an event arriving within the gap of the
+    * carried tail extends the same session across the batch boundary —
+    * the part batch jobs on drops get wrong). Closed sessions emit in the
+    * batch that closes them; the final open session per user stays in
+    * state (it is not closed — more data may come; bound it with a
+    * timeout in always-on deployments).
+    *
+    * Scale: state is ONE small record per active user; per-batch work is
+    * a sort of that user's batch slice (micro-batches are minutes of
+    * data, not history). flatMapGroupsWithState shuffles each batch by
+    * user — same key as the batch sessionizer's window.
+    */
+  def sessionizeStream(events: Dataset[SessionInput],
+      gapUs: Long = 1800000000L): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[SessionInput], state: GroupState[OpenSession]) =>
+          // group iterators carry no order contract: sort this user's batch
+          // slice (bounded by the micro-batch, not by history).
+          // getTime is MILLIS — rebuild exact epoch µs from seconds + nanos
+          // (a *1000 shortcut silently truncates sub-ms event times)
+          val ts = rows.map(r =>
+            r.ts.getTime / 1000L * 1000000L + r.ts.getNanos / 1000L).toArray.sorted
+          val closed = Seq.newBuilder[ClosedSession]
+          var open = state.getOption
+          ts.foreach { t =>
+            open = open match {
+              case Some(o) if t - o.lastUs <= gapUs =>
+                Some(o.copy(lastUs = t, n = o.n + 1))
+              case Some(o) =>
+                closed += ClosedSession(user, o.startUs, o.lastUs, o.n)
+                Some(OpenSession(t, t, 1L))
+              case None => Some(OpenSession(t, t, 1L))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
   /** Stream-static enrichment: left-join a micro-batched stream against a
     * broadcast dimension — each micro-batch joins in-memory with no state
     * store and no shuffle of the stream side (the standard pattern for

@@ -74,6 +74,62 @@ class StreamingSpec extends SparkSpec {
     assert(got.where($"tier".isNull).count() == 0, "every event must enrich")
   }
 
+  test("streaming sessionization stitches sessions across micro-batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stream_sess_").toString
+    val all = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    // split mid-timeline so many sessions straddle the batch boundary
+    val cut = all.selectExpr("percentile(unix_micros(ts), 0.5)").head().getDouble(0).toLong
+    // the file-stream source lists the watched dir FLAT — stage each drop
+    // as a single file directly inside it
+    def stageFlat(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_drop_").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(dir, name))
+    }
+    stageFlat(all.where(unix_micros($"ts") < cut), "drop1.parquet")
+    stageFlat(all.where(unix_micros($"ts") >= cut), "drop2.parquet")
+
+    val stream = spark.readStream.schema(Streaming.eventSchema)
+      .option("maxFilesPerTrigger", "1")  // force >= 2 micro-batches
+      .parquet(dir)
+      .select($"user_id", $"ts", $"value").as[Streaming.SessionInput]
+    val q = Streaming.sessionizeStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("sessions")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000); q.stop()
+    val got = spark.table("sessions")
+
+    // batch ground truth: same gap logic over the whole timeline; the
+    // stream can never close each user's LAST session (no later batch), so
+    // expected = all batch sessions minus one per user
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts_us")
+    val batchSessions = all
+      .select($"user_id", unix_micros($"ts").as("ts_us"))
+      .withColumn("new_sess",
+        when($"ts_us" - lag($"ts_us", 1).over(w) > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sess", sum($"new_sess").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"sess")
+      .agg(min($"ts_us").as("start_us"), max($"ts_us").as("end_us"),
+        count(lit(1)).as("n_events"))
+    val nUsers = all.select($"user_id").distinct().count()
+    assert(got.count() == batchSessions.count() - nUsers,
+      "closed stream sessions must equal batch sessions minus the open tail per user")
+    // every closed stream session must match a batch session exactly —
+    // stitching errors would split or merge one and break this containment
+    val mismatches = got.join(batchSessions,
+        got("user_id") === batchSessions("user_id") &&
+          got("start_us") === batchSessions("start_us") &&
+          got("end_us") === batchSessions("end_us") &&
+          got("n_events") === batchSessions("n_events"), "left_anti")
+    assert(mismatches.count() == 0, "a streamed session differs from batch truth")
+  }
+
   test("stateful running totals per user via mapGroupsWithState") {
     import spark.implicits._
     val dir = stageEvents()
