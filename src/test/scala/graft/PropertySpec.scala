@@ -103,6 +103,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("as-of join ≡ naive per-row most-recent lookup, for every generated input") {
+    import spark.implicits._
+    val genSide: Gen[List[(Long, Long)]] =
+      Gen.listOf(Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 40L)))
+    for (((ls, rs0), i) <- samples(Gen.zip(genSide, genSide), n = 6).zipWithIndex) {
+      // right side unique per (key, ts) — the operator's documented contract
+      val rs = rs0.distinct
+      if (ls.nonEmpty && rs.nonEmpty) {
+        val left = ls.zipWithIndex
+          .map { case ((k, t), id) => (k, t, id.toLong) }.toDF("k", "t", "lid")
+        val right = rs.map { case (k, t) => (k, t, k * 1000 + t) }.toDF("k", "t", "pay")
+        val got = graft.operators.AsOf
+          .joinAsOf(left, right, "k", "t", Seq("pay"))
+          .collect()
+          .map(r => (r.getLong(r.fieldIndex("lid")),
+            if (r.isNullAt(r.fieldIndex("pay"))) None
+            else Some(r.getLong(r.fieldIndex("pay"))))).toMap
+        // naive reference: scan the whole right side per left row
+        ls.zipWithIndex.foreach { case ((k, t), id) =>
+          val expect = rs.filter(r => r._1 == k && r._2 <= t)
+            .sortBy(_._2).lastOption.map { case (rk, rt) => rk * 1000 + rt }
+          assert(got(id.toLong) == expect,
+            s"sample $i: left ($k,$t) expected $expect got ${got(id.toLong)}")
+        }
+      }
+    }
+  }
+
   test("tokens/shingles algebra: |shingles| = max(0, |tokens| - n + 1)") {
     val genText = Gen.listOf(Gen.oneOf("ab", "cd", "ef", "gh")).map(_.mkString(" "))
     for {

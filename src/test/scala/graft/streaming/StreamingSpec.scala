@@ -130,6 +130,62 @@ class StreamingSpec extends SparkSpec {
     assert(mismatches.count() == 0, "a streamed session differs from batch truth")
   }
 
+  test("sessionizer state survives a checkpointed restart (recovery, not reprocessing)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stream_cp_").toString
+    val out = Files.createTempDirectory("graft_stream_cp_out_").toString
+    val cp = Files.createTempDirectory("graft_stream_cp_ckpt_").toString
+    val all = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val cut = all.selectExpr("percentile(unix_micros(ts), 0.5)").head().getDouble(0).toLong
+    def stageFlat(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_drop_").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(dir, name))
+    }
+    def run(): Unit = {
+      val stream = spark.readStream.schema(Streaming.eventSchema).parquet(dir)
+        .select($"user_id", $"ts", $"value").as[Streaming.SessionInput]
+      val q = Streaming.sessionizeStream(stream)
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000); q.stop()
+    }
+    stageFlat(all.where(unix_micros($"ts") < cut), "drop1.parquet")
+    run()                                                 // first life: drop1 only
+    stageFlat(all.where(unix_micros($"ts") >= cut), "drop2.parquet")
+    run()                                                 // second life: recovers state,
+                                                          // must process ONLY drop2
+    val got = spark.read.parquet(out)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts_us")
+    val batchSessions = all
+      .select($"user_id", unix_micros($"ts").as("ts_us"))
+      .withColumn("new_sess",
+        when($"ts_us" - lag($"ts_us", 1).over(w) > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sess", sum($"new_sess").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"sess")
+      .agg(min($"ts_us").as("start_us"), max($"ts_us").as("end_us"),
+        count(lit(1)).as("n_events"))
+    val nUsers = all.select($"user_id").distinct().count()
+    // exactly the contiguous-run result: no duplicated drop1 sessions (a
+    // restart that reprocessed drop1 would double-emit), no lost stitching
+    // (state recovered from the checkpoint carries drop1's open tails)
+    assert(got.count() == batchSessions.count() - nUsers,
+      "restarted run must emit exactly the contiguous-run session set")
+    val mismatches = got.join(batchSessions,
+        got("user_id") === batchSessions("user_id") &&
+          got("start_us") === batchSessions("start_us") &&
+          got("end_us") === batchSessions("end_us") &&
+          got("n_events") === batchSessions("n_events"), "left_anti")
+    assert(mismatches.count() == 0, "a post-restart session differs from batch truth")
+  }
+
   test("stateful running totals per user via mapGroupsWithState") {
     import spark.implicits._
     val dir = stageEvents()
