@@ -1,0 +1,54 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table-maintenance operations a long-lived 100 TB deployment needs around
+  * the query engine itself: small-file compaction and schema-evolving reads.
+  * (Cite: the reference rewrites its whole DuckDB file per run —
+  * `run_pipeline.py` load stage — so it never faces these; a Spark
+  * deployment accumulating parquet drops does.)
+  */
+object Maintenance {
+
+  /** Read a parquet directory whose files were written under EVOLVING
+    * schemas (columns added over time): `mergeSchema` unions the per-file
+    * footers, and files missing a column yield NULL for it — the append-only
+    * ingestion contract. Schema merging lists every footer (a driver-side
+    * O(files) step), so keep it an explicit opt-in for evolved dirs, not a
+    * default on every read.
+    */
+  def readEvolved(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir)
+
+  /** Compact a parquet directory's small files toward `targetBytes` output
+    * files (in-place: rewrite then atomically swap is the production
+    * pattern; here rewrite-to-target keeps the operation explicit).
+    * Small-file proliferation is THE silent killer of scan parallelism
+    * economics at scale: a 100 TB table in 10 MB files costs 10M task
+    * launches per scan. Sizing = ceil(inputBytes / targetBytes), from the
+    * files' actual on-disk size (not row counts — rows compress
+    * unpredictably).
+    */
+  def compact(spark: SparkSession, dir: String, outDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val inputBytes = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    val nFiles = math.max(1, math.ceil(inputBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(dir)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
+
+  /** Compute catalog statistics so the cost-based optimizer can size joins
+    * from measured bytes/rows instead of defaults — the difference between
+    * CBO choosing a broadcast and shuffling a dimension at scale.
+    */
+  def analyzeTable(spark: SparkSession, table: String,
+      columns: Seq[String] = Nil): Unit = {
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    if (columns.nonEmpty)
+      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS ${columns.mkString(", ")}")
+  }
+}
