@@ -586,6 +586,54 @@ object AnalyticsQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Explicit GROUPING SETS (not derivable from cube/rollup): two
+    // single-column sets + grand total in one Expand pass, with
+    // grouping_id() disambiguating "NULL because aggregated" from "NULL in
+    // the data" — both engines use the same bit convention (1 = column
+    // aggregated away, ordered by the grouping column list).
+    QueryDef(
+      "q_grouping_sets",
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  SUM(l_quantity) AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupingSets(
+            Seq(Seq($"l_returnflag"), Seq($"l_linestatus"), Seq()),
+            $"l_returnflag", $"l_linestatus")
+          .agg(grouping_id().cast("int").as("gid"),
+            count(lit(1)).as("n"),
+            sum($"l_quantity").as("sum_qty"))
+          .select($"l_returnflag", $"l_linestatus", $"gid", $"n", $"sum_qty")
+      }),
+
+    // ------------------------------------------------------------------
+    // Calendar arithmetic: month addition (end-of-month clamped identically
+    // in both engines — verified on day>=29 dates), last-day snap, quarter,
+    // day deltas. All exact calendar integers/instants, no floats anywhere.
+    QueryDef(
+      "q_date_arith",
+      Some("""SELECT o_orderkey,
+             |  o_orderdate + INTERVAL 3 MONTH AS plus3mo,
+             |  CAST(last_day(o_orderdate) AS TIMESTAMP) AS eom,
+             |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+             |  CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS INT) AS days_to_y2k
+             |FROM orders""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders").select(
+          $"o_orderkey",
+          add_months($"o_orderdate", 3).cast("timestamp").as("plus3mo"),
+          last_day($"o_orderdate").cast("timestamp").as("eom"),
+          quarter($"o_orderdate").as("qtr"),
+          datediff(lit("2000-01-01").cast("date"), $"o_orderdate").as("days_to_y2k"))
+      }),
+
+    // ------------------------------------------------------------------
     // Grouped top-k: 3 highest-quantity parts per returnflag. Ranking metric
     // is an exact sum (integer-valued doubles) with a total tiebreak, so the
     // cut is deterministic cross-engine. rank<=k over a window plans as
