@@ -105,6 +105,36 @@ object AnalyticsQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Hopping (sliding) window: 1-hour windows every 30 minutes — each
+    // event lands in exactly 2 overlapping windows. Spark's window()
+    // generator does the 1→2 expansion inline (no shuffle until the agg);
+    // the oracle derives the same two window starts arithmetically
+    // (floor-to-slide minus {0, slide}) and UNION ALLs them. Counts exact;
+    // value sums snapped to their 2-decimal precision.
+    QueryDef(
+      "q_window_hopping",
+      Some("""WITH e AS (
+             |  SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+             |  FROM events),
+             |x AS (
+             |  SELECT event_type, value, ts_us - ts_us % 1800000000 AS w FROM e
+             |  UNION ALL
+             |  SELECT event_type, value, ts_us - ts_us % 1800000000 - 1800000000 FROM e)
+             |SELECT w AS window_start_us, event_type,
+             |  CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS sum_value
+             |FROM x GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+          .agg(count(lit(1)).as("n_events"),
+            (floor(sum($"value") * 100.0 + 0.5) / 100.0).as("sum_value"))
+          .select(unix_micros($"window.start").as("window_start_us"),
+            $"event_type", $"n_events", $"sum_value")
+      }),
+
+    // ------------------------------------------------------------------
     // Time-weighted average — the correct mean for irregularly-sampled
     // meter readings (a plain AVG over-weights bursts): Σ vᵢ·Δtᵢ / Σ Δtᵢ
     // with Δt from lead(). One window + one agg on the same key = the
