@@ -547,6 +547,29 @@ object AnalyticsQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Map-typed columns: per-row map construction and key lookup. The map
+    // never reaches the output (engines disagree on map cell rendering and
+    // extraction types — DuckDB map extraction yields a LIST); only scalar
+    // lookups are emitted, which is also the pattern that keeps map columns
+    // prunable at scale.
+    QueryDef(
+      "q_map_ops",
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  map_extract(map(['qty', 'disc'], [l_quantity, l_discount]), 'qty')[1] AS qty_via_map,
+             |  map_extract(map(['qty', 'disc'], [l_quantity, l_discount]), 'disc')[1] AS disc_via_map,
+             |  CAST(cardinality(map(['qty', 'disc'], [l_quantity, l_discount])) AS INT) AS map_size
+             |FROM lineitem""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val m = map(lit("qty"), $"l_quantity", lit("disc"), $"l_discount")
+        t(s, dir, "lineitem").select(
+          $"l_orderkey", $"l_linenumber",
+          element_at(m, "qty").as("qty_via_map"),
+          element_at(m, "disc").as("disc_via_map"),
+          size(m).as("map_size"))
+      }),
+
+    // ------------------------------------------------------------------
     // ANSI-safe casts: TRY_CAST yields NULL (not a runtime error, not a
     // garbage value) on unparseable strings and on numeric overflow — the
     // engine-wide NULL-not-garbage convention at the cast surface. Both

@@ -19,6 +19,22 @@ class ApproxSpec extends SparkSpec {
       s"orders: approx $approxOrders vs exact $exactOrders")
   }
 
+  test("approx_percentile lands within the declared rank-error bound of exact") {
+    import spark.implicits._
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val n = li.count()
+    val acc = 100  // rank error <= 1/acc of the row count
+    for (p <- Seq(0.5, 0.9, 0.99)) {
+      val approx = li.select(percentile_approx($"l_extendedprice", lit(p), lit(acc)))
+        .head().getDouble(0)
+      // rank of the approx answer must be within n/acc of the target rank
+      val rank = li.where($"l_extendedprice" <= approx).count()
+      val err = math.abs(rank - p * n)
+      assert(err <= n.toDouble / acc + 1,
+        s"p=$p: approx value $approx has rank $rank, target ${p * n}, err $err")
+    }
+  }
+
   test("rollup emits per-month rows, per-year subtotals, and a grand total") {
     val df = SparkEntry.queries("q_rollup")(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
