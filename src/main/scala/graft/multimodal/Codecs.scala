@@ -39,9 +39,12 @@ object Codecs {
   private def be32(b: Array[Byte], i: Int): Int =
     (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
 
-  /** Container sniff by magic bytes: "bmp" | "png" | "jpeg" | "wav" | "unknown". */
+  /** Container sniff by magic bytes: "bmp" | "png" | "jpeg" | "wav" |
+    * "unknown". NULL-safe (a NULL binary cell sniffs "unknown").
+    */
   def sniff(b: Array[Byte]): String =
-    if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    if (b == null) "unknown"
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
     else if (b.length >= 8 && u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
       b(3) == 'G' && u8(b, 4) == 0x0d && u8(b, 5) == 0x0a && u8(b, 6) == 0x1a &&
       u8(b, 7) == 0x0a) "png"
@@ -71,8 +74,12 @@ object Codecs {
         val marker = u8(b, i + 1)
         if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2)
           return Some(ImageMeta("jpeg", be16(b, i + 7), be16(b, i + 5), u8(b, i + 4) * 8))
-        // standalone markers (D0-D9) have no length field
-        i += (if (marker >= 0xd0 && marker <= 0xd9) 2 else 2 + be16(b, i + 2))
+        // 0xFF is a fill byte (spec allows any run before a marker): skip ONE
+        // byte and resync — treating it as length-bearing desyncs the walk.
+        // Standalone markers (D0-D9) have no length field.
+        i += (if (marker == 0xff) 1
+              else if (marker >= 0xd0 && marker <= 0xd9) 2
+              else 2 + be16(b, i + 2))
       }
       None
     case _ => None
@@ -87,15 +94,21 @@ object Codecs {
     var channels, rate, bits = 0
     var dataOff, dataLen = -1
     var i = 12
-    while (i + 8 <= b.length) {
+    var ok = true
+    while (ok && i + 8 <= b.length) {
       val size = le32(b, i + 4)
       if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ' &&
         i + 24 <= b.length) {
         channels = le16(b, i + 10); rate = le32(b, i + 12); bits = le16(b, i + 22)
       } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
-        dataOff = i + 8; dataLen = math.min(size, b.length - dataOff)
+        dataOff = i + 8; dataLen = math.max(0, math.min(size, b.length - dataOff))
       }
-      i += 8 + size + (size & 1)
+      // malformed size guard (corrupt corpus payloads): a negative LE32 size
+      // would pin `i` in place (infinite loop on an executor); a huge one
+      // would overflow the offset — stop the walk, keep whatever parsed
+      val next = i.toLong + 8L + size.toLong + (size & 1)
+      if (size < 0 || next <= i || next > Int.MaxValue) ok = false
+      else i = next.toInt
     }
     if (channels > 0 && dataOff >= 0) Some(WavMeta(channels, rate, bits, dataOff, dataLen))
     else None
@@ -112,10 +125,12 @@ object Codecs {
     }
 
   /** Full pixel decode via the JDK's built-in readers (BMP/PNG/JPEG/GIF).
-    * None when no reader claims the bytes — the caller's stub seam.
+    * None when no reader claims the bytes (or the cell is NULL) — the
+    * caller's stub seam.
     */
   def decodeImage(b: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(b)))
+    if (b == null) None
+    else Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(b)))
 
   /** REAL resize: decode → bilinear Graphics2D resample → PNG re-encode.
     * Headless-safe (BufferedImage rasters never touch a display).

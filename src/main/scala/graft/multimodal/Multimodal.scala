@@ -53,10 +53,13 @@ object Multimodal {
   }
 
   /** Per-payload metadata: REAL header parse for BMP/PNG/JPEG/WAV, stub for
-    * everything else.
+    * everything else. NULL payload cells decode as an empty payload (sniffs
+    * "unknown" → zero-byte stub row) rather than NPE-ing the task — the
+    * engine's NULL-not-garbage convention at the decode surface.
     */
   private[multimodal] def decodeMeta(id: Long, mediaType: String,
-      bytes: Array[Byte]): MediaMeta =
+      rawBytes: Array[Byte]): MediaMeta = {
+    val bytes = if (rawBytes == null) Array.emptyByteArray else rawBytes
     Codecs.imageMeta(bytes) match {
       case Some(im) =>
         MediaMeta(id, mediaType, bytes.length.toLong, im.width, im.height,
@@ -69,6 +72,7 @@ object Multimodal {
         case None => decodeMetaStub(id, mediaType, bytes)
       }
     }
+  }
 
   /** Attach a media-type column from a filename/source hint. */
   def withMediaType(df: DataFrame, hintCol: String): DataFrame =
@@ -103,7 +107,8 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
-      .flatMap { case (id, bytes) =>
+      .flatMap { case (id, rawBytes) =>
+        val bytes = if (rawBytes == null) Array.emptyByteArray else rawBytes
         val wav = Codecs.wavMeta(bytes)
         (0 until n).iterator.map { i =>
           val slice = wav match {

@@ -57,6 +57,12 @@ object AsOf {
       carryCols: Seq[String]): DataFrame = {
     val payload = left.columns.filterNot(c => c == key || c == ts).toSeq
     val tsRight = s"${ts}_right"
+    // fail fast: a carried name colliding with a left column would emit a
+    // DataFrame with duplicate column names that only blows up (AMBIGUOUS_
+    // REFERENCE) at the first downstream select
+    val collisions = (carryCols :+ tsRight).filter(left.columns.contains)
+    require(collisions.isEmpty,
+      s"carryCols collide with left columns: ${collisions.mkString(", ")} — rename one side")
 
     // carried struct: right's ts + payload; NULL (not a struct of NULLs) on
     // left rows so ignoreNulls skips them

@@ -45,18 +45,22 @@ object Components {
   def connectedComponents(nodes: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 20): DataFrame = {
-    val spark = nodes.sparkSession
-
     val e = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
     // both directions once, so each iteration is a single join
     val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .persist()
 
+    // sum over ZERO rows is NULL, not 0 — read defensively so an empty node
+    // set converges immediately instead of NPE-ing on getLong
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum("comp")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
     var labels = nodes.select(col(idCol).cast("long").as("n")).distinct()
       .withColumn("comp", col("n"))
       .localCheckpoint(false)
-    var prevSum = labels.agg(sum("comp")).head().getLong(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
 
@@ -70,7 +74,7 @@ object Components {
         .select(col("n"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
         .localCheckpoint(false)
-      val s = next.agg(sum("comp")).head().getLong(0)
+      val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
       labels = next

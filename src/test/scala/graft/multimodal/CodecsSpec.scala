@@ -120,6 +120,41 @@ class CodecsSpec extends AnyFunSuite {
     assert(Codecs.wavSamples(goldenWav, 6, 99).get.toSeq === Seq(-5, 0))
   }
 
+  test("malformed WAV chunk sizes terminate the walk (no executor hang/crash)") {
+    // negative chunk size: increment would be 8 + (-8) + 0 = 0 → without the
+    // guard the walk loops forever on one offset
+    val neg = goldenWav.clone()
+    neg(40) = -8; neg(41) = -1; neg(42) = -1; neg(43) = -1  // LE32 data size = -8... (0xFFFFFFF8)
+    val m1 = Codecs.wavMeta(neg)                             // must return, not hang
+    assert(m1.isEmpty || m1.get.dataBytes >= 0)
+    // huge positive size: offset would overflow Int → must stop, keep fmt
+    val huge = goldenWav.clone()
+    huge(40) = -8; huge(41) = -1; huge(42) = -1; huge(43) = 0x7f  // 0x7FFFFFF8
+    val m2 = Codecs.wavMeta(huge)
+    assert(m2.isEmpty || m2.get.dataBytes >= 0)
+  }
+
+  test("JPEG fill bytes (0xFF runs before markers) are skipped, not parsed as length") {
+    // golden JPEG from ImageIO, then inject two fill bytes after SOI
+    val img = new java.awt.image.BufferedImage(8, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val j = baos.toByteArray
+    val filled = Array[Byte](j(0), j(1), 0xff.toByte, 0xff.toByte) ++ j.drop(2)
+    val m = Codecs.imageMeta(filled)
+    assert(m.exists(im => im.format == "jpeg" && im.width == 8 && im.height == 4),
+      s"fill bytes desynced the segment walk: $m")
+  }
+
+  test("NULL payload cells decode as empty (stub row / None), never NPE") {
+    assert(Codecs.sniff(null) === "unknown")
+    assert(Codecs.decodeImage(null).isEmpty)
+    assert(Codecs.resizeToPng(null, 2, 2).isEmpty)
+    val meta = Multimodal.decodeMeta(9L, "binary", null)
+    assert(meta.n_bytes === 0L && meta.container === "unknown")
+  }
+
   test("decodeMeta routes real formats to real parsers, unknown to the stub") {
     val bmp = Multimodal.decodeMeta(1L, "image", goldenBmp)
     assert(bmp.container === "bmp" && bmp.width === 2 && bmp.height === 2)

@@ -62,6 +62,13 @@ class AsOfSpec extends SparkSpec {
     assert(r.getAs[String]("note") == "c40")
   }
 
+  test("carry-column name colliding with a left column fails fast") {
+    val ex = intercept[IllegalArgumentException] {
+      AsOf.joinAsOf(left, right.withColumnRenamed("px", "lbl"), "k", "t", Seq("lbl"))
+    }
+    assert(ex.getMessage.contains("lbl"))
+  }
+
   test("plan: exactly one shuffle, no join operator, no row amplification") {
     val df = AsOf.joinAsOf(left, right, "k", "t", Seq("px"))
     df.collect()   // drive AQE to its final plan

@@ -31,6 +31,13 @@ class ComponentsSpec extends SparkSpec {
     assert(m == Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
   }
 
+  test("empty node set returns an empty result (sum-over-zero-rows guard)") {
+    val out = Components.connectedComponents(
+      Seq.empty[Long].toDF("id"), "id",
+      Seq.empty[(Long, Long)].toDF("s", "d"), "s", "d")
+    assert(out.count() == 0)
+  }
+
   test("edge endpoints absent from the node list still resolve via nodes given") {
     // hub-and-spoke (star): one round to converge, any listing order
     val m = comps(Seq(5L, 6L, 7L, 8L), Seq((7L, 5L), (5L, 8L), (6L, 5L)))
