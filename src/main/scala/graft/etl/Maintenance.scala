@@ -31,9 +31,19 @@ object Maintenance {
     */
   def compact(spark: SparkSession, dir: String, outDir: String,
       targetBytes: Long = 128L * 1024 * 1024): Int = {
-    val inputBytes = new java.io.File(dir).listFiles()
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(_.length()).sum
+    // size via the Hadoop FS abstraction, recursively: java.io.File NPEs on
+    // non-local URIs (s3a://…) and a flat listing misses files nested under
+    // partition dirs — either would silently size the rewrite at 0 bytes
+    // and collapse a large table to repartition(1)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    var inputBytes = 0L
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+        inputBytes += f.getLen
+    }
     val nFiles = math.max(1, math.ceil(inputBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(dir)
       .repartition(nFiles)

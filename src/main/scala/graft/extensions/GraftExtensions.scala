@@ -24,7 +24,7 @@ import org.apache.spark.sql.types.IntegerType
   *   - `graft_dot(array<float>, array<float>) -> double`
   *   - `graft_norm2(array<float>) -> double`
   *   - `graft_cosine(array<float>, array<float>) -> double`
-  *   - `graft_lsh_bucket(array<float>, dims INT, n_planes INT[, plane_offset INT]) -> bigint`
+  *   - `graft_lsh_bucket(array<float>, dims INT, n_planes INT[, family INT]) -> bigint`
   *   - `graft_winnow(text STRING, k INT, w INT) -> array<bigint>`
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -65,15 +65,15 @@ object GraftExtensions {
       (args: Seq[Expression]) => { arity("graft_cosine", args, 2); GraftCosine(args(0), args(1)) }),
     ("graft_lsh_bucket",
       info("graft_lsh_bucket",
-        "graft_lsh_bucket(v, dims, n_planes[, plane_offset]) - sign-LSH bucket id " +
-          "of a float vector; plane_offset selects an independent hyperplane " +
-          "family (multi-table LSH)."),
+        "graft_lsh_bucket(v, dims, n_planes[, family]) - sign-LSH bucket id " +
+          "of a float vector; family selects an independent hyperplane " +
+          "family (multi-table LSH; scaled by n_planes internally)."),
       (args: Seq[Expression]) => {
         require(args.length == 3 || args.length == 4,
           s"graft_lsh_bucket expects 3 or 4 arguments, got ${args.length}")
         GraftLshBucket(args.head,
           intLit(args(1), "dims"), intLit(args(2), "n_planes"),
-          if (args.length == 4) intLit(args(3), "plane_offset") else 0)
+          if (args.length == 4) intLit(args(3), "family") else 0)
       }),
     ("graft_winnow",
       info("graft_winnow",

@@ -1,7 +1,7 @@
 package graft.extensions
 
-import graft.functions.expr.{GraftCosine, GraftNorm2}
-import org.apache.spark.sql.catalyst.expressions.{CaseWhen, GreaterThan, Literal}
+import graft.functions.expr.{GraftCosine, GraftDot, GraftNorm2}
+import org.apache.spark.sql.catalyst.expressions.{And, CaseWhen, Divide, EqualTo, GreaterThan, Literal, Multiply, Not}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
@@ -21,10 +21,17 @@ import org.apache.spark.sql.types.DoubleType
   * view expansion), where nobody writes `cosine(x, x)` literally but the
   * optimizer sees it.
   *
-  * NULL semantics are preserved exactly: x NULL (or containing NULL
-  * elements) makes graft_norm2 NULL → CaseWhen yields NULL, matching
-  * GraftCosine's own null propagation; zero-norm yields NULL through the
-  * missing ELSE, matching the expression's NULL-not-NaN convention.
+  * Degenerate-value semantics are preserved exactly:
+  *   - x NULL (or containing NULL elements): graft_norm2 is NULL → every
+  *     branch condition is NULL → result NULL, matching GraftCosine;
+  *   - zero norm: NULL through the missing ELSE (NULL-not-NaN convention);
+  *   - NaN elements: norm is NaN, NaN > 0 is false → NULL, matching the
+  *     original's nn > 0 guard;
+  *   - INFINITE norm: the fast branch is explicitly fenced off and the
+  *     original expression evaluates (→ NaN, as Inf/Inf), so the rewrite
+  *     NEVER changes a result — 1.0 fires only where algebra guarantees it.
+  *     The lazy CaseWhen means finite vectors (all real data) never touch
+  *     the cosine loop.
   *
   * Injected via `SparkSessionExtensions.injectOptimizerRule` in
   * [[GraftExtensions]] — the rule only ever fires on plans that contain
@@ -34,9 +41,17 @@ object SimplifySelfCosine extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case GraftCosine(l, r) if l.deterministic && l.semanticEquals(r) =>
+        val n = GraftNorm2(l)
+        val finite = Not(EqualTo(n, Literal(Double.PositiveInfinity, DoubleType)))
         CaseWhen(
-          Seq((GreaterThan(GraftNorm2(l), Literal(0.0, DoubleType)),
-            Literal(1.0, DoubleType))),
+          Seq(
+            (And(GreaterThan(n, Literal(0.0, DoubleType)), finite),
+              Literal(1.0, DoubleType)),
+            // infinite norm: dot/norm² reproduces the original's Inf/Inf =
+            // NaN — spelled WITHOUT GraftCosine, or this rule would
+            // re-match its own output forever in the fixed-point batch
+            (GreaterThan(n, Literal(0.0, DoubleType)),
+              Divide(GraftDot(l, r), Multiply(n, GraftNorm2(r))))),
           None)
     }
 }

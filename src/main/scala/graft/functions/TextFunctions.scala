@@ -41,11 +41,14 @@ object TextFunctions {
     markers.map { case (lang, re) => lang -> regexp_count(lower(text), lit(re)) }
 
   /** Argmax over marker hits with a fixed priority order on ties (en>es>de)
-    * so the prediction is deterministic and ANSI-expressible.
+    * so the prediction is deterministic and ANSI-expressible. NULL text
+    * predicts NULL — without the explicit guard every comparison is NULL
+    * and the otherwise() branch would silently classify NULLs as "de".
     */
   def predictedLang(text: Column): Column = {
     val Seq(en, es, de) = markerHits(text).map(_._2)
-    when(en >= es && en >= de, lit("en"))
+    when(text.isNull, lit(null))
+      .when(en >= es && en >= de, lit("en"))
       .when(es >= de, lit("es"))
       .otherwise(lit("de"))
   }

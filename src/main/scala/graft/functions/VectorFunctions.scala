@@ -70,17 +70,22 @@ object VectorFunctions {
   /** Random-hyperplane (sign) LSH bucket id over `dims`-dim vectors.
     *
     * The `nPlanes` hyperplanes are pseudo-random but fully deterministic:
-    * component j of plane p is derived from xxhash64((planeOffset+p)*dims + j)
-    * mapped into [-1, 1] (`planeOffset` selects an independent family per
-    * multi-table LSH table). Vectors with the same sign pattern against all
-    * planes share a bucket — at 100 TB this turns an O(n²) similarity scan
-    * into a shuffle-by-bucket plus small within-bucket scans.
+    * component j of plane p of family `family` is derived from
+    * xxhash64((family·nPlanes + p)·dims + j) mapped into [-1, 1] — the
+    * family index is scaled by nPlanes INSIDE, so families 0, 1, 2, …
+    * (the natural multi-table usage) draw from disjoint plane-index ranges
+    * and never share a hyperplane. (An unscaled offset would make adjacent
+    * families share nPlanes−1 planes and collapse multi-table recall to
+    * single-table.) Vectors with the same sign pattern against all planes
+    * share a bucket — at 100 TB this turns an O(n²) similarity scan into a
+    * shuffle-by-bucket plus small within-bucket scans.
     */
-  def lshBucket(v: Column, dims: Int, nPlanes: Int, planeOffset: Int = 0): Column = {
+  def lshBucket(v: Column, dims: Int, nPlanes: Int, family: Int = 0): Column = {
     val bits = (0 until nPlanes).map { p =>
       val plane = array((0 until dims).map { j =>
         // deterministic pseudo-random weight in [-1, 1]
-        (xxhash64(lit((planeOffset + p) * dims + j)) % 1000001L).cast("double") / 1000000.0
+        (xxhash64(lit((family * nPlanes + p) * dims + j)) % 1000001L)
+          .cast("double") / 1000000.0
       }: _*)
       when(dot(v, plane) >= 0.0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }

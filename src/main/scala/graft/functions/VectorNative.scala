@@ -21,12 +21,12 @@ object VectorNative {
   def cosine(a: Column, b: Column): Column =
     B.column(GraftCosine(B.expression(a), B.expression(b)))
 
-  /** `planeOffset` selects an independent hyperplane family (table t of a
-    * multi-table LSH passes t*nPlanes) — weights for plane p come from index
-    * (planeOffset+p)·dims+j, so offset families never share a hyperplane.
+  /** `family` selects an independent hyperplane family (table t of a
+    * multi-table LSH passes t directly) — the index scales by nPlanes
+    * inside the expression, so families never share a hyperplane.
     */
-  def lshBucket(v: Column, dims: Int, nPlanes: Int, planeOffset: Int = 0): Column =
-    B.column(GraftLshBucket(B.expression(v), dims, nPlanes, planeOffset))
+  def lshBucket(v: Column, dims: Int, nPlanes: Int, family: Int = 0): Column =
+    B.column(GraftLshBucket(B.expression(v), dims, nPlanes, family))
 
   /** Driver-side bucket of a KNOWN query vector (the probe side of ANN):
     * evaluates the same expression once and folds the result into the plan
@@ -36,14 +36,14 @@ object VectorNative {
     * (wrong dims), mirroring the expression's NULL.
     */
   def lshBucketOf(v: Seq[Float], dims: Int, nPlanes: Int,
-      planeOffset: Int = 0): Option[Long] = {
+      family: Int = 0): Option[Long] = {
     import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
     // raw Catalyst literals, not the public array(lit(...)) Column: Spark 4
     // Columns stay UNRESOLVED until analysis, and an unresolved tree cannot
     // be eval'd driver-side
     val arr = CreateArray(v.map(x =>
       Literal(x, org.apache.spark.sql.types.FloatType)))
-    val e = GraftLshBucket(arr, dims, nPlanes, planeOffset)
+    val e = GraftLshBucket(arr, dims, nPlanes, family)
     Option(e.eval(org.apache.spark.sql.catalyst.InternalRow.empty))
       .map(_.asInstanceOf[Long])
   }

@@ -218,19 +218,22 @@ case class GraftCosine(left: Expression, right: Expression)
   * upstream, see etl.Validate).
   */
 case class GraftLshBucket(child: Expression, dims: Int, nPlanes: Int,
-    planeOffset: Int = 0)
+    family: Int = 0)
     extends UnaryExpression with FloatArrayInputs {
   require(nPlanes > 0 && nPlanes < 64, "nPlanes must be in [1, 63]")
-  require(planeOffset >= 0, "planeOffset must be >= 0")
+  require(family >= 0, "family must be >= 0")
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_lsh_bucket"
 
-  /** weights(p)(j) — must match VectorFunctions.lshBucket exactly. */
+  /** weights(p)(j) — must match VectorFunctions.lshBucket exactly. The
+    * family index scales by nPlanes HERE so families 0,1,2,… use disjoint
+    * plane-index ranges (never share a hyperplane).
+    */
   @transient private lazy val planes: Array[Array[Double]] =
     Array.tabulate(nPlanes, dims) { (p, j) =>
-      (XXH64.hashInt((planeOffset + p) * dims + j, 42L) % 1000001L).toDouble / 1000000.0
+      (XXH64.hashInt((family * nPlanes + p) * dims + j, 42L) % 1000001L).toDouble / 1000000.0
     }
 
   override protected def nullSafeEval(a: Any): Any = {

@@ -56,8 +56,8 @@ object Similarity {
       nTables: Int = 1): DataFrame = {
     require(nTables >= 1, s"nTables ($nTables) must be >= 1")
     val hit = (0 until nTables).map { t =>
-      VectorNative.lshBucketOf(query, dims, nPlanes, t * nPlanes) match {
-        case Some(qb) => lshBucket(col(vecCol), dims, nPlanes, t * nPlanes) === lit(qb)
+      VectorNative.lshBucketOf(query, dims, nPlanes, t) match {
+        case Some(qb) => lshBucket(col(vecCol), dims, nPlanes, t) === lit(qb)
         case None => lit(false) // malformed query matches nothing
       }
     }.reduce(_ || _)
@@ -87,7 +87,7 @@ object Similarity {
       .select(
         struct(col(idCol).as("id"), col(vecCol).as("v")).as("iv"),
         TextFunctions.nullableLongArrayBarrier(array((0 until nTables).map { t =>
-          lshBucket(col(vecCol), dims, nPlanes, t * nPlanes)
+          lshBucket(col(vecCol), dims, nPlanes, t)
         }: _*)).as("bs"))
       .select(col("iv"), posexplode(col("bs")).as(Seq("t", "bucket")))
     PairGen.groupPairs(b, Seq("t", "bucket"), col("iv"), maxBucket)

@@ -166,7 +166,8 @@ object ExtQueries {
              |    CAST(length(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS INT) AS de_hits
              |  FROM documents)
              |SELECT doc_id, lang, en_hits, es_hits, de_hits,
-             |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+             |  CASE WHEN en_hits IS NULL THEN NULL
+             |       WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
              |       WHEN es_hits >= de_hits THEN 'es'
              |       ELSE 'de' END AS predicted_lang
              |FROM h""".stripMargin),

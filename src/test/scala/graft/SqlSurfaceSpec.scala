@@ -146,6 +146,14 @@ class SqlSurfaceSpec extends SparkSpec {
         """SELECT graft_cosine(v, v) AS c FROM (
           |  SELECT array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)) AS v)""".stripMargin)
       assert(z.head().isNullAt(0))
+      // infinite norm: the rewrite must NOT claim 1.0 — the unrewritten
+      // expression yields NaN (Inf/Inf) and the guarded fallback preserves it
+      val inf = fresh.sql(
+        """SELECT graft_cosine(v, v) AS c FROM (
+          |  SELECT array(CAST('Infinity' AS FLOAT), CAST(id + 1 AS FLOAT)) AS v
+          |  FROM range(1))""".stripMargin)
+      assert(inf.head().getDouble(0).isNaN,
+        "self-cosine of an infinite vector must stay NaN through the rewrite")
       // distinct (non-foldable) arguments are untouched
       val diff = fresh.sql(
         """SELECT graft_cosine(array(CAST(id AS FLOAT)), array(CAST(id + 1 AS FLOAT))) AS c

@@ -45,6 +45,23 @@ class MaintenanceSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("compact sizes from files under PARTITION subdirs (recursive listing)") {
+    val dir = Files.createTempDirectory("graft_compact_part_").toString
+    val out = Files.createTempDirectory("graft_compact_part_out_").toString
+    val df = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    df.withColumn("pri", substring(col("o_orderpriority"), 1, 1))
+      .repartition(8).write.partitionBy("pri").mode("overwrite").parquet(dir)
+    // a flat (non-recursive) listing would see 0 bytes here and plan 1 file
+    // from an EMPTY size estimate — the recursive walk must find the real
+    // bytes and the rewrite must preserve every row
+    val planned = Maintenance.compact(spark, dir, out, targetBytes = 8L * 1024)
+    assert(planned > 1,
+      "planned=1 means the recursive listing found zero bytes under the partition dirs")
+    val a = spark.read.parquet(dir); val b = spark.read.parquet(out)
+    assert(a.count() == b.count())
+    assert(a.drop("pri").exceptAll(b.drop("pri")).isEmpty)
+  }
+
   test("ANALYZE TABLE feeds the CBO measured stats (rowCount visible in catalog)") {
     val df = graft.Tables.load(spark, "/root/testdata/sf0.001", "region")
     // clear any stale managed-table location from a previous test run

@@ -60,22 +60,22 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
-  test("planeOffset: native == HOF, families are independent, and the " +
+  test("family index: native == HOF, families are independent, and the " +
     "driver-side lshBucketOf folds to the same bucket") {
     for (off <- Seq(0, 4, 8)) {
       val d = vecs.select(
         VectorFunctions.lshBucket(col("v"), 8, 4, off).as("hof"),
         VectorNative.lshBucket(col("v"), 8, 4, off).as("nat"))
       assert(d.where(col("hof") =!= col("nat")).count() === 0,
-        s"mismatch at planeOffset=$off")
+        s"mismatch at family=$off")
     }
-    // offset families use disjoint hyperplanes → bucketings must differ
+    // families use disjoint hyperplane-index ranges (scaled by nPlanes inside) → bucketings must differ
     // somewhere (identical everywhere would mean the offset is ignored)
     val two = vecs.select(
       VectorNative.lshBucket(col("v"), 8, 4, 0).as("t0"),
       VectorNative.lshBucket(col("v"), 8, 4, 4).as("t1"))
     assert(two.where(col("t0") =!= col("t1")).count() > 0,
-      "planeOffset=4 produced the identical bucketing as planeOffset=0")
+      "family=4 produced the identical bucketing as family=0")
     // driver-side fold == distributed evaluation, per offset
     val probe = Seq(0.5f, -1f, 2f, 0.25f, -0.75f, 1f, -2f, 0.125f)
     for (off <- Seq(0, 4)) {

@@ -111,6 +111,10 @@ class OperatorsSpec extends SparkSpec {
     val empty = Seq((1L, "one two")).toDF("id", "text")
       .select(size(TextFunctions.shingles($"text", 3))).head().getInt(0)
     assert(empty == 0)
+    // NULL text predicts NULL, not the otherwise-branch language
+    val nullLang = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(TextFunctions.predictedLang($"text")).head()
+    assert(nullLang.isNullAt(0), "NULL text must not classify as a language")
   }
 
   test("fingerprint is whitespace/case-normalized") {
