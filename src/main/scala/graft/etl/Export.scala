@@ -187,8 +187,12 @@ object Export {
       val fs = p.getFileSystem(hconf)
       Option(fs.globStatus(p)).map(_.toSeq.map(_.getPath)).getOrElse(Seq.empty)
     }
+    // the emptiness probe (take(1) = a real scan) must run INSIDE the Try:
+    // a candidate whose footer parses but whose data pages are corrupt
+    // fails at scan time, and an unguarded probe would abort the whole
+    // resolve instead of falling through to the next tier
     def nonEmpty(df: DataFrame): Option[DataFrame] =
-      if (df.take(1).nonEmpty) Some(df) else None
+      scala.util.Try(df.take(1).nonEmpty).toOption.filter(identity).map(_ => df)
     def tryRead(read: => DataFrame): Option[DataFrame] =
       scala.util.Try(read).toOption.flatMap(nonEmpty)
 
@@ -306,7 +310,8 @@ object Export {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val pretty = mapper.writerWithDefaultPrettyPrinter()
       .writeValueAsString(mapper.readTree(json))
-    Files.createDirectories(Paths.get(outPath).getParent)
+    // a bare filename has no parent component — createDirectories(null) NPEs
+    Option(Paths.get(outPath).getParent).foreach(Files.createDirectories(_))
     Files.writeString(Paths.get(outPath), pretty)
   }
 
@@ -337,7 +342,11 @@ object Export {
     need("annual.total_kwh", _.isNumber)
     need("annual.heating_kwh", _.isNumber)
     need("annual.cooling_kwh", _.isNumber)
-    need("monthly_breakdown", n => n.isArray && n.size() > 0)
+    // an EMPTY array is a legitimate export (summaryFromDir documents it for
+    // flat sources with no month/timestamp column — the honest alternative
+    // to the reference's fabricated seasonal pattern), so only the TYPE is
+    // gated here; per-element checks below still run when entries exist
+    need("monthly_breakdown", _.isArray)
     need("kpis.energy_intensity_kwh_m2", _.isNumber)
     need("kpis.annual_co2_tons", _.isNumber)
     need("kpis.peak_demand_kw", _.isNumber)

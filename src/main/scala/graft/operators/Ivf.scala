@@ -81,10 +81,19 @@ object Ivf {
     */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, initOversample: Int = 32): Model = {
+    // dims fixed by the FIRST well-formed vector: wrong-length rows must not
+    // enter the sample — a short vector becoming a centroid silently trains
+    // garbage AND breaks assignExpr's malformed-row detection (which relies
+    // on dot being NULL against EVERY centroid alike)
+    val dims0 = corpus
+      .where(col(vecCol).isNotNull && !exists(col(vecCol), _.isNull))
+      .select(size(col(vecCol))).head().getInt(0)
     val cand: Array[Array[Float]] = corpus
       // NULL vectors would NPE the collect; NULL elements would NPE the
-      // unboxing — both are malformed input, excluded from training
-      .where(col(vecCol).isNotNull && !exists(col(vecCol), _.isNull))
+      // unboxing; wrong-dims rows poison centroids — all malformed,
+      // excluded from training
+      .where(col(vecCol).isNotNull && !exists(col(vecCol), _.isNull) &&
+        size(col(vecCol)) === dims0)
       .select(col(vecCol))
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(math.max(k, initOversample * k))

@@ -61,11 +61,17 @@ object Similarity {
         case None => lit(false) // malformed query matches nothing
       }
     }.reduce(_ || _)
+    // the family-0 bucket is only meaningful as "the bucket that matched"
+    // in the single-table case; with OR-amplification a row may have been
+    // admitted by any table, so a family-0 column would mislabel it — omit
+    val out =
+      if (nTables == 1)
+        Seq(col(idCol), lshBucket(col(vecCol), dims, nPlanes).as("bucket"),
+          cosine(col(vecCol), vecLit(query)).as("cosine_sim"))
+      else Seq(col(idCol), cosine(col(vecCol), vecLit(query)).as("cosine_sim"))
     corpus
       .where(hit)
-      .select(col(idCol),
-        lshBucket(col(vecCol), dims, nPlanes).as("bucket"),
-        cosine(col(vecCol), vecLit(query)).as("cosine_sim"))
+      .select(out: _*)
       .orderBy(col("cosine_sim").desc, col(idCol))
       .limit(k)
   }
@@ -106,6 +112,11 @@ object Similarity {
       dims: Int, nPlanes: Int, path: String): Unit =
     corpus.select(col(idCol), col(vecCol),
         lshBucket(col(vecCol), dims, nPlanes).as("bucket"))
+      // malformed vectors hash to a NULL bucket → they can never be probed
+      // (bucket === qb excludes NULL) and would land in a
+      // __HIVE_DEFAULT_PARTITION__ dir that poisons partition pruning —
+      // same exclusion Ivf.writeClustered applies
+      .where(col("bucket").isNotNull)
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
   /** Probe a written index: reads ONLY the query's bucket partition (the
