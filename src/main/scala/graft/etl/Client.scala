@@ -84,7 +84,7 @@ object Client {
       val port: Int = 8080,
       val apiKey: Option[String] = None,
       val useHttps: Boolean = false,
-      transport: (String, String) => Map[String, String] =
+      transport: (String, String, Map[String, String]) => Map[String, String] =
         IdaIceApiClient.mockTransport) {
 
     private var config: Map[String, String] = Map.empty
@@ -103,19 +103,24 @@ object Client {
 
     def configuredSimulation: Map[String, String] = config
 
+    /** reference idaice_client.py:76-92: the ids travel as request params
+      * (`_make_request(..., building_id=..., scenario_id=...)`) — an
+      * injected transport can observe WHICH run was requested.
+      */
     def runSimulation(buildingId: String, scenarioId: String): Map[String, String] =
-      transport("POST", "/simulations/run")
+      transport("POST", "/simulations/run",
+        Map("building_id" -> buildingId, "scenario_id" -> scenarioId))
 
     def getSimulationStatus(jobId: String): Map[String, String] =
-      transport("GET", s"/simulations/$jobId/status")
+      transport("GET", s"/simulations/$jobId/status", Map.empty)
 
     def retrieveResults(jobId: String): Map[String, String] =
-      transport("GET", s"/simulations/$jobId/results")
+      transport("GET", s"/simulations/$jobId/results", Map.empty)
   }
 
   object IdaIceApiClient {
     /** The reference's mock `_make_request` (idaice_client.py:51-55). */
-    val mockTransport: (String, String) => Map[String, String] =
-      (_, endpoint) => Map("status" -> "ok", "endpoint" -> endpoint)
+    val mockTransport: (String, String, Map[String, String]) => Map[String, String] =
+      (_, endpoint, _) => Map("status" -> "ok", "endpoint" -> endpoint)
   }
 }

@@ -221,29 +221,62 @@ object Extract {
     * file contents — ingest parallelism is the file count.
     */
   def extractRunsDistributed(spark: SparkSession,
-      simulationsDir: String): Map[String, DataFrame] = {
+      simulationsDir: String): Map[String, DataFrame] =
+    memberTables(spark, membersDistributed(spark, simulationsDir))
+
+  /** [[extractRunsDistributed]] with the decompression pass PERSISTED: the
+    * 5 member tables all derive from one (run_id, member, text) DataFrame,
+    * so without a cache every downstream materialization (9 star tables,
+    * validation, load) re-lists and re-unzips the whole corpus. Returns the
+    * tables plus a release handle the caller MUST invoke once its own
+    * caches/writes are materialized (the Pipeline does) — the persist is
+    * never left pinned behind a lazy plan.
+    */
+  def extractRunsDistributedCached(spark: SparkSession,
+      simulationsDir: String): (Map[String, DataFrame], () => Unit) = {
+    val members = membersDistributed(spark, simulationsDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (memberTables(spark, members), () => { members.unpersist(); () })
+  }
+
+  private def membersDistributed(spark: SparkSession,
+      simulationsDir: String): DataFrame = {
     import spark.implicits._
     val bin = spark.read.format("binaryFile")
       .option("pathGlobFilter", "run_*.zip")
       .load(simulationsDir)
       .select($"path", $"content")
 
-    // (run root, member base name, member text)
-    val members = bin.as[(String, Array[Byte])].flatMap { case (_, bytes) =>
+    // (run root, member base name, member text) — with the SAME layout
+    // validation the fidelity path applies (validateLayout): every member
+    // under exactly one root directory. Without it, a root-level member's
+    // filename becomes a garbage run_id and a multi-root ZIP silently
+    // splits one bundle into several runs.
+    bin.as[(String, Array[Byte])].flatMap { case (path, bytes) =>
       val zin = new ZipInputStream(new java.io.ByteArrayInputStream(bytes))
       val out = mutable.Buffer[(String, String, String)]()
       var e = zin.getNextEntry
       while (e != null) {
         if (!e.isDirectory) {
           val parts = e.getName.split("/", 2)
-          val base = if (parts.length == 2) parts(1) else parts(0)
-          out += ((parts(0), base, new String(zin.readAllBytes(), StandardCharsets.UTF_8)))
+          if (parts.length < 2)
+            throw new IllegalArgumentException(
+              s"$path: member '${e.getName}' is not under a run directory")
+          out += ((parts(0), parts(1), new String(zin.readAllBytes(), StandardCharsets.UTF_8)))
         }
         e = zin.getNextEntry
       }
+      val roots = out.map(_._1).distinct
+      if (roots.size != 1)
+        throw new IllegalArgumentException(
+          s"$path: expected a single root directory, found ${roots.size}")
       out
     }.toDF("run_id", "member", "text")
+  }
 
+  private def memberTables(spark: SparkSession,
+      members: DataFrame): Map[String, DataFrame] = {
+    import spark.implicits._
     Schemas.requiredCsvMembers.map { case (name, schema) =>
       val lines = members
         .where($"member" === name)
@@ -254,8 +287,10 @@ object Extract {
             split($"text", "\r?\n"))).as("line"))
         .where(length(trim($"line")) > 0)
         .where(!$"line".startsWith("timestamp")) // drop the header row
+      // FAILFAST to match the driver path: PERMISSIVE would silently null a
+      // malformed cell in a column the schema declares non-null
       val table = lines.select($"run_id",
-        from_csv($"line", schema, Map.empty[String, String]).as("r"))
+        from_csv($"line", schema, Map("mode" -> "FAILFAST")).as("r"))
         .select(($"run_id" +: schema.fieldNames.map(f => col(s"r.$f"))): _*)
       name.stripSuffix(".csv") -> table
     } + ("metadata" -> {

@@ -42,9 +42,14 @@ object Pipeline {
   /** Runs the pipeline; returns the process exit code. */
   def run(spark: SparkSession, cfg: Config): Int = {
     // [1/4] extract
+    var releaseMembers: () => Unit = () => ()
     val built =
       if (cfg.distributed) {
-        val members = Extract.extractRunsDistributed(spark, cfg.simulationsDir)
+        // cached variant: ONE decompression pass feeds all 9 star-table
+        // caches instead of re-unzipping the corpus per table
+        val (members, release) =
+          Extract.extractRunsDistributedCached(spark, cfg.simulationsDir)
+        releaseMembers = release
         Transform.transformAllDistributed(spark, members)
       } else {
         val runs = Extract.extractRuns(spark, cfg.simulationsDir)
@@ -85,7 +90,10 @@ object Pipeline {
         println(s"[pipeline] exported summary to $out")
       }
       0
-    } finally schema.values.foreach(_.unpersist())
+    } finally {
+      schema.values.foreach(_.unpersist())
+      releaseMembers()
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -19,6 +19,14 @@ object CoreQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
+
+  /** Round-half-up snap to 1/scale precision — the engine-wide form for
+    * emitting order-dependent double sums at their true decimal precision
+    * (QueryDef determinism rules; mirrors FLOOR(x*scale+0.5)/scale in the
+    * oracle SQL; never ROUND, whose half-modes differ across engines).
+    */
+  private def snap(c: Column, scale: Double): Column =
+    floor(c * scale + 0.5).cast("double") / scale
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -198,8 +206,7 @@ object CoreQueries {
             // true revenue is an exact multiple of 1e-4 (2-dec price × 2-dec
             // discount); floor(x*1e4+0.5)/1e4 recovers it identically in both
             // engines (IEEE-only ops, and FP sum drift ≪ the 0.5 floor margin)
-            (floor(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")) * 10000.0 + 0.5)
-              .cast("double") / 10000.0).as("revenue"))
+            snap(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 10000.0).as("revenue"))
       }),
 
     // ------------------------------------------------------------------
@@ -222,7 +229,7 @@ object CoreQueries {
             count(lit(1)).as("n_orders"),
             // true total is an exact 2-decimal value → floor-form round at
             // scale 2 is boundary-free and engine-identical
-            (floor(sum($"o_totalprice") * 100.0 + 0.5).cast("double") / 100.0)
+            snap(sum($"o_totalprice"), 100.0)
               .as("total_price"))
           .withColumn("rule_positive", $"total_price" > 0.0)
       }),
@@ -265,7 +272,7 @@ object CoreQueries {
             count(lit(1)).as("n"),
             // avg derived from the boundary-free rounded sum so both engines
             // divide the identical numerator by the identical count
-            ((floor(sum($"o_totalprice") * 100.0 + 0.5).cast("double") / 100.0)
+            (snap(sum($"o_totalprice"), 100.0)
               / count(lit(1))).as("avg_price"))
       }),
 
@@ -341,7 +348,7 @@ object CoreQueries {
           .groupBy(window($"ts", "1 hour"), $"event_type")
           .agg(
             count(lit(1)).as("n_events"),
-            (floor(sum($"value") * 100.0 + 0.5).cast("double") / 100.0).as("sum_value"),
+            snap(sum($"value"), 100.0).as("sum_value"),
             max($"value").as("peak_value"))
           .select(
             unix_micros($"window.start").as("window_start_us"),
@@ -528,7 +535,7 @@ object CoreQueries {
           .groupBy(year($"o_orderdate").as("yr"), month($"o_orderdate").as("mo"))
           .agg(
             count(lit(1)).as("n_orders"),
-            (floor(sum($"o_totalprice") * 100.0 + 0.5).cast("double") / 100.0)
+            snap(sum($"o_totalprice"), 100.0)
               .as("total_price"))
       }),
 
@@ -601,8 +608,8 @@ object CoreQueries {
         import s.implicits._
         t(s, dir, "events").groupBy($"event_type").agg(
           count(lit(1)).as("n"),
-          (floor(avg($"value") * 1000000.0 + 0.5).cast("double") / 1000000.0).as("avg_value"),
-          (floor(stddev_samp($"value") * 1000000.0 + 0.5).cast("double") / 1000000.0).as("std_value"),
+          snap(avg($"value"), 1000000.0).as("avg_value"),
+          snap(stddev_samp($"value"), 1000000.0).as("std_value"),
           min($"value").as("min_value"),
           max($"value").as("max_value"))
       }),
@@ -624,7 +631,7 @@ object CoreQueries {
         t(s, dir, "orders")
           .rollup(year($"o_orderdate").as("yr"), month($"o_orderdate").as("mo"))
           .agg(count(lit(1)).as("n_orders"),
-            (floor(sum($"o_totalprice") * 100.0 + 0.5).cast("double") / 100.0).as("sum_price"))
+            snap(sum($"o_totalprice"), 100.0).as("sum_price"))
       }),
 
     // ------------------------------------------------------------------
@@ -670,10 +677,8 @@ object CoreQueries {
       (s, dir) => {
         import s.implicits._
         t(s, dir, "events").groupBy($"event_type").agg(
-          (floor(expr("percentile(value, 0.5)") * 1000000.0 + 0.5).cast("double")
-            / 1000000.0).as("p50"),
-          (floor(expr("percentile(value, 0.9)") * 1000000.0 + 0.5).cast("double")
-            / 1000000.0).as("p90"))
+          snap(expr("percentile(value, 0.5)"), 1000000.0).as("p50"),
+          snap(expr("percentile(value, 0.9)"), 1000000.0).as("p90"))
       }),
 
     // ------------------------------------------------------------------

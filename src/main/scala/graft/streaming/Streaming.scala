@@ -136,7 +136,11 @@ object Streaming {
           ts.foreach { t =>
             open = open match {
               case Some(o) if t - o.lastUs <= gapUs =>
-                Some(o.copy(lastUs = t, n = o.n + 1))
+                // max: a cross-batch LATE event (t < carried lastUs, still
+                // within the gap) must not move the watermark backward, or
+                // the next on-time event measures a phantom gap and splits
+                // the session
+                Some(o.copy(lastUs = math.max(o.lastUs, t), n = o.n + 1))
               case Some(o) =>
                 closed += ClosedSession(user, o.startUs, o.lastUs, o.n)
                 Some(OpenSession(t, t, 1L))

@@ -74,8 +74,10 @@ class ClientSpec extends AnyFunSuite {
 
   test("API client: endpoint shapes via injectable transport") {
     var seen = Seq.empty[(String, String)]
-    val c = new Client.IdaIceApiClient(transport = (m, e) => {
-      seen :+= ((m, e)); Map("job_id" -> "job_123", "status" -> "submitted")
+    var params = Seq.empty[Map[String, String]]
+    val c = new Client.IdaIceApiClient(transport = (m, e, p) => {
+      seen :+= ((m, e)); params :+= p
+      Map("job_id" -> "job_123", "status" -> "submitted")
     })
     assert(c.runSimulation("B1", "BASE")("status") == "submitted")
     assert(c.getSimulationStatus("job_123")("job_id") == "job_123")
@@ -84,6 +86,9 @@ class ClientSpec extends AnyFunSuite {
       ("POST", "/simulations/run"),
       ("GET", "/simulations/job_123/status"),
       ("GET", "/simulations/job_123/results")))
+    // the requested run's ids are observable through the transport
+    // (reference passes them as _make_request kwargs)
+    assert(params.head == Map("building_id" -> "B1", "scenario_id" -> "BASE"))
     // default transport mirrors the reference's canned response
     val mock = new Client.IdaIceApiClient()
     assert(mock.runSimulation("B1", "BASE") ==
