@@ -54,7 +54,21 @@ object Bench {
     // SUBTRACT time and make a broken build look faster)
     val total = results.map(_._2).filter(_ >= 0).sum
     def sweepTotal(s: Seq[(String, Double)]) = s.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sweep_totals":[${sweepTotal(s1)},${sweepTotal(s2)}],"sf":${JsonOut.quote(sfDir)}}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sweep_totals":[${sweepTotal(s1)},${sweepTotal(s2)}],"sf":${JsonOut.quote(sfDir)}}"""
+    println(json)
+    // Also self-record to a file: a stdout tail capture can truncate
+    // mid-JSON (round 3's BENCH artifact lost its first 16 queries), and
+    // this file is then the surviving full record. Best-effort — a
+    // read-only target dir must not fail the bench itself.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -22,6 +22,38 @@ object Load {
       df.write.mode("overwrite").parquet(s"$outputDir/$name.parquet")
     }
 
+  /** Partitioned parquet sink — the at-rest layout for 100 TB facts
+    * (SURVEY §4.2 "partition pruning ✅ if we partition facts by e.g.
+    * scenario_id"). Tables listed in `partitionCols` are written
+    * `partitionBy(cols)` (facts by `scenario_id`, events by date, …);
+    * everything else falls back to the flat [[loadToParquet]] layout (dims
+    * are small — partitioning them would just make tiny files).
+    *
+    * What this buys at scale, both gated by StorageLayoutSpec:
+    *   - static pruning: a literal predicate on a partition column never
+    *     reads the other partitions' directories (`PartitionFilters` on the
+    *     scan, zero data-file IO outside the match);
+    *   - DYNAMIC partition pruning: a star join `fact.part_col = dim.key`
+    *     with a selective dim filter prunes the fact scan at RUNTIME from
+    *     the dim join keys (`dynamicpruningexpression` in the fact scan's
+    *     PartitionFilters, reusing the dim's broadcast) — the single
+    *     biggest scan-reduction lever for partitioned stars.
+    *
+    * Partition-column choice is the caller's: low cardinality (≲10⁴
+    * directories), stable, and on the star's join/filter axis — exactly
+    * `scenario_id` / calendar date here. High-cardinality keys belong in
+    * [[writeBucketed]] instead (bucketing subdivides files, not dirs).
+    */
+  def loadToParquetPartitioned(schema: Map[String, DataFrame], outputDir: String,
+      partitionCols: Map[String, Seq[String]]): Unit =
+    schema.foreach { case (name, df) =>
+      val w = df.write.mode("overwrite")
+      partitionCols.get(name).filter(_.nonEmpty) match {
+        case Some(cols) => w.partitionBy(cols: _*).parquet(s"$outputDir/$name.parquet")
+        case None => w.parquet(s"$outputDir/$name.parquet")
+      }
+    }
+
   /** Registers all star tables as temp views + the 3 analytical views
     * (reference: load/__init__.py:36-64 CTAS + :67-163 create_views).
     */

@@ -40,10 +40,12 @@ object Codecs {
     (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
 
   /** Container sniff by magic bytes: "bmp" | "png" | "jpeg" | "wav" |
-    * "unknown". NULL-safe (a NULL binary cell sniffs "unknown").
+    * "gif" | "unknown". NULL-safe (a NULL binary cell sniffs "unknown").
     */
   def sniff(b: Array[Byte]): String =
     if (b == null) "unknown"
+    else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') "gif"
     else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
     else if (b.length >= 8 && u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
       b(3) == 'G' && u8(b, 4) == 0x0d && u8(b, 5) == 0x0a && u8(b, 6) == 0x1a &&
@@ -61,8 +63,13 @@ object Codecs {
     *     width BE32 @16, height BE32 @20, bit depth @24.
     *   - JPEG: walk FF-prefixed segments; SOF0/1/2 (baseline/extended/
     *     progressive) carry height BE16 @+5, width BE16 @+7, precision @+4.
+    *   - GIF: logical screen descriptor right after the 6-byte signature;
+    *     width LE16 @6, height LE16 @8, color resolution = LSD packed
+    *     @10 bits 4-6 (+1 = bits per primary).
     */
   def imageMeta(b: Array[Byte]): Option[ImageMeta] = sniff(b) match {
+    case "gif" if b.length >= 11 =>
+      Some(ImageMeta("gif", le16(b, 6), le16(b, 8), ((u8(b, 10) >> 4) & 7) + 1))
     case "bmp" if b.length >= 30 =>
       Some(ImageMeta("bmp", le32(b, 18), math.abs(le32(b, 22)), le16(b, 28)))
     case "png" if b.length >= 26 &&

@@ -50,6 +50,58 @@ object MediaSynth {
     out.toByteArray
   }
 
+  /** Solid-color GIF87a. Layout written forward, independent of both
+    * [[Codecs.imageMeta]] (reader) and ImageIO (pixel decoder), so the
+    * round-trip tests are genuine differentials:
+    *   - 6-byte signature "GIF87a";
+    *   - logical screen descriptor: width LE16 @6, height LE16 @8, packed
+    *     @10 = GCT present | color-resolution 7 (8 bits/primary) | GCT size
+    *     1 (4 entries), background 0, aspect 0;
+    *   - global color table: entry 0 = (r,g,b), entries 1-3 black;
+    *   - image descriptor (0x2C, full frame, no local table);
+    *   - LZW data, min code size 2: the stream alternates CLEAR with literal
+    *     index 0 for every pixel, then EOI. Re-clearing before each literal
+    *     keeps the dictionary empty so every code stays 3 bits — valid LZW
+    *     (a decoder emits the literal after CLEAR and adds nothing), at the
+    *     price of ~6 bits/pixel, irrelevant for synthesis;
+    *   - 0x00 sub-block terminator + 0x3B trailer.
+    */
+  def gif(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(64 + width * height)
+    out.write("GIF87a".getBytes("US-ASCII"))
+    out.write(le16(width)); out.write(le16(height))
+    out.write(0x80 | (7 << 4) | 1)       // GCT flag, colorRes=7, GCT size 2^2
+    out.write(0); out.write(0)           // background index, aspect
+    out.write(r); out.write(g); out.write(b)
+    for (_ <- 0 until 9) out.write(0)    // palette entries 1-3 = black
+    out.write(0x2c)                      // image descriptor
+    out.write(le16(0)); out.write(le16(0))
+    out.write(le16(width)); out.write(le16(height))
+    out.write(0)                         // no LCT, not interlaced
+    out.write(2)                         // LZW min code size
+    // 3-bit codes LSB-first: CLEAR(4), 0 per pixel (re-cleared), EOI(5)
+    val codes = Iterator(4) ++
+      Iterator.range(0, width * height).flatMap(i =>
+        if (i == 0) Iterator(0) else Iterator(4, 0)) ++ Iterator(5)
+    var acc = 0L; var nBits = 0
+    val data = new java.io.ByteArrayOutputStream()
+    codes.foreach { c =>
+      acc |= (c.toLong << nBits); nBits += 3
+      while (nBits >= 8) { data.write((acc & 0xff).toInt); acc >>= 8; nBits -= 8 }
+    }
+    if (nBits > 0) data.write((acc & 0xff).toInt)
+    // chunk into <=255-byte sub-blocks
+    val bytes = data.toByteArray
+    var off = 0
+    while (off < bytes.length) {
+      val n = math.min(255, bytes.length - off)
+      out.write(n); out.write(bytes, off, n); off += n
+    }
+    out.write(0)                         // sub-block terminator
+    out.write(0x3b)                      // trailer
+    out.toByteArray
+  }
+
   /** Total file size of a canonical 44-byte-header PCM WAV. */
   def wavBytes(nFrames: Int, channels: Int): Int = 44 + nFrames * 2 * channels
 

@@ -67,40 +67,54 @@ object Corpus {
       minQuality: Double = 0.3,
       keepLangs: Set[String] = Set("en"),
       minBands: Long = 6L,
-      shingleN: Int = 3, nPerms: Int = 32, nBands: Int = 8): DataFrame = {
+      shingleN: Int = 3, nPerms: Int = 32, nBands: Int = 8,
+      nearDedup: Boolean = true): DataFrame = {
     require(minBands >= 1 && minBands <= nBands,
       s"minBands ($minBands) must be in [1, nBands=$nBands]")
 
     val id = col(idCol)
 
-    // ONE narrow annotate scan computes what BOTH dedup stages need — id,
-    // content hash, tokens — and persists only that: the two shuffle-side
-    // consumers (exact-dup groups, minhash candidates) read the materialized
-    // pass instead of re-tokenizing the raw corpus twice. Deliberately NOT
-    // cached: text, quality, lang — map-only, recomputed on the assembly
-    // scan below (a cache holding the full doc schema would pin the whole
-    // corpus to executor storage as a side effect of cleaning).
-    val narrow = docs
-      .select(id,
-        md5(col(textCol)).as("__hash"),
-        TextFunctions.tokens(col(textCol)).as("__toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    unpersistAfterAction(docs.sparkSession, narrow)
+    // With near-dedup OFF (the funnel's fully-deterministic slice — every
+    // remaining stage is ANSI-expressible, so the whole result is
+    // oracle-checkable) there is nothing to share between stages: the only
+    // shuffle consumer is the exact-dup group, so skip the tokenize+cache
+    // machinery entirely rather than persist tokens nobody reads.
+    val (keepers, nearDrops: Option[DataFrame]) =
+      if (!nearDedup) {
+        (docs.groupBy(md5(col(textCol)).as("text_hash")).agg(min(id).as("keep_id")),
+          None)
+      } else {
+        // ONE narrow annotate scan computes what BOTH dedup stages need — id,
+        // content hash, tokens — and persists only that: the two shuffle-side
+        // consumers (exact-dup groups, minhash candidates) read the
+        // materialized pass instead of re-tokenizing the raw corpus twice.
+        // Deliberately NOT cached: text, quality, lang — map-only, recomputed
+        // on the assembly scan below (a cache holding the full doc schema
+        // would pin the whole corpus to executor storage as a side effect of
+        // cleaning).
+        val narrow = docs
+          .select(id,
+            md5(col(textCol)).as("__hash"),
+            TextFunctions.tokens(col(textCol)).as("__toks"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        unpersistAfterAction(docs.sparkSession, narrow)
 
-    // stage 3: exact-dup survivors (min id per content hash); only
-    // (__hash, id) reaches the shuffle — column pruning on the cache
-    val keepers = narrow
-      .groupBy(col("__hash").as("text_hash"))
-      .agg(min(id).as("keep_id"))
+        // stage 3: exact-dup survivors (min id per content hash); only
+        // (__hash, id) reaches the shuffle — column pruning on the cache
+        val k = narrow
+          .groupBy(col("__hash").as("text_hash"))
+          .agg(min(id).as("keep_id"))
 
-    // stage 4: near-dup drops = larger id of every confident candidate pair
-    // (pairs are (a < b) by construction); shares the annotate pass's tokens
-    val nearDrops = Dedup
-      .minhashPairsFromTokens(
-        narrow.select(id.as("doc_id"), col("__toks").as("toks")),
-        shingleN, nPerms, nBands)
-      .where(col("n_bands") >= minBands)
-      .select(col("doc_b").as("__near_drop")).distinct()
+        // stage 4: near-dup drops = larger id of every confident candidate
+        // pair ((a < b) by construction); shares the annotate pass's tokens
+        val nd = Dedup
+          .minhashPairsFromTokens(
+            narrow.select(id.as("doc_id"), col("__toks").as("toks")),
+            shingleN, nPerms, nBands)
+          .where(col("n_bands") >= minBands)
+          .select(col("doc_b").as("__near_drop")).distinct()
+        (k, Some(nd))
+      }
 
     docs
       // quality/lang/hash are map-only — they ride this scan inside codegen;
@@ -111,7 +125,8 @@ object Corpus {
       .withColumn("__hash", md5(col(textCol)))
       // keepers is one row per DISTINCT text — corpus-sized, never broadcast
       .join(keepers, col("__hash") === col("text_hash"), "left")
-      .join(nearDrops, id === col("__near_drop"), "left")
+      .transform(df => nearDrops.fold(df)(nd =>
+        df.join(nd, id === col("__near_drop"), "left")))
       .withColumn("drop_reason",
         // NULL text first: every later gate evaluates to NULL (not true)
         // for it, so without this a NULL document FAILS OPEN as keep=true
@@ -119,7 +134,8 @@ object Corpus {
           .when(col("quality_score") < minQuality, "quality")
           .when(!col("predicted_lang").isin(keepLangs.toSeq: _*), "lang")
           .when(id =!= col("keep_id"), "exact_dup")
-          .when(col("__near_drop").isNotNull, "near_dup"))
+          .when(if (nearDrops.isDefined) col("__near_drop").isNotNull else lit(false),
+            "near_dup"))
       .withColumn("keep", col("drop_reason").isNull)
       .drop("__hash", "text_hash", "keep_id", "__near_drop")
   }

@@ -704,6 +704,40 @@ object CoreQueries {
           countDistinct($"l_orderkey").as("exact_orders"))
         approx.crossJoin(exact)
           .select($"approx_parts", $"exact_parts", $"approx_orders", $"exact_orders")
+      }),
+
+    // ------------------------------------------------------------------
+    // Skew-mitigated hot-key join (operators/Skew.scala as a declared
+    // inventory entry). events.event_type has FIVE distinct values — the
+    // canonical skew shape where key cardinality ≪ parallelism: a plain
+    // shuffle join occupies at most 5 of 32 reducers (and of 32,000 at
+    // cluster scale) no matter how large the fact side grows. saltedJoin
+    // spreads every hot key over nSalts reducers (shuffle hashes on
+    // (event_type, __salt) — plan-asserted in PlanSpec) and is
+    // output-equivalent to the unsalted join, so the oracle is the plain
+    // ANSI join. The small side (5 rows) is replicated nSalts×; value is
+    // per-row passthrough and type_total an exact COUNT → hash-exact.
+    //
+    // The SHUFFLE_HASH hint stands in for the at-scale context this query
+    // models: a right side too large to broadcast (when it fits, broadcast
+    // — no shuffle, no skew problem, no salt needed). Without the hint the
+    // 5-row test dim would auto-broadcast and the salted shuffle path —
+    // the thing this entry exists to exercise — would never plan.
+    QueryDef(
+      "q_join_skew_salted",
+      Some("""SELECT e.event_id, e.event_type, e.value, t.type_total
+             |FROM events e
+             |JOIN (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS type_total
+             |      FROM events GROUP BY event_type) t
+             |ON e.event_type = t.event_type""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val typeTotals = ev.groupBy($"event_type")
+          .agg(count(lit(1)).as("type_total"))
+        graft.operators.Skew.saltedJoin(
+          ev.select($"event_id", $"event_type", $"value"),
+          typeTotals.hint("shuffle_hash"), Seq("event_type"), nSalts = 8)
       })
   )
 }

@@ -590,6 +590,58 @@ object ExtQueries {
           minQuality = 0.2, keepLangs = Set("en", "es", "de")))),
 
     // ------------------------------------------------------------------
+    // The funnel's fully-deterministic slice: quality → lang → exact dedup
+    // (near-dedup OFF), same thresholds as q_corpus_clean — every stage is
+    // ANSI-expressible, so the drop accounting is oracle-checked end to end.
+    // The DuckDB side re-derives quality_score (q_text_quality blend),
+    // predicted_lang (q_lang_id argmax w/ fixed tie order), and the min-id
+    // exact-dup survivor, then applies the SAME first-failing-gate order as
+    // Corpus.clean. LEFT JOIN to the survivor table mirrors clean()'s left
+    // join (a NULL text md5's to NULL and must still surface as null_text,
+    // not vanish on an inner join).
+    QueryDef(
+      "q_corpus_funnel_exact",
+      Some("""WITH q AS (
+             |  SELECT doc_id, text,
+             |    CASE WHEN CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) > 0.0
+             |         THEN CAST(length(regexp_extract_all(lower(text), '\b(the|and|is|of|to|a|in)\b')) AS DOUBLE)
+             |              / CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE)
+             |         ELSE 0.0 END * 0.4
+             |    + CASE WHEN CAST(length(text) AS DOUBLE) > 0.0
+             |           THEN CAST(length(regexp_extract_all(lower(text), '[a-z]')) AS DOUBLE)
+             |                / CAST(length(text) AS DOUBLE)
+             |           ELSE 0.0 END * 0.4
+             |    + CASE WHEN length(text) BETWEEN 20 AND 10000 THEN 0.2 ELSE 0.0 END
+             |      AS quality_score,
+             |    CAST(length(regexp_extract_all(lower(text), '\b(the|and|is|of|to)\b')) AS INT)   AS en_hits,
+             |    CAST(length(regexp_extract_all(lower(text), '\b(el|la|de|que|los)\b')) AS INT)   AS es_hits,
+             |    CAST(length(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS INT) AS de_hits,
+             |    md5(text) AS h
+             |  FROM documents),
+             |langed AS (
+             |  SELECT doc_id, text, quality_score, h,
+             |    CASE WHEN en_hits IS NULL THEN NULL
+             |         WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+             |         WHEN es_hits >= de_hits THEN 'es'
+             |         ELSE 'de' END AS predicted_lang
+             |  FROM q),
+             |k AS (SELECT h AS kh, MIN(doc_id) AS keep_id FROM q GROUP BY 1),
+             |reasons AS (
+             |  SELECT l.doc_id,
+             |    CASE WHEN l.text IS NULL THEN 'null_text'
+             |         WHEN l.quality_score < 0.2 THEN 'quality'
+             |         WHEN l.predicted_lang NOT IN ('en','es','de') THEN 'lang'
+             |         WHEN l.doc_id != k.keep_id THEN 'exact_dup'
+             |         ELSE 'kept' END AS stage
+             |  FROM langed l LEFT JOIN k ON l.h = k.kh)
+             |SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs
+             |FROM reasons GROUP BY stage""".stripMargin),
+      (s, dir) => Corpus.funnel(
+        Corpus.clean(docs(s, dir), "doc_id", "text",
+          minQuality = 0.2, keepLangs = Set("en", "es", "de"),
+          nearDedup = false))),
+
+    // ------------------------------------------------------------------
     // IVF index BUILD: train the k-means coarse quantizer (2 Lloyd
     // iterations, one shuffle each) and materialize the at-rest layout —
     // corpus partitionBy(cluster) + persisted centroids. Declared as its own

@@ -91,6 +91,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("salted skew join engages the salt path: shuffle keys on (key, __salt), " +
+    "no broadcast short-circuit") {
+    val p = planOf("q_join_skew_salted")
+    // the whole point of the entry: the big side's exchange must hash on
+    // (event_type, __salt) so one hot key spreads over nSalts reducers
+    assert(p.linesIterator.exists(l =>
+      l.contains("hashpartitioning(") && l.contains("event_type") && l.contains("__salt")),
+      s"salt not in the shuffle key — hot keys still land on one reducer:\n$p")
+    // and the join is a genuine shuffle join (a broadcast would bypass the
+    // salted path entirely, making the salt dead code)
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"salted join still broadcasts:\n$p")
+  }
+
   test("fact-fact composite join reuses one exchange for agg + join (AQE)") {
     val p = planOf("q_join_factfact_composite")
     // both sides hash-partition on (user_id, event_date) — the join itself

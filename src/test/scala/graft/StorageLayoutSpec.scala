@@ -53,6 +53,45 @@ class StorageLayoutSpec extends SparkSpec {
     assert(plain.exceptAll(joined.select(plain.columns.map(col): _*)).isEmpty)
   }
 
+  test("partitioned fact: static pruning on the partition column, DYNAMIC " +
+    "partition pruning through a filtered-dim star join") {
+    // facts partitioned on the star's filter axis (SURVEY §4.2) — the
+    // testdata analogue of fact_* partitionBy(scenario_id) / events by date
+    val orders = Tables.load(spark, sf, "orders")
+      .withColumn("o_month", month(col("o_orderdate")))
+    Load.loadToParquetPartitioned(
+      Map("orders_bymonth" -> orders), "target/dpp_test",
+      Map("orders_bymonth" -> Seq("o_month")))
+    val fact = spark.read.parquet("target/dpp_test/orders_bymonth.parquet")
+
+    // static pruning: a literal partition predicate reaches PartitionFilters
+    val staticQ = fact.where(col("o_month") === 3).select("o_orderkey", "o_month")
+    val staticPlan = finalPlan(staticQ.queryExecution.executedPlan).toString
+    assert(staticPlan.contains("PartitionFilters") && staticPlan.contains("o_month"),
+      s"literal partition predicate not pruned:\n$staticPlan")
+    assert(staticQ.count() === orders.where(col("o_month") === 3).count())
+
+    // dynamic pruning: join on the partition column against a SMALL dim with
+    // a selective predicate — the fact scan must carry a
+    // dynamicpruningexpression (runtime partition list from the dim's
+    // broadcast), not read all 12 month directories
+    val dim = spark.range(1, 13).select(
+      col("id").cast("int").as("month"),
+      (((col("id") - 1) / 3) + 1).cast("int").as("quarter"))
+    val dpp = fact.join(broadcast(dim), fact("o_month") === dim("month"))
+      .where(col("quarter") === 1)
+      .select("o_orderkey", "o_totalprice", "o_month")
+    dpp.collect()
+    val dppPlan = finalPlan(dpp.queryExecution.executedPlan).toString
+    assert(dppPlan.contains("dynamicpruningexpression"),
+      s"star join over partitioned fact not dynamically pruned:\n$dppPlan")
+
+    // and pruning changed nothing semantically
+    val expected = orders.where(col("o_month").isin(1, 2, 3))
+      .select("o_orderkey", "o_totalprice", "o_month")
+    assert(dpp.exceptAll(expected).isEmpty && expected.exceptAll(dpp).isEmpty)
+  }
+
   test("LSH index probe is a partition-pruned scan with identical results") {
     val emb = Tables.load(spark, sf, "embeddings")
     val path = "target/lsh_index_test"

@@ -72,6 +72,31 @@ class CodecsSpec extends AnyFunSuite {
     assert(Codecs.sniff(encode("jpg", 3, 2)) === "jpeg")
     assert(Codecs.sniff("just some text".getBytes) === "unknown")
     assert(Codecs.sniff(Array.emptyByteArray) === "unknown")
+    assert(Codecs.sniff(MediaSynth.gif(2, 2, 255, 0, 0)) === "gif")
+    assert(Codecs.sniff(encode("gif", 3, 2)) === "gif")
+    // "GIF" alone isn't a GIF — the version bytes are part of the magic
+    assert(Codecs.sniff("GIFfy".getBytes) === "unknown")
+  }
+
+  test("GIF round-trip: forward-written synthesizer bytes → header parse " +
+    "→ ImageIO pixel decode") {
+    val gif = MediaSynth.gif(5, 3, 200, 10, 30)
+    // header parse: width LE16 @6, height LE16 @8, colorRes bits of LSD
+    // packed (7+1 = 8 bits/primary as written)
+    assert(Codecs.imageMeta(gif) === Some(Codecs.ImageMeta("gif", 5, 3, 8)))
+    // the hand-rolled LZW stream must decode through the INDEPENDENT JDK
+    // decoder to the exact solid color
+    val img = Codecs.decodeImage(gif).get
+    assert(img.getWidth === 5 && img.getHeight === 3)
+    for (x <- 0 until 5; y <- 0 until 3)
+      assert((img.getRGB(x, y) & 0xffffff) === ((200 << 16) | (10 << 8) | 30))
+    // and the third-party (ImageIO, GIF89a) encoder parses the same way
+    val external = encode("gif", 17, 9)
+    val m = Codecs.imageMeta(external).get
+    assert(m.format === "gif" && m.width === 17 && m.height === 9)
+    // resize path accepts GIF input end-to-end
+    val resized = Codecs.resizeToPng(gif, 4, 2).get
+    assert(Codecs.imageMeta(resized).map(x => (x.width, x.height)) === Some((4, 2)))
   }
 
   test("BMP header parse reads the exact golden dimensions") {
