@@ -204,8 +204,25 @@ object Export {
       }
       val pick = if (preferred.nonEmpty) preferred else all
       if (pick.isEmpty) None
-      else tryRead(pick.map(p => spark.read.parquet(p.toString))
-        .reduce(_.unionByName(_, allowMissingColumns = true)))
+      else {
+        val paths = pick.map(_.toString)
+        // ONE multi-path scan when every footer agrees on the schema (one
+        // FileScan node — partition planning packs all files together,
+        // exactly how a 100-file artifact dir should read). The per-file
+        // unionByName loop survives only as the ragged-schema fallback: a
+        // multi-path read resolves its schema from one footer and would
+        // silently NULL-fill or drop columns unique to the other files.
+        val aligned = paths.lengthCompare(1) > 0 && scala.util.Try {
+          val schemas = paths.map(p => spark.read.parquet(p).schema)
+          schemas.forall(_ == schemas.head)
+        }.getOrElse(false)
+        val single =
+          if (aligned || paths.lengthCompare(1) == 0)
+            tryRead(spark.read.parquet(paths: _*))
+          else None
+        single.orElse(tryRead(paths.map(p => spark.read.parquet(p))
+          .reduce(_.unionByName(_, allowMissingColumns = true))))
+      }
     }
     lazy val tier2 = Seq("vw_energy_summary", "fact_meters")
       .collectFirst { case t if spark.catalog.tableExists(t) => spark.table(t) }

@@ -57,6 +57,16 @@ object Components {
       val r = df.agg(sum("comp")).head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
+    // release round i−1's localCheckpoint blocks once round i is
+    // materialized: without this every iteration's |V| label snapshot stays
+    // in block-manager storage until GC. Only safe AFTER the next round's
+    // checkpoint has fully materialized (a localCheckpoint'd RDD cannot
+    // recompute lost blocks) — the labelSum action below guarantees that.
+    def releaseCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
+
     var labels = nodes.select(col(idCol).cast("long").as("n")).distinct()
       .withColumn("comp", col("n"))
       .localCheckpoint(false)
@@ -75,6 +85,7 @@ object Components {
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
         .localCheckpoint(false)
       val s = labelSum(next)
+      releaseCheckpoint(labels)
       converged = s == prevSum
       prevSum = s
       labels = next

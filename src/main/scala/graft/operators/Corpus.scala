@@ -44,22 +44,45 @@ object Corpus {
     * the caller never runs an action the lazy persist never materializes, so
     * nothing leaks either way. Releasing is only a cache-drop — a second
     * action on the same DataFrame recomputes and stays correct.
+    *
+    * Bounded bookkeeping: a caller that drops `clean()` results without ever
+    * acting on them would otherwise accrete one registered listener per call
+    * for the session lifetime. Pending releases are capped at
+    * [[MaxPendingReleases]] — registering past the cap force-releases the
+    * OLDEST pending entry (its cache was never touched by an action, so the
+    * eviction drops nothing materialized; if that stale DataFrame is acted
+    * on later it recomputes, merely uncached).
     */
+  private[operators] val MaxPendingReleases = 16
+  private val pendingReleases =
+    new java.util.concurrent.ConcurrentLinkedQueue[ReleasableCacheListener]()
+
+  /** Live not-yet-fired release listeners (test observability). */
+  private[graft] def pendingReleaseCount: Int = pendingReleases.size()
+
+  private final class ReleasableCacheListener(spark: SparkSession, cached: DataFrame)
+      extends QueryExecutionListener {
+    private val cachedPlan = cached.queryExecution.analyzed
+    private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def release(): Unit =
+      if (done.compareAndSet(false, true)) {
+        cached.unpersist(blocking = false)
+        spark.listenerManager.unregister(this)
+        pendingReleases.remove(this)
+      }
+    private def maybeRelease(qe: QueryExecution): Unit =
+      if (qe.analyzed.exists(_.sameResult(cachedPlan))) release()
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+      maybeRelease(qe)
+    override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+      maybeRelease(qe)
+  }
+
   private def unpersistAfterAction(spark: SparkSession, cached: DataFrame): Unit = {
-    val cachedPlan = cached.queryExecution.analyzed
-    val listener: QueryExecutionListener = new QueryExecutionListener {
-      private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
-      private def maybeRelease(qe: QueryExecution): Unit =
-        if (qe.analyzed.exists(_.sameResult(cachedPlan)) &&
-          done.compareAndSet(false, true)) {
-          cached.unpersist(blocking = false)
-          spark.listenerManager.unregister(this)
-        }
-      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-        maybeRelease(qe)
-      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
-        maybeRelease(qe)
-    }
+    while (pendingReleases.size() >= MaxPendingReleases)
+      Option(pendingReleases.poll()).foreach(_.release())
+    val listener = new ReleasableCacheListener(spark, cached)
+    pendingReleases.add(listener)
     spark.listenerManager.register(listener)
   }
 

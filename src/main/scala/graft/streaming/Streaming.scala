@@ -31,9 +31,22 @@ object Streaming {
     */
   def windowedTypeAgg(events: DataFrame, window_ : String = "1 hour",
       watermark: String = "2 hours"): DataFrame =
+    hoppingTypeAgg(events, window_, window_, watermark)
+
+  /** Hopping (sliding) window per-type aggregation — the streaming twin of
+    * the batch q_window_hopping: `window(ts, window, slide)` assigns each
+    * event to window/slide overlapping windows (2 for 1h/30m) and the state
+    * store keys by (window, event_type). State stays bounded: the watermark
+    * closes a hopping window exactly like a tumbling one (its end time
+    * passes the watermark), the overlap only multiplies LIVE state by the
+    * constant window/slide factor, never by stream history. Defaults match
+    * the batch query (1 hour windows every 30 minutes).
+    */
+  def hoppingTypeAgg(events: DataFrame, window_ : String = "1 hour",
+      slide: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), window_), col("event_type"))
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value")).as("sum_value"),

@@ -116,6 +116,35 @@ class LoadExportSpec extends SparkSpec {
     assert(math.abs(total - direct) < 1e-6)
   }
 
+  test("S12 tier 1 reads schema-aligned multi-file candidates in ONE scan") {
+    val dir = Files.createTempDirectory("graft_s12e_")
+    val pq = dir.resolve("parquet")
+    // two meter-preferred files, identical schema → one multi-path FileScan
+    val firstB = schema("fact_meters").select("building_id").head().getString(0)
+    schema("fact_meters").where(col("building_id") === firstB).write
+      .parquet(pq.resolve("meters_b1.parquet").toString)
+    schema("fact_meters").where(col("building_id") =!= firstB).write
+      .parquet(pq.resolve("meters_rest.parquet").toString)
+    val src = Export.resolveMeterSource(spark, dir.toString).get
+    val scans = src.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1, "aligned tier-1 files must pack into a single scan")
+    assert(src.count() == schema("fact_meters").count(), "no rows lost in the packed read")
+
+    // ragged schemas still union by name via the fallback loop
+    val dir2 = Files.createTempDirectory("graft_s12f_")
+    val pq2 = dir2.resolve("parquet")
+    schema("fact_meters").drop("cooling_kwh").write
+      .parquet(pq2.resolve("meters_a.parquet").toString)
+    schema("fact_meters").drop("heating_kwh").write
+      .parquet(pq2.resolve("meters_b.parquet").toString)
+    val ragged = Export.resolveMeterSource(spark, dir2.toString).get
+    assert(ragged.count() == 2 * schema("fact_meters").count())
+    assert(ragged.columns.contains("cooling_kwh") && ragged.columns.contains("heating_kwh"),
+      "ragged fallback must keep the union of columns, not one footer's subset")
+  }
+
   test("S12 fallback tier 2: catalog views win when parquet/ is absent or empty") {
     val dir = Files.createTempDirectory("graft_s12b_")
     // an EMPTY parquet tier must fall through (reference's df.empty check)

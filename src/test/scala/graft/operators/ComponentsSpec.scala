@@ -38,6 +38,22 @@ class ComponentsSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("iteration checkpoints are released round-over-round (flat memory)") {
+    // a 14-node path has diameter 13 → ~13 propagation rounds; without the
+    // per-round release every round's label snapshot stays persisted
+    val n = 14L
+    val nodes = (0L until n)
+    val edges = (0L until n - 1).map(i => (i, i + 1))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val m = comps(nodes, edges)
+    assert(m.values.toSet == Set(0L), "path must collapse to one component")
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the FINAL labels checkpoint (the returned result) may remain —
+    // one snapshot, not one per iteration
+    assert(after - before <= 1,
+      s"checkpoint blocks accreted across iterations: $before -> $after")
+  }
+
   test("edge endpoints absent from the node list still resolve via nodes given") {
     // hub-and-spoke (star): one round to converge, any listing order
     val m = comps(Seq(5L, 6L, 7L, 8L), Seq((7L, 5L), (5L, 8L), (6L, 5L)))

@@ -90,6 +90,28 @@ class CorpusSpec extends SparkSpec {
     assert(released, "narrow corpus cache still pinned after the funnel action")
   }
 
+  test("discarded clean() results never accrete listeners past the cap") {
+    // 100 clean() calls whose results are dropped un-acted-upon: the
+    // pending-release registry must stay bounded (oldest force-released),
+    // not grow one listener per call for the session lifetime
+    (1 to 100).foreach { _ =>
+      Corpus.clean(docs, "doc_id", "text", minBands = 4,
+        shingleN = 2, nPerms = 16, nBands = 8)
+    }
+    assert(Corpus.pendingReleaseCount <= Corpus.MaxPendingReleases,
+      s"listener registry grew unbounded: ${Corpus.pendingReleaseCount}")
+    // a consumed result still releases its own listener (one-shot semantics
+    // survive the cap machinery)
+    val before = Corpus.pendingReleaseCount
+    val cleaned = Corpus.clean(docs, "doc_id", "text", minBands = 4,
+      shingleN = 2, nPerms = 16, nBands = 8)
+    cleaned.count()
+    val dropped = (0 until 100).exists { _ =>
+      Corpus.pendingReleaseCount <= before || { Thread.sleep(100); false }
+    }
+    assert(dropped, "consumed clean() left its release listener registered")
+  }
+
   test("precedence: a low-quality duplicate reports quality, not dup") {
     import spark.implicits._
     val d = Seq((0L, "12345 67890"), (1L, "12345 67890")).toDF("doc_id", "text")

@@ -38,6 +38,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamTotal == spark.read.parquet(dir).count())
   }
 
+  test("hopping-window aggregation over a file stream equals q_window_hopping batch truth") {
+    val dir = stageEvents()
+    val stream = Streaming.readEventStream(spark, dir)
+    // Complete mode: the finite source's not-yet-watermark-closed windows
+    // must be visible, or the comparison loses the timeline's tail
+    val q = Streaming.runToMemory(
+      Streaming.hoppingTypeAgg(stream, "1 hour", "30 minutes", "2 hours"), "hop_agg",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    q.awaitTermination(120000); q.stop()
+    val got = spark.table("hop_agg")
+
+    // batch truth: the exact q_window_hopping shape over the same fixture
+    val batch = spark.read.parquet(dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("b_n"), sum(col("value")).as("b_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("b_n"), col("b_sum"))
+
+    // full-result equivalence, cell by cell: identical (window, type) key
+    // sets, identical counts, sums within FP-accumulation-order tolerance
+    assert(got.count() == batch.count(), "stream and batch window sets differ")
+    val joined = got.join(batch, Seq("window_start", "event_type"), "full_outer")
+    val bad = joined.where(col("n_events").isNull || col("b_n").isNull ||
+      col("n_events") =!= col("b_n") ||
+      abs(col("sum_value") - col("b_sum")) > 1e-6)
+    assert(bad.count() == 0, "a streamed hopping window differs from batch truth")
+    // each event in exactly 2 overlapping windows
+    assert(got.agg(sum("n_events")).head().getLong(0) ==
+      2L * spark.read.parquet(dir).count())
+  }
+
   test("streaming dedup drops in-stream duplicates, watermark bounds state") {
     import spark.implicits._
     // stage events UNIONED with a duplicated slice — the stream must emit
