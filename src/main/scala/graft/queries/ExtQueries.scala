@@ -156,6 +156,110 @@ object ExtQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Training-data chunking: each doc's term stream split into fixed
+    // 32-token context chunks — the map-only prep step that turns a cleaned
+    // corpus into model inputs. Shuffle-free: chunk ids come from an inline
+    // sequence()+explode over the materialized token array and the slice
+    // happens in the same projection (at 100 TB this is a pure scan→write
+    // pass; any groupBy formulation would shuffle the whole corpus to
+    // reassemble token order). The sequence arg rides behind the barrier so
+    // InferFiltersFromGenerate can't clone the tokenize into a scan filter.
+    // Oracle: DuckDB range() is end-exclusive ≡ sequence(0, n-1); both
+    // slices are 1-based and clamp at the array end; zero-term docs emit
+    // zero chunks in both engines (empty range ≡ the size()>0 gate).
+    QueryDef(
+      "q_chunk_docs",
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, toks,
+             |         unnest(range(0, CAST(ceil(len(toks) / 32.0) AS BIGINT))) AS chunk_id
+             |  FROM t)
+             |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+             |  array_to_string(toks[chunk_id*32 + 1 : chunk_id*32 + 32], ' ') AS chunk_text,
+             |  CAST(least(len(toks) - chunk_id*32, 32) AS INT) AS n_tokens
+             |FROM c""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val cs = 32
+        docs(s, dir)
+          .select($"doc_id",
+            TextFunctions.arrayBarrier(TextFunctions.termsAlnum($"text")).as("toks"))
+          .where(size($"toks") > 0)
+          .select($"doc_id", $"toks",
+            explode(sequence(lit(0),
+              ceil(size($"toks") / lit(cs.toDouble)).cast("int") - 1)).as("chunk_id"))
+          .select($"doc_id", $"chunk_id",
+            array_join(slice($"toks", $"chunk_id" * cs + 1, lit(cs)), " ").as("chunk_text"),
+            least(size($"toks") - $"chunk_id" * cs, lit(cs)).cast("int").as("n_tokens"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Repetition-ratio quality signal (the Gopher-style repetition gate):
+    // 1 − distinct/total terms per doc. Map-only — array_distinct runs
+    // inside the scan's codegen; the ratio is one IEEE divide + subtract,
+    // exact in both engines (QueryDef determinism rules), so no snapping.
+    QueryDef(
+      "q_repetition_ratio",
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(toks) AS INT) AS n_tokens,
+             |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+             |  CASE WHEN len(toks) > 0
+             |       THEN 1.0 - len(list_distinct(toks))::DOUBLE / len(toks)
+             |  END AS repetition_ratio
+             |FROM t""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .select($"doc_id", TextFunctions.termsAlnum($"text").as("toks"))
+          .select($"doc_id",
+            size($"toks").as("n_tokens"),
+            size(array_distinct($"toks")).as("n_distinct"),
+            when(size($"toks") > 0,
+              lit(1.0) - size(array_distinct($"toks")) / size($"toks").cast("double"))
+              .as("repetition_ratio"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Corpus-wide top-k bigrams — the heavy-hitter scan behind n-gram
+    // contamination/memorization checks. One explode (barrier-guarded, the
+    // Dedup.scala shape) → partial-agg'd count → TakeOrderedAndProject
+    // top-20 with a full (n DESC, bigram) tie-break for cross-engine
+    // determinism. The groupBy key is the bigram string: at 100 TB the
+    // count shuffle moves one (gram, partial n) row per distinct gram per
+    // partition — map-side combine does the heavy lifting.
+    QueryDef(
+      "q_ngram_topk",
+      Some("""WITH t AS (
+             |  SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+             |                     x -> len(x) > 0) AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT unnest(CASE WHEN len(toks) >= 2
+             |    THEN list_transform(range(1, len(toks)),
+             |                        i -> array_to_string(toks[i:i+1], ' '))
+             |    ELSE [] END) AS bigram
+             |  FROM t)
+             |SELECT bigram, CAST(count(*) AS BIGINT) AS n
+             |FROM g GROUP BY 1
+             |ORDER BY n DESC, bigram LIMIT 20""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .select(TextFunctions.tokens($"text").as("toks"))
+          .select(explode(TextFunctions.arrayBarrier(
+            TextFunctions.shinglesFromTokens($"toks", 2))).as("bigram"))
+          .groupBy($"bigram")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"bigram")
+          .limit(20)
+      }),
+
+    // ------------------------------------------------------------------
     // Language-ID heuristic: stopword-marker argmax with fixed tie order.
     QueryDef(
       "q_lang_id",

@@ -165,6 +165,32 @@ object Streaming {
       }
   }
 
+  /** Stream-stream interval join: correlate two live event feeds per user
+    * within a bounded time band (right event lands in [left_ts, left_ts +
+    * gap]) — the streaming form of the batch banded pair query
+    * (q_event_pairs). BOTH sides carry watermarks and the join condition
+    * bounds event time in BOTH directions; together those let the state
+    * store evict a buffered row once the other side's watermark passes its
+    * match band — the only stream-stream join formulation whose state is
+    * bounded by the lateness horizon rather than stream history (an
+    * unconstrained stream-stream join buffers both streams forever).
+    * Inner join: a match emits as soon as both sides have arrived.
+    */
+  def intervalJoinStreams(lefts: DataFrame, rights: DataFrame,
+      gap: String = "30 minutes", watermark: String = "2 hours"): DataFrame = {
+    val l = lefts.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("left_id"),
+        col("ts").as("left_ts"), col("event_type").as("left_type"))
+    val r = rights.withWatermark("ts", watermark)
+      .select(col("user_id").as("__r_user"), col("event_id").as("right_id"),
+        col("ts").as("right_ts"), col("event_type").as("right_type"))
+    l.join(r,
+        col("user_id") === col("__r_user") &&
+          col("right_ts") >= col("left_ts") &&
+          col("right_ts") <= col("left_ts") + expr(s"INTERVAL $gap"))
+      .drop("__r_user")
+  }
+
   /** Stream-static enrichment: left-join a micro-batched stream against a
     * broadcast dimension — each micro-batch joins in-memory with no state
     * store and no shuffle of the stream side (the standard pattern for

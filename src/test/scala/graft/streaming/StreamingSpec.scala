@@ -88,6 +88,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("event_id").distinct().count() == got.count())
   }
 
+  test("stream-stream interval join equals the batch banded join") {
+    import spark.implicits._
+    val dir = stageEvents()
+    // two live feeds from the same drop: clicks correlated to purchases
+    // landing within 30 minutes after the click, per user
+    val clicks = Streaming.readEventStream(spark, dir).where($"event_type" === "click")
+    val purchases = Streaming.readEventStream(spark, dir).where($"event_type" === "purchase")
+    val q = Streaming.runToMemory(
+      Streaming.intervalJoinStreams(clicks, purchases, "30 minutes", "2 hours"),
+      "ss_join")
+    q.awaitTermination(120000); q.stop()
+    val got = spark.table("ss_join")
+
+    // batch truth: the identical banded join over the parquet
+    val all = spark.read.parquet(dir)
+    val bl = all.where($"event_type" === "click")
+      .select($"user_id", $"event_id".as("left_id"), $"ts".as("left_ts"))
+    val br = all.where($"event_type" === "purchase")
+      .select($"user_id".as("r_user"), $"event_id".as("right_id"), $"ts".as("right_ts"))
+    val batch = bl.join(br, $"user_id" === $"r_user" &&
+      $"right_ts" >= $"left_ts" &&
+      $"right_ts" <= $"left_ts" + expr("INTERVAL 30 minutes"))
+    assert(got.count() > 0, "fixture must produce click→purchase pairs")
+    assert(got.count() == batch.count(), "stream join pair count differs from batch")
+    val missing = batch.join(got,
+      batch("left_id") === got("left_id") && batch("right_id") === got("right_id"),
+      "left_anti")
+    assert(missing.count() == 0, "a batch pair is missing from the stream join")
+  }
+
   test("stream-static enrichment joins every event, no rows lost") {
     import spark.implicits._
     val dir = stageEvents()
