@@ -105,6 +105,24 @@ class PlanSpec extends SparkSpec {
       s"salted join still broadcasts:\n$p")
   }
 
+  test("chunking and repetition-ratio are shuffle-free map passes") {
+    // the corpus→model-input prep must stay a pure scan→project pipeline:
+    // an Exchange here would shuffle the whole 100 TB corpus to do per-row
+    // array work
+    for (q <- Seq("q_chunk_docs", "q_repetition_ratio")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q: map-only pass acquired a shuffle\n$p")
+    }
+  }
+
+  test("top-k bigrams: partial agg before the exchange, heap not global sort") {
+    val p = planOf("q_ngram_topk")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"q_ngram_topk: count not map-side combined before the shuffle\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q_ngram_topk: top-20 fell back to a global sort\n$p")
+  }
+
   test("fact-fact composite join reuses one exchange for agg + join (AQE)") {
     val p = planOf("q_join_factfact_composite")
     // both sides hash-partition on (user_id, event_date) — the join itself
