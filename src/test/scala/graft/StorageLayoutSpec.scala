@@ -92,6 +92,52 @@ class StorageLayoutSpec extends SparkSpec {
     assert(dpp.exceptAll(expected).isEmpty && expected.exceptAll(dpp).isEmpty)
   }
 
+  test("runtime bloom filter from a selective dim predicate prunes the fact " +
+    "side of a shuffle join") {
+    // the row-level sibling of DPP: when the fact ISN'T partitioned on the
+    // join key, a bloom filter built from the filtered dim's keys is pushed
+    // into the fact scan so non-matching rows die before the exchange —
+    // at 100 TB this is the difference between shuffling the whole fact and
+    // shuffling the ~matching slice
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_").toString
+    Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.parquet(s"$dir/orders")
+    Tables.load(spark, sf, "customer")
+      .select("c_custkey", "c_mktsegment")
+      .write.parquet(s"$dir/customer")
+
+    val confs = Seq(
+      // local testdata is tiny — drop the size gates so the rule fires the
+      // way it would on a 100 TB application side
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.read.parquet(s"$dir/orders")
+      val dim = spark.read.parquet(s"$dir/customer")
+        .where(col("c_mktsegment") === "BUILDING")
+      val j = fact.join(dim, col("o_custkey") === col("c_custkey"))
+      j.collect()
+      val plan = finalPlan(j.queryExecution.executedPlan).toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter on the fact side:\n$plan")
+      // semantics unchanged vs the unfiltered-planner join
+      val expected = Tables.load(spark, sf, "orders")
+        .join(Tables.load(spark, sf, "customer")
+          .where(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "c_custkey", "c_mktsegment")
+      val got = j.select(expected.columns.map(col): _*)
+      assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("LSH index probe is a partition-pruned scan with identical results") {
     val emb = Tables.load(spark, sf, "embeddings")
     val path = "target/lsh_index_test"

@@ -90,4 +90,55 @@ class MaintenanceSpec extends SparkSpec {
         s"CBO should read the analyzed rowCount, got ${stats.rowCount}")
     } finally spark.conf.set("spark.sql.cbo.enabled", "false")
   }
+
+  test("incremental rollup refresh rewrites ONLY the touched month partitions") {
+    import spark.implicits._
+    // the sf0.001 events all land in one month — synthesize a second month
+    // by shifting a copy, so the fixture has both a touched and an
+    // untouched partition
+    val m1 = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select($"ts", $"event_type", $"value")
+    val m2 = m1.withColumn("ts", expr("timestampadd(MONTH, 1, ts)"))
+    val all = m1.unionByName(m2)
+    val out = Files.createTempDirectory("graft_rollup_").toString
+
+    // day 1: month 1 complete, month 2 only half-arrived
+    Maintenance.writeMonthlyRollup(
+      m1.unionByName(m2.where(hash($"ts") % 2 === 0)), out)
+
+    def partFiles(): Map[String, Set[(String, Long)]] =
+      new java.io.File(out).listFiles().filter(_.getName.startsWith("month="))
+        .map(d => d.getName ->
+          d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.lastModified())).toSet).toMap
+    val before = partFiles()
+    assert(before.size == 2, s"fixture must build 2 month partitions: $before")
+
+    // day 2: month 2's other half arrives; refresh gets the COMPLETE
+    // current data for month 2 (the caller contract)
+    val touchedMonths = m2.select(date_format($"ts", "yyyy-MM").as("m"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val rewritten = Maintenance.refreshMonthlyRollup(m2, out)
+    assert(rewritten.toSet == touchedMonths)
+
+    // result equals a from-scratch full rebuild…
+    val got = spark.read.parquet(out)
+      .select($"month", $"event_type", $"n_events", $"sum_value")
+    val full = Maintenance.monthlyRollup(all)
+    assert(got.count() == full.count())
+    val diff = got.join(full, Seq("month", "event_type"))
+      .where(got("n_events") =!= full("n_events") ||
+        abs(got("sum_value") - full("sum_value")) > 1e-6)
+    assert(diff.count() == 0, "refreshed rollup differs from a full rebuild")
+
+    // …and every untouched month's files are bit-for-bit the day-1 files
+    // (dynamic overwrite replaced only the touched partitions)
+    val after = partFiles()
+    val untouched = before.keySet.filterNot(d =>
+      touchedMonths.contains(d.stripPrefix("month=")))
+    assert(untouched.nonEmpty, "fixture must span more than the touched months")
+    untouched.foreach { d =>
+      assert(after(d) == before(d), s"untouched partition $d was rewritten")
+    }
+  }
 }
