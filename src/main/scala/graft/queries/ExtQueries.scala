@@ -543,6 +543,41 @@ object ExtQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Per-label embedding-corpus statistics — the health check run before
+    // any ANN build (degenerate norms, dimension drift, label skew). One
+    // map-only pass computes each vector's L2 norm in fixed-index double
+    // order (bit-exact cross-engine, the q_sim_bruteforce machinery), then
+    // one partial-agg'd groupBy(label). min/max/count are exact; the norm
+    // SUM accumulates in engine-specific order → avg snapped at 1e-6
+    // (QueryDef determinism rules).
+    QueryDef(
+      "q_embed_stats",
+      Some("""WITH n AS (
+             |  SELECT label,
+             |    CAST(len(embedding) AS INT) AS dims,
+             |    sqrt(list_sum(list_transform(embedding,
+             |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+             |  FROM embeddings)
+             |SELECT label,
+             |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             |  MIN(dims) AS min_dims, MAX(dims) AS max_dims,
+             |  MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+             |  FLOOR(SUM(nrm) / COUNT(*) * 1000000 + 0.5) / 1000000 AS avg_norm
+             |FROM n GROUP BY 1""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        emb(s, dir)
+          .select($"label",
+            size($"embedding").as("dims"),
+            VectorFunctions.norm2($"embedding").as("nrm"))
+          .groupBy($"label")
+          .agg(count(lit(1)).as("n_vecs"),
+            min($"dims").as("min_dims"), max($"dims").as("max_dims"),
+            min($"nrm").as("min_norm"), max($"nrm").as("max_norm"),
+            (floor(sum($"nrm") / count(lit(1)) * 1e6 + 0.5) / 1e6).as("avg_norm"))
+      }),
+
+    // ------------------------------------------------------------------
     // Int8 scalar quantization of the embedding corpus — the 4×-smaller
     // at-rest layout for ANN at 100 TB. Every quantized int is bit-exact
     // cross-engine (widening, division, floor: all IEEE-deterministic), so
