@@ -156,14 +156,8 @@ object ExtQueries {
       }),
 
     // ------------------------------------------------------------------
-    // Training-data chunking: each doc's term stream split into fixed
-    // 32-token context chunks — the map-only prep step that turns a cleaned
-    // corpus into model inputs. Shuffle-free: chunk ids come from an inline
-    // sequence()+explode over the materialized token array and the slice
-    // happens in the same projection (at 100 TB this is a pure scan→write
-    // pass; any groupBy formulation would shuffle the whole corpus to
-    // reassemble token order). The sequence arg rides behind the barrier so
-    // InferFiltersFromGenerate can't clone the tokenize into a scan filter.
+    // Training-data chunking — [[Corpus.chunk]] (map-only, shuffle-free;
+    // plan-asserted in PlanSpec, reassembly-lossless in PropertySpec).
     // Oracle: DuckDB range() is end-exclusive ≡ sequence(0, n-1); both
     // slices are 1-based and clamp at the array end; zero-term docs emit
     // zero chunks in both engines (empty range ≡ the size()>0 gate).
@@ -180,20 +174,7 @@ object ExtQueries {
              |  array_to_string(toks[chunk_id*32 + 1 : chunk_id*32 + 32], ' ') AS chunk_text,
              |  CAST(least(len(toks) - chunk_id*32, 32) AS INT) AS n_tokens
              |FROM c""".stripMargin),
-      (s, dir) => {
-        import s.implicits._
-        val cs = 32
-        docs(s, dir)
-          .select($"doc_id",
-            TextFunctions.arrayBarrier(TextFunctions.termsAlnum($"text")).as("toks"))
-          .where(size($"toks") > 0)
-          .select($"doc_id", $"toks",
-            explode(sequence(lit(0),
-              ceil(size($"toks") / lit(cs.toDouble)).cast("int") - 1)).as("chunk_id"))
-          .select($"doc_id", $"chunk_id",
-            array_join(slice($"toks", $"chunk_id" * cs + 1, lit(cs)), " ").as("chunk_text"),
-            least(size($"toks") - $"chunk_id" * cs, lit(cs)).cast("int").as("n_tokens"))
-      }),
+      (s, dir) => Corpus.chunk(docs(s, dir), "doc_id", "text", chunkSize = 32)),
 
     // ------------------------------------------------------------------
     // Repetition-ratio quality signal (the Gopher-style repetition gate):

@@ -131,6 +131,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunking is lossless: chunks reassemble to the exact term stream") {
+    // the training-data contract behind q_chunk_docs: concatenating a doc's
+    // chunks in chunk_id order must reproduce its full term stream — no
+    // dropped tail, no overlap, no reordering — for EVERY doc shape
+    // (empty, shorter than one chunk, exact multiple, ragged tail) and
+    // EVERY chunk size
+    import spark.implicits._
+    val genText = Gen.listOf(Gen.oneOf("ab", "cd", "ef", "gh", "x1", "9z"))
+      .map(_.mkString(" "))
+    for {
+      texts <- samples(Gen.listOf(genText), n = 4)
+      cs <- Seq(1, 3, 32)
+    } {
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val reassembled = graft.operators.Corpus.chunk(d, "doc_id", "text", cs)
+        .groupBy("doc_id")
+        .agg(concat_ws(" ",
+          array_sort(collect_list(struct(col("chunk_id"), col("chunk_text"))))
+            .getField("chunk_text")).as("joined"),
+          sum(col("n_tokens")).as("total_tokens"))
+      val expected = d.select(col("doc_id"),
+        array_join(TextFunctions.termsAlnum(col("text")), " ").as("stream"),
+        size(TextFunctions.termsAlnum(col("text"))).as("n_terms"))
+      val bad = expected.join(reassembled, Seq("doc_id"), "left")
+        .where(
+          // zero-term docs must emit NO chunks; all others reassemble exactly
+          when(col("n_terms") === 0, col("joined").isNotNull)
+            .otherwise(col("joined") =!= col("stream") ||
+              col("total_tokens") =!= col("n_terms")))
+      assert(bad.count() === 0, s"chunking not lossless at chunkSize=$cs")
+    }
+  }
+
   test("tokens/shingles algebra: |shingles| = max(0, |tokens| - n + 1)") {
     val genText = Gen.listOf(Gen.oneOf("ab", "cd", "ef", "gh")).map(_.mkString(" "))
     for {
