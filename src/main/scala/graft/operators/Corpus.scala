@@ -168,32 +168,43 @@ object Corpus {
     cleaned.groupBy(coalesce(col("drop_reason"), lit("kept")).as("stage"))
       .agg(count(lit(1)).as("n_docs"))
 
-  /** Training-data chunking: each doc's term stream split into fixed
-    * `chunkSize`-token context chunks — the map-only prep step that turns a
-    * cleaned corpus into model inputs. Shuffle-free by construction: chunk
-    * ids come from an inline sequence()+explode over the materialized term
-    * array and the slice happens in the same projection (any groupBy
-    * formulation would shuffle the whole corpus just to reassemble token
-    * order). The explode argument rides behind the optimizer barrier so
-    * InferFiltersFromGenerate can't clone the tokenize into a scan filter.
-    * Zero-term docs emit zero chunks. Output: (id, chunk_id, chunk_text,
-    * n_tokens); chunks in chunk_id order losslessly reassemble the doc's
-    * term stream (PropertySpec-gated).
+  /** Training-data chunking: each doc's term stream split into
+    * `chunkSize`-token context chunks every `stride` tokens — the map-only
+    * prep step that turns a cleaned corpus into model inputs.
+    * `stride == chunkSize` (default) tiles the stream exactly; a smaller
+    * stride produces the standard overlapping-context windows (consecutive
+    * chunks share `chunkSize − stride` tokens). Chunk count = ceil(n/stride)
+    * for any stride: the last window's start (ceil(n/st)−1)·st is always
+    * < n, so every chunk starts on a live token, every token lands in ≥ 1
+    * chunk, and only the last chunk may be short.
+    *
+    * Shuffle-free by construction: chunk ids come from an inline
+    * sequence()+explode over the materialized term array and the slice
+    * happens in the same projection (any groupBy formulation would shuffle
+    * the whole corpus just to reassemble token order). The explode argument
+    * rides behind the optimizer barrier so InferFiltersFromGenerate can't
+    * clone the tokenize into a scan filter. Zero-term docs emit zero
+    * chunks. Output: (id, chunk_id, chunk_text, n_tokens); at the default
+    * stride the chunks losslessly reassemble the term stream
+    * (PropertySpec-gated).
     */
   def chunk(docs: DataFrame, idCol: String, textCol: String,
-      chunkSize: Int = 32): DataFrame = {
+      chunkSize: Int = 32, stride: Int = -1): DataFrame = {
+    val st = if (stride == -1) chunkSize else stride
     require(chunkSize >= 1, s"chunkSize ($chunkSize) must be >= 1")
+    require(st >= 1 && st <= chunkSize,
+      s"stride ($st) must be in [1, chunkSize=$chunkSize]")
     docs
       .select(col(idCol),
         TextFunctions.arrayBarrier(TextFunctions.termsAlnum(col(textCol))).as("toks"))
       .where(size(col("toks")) > 0)
       .select(col(idCol), col("toks"),
         explode(sequence(lit(0),
-          ceil(size(col("toks")) / lit(chunkSize.toDouble)).cast("int") - 1)).as("chunk_id"))
+          ceil(size(col("toks")) / lit(st.toDouble)).cast("int") - 1)).as("chunk_id"))
       .select(col(idCol), col("chunk_id"),
-        array_join(slice(col("toks"), col("chunk_id") * chunkSize + 1, lit(chunkSize)), " ")
+        array_join(slice(col("toks"), col("chunk_id") * st + 1, lit(chunkSize)), " ")
           .as("chunk_text"),
-        least(size(col("toks")) - col("chunk_id") * chunkSize, lit(chunkSize))
+        least(size(col("toks")) - col("chunk_id") * st, lit(chunkSize))
           .cast("int").as("n_tokens"))
   }
 }

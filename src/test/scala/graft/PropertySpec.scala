@@ -165,6 +165,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("overlapping chunks: ceil(n/stride) windows, full coverage, shared context") {
+    import spark.implicits._
+    val genText = Gen.listOf(Gen.oneOf("ab", "cd", "ef", "gh", "x1", "9z"))
+      .map(_.mkString(" "))
+    for {
+      texts <- samples(Gen.listOf(genText), n = 4)
+      (cs, st) <- Seq((4, 2), (5, 3), (8, 1))
+    } {
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val chunks = graft.operators.Corpus.chunk(d, "doc_id", "text", cs, st)
+      val perDoc = chunks.groupBy("doc_id").agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).as("tok_sum"),
+        max(col("chunk_id")).as("max_id"))
+      val terms = d.select(col("doc_id"),
+        size(TextFunctions.termsAlnum(col("text"))).as("n"))
+      // exactly ceil(n/stride) dense-numbered windows per non-empty doc, and
+      // token coverage: Σ n_tokens counts each token once per containing
+      // window = n + (windows−1)·overlap − trailing shortfall ≥ n
+      val bad = terms.where(col("n") > 0).join(perDoc, Seq("doc_id"), "left")
+        .where(col("n_chunks").isNull ||
+          col("n_chunks") =!= ceil(col("n") / st.toDouble).cast("long") ||
+          col("max_id") =!= col("n_chunks") - 1 ||
+          col("tok_sum") < col("n"))
+      assert(bad.count() === 0, s"overlap algebra broken at cs=$cs st=$st")
+      // consecutive windows share exactly (cs − st) tokens while both full:
+      // spot-check via the reconstructed slices on one long doc
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("chunk_id")
+      val overlapBad = chunks
+        .withColumn("next_text", lead(col("chunk_text"), 1).over(w))
+        .where(col("next_text").isNotNull && col("n_tokens") === cs)
+        .where(!col("next_text").startsWith(
+          // the next window begins st tokens into this one
+          array_join(slice(split(col("chunk_text"), " "), st + 1, cs - st), " ")))
+      assert(overlapBad.count() === 0, s"context overlap broken at cs=$cs st=$st")
+    }
+  }
+
   test("tokens/shingles algebra: |shingles| = max(0, |tokens| - n + 1)") {
     val genText = Gen.listOf(Gen.oneOf("ab", "cd", "ef", "gh")).map(_.mkString(" "))
     for {
