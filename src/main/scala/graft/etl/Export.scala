@@ -212,14 +212,17 @@ object Export {
         // unionByName loop survives only as the ragged-schema fallback: a
         // multi-path read resolves its schema from one footer and would
         // silently NULL-fill or drop columns unique to the other files.
-        val aligned = paths.lengthCompare(1) > 0 && scala.util.Try {
+        val alignedSchema = if (paths.lengthCompare(1) > 0) scala.util.Try {
           val schemas = paths.map(p => spark.read.parquet(p).schema)
-          schemas.forall(_ == schemas.head)
-        }.getOrElse(false)
+          Option.when(schemas.forall(_ == schemas.head))(schemas.head)
+        }.toOption.flatten
+        else None
         val single =
-          if (aligned || paths.lengthCompare(1) == 0)
-            tryRead(spark.read.parquet(paths: _*))
-          else None
+          if (paths.lengthCompare(1) == 0) tryRead(spark.read.parquet(paths.head))
+          // hand the probe's verified schema to the packed read so it
+          // doesn't re-infer from the same footers a second time
+          else alignedSchema.flatMap(sch =>
+            tryRead(spark.read.schema(sch).parquet(paths: _*)))
         single.orElse(tryRead(paths.map(p => spark.read.parquet(p))
           .reduce(_.unionByName(_, allowMissingColumns = true))))
       }

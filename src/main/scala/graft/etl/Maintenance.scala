@@ -92,14 +92,19 @@ object Maintenance {
     */
   def refreshMonthlyRollup(monthsSlice: DataFrame, outDir: String): Seq[String] = {
     val spark = monthsSlice.sparkSession
-    val rollup = monthlyRollup(monthsSlice)
-    val touched = rollup.select("month").distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try rollup.write.mode("overwrite").partitionBy("month").parquet(outDir)
-    finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
-    touched
+    // the rollup is one row per (month, event_type) — tiny — but its INPUT
+    // is the delta scan+shuffle; persist so the touched-months collect and
+    // the write share one aggregation instead of re-running it
+    val rollup = monthlyRollup(monthsSlice).persist()
+    try {
+      val touched = rollup.select("month").distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try rollup.write.mode("overwrite").partitionBy("month").parquet(outDir)
+      finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+      touched
+    } finally rollup.unpersist(blocking = false)
   }
 }

@@ -177,6 +177,26 @@ object ExtQueries {
       (s, dir) => Corpus.chunk(docs(s, dir), "doc_id", "text", chunkSize = 32)),
 
     // ------------------------------------------------------------------
+    // Overlapping context windows — [[Corpus.chunk]] at stride 16 < 32:
+    // consecutive chunks share 16 tokens (the LLM training overlap
+    // convention). Window count = ceil(n/stride); same map-only shape.
+    QueryDef(
+      "q_chunk_overlap",
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, toks,
+             |         unnest(range(0, CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS chunk_id
+             |  FROM t)
+             |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+             |  array_to_string(toks[chunk_id*16 + 1 : chunk_id*16 + 32], ' ') AS chunk_text,
+             |  CAST(least(len(toks) - chunk_id*16, 32) AS INT) AS n_tokens
+             |FROM c""".stripMargin),
+      (s, dir) => Corpus.chunk(docs(s, dir), "doc_id", "text",
+        chunkSize = 32, stride = 16)),
+
+    // ------------------------------------------------------------------
     // Repetition-ratio quality signal (the Gopher-style repetition gate):
     // 1 − distinct/total terms per doc. Map-only — array_distinct runs
     // inside the scan's codegen; the ratio is one IEEE divide + subtract,
@@ -711,17 +731,36 @@ object ExtQueries {
 
     // ------------------------------------------------------------------
     // The funnel's fully-deterministic slice: quality → lang → exact dedup
-    // (near-dedup OFF), same thresholds as q_corpus_clean — every stage is
-    // ANSI-expressible, so the drop accounting is oracle-checked end to end.
-    // The DuckDB side re-derives quality_score (q_text_quality blend),
-    // predicted_lang (q_lang_id argmax w/ fixed tie order), and the min-id
-    // exact-dup survivor, then applies the SAME first-failing-gate order as
-    // Corpus.clean. LEFT JOIN to the survivor table mirrors clean()'s left
-    // join (a NULL text md5's to NULL and must still surface as null_text,
-    // not vanish on an inner join).
+    // (near-dedup OFF) — every stage is ANSI-expressible, so the drop
+    // accounting is oracle-checked end to end. The raw fixture would leave
+    // every gate dead (quality ∈ [0.525, 0.611] all-'en' no-dup docs ⇒ one
+    // ('kept', N) row proves nothing), so the input unions three
+    // gate-exercising slices derived from the SAME table in BOTH engines:
+    // exact copies (+1e6 ids → exact_dup), a pure-Spanish-marker text built
+    // to score ≥ the 0.55 threshold (its 'a'/'in' tokens are quality
+    // stopwords but NOT en lang markers → quality passes, lang fires), and
+    // NULL texts (+3e6 ids → null_text); minQuality=0.55 splits the real
+    // quality distribution so originals land on both sides. The DuckDB side
+    // re-derives quality_score (q_text_quality blend), predicted_lang
+    // (q_lang_id argmax w/ fixed tie order), and the min-id exact-dup
+    // survivor, then applies the SAME first-failing-gate order as
+    // Corpus.clean (a dup of a low-quality doc reports quality; the es
+    // copies are dups of each other but lang fires first). LEFT JOIN to the
+    // survivor table mirrors clean()'s left join (a NULL text md5's to NULL
+    // and must still surface as null_text, not vanish on an inner join).
     QueryDef(
       "q_corpus_funnel_exact",
-      Some("""WITH q AS (
+      Some("""WITH inp AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 2000000, repeat('a in la de que los el ', 10)
+             |  FROM documents WHERE doc_id % 7 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 3000000, CAST(NULL AS VARCHAR)
+             |  FROM documents WHERE doc_id % 11 = 0),
+             |q AS (
              |  SELECT doc_id, text,
              |    CASE WHEN CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) > 0.0
              |         THEN CAST(length(regexp_extract_all(lower(text), '\b(the|and|is|of|to|a|in)\b')) AS DOUBLE)
@@ -737,7 +776,7 @@ object ExtQueries {
              |    CAST(length(regexp_extract_all(lower(text), '\b(el|la|de|que|los)\b')) AS INT)   AS es_hits,
              |    CAST(length(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS INT) AS de_hits,
              |    md5(text) AS h
-             |  FROM documents),
+             |  FROM inp),
              |langed AS (
              |  SELECT doc_id, text, quality_score, h,
              |    CASE WHEN en_hits IS NULL THEN NULL
@@ -749,17 +788,29 @@ object ExtQueries {
              |reasons AS (
              |  SELECT l.doc_id,
              |    CASE WHEN l.text IS NULL THEN 'null_text'
-             |         WHEN l.quality_score < 0.2 THEN 'quality'
-             |         WHEN l.predicted_lang NOT IN ('en','es','de') THEN 'lang'
+             |         WHEN l.quality_score < 0.55 THEN 'quality'
+             |         WHEN l.predicted_lang NOT IN ('en') THEN 'lang'
              |         WHEN l.doc_id != k.keep_id THEN 'exact_dup'
              |         ELSE 'kept' END AS stage
              |  FROM langed l LEFT JOIN k ON l.h = k.kh)
              |SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs
              |FROM reasons GROUP BY stage""".stripMargin),
-      (s, dir) => Corpus.funnel(
-        Corpus.clean(docs(s, dir), "doc_id", "text",
-          minQuality = 0.2, keepLangs = Set("en", "es", "de"),
-          nearDedup = false))),
+      (s, dir) => {
+        import s.implicits._
+        val b = docs(s, dir).select($"doc_id", $"text")
+        val input = b
+          .unionByName(b.where($"doc_id" % 5 === 0)
+            .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+          .unionByName(b.where($"doc_id" % 7 === 0)
+            .select(($"doc_id" + 2000000L).as("doc_id"),
+              repeat(lit("a in la de que los el "), 10).as("text")))
+          .unionByName(b.where($"doc_id" % 11 === 0)
+            .select(($"doc_id" + 3000000L).as("doc_id"),
+              lit(null).cast("string").as("text")))
+        Corpus.funnel(
+          Corpus.clean(input, "doc_id", "text",
+            minQuality = 0.55, keepLangs = Set("en"), nearDedup = false))
+      }),
 
     // ------------------------------------------------------------------
     // IVF index BUILD: train the k-means coarse quantizer (2 Lloyd

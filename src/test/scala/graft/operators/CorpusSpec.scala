@@ -101,13 +101,16 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.pendingReleaseCount <= Corpus.MaxPendingReleases,
       s"listener registry grew unbounded: ${Corpus.pendingReleaseCount}")
     // a consumed result still releases its own listener (one-shot semantics
-    // survive the cap machinery)
-    val before = Corpus.pendingReleaseCount
+    // survive the cap machinery): snapshot AFTER registration, then demand a
+    // STRICT decrease — at the cap, eviction+registration leaves the count
+    // unchanged, so a <= check against a pre-registration snapshot would
+    // pass even if the action-path release were deleted outright
     val cleaned = Corpus.clean(docs, "doc_id", "text", minBands = 4,
       shingleN = 2, nPerms = 16, nBands = 8)
+    val registered = Corpus.pendingReleaseCount
     cleaned.count()
     val dropped = (0 until 100).exists { _ =>
-      Corpus.pendingReleaseCount <= before || { Thread.sleep(100); false }
+      Corpus.pendingReleaseCount < registered || { Thread.sleep(100); false }
     }
     assert(dropped, "consumed clean() left its release listener registered")
   }
