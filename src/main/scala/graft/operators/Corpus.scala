@@ -207,4 +207,57 @@ object Corpus {
         least(size(col("toks")) - col("chunk_id") * st, lit(chunkSize))
           .cast("int").as("n_tokens"))
   }
+
+  /** Sequence packing: assign [[chunk]] outputs to fixed-`capacity` training
+    * sequences, greedy first-fit in (doc, chunk) order — the step that turns
+    * ragged chunks into dense fixed-length model batches (padding waste =
+    * the unfilled tail of each sequence, reported as `seq_fill`).
+    *
+    * Optimal bin packing is inherently sequential; the scalable form is
+    * greedy packing WITHIN partitions: one co-locating exchange on the doc
+    * id, a partition-local sort, then a single mapPartitions pass — no
+    * global coordination, no driver state. Sequence ids are
+    * `(partition << 40) | localSeq`, collision-free and DETERMINISTIC for a
+    * fixed partition count (hash partitioning + a total within-partition
+    * sort on the unique (doc, chunk) key ⇒ identical assignment on every
+    * run — CorpusSpec reruns and compares). The partition component is
+    * derived from the DATA (`pmod(hash(id), n)` — exactly the expression
+    * hash partitioning routes by), NOT `TaskContext.getPartitionId`: the
+    * task's partition index is a property of the executing STAGE, so a plan
+    * embedded in a larger query (a union re-indexes its second input's
+    * tasks) would mint different ids for identical rows. A chunk longer
+    * than `capacity`
+    * occupies a sequence alone (truncation is the tokenizer's concern, not
+    * the packer's).
+    *
+    * Output: input columns + `seq_id` + `seq_fill` (tokens used in the
+    * sequence after placing this chunk; the final value per seq_id is the
+    * sequence's fill level).
+    */
+  def packSequences(chunks: DataFrame, idCol: String, chunkIdCol: String,
+      nTokensCol: String, capacity: Int, nPartitions: Int = 0): DataFrame = {
+    require(capacity >= 1, s"capacity ($capacity) must be >= 1")
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    val np = if (nPartitions > 0) nPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    chunks
+      .select(col(idCol).cast("long"), col(chunkIdCol).cast("int"),
+        col(nTokensCol).cast("int"),
+        pmod(hash(col(idCol)), lit(np)).cast("int"))
+      .as[(Long, Int, Int, Int)]
+      .repartition(np, col(idCol))
+      .sortWithinPartitions(col(idCol), col(chunkIdCol))
+      .mapPartitions { it =>
+        var seq = 0L
+        var used = 0
+        it.map { case (doc, cid, n, pid) =>
+          val take = math.min(n, capacity)
+          if (used + take > capacity) { seq += 1; used = 0 }
+          used += take
+          (doc, cid, n, (pid.toLong << 40) | seq, used)
+        }
+      }
+      .toDF(idCol, chunkIdCol, nTokensCol, "seq_id", "seq_fill")
+  }
 }

@@ -197,6 +197,29 @@ object ExtQueries {
         chunkSize = 32, stride = 16)),
 
     // ------------------------------------------------------------------
+    // Sequence packing — [[Corpus.packSequences]]: chunks greedily packed
+    // into capacity-256 training sequences (one co-locating exchange + a
+    // partition-local mapPartitions pass). Declared rows-only: the
+    // assignment depends on hash partitioning, which has no DuckDB
+    // equivalent by construction; the packing invariants (exact coverage,
+    // capacity, in-order prefix fill, rerun determinism) are
+    // ScalaTest-gated in CorpusSpec instead. Output = per-sequence fill
+    // stats, the padding-waste audit a training pipeline reads.
+    QueryDef(
+      "q_pack_sequences",
+      None,
+      (s, dir) => {
+        import s.implicits._
+        val chunks = Corpus.chunk(docs(s, dir), "doc_id", "text", chunkSize = 32)
+        Corpus.packSequences(chunks, "doc_id", "chunk_id", "n_tokens",
+            capacity = 256)
+          .groupBy($"seq_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            countDistinct($"doc_id").as("n_docs"),
+            max($"seq_fill").as("fill_tokens"))
+      }),
+
+    // ------------------------------------------------------------------
     // Repetition-ratio quality signal (the Gopher-style repetition gate):
     // 1 − distinct/total terms per doc. Map-only — array_distinct runs
     // inside the scan's codegen; the ratio is one IEEE divide + subtract,

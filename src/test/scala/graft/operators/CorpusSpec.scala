@@ -115,6 +115,47 @@ class CorpusSpec extends SparkSpec {
     assert(dropped, "consumed clean() left its release listener registered")
   }
 
+  test("sequence packing: exact coverage, capacity respected, deterministic") {
+    import spark.implicits._
+    val chunks = Corpus.chunk(docs, "doc_id", "text", chunkSize = 4)
+    val n = chunks.count()
+    val packed = Corpus.packSequences(chunks, "doc_id", "chunk_id", "n_tokens",
+      capacity = 16, nPartitions = 4)
+
+    // every chunk assigned exactly once
+    assert(packed.count() == n)
+    assert(packed.select("doc_id", "chunk_id").distinct().count() == n)
+    // no sequence exceeds capacity: the max running fill per seq_id is the
+    // sequence's final fill level
+    val overfull = packed.groupBy("seq_id")
+      .agg(max($"seq_fill").as("fill"))
+      .where($"fill" > 16)
+    assert(overfull.count() == 0, "a packed sequence exceeds capacity")
+    // greedy-in-order: within a sequence the running fill is the prefix sum
+    // of clamped chunk sizes (no chunk skipped, no reorder)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"seq_id").orderBy($"doc_id", $"chunk_id")
+    val prefixBad = packed
+      .withColumn("expect_fill",
+        sum(least($"n_tokens", lit(16))).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .where($"seq_fill" =!= $"expect_fill")
+    assert(prefixBad.count() == 0, "sequence fill is not the in-order prefix sum")
+    // deterministic: an independent rerun produces the identical assignment
+    val rerun = Corpus.packSequences(chunks, "doc_id", "chunk_id", "n_tokens",
+      capacity = 16, nPartitions = 4)
+    assert(packed.exceptAll(rerun).isEmpty && rerun.exceptAll(packed).isEmpty,
+      "packing is not deterministic across reruns")
+    // an oversized chunk occupies a sequence alone
+    val big = Seq((1L, 0, 40), (1L, 1, 3), (2L, 0, 3)).toDF("doc_id", "chunk_id", "n_tokens")
+    val packedBig = Corpus.packSequences(big, "doc_id", "chunk_id", "n_tokens",
+      capacity = 16, nPartitions = 1)
+    val bigSeq = packedBig.where($"chunk_id" === 0 && $"doc_id" === 1L)
+      .select("seq_id").head().getLong(0)
+    assert(packedBig.where($"seq_id" === bigSeq).count() == 1,
+      "an oversized chunk must not share its sequence")
+  }
+
   test("precedence: a low-quality duplicate reports quality, not dup") {
     import spark.implicits._
     val d = Seq((0L, "12345 67890"), (1L, "12345 67890")).toDF("doc_id", "text")
