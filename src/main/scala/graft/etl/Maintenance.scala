@@ -1,6 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Table-maintenance operations a long-lived 100 TB deployment needs around
   * the query engine itself: small-file compaction and schema-evolving reads.
@@ -91,7 +92,6 @@ object Maintenance {
     * @return the month partition values that were rewritten
     */
   def refreshMonthlyRollup(monthsSlice: DataFrame, outDir: String): Seq[String] = {
-    val spark = monthsSlice.sparkSession
     // the rollup is one row per (month, event_type) — tiny — but its INPUT
     // is the delta scan+shuffle; persist so the touched-months collect and
     // the write share one aggregation instead of re-running it
@@ -99,12 +99,58 @@ object Maintenance {
     try {
       val touched = rollup.select("month").distinct()
         .collect().map(_.getString(0)).toSeq.sorted
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "dynamic")
-      try rollup.write.mode("overwrite").partitionBy("month").parquet(outDir)
-      finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+      writeDynamicByMonth(rollup, outDir)
       touched
     } finally rollup.unpersist(blocking = false)
+  }
+
+  /** Upsert COMPLETE (month, event_type) rollup rows into the at-rest store:
+    * rows for keys present in `updates` are replaced, other keys in the same
+    * month are carried over, untouched months keep their exact files. This
+    * is the sink half of streaming materialized-view maintenance
+    * ([[graft.streaming.Streaming.maintainMonthlyRollup]]): because the
+    * incoming rows are complete running totals (not deltas), re-applying a
+    * replayed micro-batch writes the same values — the upsert is IDEMPOTENT,
+    * which is what makes foreachBatch's at-least-once replay safe on a
+    * plain-parquet store.
+    *
+    * The merged slice is eagerly `localCheckpoint`ed BEFORE the dynamic
+    * overwrite: the merge reads the very partitions the write replaces, so
+    * a lazily-evaluated plan would scan files the overwrite just deleted
+    * (checkpoint-not-cache: a cache under memory pressure would silently
+    * recompute from the deleted files; a lost checkpoint fails loudly).
+    */
+  def upsertRollupRows(updates: DataFrame, outDir: String): Seq[String] = {
+    val spark = updates.sparkSession
+    val up = updates.persist()
+    try {
+      val touched = up.select("month").distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      if (touched.isEmpty) Nil
+      else {
+        val existing = scala.util.Try(
+            spark.read.parquet(outDir).where(col("month").isin(touched: _*)))
+          .toOption
+        val carried = existing.fold(up.limit(0))(
+          _.join(up.select("month", "event_type"),
+            Seq("month", "event_type"), "left_anti"))
+        val merged = carried.unionByName(up).localCheckpoint(true)
+        writeDynamicByMonth(merged, outDir)
+        touched
+      }
+    } finally up.unpersist(blocking = false)
+  }
+
+  /** Dynamic partition overwrite of a month-partitioned parquet dir: only
+    * the partitions present in `df` are replaced (static overwrite mode
+    * would delete every other month on the way in).
+    */
+  private def writeDynamicByMonth(df: DataFrame, outDir: String): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode("overwrite").partitionBy("month").parquet(outDir)
+    finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
   }
 }

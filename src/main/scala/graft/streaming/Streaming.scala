@@ -202,6 +202,34 @@ object Streaming {
       keys: Seq[String]): DataFrame =
     events.join(broadcast(dim), keys, "left")
 
+  /** Streaming materialized-view maintenance: keep the at-rest
+    * month-partitioned rollup ([[graft.etl.Maintenance]]) continuously
+    * up to date from a live event feed. The streaming aggregation holds the
+    * RUNNING (month, event_type) totals in the state store (bounded:
+    * months × types groups, checkpointed), emits the groups each
+    * micro-batch changed in update mode with their COMPLETE current values,
+    * and foreachBatch upserts them into the store via dynamic partition
+    * overwrite. Complete values — not deltas — are what make the sink safe:
+    * a replayed batch (foreachBatch is at-least-once) rewrites the same
+    * totals instead of double-counting, and a restart recovers the running
+    * state from the checkpoint, so the store always converges to exactly
+    * the batch rollup of everything ingested (StreamingSpec proves parity
+    * and that untouched month partitions keep their exact files).
+    */
+  def maintainMonthlyRollup(events: DataFrame, outDir: String,
+      checkpoint: String): StreamingQuery =
+    events
+      .groupBy(date_format(col("ts"), "yyyy-MM").as("month"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (updates: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.etl.Maintenance.upsertRollupRows(updates.toDF(), outDir); ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Runs a streaming aggregation to a named in-memory sink with an
     * AvailableNow trigger (process everything currently on disk, then
     * terminate). Callers should `awaitTermination()`, NOT

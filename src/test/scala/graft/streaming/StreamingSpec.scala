@@ -247,6 +247,64 @@ class StreamingSpec extends SparkSpec {
     assert(mismatches.count() == 0, "a post-restart session differs from batch truth")
   }
 
+  test("streaming rollup maintenance converges to batch truth, touches only " +
+    "changed month partitions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_mv_src_").toString
+    val out = Files.createTempDirectory("graft_mv_out_").toString + "/rollup"
+    val cp = Files.createTempDirectory("graft_mv_cp_").toString
+    // two months: the real fixture month plus a +1-month shifted copy;
+    // drop1 = all of month 1 + half of month 2, drop2 = month 2's other half
+    val m1 = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val m2 = m1.withColumn("ts", expr("timestampadd(MONTH, 1, ts)"))
+      .withColumn("event_id", $"event_id" + 1000000L)
+    val all = m1.unionByName(m2)
+    // the file-stream source lists the watched dir FLAT — stage each drop
+    // as a single file directly inside it (the sessionizer-test pattern)
+    def stageFlat(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_mv_drop_").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(dir, name))
+    }
+    stageFlat(m1.unionByName(m2.where(hash($"event_id") % 2 === 0)), "drop1.parquet")
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema(Streaming.eventSchema).parquet(dir)
+      val q = Streaming.maintainMonthlyRollup(stream, out, cp)
+      q.awaitTermination(120000); q.stop()
+    }
+    def partFiles(): Map[String, Set[String]] =
+      new java.io.File(out).listFiles().filter(_.getName.startsWith("month="))
+        .map(d => d.getName -> d.listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet).toMap
+
+    run()                                    // first life: month1 + half month2
+    val before = partFiles()
+    assert(before.size == 2, s"first life must build both months: $before")
+    stageFlat(m2.where(hash($"event_id") % 2 =!= 0), "drop2.parquet")
+    run()                                    // second life: recovers running
+                                             // state, ingests ONLY drop2
+    // the store converges to the batch rollup of everything ingested
+    val got = spark.read.parquet(out)
+      .select($"month", $"event_type", $"n_events", $"sum_value")
+    val truth = graft.etl.Maintenance.monthlyRollup(
+      all.select($"ts", $"event_type", $"value"))
+    assert(got.count() == truth.count())
+    val bad = got.join(truth, Seq("month", "event_type"))
+      .where(got("n_events") =!= truth("n_events") ||
+        abs(got("sum_value") - truth("sum_value")) > 1e-6)
+    assert(bad.count() == 0, "maintained store diverged from batch rollup truth")
+    // drop2 touched only month 2 — month 1's files must be the first-life
+    // files untouched
+    val after = partFiles()
+    val m1dir = before.keySet.find(_ != s"month=" +
+      m2.select(date_format($"ts", "yyyy-MM")).head().getString(0)).get
+    assert(after(m1dir) == before(m1dir),
+      s"untouched month partition $m1dir was rewritten on the second life")
+  }
+
   test("stateful running totals per user via mapGroupsWithState") {
     import spark.implicits._
     val dir = stageEvents()
