@@ -115,6 +115,20 @@ class CorpusSpec extends SparkSpec {
     assert(dropped, "consumed clean() left its release listener registered")
   }
 
+  test("chunking edge cases: NULL text emits no chunks; packing an empty " +
+    "input yields an empty result") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta gamma"), (2L, null.asInstanceOf[String]),
+      (3L, "")).toDF("doc_id", "text")
+    val chunks = Corpus.chunk(d, "doc_id", "text", chunkSize = 2)
+    // NULL and empty texts both tokenize to nothing — no chunk rows, no NPE
+    assert(chunks.where($"doc_id" =!= 1L).count() == 0)
+    assert(chunks.where($"doc_id" === 1L).count() == 2)
+    val packedEmpty = Corpus.packSequences(chunks.where($"doc_id" === 99L),
+      "doc_id", "chunk_id", "n_tokens", capacity = 8)
+    assert(packedEmpty.count() == 0)
+  }
+
   test("sequence packing: exact coverage, capacity respected, deterministic") {
     import spark.implicits._
     val chunks = Corpus.chunk(docs, "doc_id", "text", chunkSize = 4)
