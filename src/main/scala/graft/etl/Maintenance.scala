@@ -128,9 +128,14 @@ object Maintenance {
         .collect().map(_.getString(0)).toSeq.sorted
       if (touched.isEmpty) Nil
       else {
-        val existing = scala.util.Try(
-            spark.read.parquet(outDir).where(col("month").isin(touched: _*)))
-          .toOption
+        // only a MISSING store (first write) may read as empty; any other
+        // read failure must propagate — a swallowed transient error here
+        // would rewrite the touched months with ONLY the updated keys,
+        // silently deleting every carried row
+        val outPath = new org.apache.hadoop.fs.Path(outDir)
+        val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val existing = Option.when(fs.exists(outPath))(
+          spark.read.parquet(outDir).where(col("month").isin(touched: _*)))
         val carried = existing.fold(up.limit(0))(
           _.join(up.select("month", "event_type"),
             Seq("month", "event_type"), "left_anti"))

@@ -230,9 +230,11 @@ object Corpus {
     * occupies a sequence alone (truncation is the tokenizer's concern, not
     * the packer's).
     *
-    * Output: input columns + `seq_id` + `seq_fill` (tokens used in the
-    * sequence after placing this chunk; the final value per seq_id is the
-    * sequence's fill level).
+    * Output: exactly (`idCol`, `chunkIdCol`, `nTokensCol`, `seq_id`,
+    * `seq_fill`) — other input columns (chunk_text) are NOT carried; join
+    * the assignment back on the unique (id, chunk) key to materialize
+    * packed text. `seq_fill` is the tokens used after placing this chunk;
+    * the final value per seq_id is the sequence's fill level.
     */
   def packSequences(chunks: DataFrame, idCol: String, chunkIdCol: String,
       nTokensCol: String, capacity: Int, nPartitions: Int = 0): DataFrame = {
@@ -242,9 +244,13 @@ object Corpus {
     val np = if (nPartitions > 0) nPartitions
       else spark.sessionState.conf.numShufflePartitions
     chunks
+      // hash the CAST id: repartition routes by the post-cast long column,
+      // and murmur3 of int/string/long inputs differ — a pre-cast hash
+      // would disagree with the physical partitioning for non-bigint ids
+      // and mint colliding seq_ids across partitions
       .select(col(idCol).cast("long"), col(chunkIdCol).cast("int"),
         col(nTokensCol).cast("int"),
-        pmod(hash(col(idCol)), lit(np)).cast("int"))
+        pmod(hash(col(idCol).cast("long")), lit(np)).cast("int"))
       .as[(Long, Int, Int, Int)]
       .repartition(np, col(idCol))
       .sortWithinPartitions(col(idCol), col(chunkIdCol))

@@ -215,19 +215,25 @@ object Streaming {
     * state from the checkpoint, so the store always converges to exactly
     * the batch rollup of everything ingested (StreamingSpec proves parity
     * and that untouched month partitions keep their exact files).
+    *
+    * The aggregation IS [[graft.etl.Maintenance.monthlyRollup]] applied to
+    * the stream — one definition for the batch truth and the streaming
+    * view, so the store's (month, event_type) key shape can't drift. The
+    * default AvailableNow trigger drains what's on disk and terminates
+    * (the incremental-batch pattern; re-invoke per maintenance cycle) —
+    * pass a processing-time `trigger` for an always-on deployment.
     */
   def maintainMonthlyRollup(events: DataFrame, outDir: String,
-      checkpoint: String): StreamingQuery =
-    events
-      .groupBy(date_format(col("ts"), "yyyy-MM").as("month"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    graft.etl.Maintenance.monthlyRollup(events)
       .writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (updates: Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.etl.Maintenance.upsertRollupRows(updates.toDF(), outDir); ()
       }
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 
   /** Runs a streaming aggregation to a named in-memory sink with an

@@ -286,15 +286,17 @@ class StreamingSpec extends SparkSpec {
     stageFlat(m2.where(hash($"event_id") % 2 =!= 0), "drop2.parquet")
     run()                                    // second life: recovers running
                                              // state, ingests ONLY drop2
-    // the store converges to the batch rollup of everything ingested
+    // the store converges to the batch rollup of everything ingested —
+    // FULL outer join so a missing key and an extra key can't cancel out
+    // (an inner join + count equality would pass on symmetric divergence)
     val got = spark.read.parquet(out)
-      .select($"month", $"event_type", $"n_events", $"sum_value")
+      .select($"month", $"event_type",
+        $"n_events".as("g_n"), $"sum_value".as("g_sum"))
     val truth = graft.etl.Maintenance.monthlyRollup(
       all.select($"ts", $"event_type", $"value"))
-    assert(got.count() == truth.count())
-    val bad = got.join(truth, Seq("month", "event_type"))
-      .where(got("n_events") =!= truth("n_events") ||
-        abs(got("sum_value") - truth("sum_value")) > 1e-6)
+    val bad = got.join(truth, Seq("month", "event_type"), "full_outer")
+      .where($"g_n".isNull || $"n_events".isNull ||
+        $"g_n" =!= $"n_events" || abs($"g_sum" - $"sum_value") > 1e-6)
     assert(bad.count() == 0, "maintained store diverged from batch rollup truth")
     // drop2 touched only month 2 — month 1's files must be the first-life
     // files untouched
