@@ -197,6 +197,43 @@ object ExtQueries {
         chunkSize = 32, stride = 16)),
 
     // ------------------------------------------------------------------
+    // Count-min-sketch heavy hitters — the third member of the sketch
+    // family (HLL distinct ✓, approx_percentile ✓): ONE mergeable-aggregate
+    // pass ships a fixed (depth × width) counter array per partition
+    // instead of a full token histogram — at 100 TB the sketch is KBs while
+    // the exact histogram is the vocabulary. The exact top-20 (computed
+    // here as ground truth alongside) answer their counts from the
+    // deserialized sketch on the driver; rows-only by construction (DuckDB
+    // has no CMS), with the one-sided error bound exact ≤ est ≤ exact+εN
+    // gated in ApproxSpec (fixed seed ⇒ deterministic).
+    QueryDef(
+      "q_heavy_hitters_sketch",
+      None,
+      (s, dir) => {
+        import s.implicits._
+        val eps = 0.001
+        val toks = docs(s, dir)
+          .select(explode(TextFunctions.arrayBarrier(
+            TextFunctions.tokens($"text"))).as("token"))
+        // sketch + stream length N in ONE aggregation pass
+        val row = toks
+          .agg(expr(s"count_min_sketch(token, ${eps}d, 0.99d, 42)"),
+            count(lit(1)))
+          .head()
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+        val totalN = row.getLong(1)
+        // exact top-20 ground truth; the sketch answers their counts on the
+        // driver (20 lookups against a KB-sized structure — no UDF, no
+        // second distributed pass)
+        toks.groupBy($"token").agg(count(lit(1)).as("n_exact"))
+          .orderBy($"n_exact".desc, $"token").limit(20).collect()
+          .map(r => (r.getString(0), r.getLong(1),
+            cms.estimateCount(r.getString(0)), eps * totalN))
+          .toSeq.toDF("token", "n_exact", "n_est", "eps_n_bound")
+      }),
+
+    // ------------------------------------------------------------------
     // Sequence packing — [[Corpus.packSequences]]: chunks greedily packed
     // into capacity-256 training sequences (one co-locating exchange + a
     // partition-local mapPartitions pass). Declared rows-only: the

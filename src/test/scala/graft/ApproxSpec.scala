@@ -35,6 +35,22 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("count-min sketch estimates bound the exact heavy-hitter counts") {
+    // CMS guarantees exact <= est, and est <= exact + eps*N with the
+    // sketch's confidence; the fixed seed makes the run deterministic, so
+    // both sides are hard gates, not flaky probabilistic ones
+    val rows = SparkEntry.queries("q_heavy_hitters_sketch")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 20, "expected the exact top-20 ground truth")
+    rows.foreach { r =>
+      val (tok, exact, est, bound) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(est >= exact, s"CMS underestimated '$tok': $est < $exact")
+      assert(est <= exact + bound,
+        s"CMS over bound on '$tok': $est > $exact + $bound")
+    }
+  }
+
   test("rollup emits per-month rows, per-year subtotals, and a grand total") {
     val df = SparkEntry.queries("q_rollup")(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
