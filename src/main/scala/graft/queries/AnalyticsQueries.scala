@@ -224,6 +224,88 @@ object AnalyticsQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Linear-interpolation resample — the sibling of q_resample_ffill for
+    // signals where holding the last reading is wrong (temperatures, not
+    // counters): empty grid slots get prev + (next−prev)·Δt-ratio from the
+    // surrounding samples. Same grid join; TWO frames on the same
+    // (user, hour) sort — backward last(ignoreNulls) and forward
+    // first(ignoreNulls) — so the window sort is still paid once. The grid
+    // spans [first, last] observation hours, both of which hold samples, so
+    // prev/next always exist for interior gaps; sample rows keep their own
+    // value (the formula's 0/0 case). Interp = the SAME IEEE expression
+    // tree in both engines (integer-µs ratio, one multiply, one add) —
+    // bit-exact per QueryDef determinism rules, emitted raw.
+    QueryDef(
+      "q_resample_interp",
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, value,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             |    epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hr_us
+             |  FROM events),
+             |hv AS (
+             |  SELECT user_id, hr_us, value FROM (
+             |    SELECT user_id, hr_us, value,
+             |      row_number() OVER (PARTITION BY user_id, hr_us
+             |                         ORDER BY ts_us DESC, event_id DESC) AS rn
+             |    FROM e) WHERE rn = 1),
+             |bounds AS (SELECT user_id, min(hr_us) AS h0, max(hr_us) AS h1 FROM e GROUP BY 1),
+             |grid AS (
+             |  SELECT user_id, unnest(generate_series(h0, h1, 3600000000)) AS hr_us
+             |  FROM bounds),
+             |j AS (
+             |  SELECT g.user_id, g.hr_us, hv.value,
+             |    last_value(hv.value IGNORE NULLS) OVER w_back AS prev_v,
+             |    last_value(CASE WHEN hv.value IS NOT NULL THEN g.hr_us END IGNORE NULLS)
+             |      OVER w_back AS prev_t,
+             |    first_value(hv.value IGNORE NULLS) OVER w_fwd AS next_v,
+             |    first_value(CASE WHEN hv.value IS NOT NULL THEN g.hr_us END IGNORE NULLS)
+             |      OVER w_fwd AS next_t
+             |  FROM grid g LEFT JOIN hv ON g.user_id = hv.user_id AND g.hr_us = hv.hr_us
+             |  WINDOW
+             |    w_back AS (PARTITION BY g.user_id ORDER BY g.hr_us ROWS UNBOUNDED PRECEDING),
+             |    w_fwd AS (PARTITION BY g.user_id ORDER BY g.hr_us
+             |              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |SELECT user_id, hr_us,
+             |  CASE WHEN value IS NOT NULL THEN value
+             |       ELSE prev_v + (next_v - prev_v) *
+             |            (CAST(hr_us - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE))
+             |  END AS value_interp
+             |FROM j""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "events")
+          .select($"event_id", $"user_id", $"value",
+            unix_micros($"ts").as("ts_us"),
+            unix_micros(date_trunc("hour", $"ts")).as("hr_us"))
+        val lastInHour = Window.partitionBy($"user_id", $"hr_us")
+          .orderBy($"ts_us".desc, $"event_id".desc)
+        val hv = e.withColumn("rn", row_number().over(lastInHour))
+          .where($"rn" === 1).select($"user_id", $"hr_us", $"value")
+        val grid = e.groupBy($"user_id")
+          .agg(min($"hr_us").as("h0"), max($"hr_us").as("h1"))
+          .select($"user_id",
+            explode(sequence($"h0", $"h1", lit(3600000000L))).as("hr_us"))
+        val wBack = Window.partitionBy($"user_id").orderBy($"hr_us")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wFwd = Window.partitionBy($"user_id").orderBy($"hr_us")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        grid.join(hv, Seq("user_id", "hr_us"), "left")
+          .select($"user_id", $"hr_us", $"value",
+            last($"value", ignoreNulls = true).over(wBack).as("prev_v"),
+            last(when($"value".isNotNull, $"hr_us"), ignoreNulls = true)
+              .over(wBack).as("prev_t"),
+            first($"value", ignoreNulls = true).over(wFwd).as("next_v"),
+            first(when($"value".isNotNull, $"hr_us"), ignoreNulls = true)
+              .over(wFwd).as("next_t"))
+          .select($"user_id", $"hr_us",
+            when($"value".isNotNull, $"value")
+              .otherwise($"prev_v" + ($"next_v" - $"prev_v") *
+                (($"hr_us" - $"prev_t").cast("double") /
+                  ($"next_t" - $"prev_t").cast("double")))
+              .as("value_interp"))
+      }),
+
+    // ------------------------------------------------------------------
     // CUBE over (returnflag, linestatus): all 4 grouping sets in ONE pass —
     // Spark expands grouping sets inside a single hash aggregate (one
     // shuffle), vs 4 separate scans. Quantity sums are exact (integer-valued
