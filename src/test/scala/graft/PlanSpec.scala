@@ -123,6 +123,20 @@ class PlanSpec extends SparkSpec {
       s"q_ngram_topk: top-20 fell back to a global sort\n$p")
   }
 
+  test("interp resample: all four neighbor frames share ONE window sort") {
+    val p = planOf("q_resample_interp")
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    // exactly two Window nodes: the in-hour dedup (row_number, pruned by
+    // WindowGroupLimit) and ONE node hosting all four prev/next functions —
+    // a regression splitting the backward/forward frames into separate
+    // sorts doubles the heaviest stage
+    assert(winLines.size == 2, s"unexpected window-node count:\n$p")
+    assert(winLines.exists(l => l.contains("last(") && l.contains("first(")),
+      s"prev/next frames split across window sorts:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"in-hour dedup lost its pre-shuffle top-1 pruning:\n$p")
+  }
+
   test("fact-fact composite join reuses one exchange for agg + join (AQE)") {
     val p = planOf("q_join_factfact_composite")
     // both sides hash-partition on (user_id, event_date) — the join itself
