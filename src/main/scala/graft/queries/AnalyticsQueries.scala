@@ -27,6 +27,49 @@ object AnalyticsQueries {
     */
   private val BandUs = 300000000L
 
+  /** Shared DuckDB CTE prefix for the two resample queries: `e` (events with
+    * µs timestamps + hour buckets), `hv` (deterministic last-in-hour value),
+    * `bounds`/`grid` (each user's own [min,max] hourly grid). A fix to the
+    * in-hour dedup ordering or the grid step lands in BOTH oracles at once.
+    */
+  private val resampleGridCte: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, value,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |    epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hr_us
+      |  FROM events),
+      |hv AS (
+      |  SELECT user_id, hr_us, value FROM (
+      |    SELECT user_id, hr_us, value,
+      |      row_number() OVER (PARTITION BY user_id, hr_us
+      |                         ORDER BY ts_us DESC, event_id DESC) AS rn
+      |    FROM e) WHERE rn = 1),
+      |bounds AS (SELECT user_id, min(hr_us) AS h0, max(hr_us) AS h1 FROM e GROUP BY 1),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(h0, h1, 3600000000)) AS hr_us
+      |  FROM bounds)""".stripMargin
+
+  /** Spark twin of [[resampleGridCte]]: each user's hourly grid left-joined
+    * with their deterministic last-in-hour value (`value` NULL on empty
+    * slots). Both resample queries fill the gaps their own way on top.
+    */
+  private def resampleGrid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "events")
+      .select($"event_id", $"user_id", $"value",
+        unix_micros($"ts").as("ts_us"),
+        unix_micros(date_trunc("hour", $"ts")).as("hr_us"))
+    val lastInHour = Window.partitionBy($"user_id", $"hr_us")
+      .orderBy($"ts_us".desc, $"event_id".desc)
+    val hv = e.withColumn("rn", row_number().over(lastInHour))
+      .where($"rn" === 1).select($"user_id", $"hr_us", $"value")
+    val grid = e.groupBy($"user_id")
+      .agg(min($"hr_us").as("h0"), max($"hr_us").as("h1"))
+      .select($"user_id",
+        explode(sequence($"h0", $"h1", lit(3600000000L))).as("hr_us"))
+    grid.join(hv, Seq("user_id", "hr_us"), "left")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -182,21 +225,7 @@ object AnalyticsQueries {
     // AT the first observation's hour), so no leading NULLs.
     QueryDef(
       "q_resample_ffill",
-      Some("""WITH e AS (
-             |  SELECT event_id, user_id, value,
-             |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
-             |    epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hr_us
-             |  FROM events),
-             |hv AS (
-             |  SELECT user_id, hr_us, value FROM (
-             |    SELECT user_id, hr_us, value,
-             |      row_number() OVER (PARTITION BY user_id, hr_us
-             |                         ORDER BY ts_us DESC, event_id DESC) AS rn
-             |    FROM e) WHERE rn = 1),
-             |bounds AS (SELECT user_id, min(hr_us) AS h0, max(hr_us) AS h1 FROM e GROUP BY 1),
-             |grid AS (
-             |  SELECT user_id, unnest(generate_series(h0, h1, 3600000000)) AS hr_us
-             |  FROM bounds)
+      Some(s"""$resampleGridCte
              |SELECT g.user_id, g.hr_us,
              |  last_value(hv.value IGNORE NULLS) OVER (
              |    PARTITION BY g.user_id ORDER BY g.hr_us
@@ -204,21 +233,9 @@ object AnalyticsQueries {
              |FROM grid g LEFT JOIN hv ON g.user_id = hv.user_id AND g.hr_us = hv.hr_us""".stripMargin),
       (s, dir) => {
         import s.implicits._
-        val e = t(s, dir, "events")
-          .select($"event_id", $"user_id", $"value",
-            unix_micros($"ts").as("ts_us"),
-            unix_micros(date_trunc("hour", $"ts")).as("hr_us"))
-        val lastInHour = Window.partitionBy($"user_id", $"hr_us")
-          .orderBy($"ts_us".desc, $"event_id".desc)
-        val hv = e.withColumn("rn", row_number().over(lastInHour))
-          .where($"rn" === 1).select($"user_id", $"hr_us", $"value")
-        val grid = e.groupBy($"user_id")
-          .agg(min($"hr_us").as("h0"), max($"hr_us").as("h1"))
-          .select($"user_id",
-            explode(sequence($"h0", $"h1", lit(3600000000L))).as("hr_us"))
         val ffill = Window.partitionBy($"user_id").orderBy($"hr_us")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        grid.join(hv, Seq("user_id", "hr_us"), "left")
+        resampleGrid(s, dir)
           .select($"user_id", $"hr_us",
             last($"value", ignoreNulls = true).over(ffill).as("value_ffill"))
       }),
@@ -237,21 +254,7 @@ object AnalyticsQueries {
     // bit-exact per QueryDef determinism rules, emitted raw.
     QueryDef(
       "q_resample_interp",
-      Some("""WITH e AS (
-             |  SELECT event_id, user_id, value,
-             |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
-             |    epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hr_us
-             |  FROM events),
-             |hv AS (
-             |  SELECT user_id, hr_us, value FROM (
-             |    SELECT user_id, hr_us, value,
-             |      row_number() OVER (PARTITION BY user_id, hr_us
-             |                         ORDER BY ts_us DESC, event_id DESC) AS rn
-             |    FROM e) WHERE rn = 1),
-             |bounds AS (SELECT user_id, min(hr_us) AS h0, max(hr_us) AS h1 FROM e GROUP BY 1),
-             |grid AS (
-             |  SELECT user_id, unnest(generate_series(h0, h1, 3600000000)) AS hr_us
-             |  FROM bounds),
+      Some(s"""$resampleGridCte,
              |j AS (
              |  SELECT g.user_id, g.hr_us, hv.value,
              |    last_value(hv.value IGNORE NULLS) OVER w_back AS prev_v,
@@ -273,23 +276,11 @@ object AnalyticsQueries {
              |FROM j""".stripMargin),
       (s, dir) => {
         import s.implicits._
-        val e = t(s, dir, "events")
-          .select($"event_id", $"user_id", $"value",
-            unix_micros($"ts").as("ts_us"),
-            unix_micros(date_trunc("hour", $"ts")).as("hr_us"))
-        val lastInHour = Window.partitionBy($"user_id", $"hr_us")
-          .orderBy($"ts_us".desc, $"event_id".desc)
-        val hv = e.withColumn("rn", row_number().over(lastInHour))
-          .where($"rn" === 1).select($"user_id", $"hr_us", $"value")
-        val grid = e.groupBy($"user_id")
-          .agg(min($"hr_us").as("h0"), max($"hr_us").as("h1"))
-          .select($"user_id",
-            explode(sequence($"h0", $"h1", lit(3600000000L))).as("hr_us"))
         val wBack = Window.partitionBy($"user_id").orderBy($"hr_us")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val wFwd = Window.partitionBy($"user_id").orderBy($"hr_us")
           .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        grid.join(hv, Seq("user_id", "hr_us"), "left")
+        resampleGrid(s, dir)
           .select($"user_id", $"hr_us", $"value",
             last($"value", ignoreNulls = true).over(wBack).as("prev_v"),
             last(when($"value".isNotNull, $"hr_us"), ignoreNulls = true)
