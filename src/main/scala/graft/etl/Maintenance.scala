@@ -128,14 +128,24 @@ object Maintenance {
         .collect().map(_.getString(0)).toSeq.sorted
       if (touched.isEmpty) Nil
       else {
-        // only a MISSING store (first write) may read as empty; any other
-        // read failure must propagate — a swallowed transient error here
-        // would rewrite the touched months with ONLY the updated keys,
-        // silently deleting every carried row
+        // only a store with NO committed data (first write, or a crashed
+        // first write that left just _temporary behind) may read as empty;
+        // any other read failure must propagate — a swallowed transient
+        // error here would rewrite the touched months with ONLY the updated
+        // keys, silently deleting every carried row. fs.exists alone is the
+        // wrong probe: a dir with zero committed footers exists but throws
+        // UNABLE_TO_INFER_SCHEMA forever, a permanent crash loop.
         val outPath = new org.apache.hadoop.fs.Path(outDir)
         val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
-        val existing = Option.when(fs.exists(outPath))(
-          spark.read.parquet(outDir).where(col("month").isin(touched: _*)))
+        val existing =
+          if (!fs.exists(outPath)) None
+          else scala.util.Try(spark.read.parquet(outDir)) match {
+            case scala.util.Success(df) =>
+              Some(df.where(col("month").isin(touched: _*)))
+            case scala.util.Failure(e: org.apache.spark.sql.AnalysisException)
+                if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => None
+            case scala.util.Failure(e) => throw e
+          }
         val carried = existing.fold(up.limit(0))(
           _.join(up.select("month", "event_type"),
             Seq("month", "event_type"), "left_anti"))
@@ -148,14 +158,14 @@ object Maintenance {
 
   /** Dynamic partition overwrite of a month-partitioned parquet dir: only
     * the partitions present in `df` are replaced (static overwrite mode
-    * would delete every other month on the way in).
+    * would delete every other month on the way in). The mode is set as a
+    * per-WRITER option, never by toggling the session conf: a set/restore
+    * around the write races every concurrent writer in the session — the
+    * restore landing mid-flight would flip another upsert to static mode,
+    * which deletes every partition that writer doesn't carry.
     */
-  private def writeDynamicByMonth(df: DataFrame, outDir: String): Unit = {
-    val spark = df.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try df.write.mode("overwrite").partitionBy("month").parquet(outDir)
-    finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
-  }
+  private def writeDynamicByMonth(df: DataFrame, outDir: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("month").parquet(outDir)
 }

@@ -108,6 +108,37 @@ object ExtQueries {
       |  GROUP BY 1, 2, 3, 4
       |)""".stripMargin
 
+  /** DuckDB re-derivation of [[TextFunctions.qualityScore]] over a column
+    * named `text` — interpolated into q_text_quality AND
+    * q_corpus_funnel_exact, so a blend/stopword fix lands in both oracles
+    * at once instead of silently diverging.
+    */
+  private val qualityScoreSql: String =
+    """CASE WHEN CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) > 0.0
+      |         THEN CAST(length(regexp_extract_all(lower(text), '\b(the|and|is|of|to|a|in)\b')) AS DOUBLE)
+      |              / CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE)
+      |         ELSE 0.0 END * 0.4
+      |    + CASE WHEN CAST(length(text) AS DOUBLE) > 0.0
+      |           THEN CAST(length(regexp_extract_all(lower(text), '[a-z]')) AS DOUBLE)
+      |                / CAST(length(text) AS DOUBLE)
+      |           ELSE 0.0 END * 0.4
+      |    + CASE WHEN length(text) BETWEEN 20 AND 10000 THEN 0.2 ELSE 0.0 END""".stripMargin
+
+  /** Per-language marker-hit counts (shared by q_lang_id and
+    * q_corpus_funnel_exact — same single-source rationale).
+    */
+  private val langHitsSql: String =
+    """CAST(length(regexp_extract_all(lower(text), '\b(the|and|is|of|to)\b')) AS INT)   AS en_hits,
+      |    CAST(length(regexp_extract_all(lower(text), '\b(el|la|de|que|los)\b')) AS INT)   AS es_hits,
+      |    CAST(length(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS INT) AS de_hits""".stripMargin
+
+  /** Fixed-tie-order argmax over the [[langHitsSql]] columns. */
+  private val langArgmaxSql: String =
+    """CASE WHEN en_hits IS NULL THEN NULL
+      |         WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+      |         WHEN es_hits >= de_hits THEN 'es'
+      |         ELSE 'de' END""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -324,18 +355,13 @@ object ExtQueries {
     // Language-ID heuristic: stopword-marker argmax with fixed tie order.
     QueryDef(
       "q_lang_id",
-      Some("""WITH h AS (
-             |  SELECT doc_id, lang,
-             |    CAST(length(regexp_extract_all(lower(text), '\b(the|and|is|of|to)\b')) AS INT)   AS en_hits,
-             |    CAST(length(regexp_extract_all(lower(text), '\b(el|la|de|que|los)\b')) AS INT)   AS es_hits,
-             |    CAST(length(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS INT) AS de_hits
-             |  FROM documents)
-             |SELECT doc_id, lang, en_hits, es_hits, de_hits,
-             |  CASE WHEN en_hits IS NULL THEN NULL
-             |       WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
-             |       WHEN es_hits >= de_hits THEN 'es'
-             |       ELSE 'de' END AS predicted_lang
-             |FROM h""".stripMargin),
+      Some(s"""WITH h AS (
+              |  SELECT doc_id, lang,
+              |    $langHitsSql
+              |  FROM documents)
+              |SELECT doc_id, lang, en_hits, es_hits, de_hits,
+              |  $langArgmaxSql AS predicted_lang
+              |FROM h""".stripMargin),
       (s, dir) => {
         import s.implicits._
         val hits = TextFunctions.markerHits($"text")
@@ -350,18 +376,7 @@ object ExtQueries {
     // (counts are exact ints; one division) → deterministic cross-engine.
     QueryDef(
       "q_text_quality",
-      Some("""SELECT doc_id,
-             |  CASE WHEN CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) > 0.0
-             |       THEN CAST(length(regexp_extract_all(lower(text), '\b(the|and|is|of|to|a|in)\b')) AS DOUBLE)
-             |            / CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE)
-             |       ELSE 0.0 END * 0.4
-             |  + CASE WHEN CAST(length(text) AS DOUBLE) > 0.0
-             |         THEN CAST(length(regexp_extract_all(lower(text), '[a-z]')) AS DOUBLE)
-             |              / CAST(length(text) AS DOUBLE)
-             |         ELSE 0.0 END * 0.4
-             |  + CASE WHEN length(text) BETWEEN 20 AND 10000 THEN 0.2 ELSE 0.0 END
-             |    AS quality_score
-             |FROM documents""".stripMargin),
+      Some(s"SELECT doc_id,\n  $qualityScoreSql\n    AS quality_score\nFROM documents"),
       (s, dir) => {
         import s.implicits._
         docs(s, dir).select(
@@ -810,7 +825,7 @@ object ExtQueries {
     // and must still surface as null_text, not vanish on an inner join).
     QueryDef(
       "q_corpus_funnel_exact",
-      Some("""WITH inp AS (
+      Some(s"""WITH inp AS (
              |  SELECT doc_id, text FROM documents
              |  UNION ALL
              |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
@@ -822,27 +837,14 @@ object ExtQueries {
              |  FROM documents WHERE doc_id % 11 = 0),
              |q AS (
              |  SELECT doc_id, text,
-             |    CASE WHEN CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) > 0.0
-             |         THEN CAST(length(regexp_extract_all(lower(text), '\b(the|and|is|of|to|a|in)\b')) AS DOUBLE)
-             |              / CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE)
-             |         ELSE 0.0 END * 0.4
-             |    + CASE WHEN CAST(length(text) AS DOUBLE) > 0.0
-             |           THEN CAST(length(regexp_extract_all(lower(text), '[a-z]')) AS DOUBLE)
-             |                / CAST(length(text) AS DOUBLE)
-             |           ELSE 0.0 END * 0.4
-             |    + CASE WHEN length(text) BETWEEN 20 AND 10000 THEN 0.2 ELSE 0.0 END
+             |    $qualityScoreSql
              |      AS quality_score,
-             |    CAST(length(regexp_extract_all(lower(text), '\b(the|and|is|of|to)\b')) AS INT)   AS en_hits,
-             |    CAST(length(regexp_extract_all(lower(text), '\b(el|la|de|que|los)\b')) AS INT)   AS es_hits,
-             |    CAST(length(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS INT) AS de_hits,
+             |    $langHitsSql,
              |    md5(text) AS h
              |  FROM inp),
              |langed AS (
              |  SELECT doc_id, text, quality_score, h,
-             |    CASE WHEN en_hits IS NULL THEN NULL
-             |         WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
-             |         WHEN es_hits >= de_hits THEN 'es'
-             |         ELSE 'de' END AS predicted_lang
+             |    $langArgmaxSql AS predicted_lang
              |  FROM q),
              |k AS (SELECT h AS kh, MIN(doc_id) AS keep_id FROM q GROUP BY 1),
              |reasons AS (
