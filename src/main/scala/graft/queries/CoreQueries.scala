@@ -665,6 +665,48 @@ object CoreQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Native session windows — session_window()'s MergingSessions operator
+    // is the plan-native twin of q_sessionize's two-window formulation:
+    // per-session AGGREGATES in one groupBy, no per-event session-idx
+    // materialization (at 100 TB the manual form writes a corpus-sized
+    // intermediate; this one shuffles once and aggregates in place).
+    // Boundary semantics: windows are [start, last+gap) and merge on
+    // OVERLAP, so two events share a session iff Δt < gap — strictly less,
+    // unlike the manual sessionizer's "> gap breaks" convention (both are
+    // valid definitions; each oracle encodes its own). The oracle re-derives
+    // sessions with the lag/running-sum trick using >= gap as the break,
+    // then aggregates; all outputs are exact integers/µs — no snapping.
+    QueryDef(
+      "q_session_window",
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+             |  FROM events),
+             |g AS (
+             |  SELECT user_id, ts_us,
+             |    CASE WHEN ts_us - LAG(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+             |s AS (
+             |  SELECT user_id, ts_us,
+             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+             |                   ROWS UNBOUNDED PRECEDING) AS sess
+             |  FROM g)
+             |SELECT user_id,
+             |  MIN(ts_us) AS start_us,
+             |  MAX(ts_us) + 1800000000 AS end_us,
+             |  CAST(COUNT(*) AS BIGINT) AS n_events
+             |FROM s GROUP BY user_id, sess""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy($"user_id", session_window($"ts", "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select($"user_id",
+            unix_micros($"session_window.start").as("start_us"),
+            unix_micros($"session_window.end").as("end_us"),
+            $"n_events")
+      }),
+
+    // ------------------------------------------------------------------
     // A8-ext — exact percentiles (sorted interpolation, deterministic unlike
     // approx sketches). Interpolation rounding differs in the last bits
     // across engines → snapped to 1e-6.
