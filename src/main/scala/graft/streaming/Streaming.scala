@@ -56,6 +56,26 @@ object Streaming {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"), col("peak_value"))
 
+  /** Declarative streaming sessionization — the native twin of both the
+    * batch q_session_window and the imperative [[sessionizeStream]]:
+    * `session_window` + watermark keeps ONE mergeable state entry per open
+    * session and emits a session in append mode once the watermark passes
+    * its end (last event + gap) — no flatMapGroupsWithState code to
+    * maintain, same bounded-state story. The imperative form remains for
+    * semantics the declarative one can't express (emitting the open tail,
+    * custom stitching rules).
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "0 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+
   final case class SessionInput(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(nEvents: Long, total: Double, lastTs: Long)
   final case class SessionOutput(user_id: Long, n_events: Long, total_value: Double)

@@ -135,6 +135,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.where($"tier".isNull).count() == 0, "every event must enrich")
   }
 
+  test("native session_window stream emits exactly the watermark-closed " +
+    "batch sessions") {
+    import spark.implicits._
+    val dir = stageEvents()
+    val q = Streaming.runToMemory(
+      Streaming.sessionWindowAgg(
+        Streaming.readEventStream(spark, dir), "30 minutes", "0 seconds"),
+      "native_sessions")  // append mode: only watermark-closed sessions emit
+    q.awaitTermination(120000); q.stop()
+    val got = spark.table("native_sessions")
+
+    // batch truth via the oracled q_session_window shape; with delay 0 the
+    // final watermark is the max event time, so exactly the sessions whose
+    // end (last event + gap) is <= max ts must emit — open tails must NOT
+    val batch = spark.read.parquet(dir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("b_n"))
+      .select($"user_id",
+        unix_micros($"session_window.start").as("start_us"),
+        unix_micros($"session_window.end").as("end_us"), $"b_n")
+    val maxTs = spark.read.parquet(dir)
+      .agg(max(unix_micros($"ts"))).head().getLong(0)
+    val expected = batch.where($"end_us" <= maxTs)
+    val bad = got.join(expected, Seq("user_id", "start_us", "end_us"), "full_outer")
+      .where($"n_events".isNull || $"b_n".isNull || $"n_events" =!= $"b_n")
+    assert(bad.count() == 0,
+      "streamed native sessions differ from the watermark-closed batch set")
+    assert(got.count() > 0 && got.count() < batch.count(),
+      "expected some closed and some still-open sessions in the fixture")
+  }
+
   test("streaming sessionization stitches sessions across micro-batches") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_stream_sess_").toString
