@@ -670,24 +670,26 @@ object CoreQueries {
     // per-session AGGREGATES in one groupBy, no per-event session-idx
     // materialization (at 100 TB the manual form writes a corpus-sized
     // intermediate; this one shuffles once and aggregates in place).
-    // Boundary semantics: windows are [start, last+gap) and merge on
-    // OVERLAP, so two events share a session iff Δt < gap — strictly less,
-    // unlike the manual sessionizer's "> gap breaks" convention (both are
-    // valid definitions; each oracle encodes its own). The oracle re-derives
-    // sessions with the lag/running-sum trick using >= gap as the break,
-    // then aggregates; all outputs are exact integers/µs — no snapping.
+    // Boundary semantics (verified empirically on this Spark build): two
+    // events exactly gap apart MERGE — session_window breaks only when
+    // Δt > gap, the same convention as the manual q_sessionize. The oracle
+    // re-derives sessions with the lag/running-sum trick using > gap as the
+    // break (with the (ts, event_id) tiebreak on BOTH windows — dropping it
+    // from the running sum would let duplicate-timestamp boundary rows sum
+    // in a different order than they were flagged), then aggregates; all
+    // outputs are exact integers/µs — no snapping.
     QueryDef(
       "q_session_window",
       Some("""WITH e AS (
              |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
              |  FROM events),
              |g AS (
-             |  SELECT user_id, ts_us,
-             |    CASE WHEN ts_us - LAG(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+             |  SELECT user_id, event_id, ts_us,
+             |    CASE WHEN ts_us - LAG(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
              |s AS (
              |  SELECT user_id, ts_us,
-             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
              |                   ROWS UNBOUNDED PRECEDING) AS sess
              |  FROM g)
              |SELECT user_id,

@@ -61,12 +61,14 @@ object Streaming {
     * `session_window` + watermark keeps ONE mergeable state entry per open
     * session and emits a session in append mode once the watermark passes
     * its end (last event + gap) — no flatMapGroupsWithState code to
-    * maintain, same bounded-state story. The imperative form remains for
-    * semantics the declarative one can't express (emitting the open tail,
-    * custom stitching rules).
+    * maintain, same bounded-state story. The default 2-hour delay matches
+    * the sibling aggregators' late-data allowance (a zero delay silently
+    * DROPS every out-of-order event across micro-batches). The imperative
+    * form remains for semantics the declarative one can't express (emitting
+    * the open tail, custom stitching rules).
     */
   def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
-      watermark: String = "0 seconds"): DataFrame =
+      watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(col("user_id"), session_window(col("ts"), gap))

@@ -147,8 +147,11 @@ class StreamingSpec extends SparkSpec {
     val got = spark.table("native_sessions")
 
     // batch truth via the oracled q_session_window shape; with delay 0 the
-    // final watermark is the max event time, so exactly the sessions whose
-    // end (last event + gap) is <= max ts must emit — open tails must NOT
+    // final watermark is the max event time TRUNCATED TO MILLIS (the
+    // event-time stats track ms, so a µs-precision bound here would
+    // over-expect sessions ending inside the stream's final millisecond),
+    // and exactly the sessions ending at or before it must emit — open
+    // tails must NOT
     val batch = spark.read.parquet(dir)
       .groupBy($"user_id", session_window($"ts", "30 minutes"))
       .agg(count(lit(1)).as("b_n"))
@@ -157,7 +160,7 @@ class StreamingSpec extends SparkSpec {
         unix_micros($"session_window.end").as("end_us"), $"b_n")
     val maxTs = spark.read.parquet(dir)
       .agg(max(unix_micros($"ts"))).head().getLong(0)
-    val expected = batch.where($"end_us" <= maxTs)
+    val expected = batch.where($"end_us" <= (maxTs / 1000L) * 1000L)
     val bad = got.join(expected, Seq("user_id", "start_us", "end_us"), "full_outer")
       .where($"n_events".isNull || $"b_n".isNull || $"n_events" =!= $"b_n")
     assert(bad.count() == 0,
