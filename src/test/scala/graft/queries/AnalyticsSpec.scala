@@ -85,4 +85,31 @@ class AnalyticsSpec extends SparkSpec {
     val scans = p.linesIterator.count(_.contains("Scan parquet"))
     assert(scans == 1, s"pivot must read lineitem once, saw $scans:\n$p")
   }
+
+  test("session_window boundary lock: exactly-gap-apart events MERGE, " +
+    "one microsecond more splits") {
+    // the q_session_window oracle encodes break-on->gap; the verify
+    // fixtures contain no exact 30-minute gaps, so without this lock a
+    // boundary regression (in the oracle OR a Spark upgrade changing the
+    // merge rule) would keep hash-matching by luck
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{session_window => sw}
+    val gapUs = 1800000000L
+    def sessions(ts2: Long): Array[(Long, Long, Long)] = Seq(
+        (1L, java.sql.Timestamp.from(java.time.Instant.EPOCH)),
+        (1L, java.sql.Timestamp.from(java.time.Instant.EPOCH.plusNanos(ts2 * 1000))))
+      .toDF("user_id", "ts")
+      .groupBy($"user_id", sw($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros($"session_window.start"),
+        unix_micros($"session_window.end"), $"n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Δt == gap: ONE merged session spanning both events
+    assert(sessions(gapUs).toSeq == Seq((0L, 2L * gapUs, 2L)),
+      "events exactly gap apart must merge into one session")
+    // Δt == gap + 1µs: TWO sessions
+    assert(sessions(gapUs + 1).sortBy(_._1).toSeq ==
+      Seq((0L, gapUs, 1L), (gapUs + 1, 2L * gapUs + 1, 1L)),
+      "events one microsecond past the gap must split")
+  }
 }
