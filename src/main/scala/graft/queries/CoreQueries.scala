@@ -726,11 +726,19 @@ object CoreQueries {
       }),
 
     // ------------------------------------------------------------------
-    // §7.3 — approx distinct (HLL++). Estimates differ across engines by
-    // construction → rows-only check; ApproxSpec bounds the error vs exact.
+    // §7.3 — approx distinct (HLL++). The raw estimates differ across
+    // engines by construction, so the query carries a PROPERTY oracle:
+    // it emits the exact counts (recomputable in ANSI SQL) plus
+    // within-bound booleans — |approx − exact| / exact < 0.05, the same
+    // 5% gate ApproxSpec proves (rsd=0.01 ⇒ 5σ of margin). DuckDB
+    // recomputes the exact side and expects literal TRUE flags, so the
+    // driver's hash check now verifies the HLL error bound end to end.
     QueryDef(
       "q_approx_distinct",
-      None,
+      Some("""SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+             |       true AS parts_ok, true AS orders_ok
+             |FROM lineitem""".stripMargin),
       (s, dir) => {
         import s.implicits._
         // rsd=0.01: ~50 KB of HLL registers per aggregate — the accuracy/
@@ -747,7 +755,11 @@ object CoreQueries {
           countDistinct($"l_partkey").as("exact_parts"),
           countDistinct($"l_orderkey").as("exact_orders"))
         approx.crossJoin(exact)
-          .select($"approx_parts", $"exact_parts", $"approx_orders", $"exact_orders")
+          .select($"exact_parts", $"exact_orders",
+            (abs($"approx_parts" - $"exact_parts").cast("double")
+              < $"exact_parts".cast("double") * 0.05).as("parts_ok"),
+            (abs($"approx_orders" - $"exact_orders").cast("double")
+              < $"exact_orders".cast("double") * 0.05).as("orders_ok"))
       }),
 
     // ------------------------------------------------------------------

@@ -23,6 +23,30 @@ object ExtQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** Property-oracle scaffold for the approximate operators (VERDICT r4 #1):
+    * appends a constant `recall_ok` column to `truth` — TRUE iff `found`
+    * covers ≥ `gate` of truth's rows on `keys`. The truth rows are exact and
+    * ANSI-recomputable, so DuckDB re-derives them and expects a literal TRUE
+    * flag; a broken hash family / bucket join / centroid assignment craters
+    * recall toward 0 and flips the flag → driver hash mismatch. One pass:
+    * left-join the (deduped) found keys, then a whole-partition window
+    * totals hits vs rows — the truth relations here are small pair / top-k
+    * sets, so the single-partition window is O(rows), never the
+    * (currentRow, unboundedFollowing) re-scan trap.
+    */
+  private def withRecallFlag(truth: DataFrame, found: DataFrame,
+      keys: Seq[String], gate: Double): DataFrame = {
+    val marked = truth.join(
+      found.select(keys.map(col): _*).distinct().withColumn("__hit", lit(1)),
+      keys, "left")
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    marked
+      .withColumn("recall_ok",
+        sum(coalesce(col("__hit"), lit(0))).over(w) >=
+          count(lit(1)).over(w) * gate)
+      .drop("__hit")
+  }
+
   /** DuckDB replica of [[graft.functions.expr.Winnow]] (k=8, w=4) as a CTE
     * chain ending in `fps(doc_id, fp)` — an INDEPENDENT re-derivation of the
     * native expression, exact to the bit:
@@ -234,12 +258,27 @@ object ExtQueries {
     // instead of a full token histogram — at 100 TB the sketch is KBs while
     // the exact histogram is the vocabulary. The exact top-20 (computed
     // here as ground truth alongside) answer their counts from the
-    // deserialized sketch on the driver; rows-only by construction (DuckDB
-    // has no CMS), with the one-sided error bound exact ≤ est ≤ exact+εN
-    // gated in ApproxSpec (fixed seed ⇒ deterministic).
+    // deserialized sketch on the driver. PROPERTY oracle: the emitted rows
+    // are the exact top-20 (ANSI-recomputable: same tokenizer, same
+    // (n DESC, token) tie-break), plus one `bounds_ok` flag asserting the
+    // CMS contract over the whole set — exact ≤ est structurally, and
+    // est ≤ exact + εN with ≤1 violation allowed (each lookup holds only
+    // with confidence 0.99, so over 20 tokens one excursion is
+    // spec-compliant — the same allowance ApproxSpec encodes). DuckDB
+    // recomputes the top-20 and expects a literal TRUE.
+    // NOTE this query executes two actions during DataFrame construction
+    // (sketch head() + top-20 collect()) — eagerly side-effecting where
+    // all other queries are lazy, documented for anyone timing
+    // plan-construction.
     QueryDef(
       "q_heavy_hitters_sketch",
-      None,
+      Some("""WITH t AS (
+             |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+             |                x -> len(x) > 0)) AS token
+             |  FROM documents)
+             |SELECT token, CAST(count(*) AS BIGINT) AS n_exact, true AS bounds_ok
+             |FROM t GROUP BY token
+             |ORDER BY n_exact DESC, token LIMIT 20""".stripMargin),
       (s, dir) => {
         import s.implicits._
         val eps = 0.001
@@ -257,11 +296,15 @@ object ExtQueries {
         // exact top-20 ground truth; the sketch answers their counts on the
         // driver (20 lookups against a KB-sized structure — no UDF, no
         // second distributed pass)
-        toks.groupBy($"token").agg(count(lit(1)).as("n_exact"))
+        val top = toks.groupBy($"token").agg(count(lit(1)).as("n_exact"))
           .orderBy($"n_exact".desc, $"token").limit(20).collect()
           .map(r => (r.getString(0), r.getLong(1),
-            cms.estimateCount(r.getString(0)), eps * totalN))
-          .toSeq.toDF("token", "n_exact", "n_est", "eps_n_bound")
+            cms.estimateCount(r.getString(0))))
+        val under = top.count { case (_, exact, est) => est < exact }
+        val over = top.count { case (_, exact, est) => est > exact + eps * totalN }
+        top.map { case (tok, exact, _) => (tok, exact) }
+          .toSeq.toDF("token", "n_exact")
+          .withColumn("bounds_ok", lit(under == 0 && over <= 1))
       }),
 
     // ------------------------------------------------------------------
@@ -526,18 +569,57 @@ object ExtQueries {
       }),
 
     // ------------------------------------------------------------------
-    // MinHash+LSH near-dup candidate pairs (hash-based → rows-only check).
+    // MinHash+LSH near-dup pairs. xxhash64 signatures have no DuckDB
+    // equivalent, so the PROPERTY oracle emits the exact-Jaccard-verified
+    // truth pairs (the rare-shingle relation DuckDB re-derives bit-exact —
+    // same CTE as q_dedup_jaccard) plus a recall flag: the MinHash
+    // candidate set must cover ≥ 0.7 of truth. Measured recall 1.00 at
+    // both sf0.01 and sf0.1 — the fixture's near-dup pairs sit at
+    // jaccard ≥ 0.9, where an 8-band×4-row family hits with p ≈ 0.9998
+    // per pair, so the 0.7 gate has enormous margin while a broken band
+    // hash (recall → 0) still fails loudly.
     QueryDef(
       "q_dedup_minhash",
-      None,
-      (s, dir) => Dedup.minhashPairs(docs(s, dir), "doc_id", "text")),
+      Some(s"""WITH $jaccardPairsCte
+             |SELECT doc_a, doc_b,
+             |       CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard,
+             |       true AS recall_ok
+             |FROM pairs
+             |WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.3""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        withRecallFlag(
+          Dedup.jaccardPairs(d, "doc_id", "text")
+            .select(col("doc_a"), col("doc_b"), col("jaccard")),
+          Dedup.minhashPairs(d, "doc_id", "text"),
+          Seq("doc_a", "doc_b"), gate = 0.7)
+      }),
 
     // ------------------------------------------------------------------
-    // SimHash near-dup pairs within Hamming distance 3.
+    // SimHash near-dup pairs within Hamming distance 3. Same property-
+    // oracle shape as q_dedup_minhash: exact-Jaccard truth rows + a recall
+    // flag over the SimHash pair set. SimHash answers a different question
+    // (cosine over token vectors, not shingle Jaccard), so its recall vs
+    // the Jaccard truth is structurally < 1 — measured 0.60 at sf0.01 /
+    // 0.74 at sf0.1; gated at 0.3 (half the measured floor) so fixture
+    // regeneration noise on a ~25-pair set can't flip the flag while a
+    // broken bit-vote or chunk join (recall → 0) still fails.
     QueryDef(
       "q_dedup_simhash",
-      None,
-      (s, dir) => Dedup.simhashPairs(docs(s, dir), "doc_id", "text")),
+      Some(s"""WITH $jaccardPairsCte
+             |SELECT doc_a, doc_b,
+             |       CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard,
+             |       true AS recall_ok
+             |FROM pairs
+             |WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.3""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        withRecallFlag(
+          Dedup.jaccardPairs(d, "doc_id", "text")
+            .select(col("doc_a"), col("doc_b"), col("jaccard")),
+          Dedup.simhashPairs(d, "doc_id", "text"),
+          Seq("doc_a", "doc_b"), gate = 0.3)
+      }),
 
     // ------------------------------------------------------------------
     // N-gram Jaccard near-dup pairs via rare-shingle candidates. Fully
@@ -771,27 +853,73 @@ object ExtQueries {
 
     // ------------------------------------------------------------------
     // LSH-bucketed ANN top-k (the 100 TB path: probe a handful of buckets,
-    // not the corpus). 8 independent hyperplane tables OR-amplify recall
-    // (RecallSpec gates recall@20 against the brute-force ground truth).
+    // not the corpus). 8 independent hyperplane tables OR-amplify recall.
+    // PROPERTY oracle: the emitted rows are the exact brute-force top-20
+    // (bit-exact cross-engine — the q_sim_bruteforce machinery) and the
+    // flag asserts LSH recall@20 ≥ 0.5, the RecallSpec:28 gate (measured
+    // 0.70 sf0.01 / 0.75 sf0.1). The LSH probe still executes — it feeds
+    // the flag — so Bench keeps timing the bucketed path alongside the
+    // (trivial at any SF) single-probe scan.
     QueryDef(
       "q_sim_lsh",
-      None,
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |c AS (
+             |  SELECT vec_id,
+             |    list_sum(list_transform(range(1, len(embedding)+1),
+             |             i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS d,
+             |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+             |      * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nn
+             |  FROM embeddings, q)
+             |SELECT vec_id, CASE WHEN nn > 0 THEN d / nn END AS cosine_sim,
+             |       true AS recall_ok
+             |FROM c
+             |ORDER BY cosine_sim DESC NULLS LAST, vec_id
+             |LIMIT 20""".stripMargin),
       (s, dir) => {
         val e = emb(s, dir)
         val q = Similarity.vectorOf(s, e, "vec_id", "embedding", 0L)
-        Similarity.lshTopK(e, "vec_id", "embedding", q,
-          dims = 64, nPlanes = 4, k = 20, nTables = 8)
+        withRecallFlag(
+          Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 20),
+          Similarity.lshTopK(e, "vec_id", "embedding", q,
+            dims = 64, nPlanes = 4, k = 20, nTables = 8),
+          Seq("vec_id"), gate = 0.5)
       }),
 
     // ------------------------------------------------------------------
-    // Embedding-cosine near-dup pairs within multi-table LSH buckets
-    // (recall gated vs the exact all-pairs answer in RecallSpec).
+    // Embedding-cosine near-dup pairs within multi-table LSH buckets.
+    // PROPERTY oracle: rows are the EXACT all-pairs cosine ≥ 0.2 relation
+    // (a genuine O(n²) crossJoin — affordable in a correctness query at
+    // test SFs, and the very plan the operator exists to avoid at 100 TB;
+    // 12.5M pairs / 1.3 s at sf0.1), recomputed bit-exact by DuckDB. The
+    // flag asserts bucketed recall ≥ 0.5, the RecallSpec:54 gate (measured
+    // 0.627 sf0.01 / 0.576 sf0.1 — OR-amplified buckets trade exactly this
+    // much recall for never joining all pairs). False positives are
+    // structural zero: the operator filters candidates by the same exact
+    // cosine.
     QueryDef(
       "q_sim_neardup",
-      None,
-      (s, dir) => Similarity.cosineNearDupPairs(
-        emb(s, dir), "vec_id", "embedding", dims = 64, nPlanes = 4,
-        minSim = 0.2, nTables = 8)),
+      Some("""WITH c AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |    list_sum(list_transform(range(1, len(a.embedding)+1),
+             |             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS d,
+             |    sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+             |      * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nn
+             |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+             |SELECT id_a, id_b, d / nn AS cosine_sim, true AS recall_ok
+             |FROM c WHERE nn > 0 AND d / nn >= 0.2""".stripMargin),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+        val truth = a.crossJoin(b).where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            graft.functions.VectorNative.cosine(col("va"), col("vb")).as("cosine_sim"))
+          .where(col("cosine_sim") >= 0.2)
+        withRecallFlag(truth,
+          Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
+            dims = 64, nPlanes = 4, minSim = 0.2, nTables = 8),
+          Seq("id_a", "id_b"), gate = 0.5)
+      }),
 
     // ------------------------------------------------------------------
     // End-to-end corpus cleaning funnel: quality → lang → exact dedup →
@@ -896,13 +1024,33 @@ object ExtQueries {
     // IVF ANN top-k over the at-rest index: load persisted centroids (k rows),
     // rank only the nProbe nearest clusters via a PARTITION-PRUNED scan.
     // Train cost lives in q_sim_ivf_build, exactly like a 100 TB serving path.
+    // PROPERTY oracle (same shape as q_sim_lsh): rows are the exact
+    // brute-force top-20; the flag asserts IVF probe recall@20 ≥ 0.5, the
+    // RecallSpec:46 gate (measured 0.55 sf0.01 / 0.70 sf0.1 at
+    // nProbe=2 of k=8 — the nProbe/k knob IS the recall dial).
     QueryDef(
       "q_sim_ivf",
-      None,
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |c AS (
+             |  SELECT vec_id,
+             |    list_sum(list_transform(range(1, len(embedding)+1),
+             |             i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS d,
+             |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+             |      * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nn
+             |  FROM embeddings, q)
+             |SELECT vec_id, CASE WHEN nn > 0 THEN d / nn END AS cosine_sim,
+             |       true AS recall_ok
+             |FROM c
+             |ORDER BY cosine_sim DESC NULLS LAST, vec_id
+             |LIMIT 20""".stripMargin),
       (s, dir) => {
         val path = IvfIndex.ensure(s, dir)
-        val q = Similarity.vectorOf(s, emb(s, dir), "vec_id", "embedding", 0L)
-        Ivf.probeClustered(s, path, "vec_id", "embedding", q, nProbe = 2, k = 20)
+        val e = emb(s, dir)
+        val q = Similarity.vectorOf(s, e, "vec_id", "embedding", 0L)
+        withRecallFlag(
+          Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 20),
+          Ivf.probeClustered(s, path, "vec_id", "embedding", q, nProbe = 2, k = 20),
+          Seq("vec_id"), gate = 0.5)
       })
   )
 
