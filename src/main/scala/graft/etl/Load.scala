@@ -1,6 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Load stage (SURVEY §2.1 S7-S10): parquet sink, view registration, the
   * three analytical views, parquet re-load, and the SQL query entry point.
@@ -43,15 +44,40 @@ object Load {
     * directories), stable, and on the star's join/filter axis — exactly
     * `scenario_id` / calendar date here. High-cardinality keys belong in
     * [[writeBucketed]] instead (bucketing subdivides files, not dirs).
+    *
+    * `sortCols` adds the third at-rest pruning tier below directories
+    * (partition pruning) and files (bucketing): ROW GROUPS. Tables listed
+    * there are clustered on write — one repartition on the partition axis
+    * (also collapses the per-task × per-partition small-file explosion to
+    * one file per directory) then `sortWithinPartitions(partitionCols ++
+    * sortCols)` — so parquet's per-row-group min/max statistics become
+    * disjoint runs on the sort axis and a pushed-down selective predicate
+    * skips whole row groups instead of scanning every one to filter
+    * row-by-row (StorageLayoutSpec gates the scan's numOutputRows drop).
+    * A high-cardinality filter key that is neither partition- nor
+    * bucket-worthy (timestamps, document ids) belongs here.
+    *
+    * `writerOptions` passes parquet writer knobs through (row-group size
+    * via `parquet.block.size`, etc.) — at 100 TB the block size is tuned
+    * against `spark.sql.files.maxPartitionBytes` so one scan split holds a
+    * handful of row groups.
     */
   def loadToParquetPartitioned(schema: Map[String, DataFrame], outputDir: String,
-      partitionCols: Map[String, Seq[String]]): Unit =
+      partitionCols: Map[String, Seq[String]],
+      sortCols: Map[String, Seq[String]] = Map.empty,
+      writerOptions: Map[String, String] = Map.empty): Unit =
     schema.foreach { case (name, df) =>
-      val w = df.write.mode("overwrite")
-      partitionCols.get(name).filter(_.nonEmpty) match {
-        case Some(cols) => w.partitionBy(cols: _*).parquet(s"$outputDir/$name.parquet")
-        case None => w.parquet(s"$outputDir/$name.parquet")
-      }
+      val parts = partitionCols.getOrElse(name, Nil)
+      val sorts = sortCols.getOrElse(name, Nil)
+      val clustered =
+        if (sorts.isEmpty) df
+        else {
+          val co = if (parts.isEmpty) df else df.repartition(parts.map(col): _*)
+          co.sortWithinPartitions((parts ++ sorts).map(col): _*)
+        }
+      val w = clustered.write.mode("overwrite").options(writerOptions)
+      if (parts.nonEmpty) w.partitionBy(parts: _*).parquet(s"$outputDir/$name.parquet")
+      else w.parquet(s"$outputDir/$name.parquet")
     }
 
   /** Registers all star tables as temp views + the 3 analytical views

@@ -99,73 +99,102 @@ object Maintenance {
     try {
       val touched = rollup.select("month").distinct()
         .collect().map(_.getString(0)).toSeq.sorted
-      writeDynamicByMonth(rollup, outDir)
+      writeDynamic(rollup, "month", outDir)
       touched
     } finally rollup.unpersist(blocking = false)
   }
 
-  /** Upsert COMPLETE (month, event_type) rollup rows into the at-rest store:
-    * rows for keys present in `updates` are replaced, other keys in the same
-    * month are carried over, untouched months keep their exact files. This
-    * is the sink half of streaming materialized-view maintenance
-    * ([[graft.streaming.Streaming.maintainMonthlyRollup]]): because the
-    * incoming rows are complete running totals (not deltas), re-applying a
-    * replayed micro-batch writes the same values — the upsert is IDEMPOTENT,
-    * which is what makes foreachBatch's at-least-once replay safe on a
-    * plain-parquet store.
+  /** General MERGE-shaped keyed upsert into a partitioned parquet store:
+    * rows whose `keyCols` appear in `updates` are replaced, other keys in
+    * the same partitions are carried over, and partitions absent from
+    * `updates` keep their exact files (dynamic partition overwrite). The
+    * production maintenance pattern over any partition axis — month, date,
+    * scenario — with the same caller contract everywhere: `updates` rows
+    * are COMPLETE current values for their keys (not deltas), so
+    * re-applying the same batch writes the same bytes and the upsert is
+    * IDEMPOTENT for replays that arrive AFTER a successful commit — which
+    * is what makes foreachBatch's at-least-once redelivery safe on a
+    * plain-parquet store. The commit itself is NOT crash-atomic on plain
+    * parquet: dynamic overwrite clears each touched partition before the
+    * staged files move in, so a crash inside that window can lose carried
+    * rows for keys absent from the replayed batch (the merge source dies
+    * with the driver). Production durability around the commit window
+    * needs an ACID table format or a write-to-temp-then-swap layout on
+    * top; this operator's contract is clean-replay idempotence, not
+    * mid-commit crash recovery.
+    *
+    * `partitionCol` must be one of `keyCols` (or functionally determined
+    * by them) so a key's replacement lands in the same partition it is
+    * carried from.
     *
     * The merged slice is eagerly `localCheckpoint`ed BEFORE the dynamic
     * overwrite: the merge reads the very partitions the write replaces, so
     * a lazily-evaluated plan would scan files the overwrite just deleted
     * (checkpoint-not-cache: a cache under memory pressure would silently
     * recompute from the deleted files; a lost checkpoint fails loudly).
+    *
+    * @return the touched partition values (as strings), sorted
     */
-  def upsertRollupRows(updates: DataFrame, outDir: String): Seq[String] = {
+  def upsert(updates: DataFrame, keyCols: Seq[String], partitionCol: String,
+      outDir: String): Seq[String] = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
     val spark = updates.sparkSession
     val up = updates.persist()
     try {
-      val touched = up.select("month").distinct()
-        .collect().map(_.getString(0)).toSeq.sorted
+      // raw values for the pruning filter (isin on the column's real type);
+      // strings only for the caller-facing report
+      val touched = up.select(partitionCol).distinct()
+        .collect().map(_.get(0)).toSeq
       if (touched.isEmpty) Nil
       else {
         // only a store with NO committed data (first write, or a crashed
         // first write that left just _temporary behind) may read as empty;
         // any other read failure must propagate — a swallowed transient
-        // error here would rewrite the touched months with ONLY the updated
-        // keys, silently deleting every carried row. fs.exists alone is the
-        // wrong probe: a dir with zero committed footers exists but throws
-        // UNABLE_TO_INFER_SCHEMA forever, a permanent crash loop.
+        // error here would rewrite the touched partitions with ONLY the
+        // updated keys, silently deleting every carried row. fs.exists
+        // alone is the wrong probe: a dir with zero committed footers
+        // exists but throws UNABLE_TO_INFER_SCHEMA forever, a permanent
+        // crash loop.
         val outPath = new org.apache.hadoop.fs.Path(outDir)
         val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
         val existing =
           if (!fs.exists(outPath)) None
           else scala.util.Try(spark.read.parquet(outDir)) match {
             case scala.util.Success(df) =>
-              Some(df.where(col("month").isin(touched: _*)))
+              Some(df.where(col(partitionCol).isin(touched: _*)))
             case scala.util.Failure(e: org.apache.spark.sql.AnalysisException)
                 if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => None
             case scala.util.Failure(e) => throw e
           }
         val carried = existing.fold(up.limit(0))(
-          _.join(up.select("month", "event_type"),
-            Seq("month", "event_type"), "left_anti"))
+          _.join(up.select(keyCols.map(col): _*).distinct(),
+            keyCols, "left_anti"))
         val merged = carried.unionByName(up).localCheckpoint(true)
-        writeDynamicByMonth(merged, outDir)
-        touched
+        writeDynamic(merged, partitionCol, outDir)
+        touched.map(String.valueOf).sorted
       }
     } finally up.unpersist(blocking = false)
   }
 
-  /** Dynamic partition overwrite of a month-partitioned parquet dir: only
-    * the partitions present in `df` are replaced (static overwrite mode
-    * would delete every other month on the way in). The mode is set as a
+  /** Upsert COMPLETE (month, event_type) rollup rows into the at-rest store —
+    * the monthly-rollup instantiation of [[upsert]], kept as the sink half
+    * of streaming materialized-view maintenance
+    * ([[graft.streaming.Streaming.maintainMonthlyRollup]]).
+    */
+  def upsertRollupRows(updates: DataFrame, outDir: String): Seq[String] =
+    upsert(updates, Seq("month", "event_type"), "month", outDir)
+
+  /** Dynamic partition overwrite of a partitioned parquet dir: only the
+    * partitions present in `df` are replaced (static overwrite mode would
+    * delete every other partition on the way in). The mode is set as a
     * per-WRITER option, never by toggling the session conf: a set/restore
     * around the write races every concurrent writer in the session — the
     * restore landing mid-flight would flip another upsert to static mode,
     * which deletes every partition that writer doesn't carry.
     */
-  private def writeDynamicByMonth(df: DataFrame, outDir: String): Unit =
+  private def writeDynamic(df: DataFrame, partitionCol: String,
+      outDir: String): Unit =
     df.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("month").parquet(outDir)
+      .partitionBy(partitionCol).parquet(outDir)
 }

@@ -141,23 +141,30 @@ object Validate {
     */
   def checkEnergyPlausibility(schema: Map[String, DataFrame]): CheckResult = {
     val errors = schema.get("fact_meters").toSeq.flatMap { meters =>
-      val sums = meters.groupBy(col("building_id"), col("scenario_id"))
+      // both business rules run INSIDE the aggregation plan as when()
+      // predicates, so the check is fully distributed and only VIOLATING
+      // groups ever reach the driver — bounded by the violation count, not
+      // the (building × scenario) cardinality. sum() is NULL when a group's
+      // values are all NULL — exactly the dirty data this check exists to
+      // report, so coalesce to 0 (which trips the non-positive rule), not NPE
+      val violations = meters.groupBy(col("building_id"), col("scenario_id"))
         .agg(
-          sum(col("electric_kwh")).as("e"),
-          sum(col("heating_kwh")).as("h"),
-          sum(col("cooling_kwh")).as("c"))
+          coalesce(sum(col("electric_kwh")), lit(0.0)).as("e"),
+          (coalesce(sum(col("heating_kwh")), lit(0.0))
+            + coalesce(sum(col("cooling_kwh")), lit(0.0))).as("th"))
+        .select(col("building_id"), col("scenario_id"), col("e"), col("th"),
+          (col("e") <= 0.0 || col("th") <= 0.0).as("bad_total"),
+          (col("e") < col("th") * 0.2).as("bad_ratio"))
+        .where(col("bad_total") || col("bad_ratio"))
         .collect()
-      sums.toSeq.flatMap { r =>
+      violations.toSeq.flatMap { r =>
         val key = s"${r.getString(0)}/${r.getString(1)}"
-        // sum() is NULL when a group's values are all NULL — exactly the
-        // dirty data this check exists to report, so treat as 0, not NPE
-        def d(i: Int): Double = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
-        val (e, h, c) = (d(2), d(3), d(4))
+        val (e, th) = (r.getDouble(2), r.getDouble(3))
         val totalErr =
-          if (e <= 0 || h + c <= 0) Some(s"$key: non-positive energy totals") else None
+          if (r.getBoolean(4)) Some(s"$key: non-positive energy totals") else None
         val ratioErr =
-          if (e < 0.2 * (h + c))
-            Some(f"$key: electric ($e%.1f kWh) < 0.2 x thermal (${h + c}%.1f kWh)")
+          if (r.getBoolean(5))
+            Some(f"$key: electric ($e%.1f kWh) < 0.2 x thermal ($th%.1f kWh)")
           else None
         totalErr.toSeq ++ ratioErr.toSeq
       }

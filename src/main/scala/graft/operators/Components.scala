@@ -10,30 +10,69 @@ import org.apache.spark.sql.functions._
   * under-deletes: A~B and B~C leaves A,C both "kept" even though they are
   * transitively duplicates.
   *
-  * Algorithm: min-label propagation (the dataframe form of GraphX's
-  * connectedComponents). Each iteration every node adopts the smallest
-  * component id among itself and its neighbors:
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+  * published replacement for plain min-label propagation:
   *
-  *   labels(n) <- min(labels(n), min over edges (n,m) of labels(m))
+  *   - '''large-star''' — per node u with (undirected) neighborhood Γ(u)
+  *     and m = min(Γ(u) ∪ {u}): emit edge (v, m) for every v ∈ Γ(u), v > u.
+  *     Strictly-larger neighbors shortcut directly to the local minimum.
+  *   - '''small-star''' — edges are now (child, parent) with parent < child;
+  *     per node u with smaller-neighbors N⁻(u) and m = min(N⁻(u) ∪ {u}):
+  *     emit (u, m) and (v, m) for every v ∈ N⁻(u), v ≠ m.
   *
-  * One shuffle join + one hash agg per iteration; converges in
-  * O(component diameter) iterations, and near-dup clusters are shallow (a
-  * hub-and-spoke dup cluster has diameter 2), so the loop exits after 3–4
-  * rounds long before `maxIter`. Convergence is detected with sum(labels) —
-  * labels only ever DECREASE, so an unchanged (monotone, exact integer) sum
-  * means a fixpoint, without joining consecutive iterations against each
-  * other.
+  * Each round halves path lengths in the pointer forest, so the loop
+  * converges in '''O(log n) rounds''' instead of label propagation's
+  * O(component diameter) — the distinction that matters when a 100 TB dedup
+  * graph contains a long chain (transcription chains, rolling-boilerplate
+  * families) rather than the shallow hub-and-spoke clusters near-dup usually
+  * produces. Both stars also bound hub growth: a node's emitted degree never
+  * exceeds its current degree, and every emission points AT a local minimum
+  * (the pointer-doubling edges collapse, never fan out).
   *
-  * Scale notes: the driver loop is pure orchestration (one scalar action per
-  * iteration — no row data on the driver). Each iteration's labels are
-  * `localCheckpoint`ed: this truncates the growing lineage (an O(iters)-deep
+  * Each round is two (groupBy min + join-back) passes — min is a cheap
+  * partial aggregate, so map-side combine flattens skewed hubs before the
+  * shuffle, and the join back re-uses the same hash partitioning.
+  * Convergence: the edge multiset reaches a fixpoint (per-component star
+  * graphs rooted at the min), detected with one action per round on
+  * (count, Σ xxhash64(a,b)) — an order-independent multiset checksum, exact
+  * up to a 2⁻⁶⁴ hash-sum collision, without joining consecutive rounds.
+  *
+  * Scale notes: the driver loop is pure orchestration (one two-scalar action
+  * per round — no row data on the driver). Each round's edge set is
+  * `localCheckpoint`ed: this truncates the growing lineage (an O(rounds)-deep
   * plan would otherwise re-execute EVERY prior join each action) at the cost
-  * of materializing |V| rows per round — the same trade GraphX makes. Skewed
-  * hub nodes (one doc duplicated millions of times) cost one hot reduce key
-  * per iteration; min() is a cheap partial agg, so map-side combine flattens
-  * the skew before the shuffle.
+  * of materializing |E| rows per round — the same trade GraphX makes — and
+  * the previous round's blocks are released as soon as the next round has
+  * materialized.
   */
 object Components {
+
+  /** One large-star pass: strictly-larger neighbors of every node link to
+    * that node's neighborhood minimum. Input orientation is irrelevant (the
+    * undirected view is built here); output edges satisfy parent < child.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    val m = und.groupBy(col("a"))
+      .agg(least(col("a"), min(col("b"))).as("mn"))
+    und.join(m, "a")
+      .where(col("b") > col("a"))
+      .select(col("b").as("a"), col("mn").as("b"))
+      .distinct()
+  }
+
+  /** One small-star pass over (child, parent) edges (parent < child): every
+    * node and its smaller neighbors link to the minimum of that set.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val m = e.groupBy(col("a")).agg(min(col("b")).as("mn"))
+    val nbrs = e.join(m, "a")
+      .where(col("b") =!= col("mn"))
+      .select(col("b").as("a"), col("mn").as("b"))
+    val self = m.select(col("a"), col("mn").as("b"))
+    nbrs.union(self).distinct()
+  }
 
   /** @param nodes  node universe; isolated nodes become their own component
     * @param idCol  node id column in `nodes` (castable to long)
@@ -44,54 +83,67 @@ object Components {
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 20): DataFrame = {
-    val e = edges.select(col(srcCol).cast("long").as("a"),
-        col(dstCol).cast("long").as("b"))
-    // both directions once, so each iteration is a single join
-    val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .persist()
+      maxIter: Int = 20): DataFrame =
+    connectedComponentsWithRounds(nodes, idCol, edges, srcCol, dstCol,
+      maxIter)._1
 
-    // sum over ZERO rows is NULL, not 0 — read defensively so an empty node
-    // set converges immediately instead of NPE-ing on getLong
-    def labelSum(df: DataFrame): Long = {
-      val r = df.agg(sum("comp")).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+  /** [[connectedComponents]] plus the number of large+small-star rounds the
+    * loop ran (convergence-detection round included) — observable so tests
+    * can pin the O(log n) behavior on deep graphs.
+    */
+  def connectedComponentsWithRounds(nodes: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 20): (DataFrame, Int) = {
+    // (count, hash-sum) multiset checksum in ONE action. The hash is summed
+    // in decimal: a long sum of 64-bit hashes overflows after a handful of
+    // rows, which ANSI mode (the Spark 4 default) turns into a runtime
+    // error rather than a wrap. Sum over zero rows is NULL, not 0 — read
+    // defensively so an empty edge set converges instead of NPE-ing
+    def checksum(df: DataFrame): (Long, BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("a"), col("b")).cast("decimal(20,0)"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
     }
     // release round i−1's localCheckpoint blocks once round i is
-    // materialized: without this every iteration's |V| label snapshot stays
-    // in block-manager storage until GC. Only safe AFTER the next round's
+    // materialized: without this every round's |E| edge snapshot stays in
+    // block-manager storage until GC. Only safe AFTER the next round's
     // checkpoint has fully materialized (a localCheckpoint'd RDD cannot
-    // recompute lost blocks) — the labelSum action below guarantees that.
+    // recompute lost blocks) — the checksum action below guarantees that.
     def releaseCheckpoint(df: DataFrame): Unit =
       df.queryExecution.analyzed.collect {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }.foreach(_.unpersist(blocking = false))
 
-    var labels = nodes.select(col(idCol).cast("long").as("n")).distinct()
-      .withColumn("comp", col("n"))
+    // self-loops carry no connectivity and would survive as (a, a) noise
+    var e = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
       .localCheckpoint(false)
-    var prevSum = labelSum(labels)
-    var iter = 0
-    var converged = false
+    var prev = checksum(e)
+    var round = 0
+    var converged = prev._1 == 0L // no edges → already a (trivial) fixpoint
 
-    while (iter < maxIter && !converged) {
-      val nbrMin = und.join(labels, und("a") === labels("n"))
-        .groupBy(und("b").as("n2"))
-        .agg(min("comp").as("nbr_comp"))
-      // lazy checkpoint: the convergence action below is what materializes
-      // it — one job per round, not a checkpoint job + a sum job
-      val next = labels.join(nbrMin, labels("n") === nbrMin("n2"), "left")
-        .select(col("n"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .localCheckpoint(false)
-      val s = labelSum(next)
-      releaseCheckpoint(labels)
-      converged = s == prevSum
-      prevSum = s
-      labels = next
-      iter += 1
+    while (round < maxIter && !converged) {
+      // lazy checkpoint: the checksum action below is what materializes it —
+      // one job per round, not a checkpoint job + a checksum job
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val s = checksum(next)
+      releaseCheckpoint(e)
+      converged = s == prev
+      prev = s
+      e = next
+      round += 1
     }
-    und.unpersist()
-    labels.select(col("n").as(idCol), col("comp").as("component"))
+
+    // at the fixpoint e is a star forest (child, component-min); a node can
+    // appear with one parent only, but min() keeps the read defensive if a
+    // caller lowers maxIter below convergence
+    val parents = e.groupBy(col("a").as("n")).agg(min(col("b")).as("pcomp"))
+    val labels = nodes.select(col(idCol).cast("long").as("n")).distinct()
+      .join(parents, Seq("n"), "left")
+      .select(col("n").as(idCol),
+        coalesce(col("pcomp"), col("n")).as("component"))
+    (labels, round)
   }
 }

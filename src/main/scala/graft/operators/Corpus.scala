@@ -49,9 +49,15 @@ object Corpus {
     * acting on them would otherwise accrete one registered listener per call
     * for the session lifetime. Pending releases are capped at
     * [[MaxPendingReleases]] — registering past the cap force-releases the
-    * OLDEST pending entry (its cache was never touched by an action, so the
-    * eviction drops nothing materialized; if that stale DataFrame is acted
-    * on later it recomputes, merely uncached).
+    * OLDEST pending entry. Usually that cache was never touched by an
+    * action (stale, nothing materialized to lose), but with more than the
+    * cap's worth of clean() pipelines genuinely in flight the oldest
+    * listener can belong to a query whose action is still RUNNING
+    * (onSuccess not yet fired) — eviction then unpersists a cache
+    * mid-consumption, which recomputes if still needed: always correct,
+    * but it defeats the cache exactly when it matters. The cap is a
+    * leak backstop, not a working-set policy — raise it if a deployment
+    * legitimately runs >16 concurrent funnels.
     */
   private[operators] val MaxPendingReleases = 16
   private val pendingReleases =

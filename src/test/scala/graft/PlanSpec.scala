@@ -131,10 +131,13 @@ class PlanSpec extends SparkSpec {
     // from a reversed-order RUNNING frame instead
     assert(!p.contains("unboundedfollowing$()"),
       s"quadratic UnboundedFollowing frame reappeared:\n$p")
-    // three Window nodes: in-hour dedup (row_number, WindowGroupLimit-
-    // pruned), the ASC prev frame, the DESC next frame
+    // bounded, not pinned: the load-bearing checks are the absence of the
+    // quadratic frame above and WindowGroupLimit below — an optimizer that
+    // merges same-spec Window nodes may legitimately shrink the count
+    // (in-hour dedup + ASC prev frame + DESC next frame = at most 3)
     val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
-    assert(winLines.size == 3, s"unexpected window-node count:\n$p")
+    assert(winLines.size <= 3 && winLines.nonEmpty,
+      s"unexpected window-node count ${winLines.size}:\n$p")
     assert(p.contains("WindowGroupLimit"),
       s"in-hour dedup lost its pre-shuffle top-1 pruning:\n$p")
   }

@@ -91,6 +91,51 @@ class MaintenanceSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.cbo.enabled", "false")
   }
 
+  test("general keyed upsert: replaces matched keys, carries the rest, " +
+    "leaves untouched partitions byte-identical, and replays idempotently") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_upsert_").toString
+    // an int partition axis + a composite row key — deliberately NOT the
+    // month/event_type shape, to prove the axis generalizes
+    val day1 = Seq(
+      (1, "a", 10L), (1, "b", 11L),
+      (2, "a", 20L), (2, "b", 21L),
+      (3, "a", 30L)).toDF("scenario", "metric", "v")
+    // first write: empty-store path
+    assert(Maintenance.upsert(day1, Seq("scenario", "metric"), "scenario", out)
+      == Seq("1", "2", "3"))
+
+    def partFiles(): Map[String, Set[(String, Long)]] =
+      new java.io.File(out).listFiles().filter(_.getName.startsWith("scenario="))
+        .map(d => d.getName ->
+          d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.lastModified())).toSet).toMap
+    val before = partFiles()
+
+    // day 2: replace (2, a), add (2, c); (2, b) must carry, 1 and 3 untouched
+    val day2 = Seq((2, "a", 200L), (2, "c", 22L)).toDF("scenario", "metric", "v")
+    assert(Maintenance.upsert(day2, Seq("scenario", "metric"), "scenario", out)
+      == Seq("2"))
+
+    val expected = Set(
+      (1, "a", 10L), (1, "b", 11L),
+      (2, "a", 200L), (2, "b", 21L), (2, "c", 22L),
+      (3, "a", 30L))
+    def readAll(): Set[(Int, String, Long)] =
+      spark.read.parquet(out).select("scenario", "metric", "v")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(readAll() == expected)
+
+    val after = partFiles()
+    Seq("scenario=1", "scenario=3").foreach { d =>
+      assert(after(d) == before(d), s"untouched partition $d was rewritten")
+    }
+
+    // at-least-once replay of the same complete-values batch: same contents
+    Maintenance.upsert(day2, Seq("scenario", "metric"), "scenario", out)
+    assert(readAll() == expected)
+  }
+
   test("incremental rollup refresh rewrites ONLY the touched month partitions") {
     import spark.implicits._
     // the sf0.001 events all land in one month — synthesize a second month

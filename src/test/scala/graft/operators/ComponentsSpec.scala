@@ -59,4 +59,18 @@ class ComponentsSpec extends SparkSpec {
     val m = comps(Seq(5L, 6L, 7L, 8L), Seq((7L, 5L), (5L, 8L), (6L, 5L)))
     assert(m.values.toSet == Set(5L))
   }
+
+  test("diameter-13 chain converges in O(log n) rounds, not O(diameter)") {
+    // the Kiveris large-star/small-star guarantee: each round halves path
+    // lengths in the pointer forest, so a 14-node path (diameter 13, which
+    // plain min-label propagation needs ~13 rounds for) must finish in a
+    // logarithmic number of rounds (+1 to detect the fixpoint)
+    val n = 14L
+    val (df, rounds) = Components.connectedComponentsWithRounds(
+      (0L until n).toDF("id"), "id",
+      (0L until n - 1).map(i => (i, i + 1)).toDF("s", "d"), "s", "d")
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.values.toSet == Set(0L), "path must collapse to one component")
+    assert(rounds <= 7, s"expected O(log 14) ≈ ≤7 rounds, took $rounds")
+  }
 }
