@@ -591,6 +591,52 @@ object CoreQueries {
       }),
 
     // ------------------------------------------------------------------
+    // §2.10 ext — batch twin of the Kafka-shaped ingest parse layer
+    // (Streaming.parseEventStream): a (key, value-bytes, ts) frame through
+    // from_json with corrupt records COUNTED (not thrown). Every 7th frame
+    // is deterministically poisoned ('!' prefix → invalid JSON) so the
+    // corrupt path is exercised, not vacuous; oracle detects the same
+    // frames via json_valid. Proves the parse semantics the streaming
+    // front door runs (same function, MemoryStream-tested in
+    // StreamingSpec) under the driver's DuckDB hash gate.
+    QueryDef(
+      "q_event_parse",
+      Some("""WITH frames AS (
+             |  SELECT event_type,
+             |         CASE WHEN event_id % 7 = 0 THEN '!' || props
+             |              ELSE props END AS value
+             |  FROM events)
+             |SELECT event_type,
+             |  CAST(COUNT(*) AS BIGINT) AS n_records,
+             |  CAST(COUNT(CASE WHEN value IS NULL OR NOT json_valid(value)
+             |             THEN 1 END) AS BIGINT) AS n_corrupt,
+             |  CAST(SUM(CASE WHEN value IS NOT NULL AND json_valid(value)
+             |           THEN CAST(json_extract_string(value, '$.k') AS BIGINT)
+             |           END) AS BIGINT) AS sum_k
+             |FROM frames GROUP BY event_type""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        // the Kafka key carries the routing attribute (here: event_type) —
+        // the standard way a consumer groups without reopening the payload
+        val frames = t(s, dir, "events").select(
+          $"event_type".as("key"),
+          when($"event_id" % 7 === 0, concat(lit("!"), $"props"))
+            .otherwise($"props").as("value"),
+          $"ts")
+        val parsed = graft.streaming.Streaming.parseEventStream(
+          frames, StructType(Seq(StructField("k", LongType))))
+        parsed
+          .groupBy($"kafka_key")
+          .agg(
+            count(lit(1)).as("n_records"),
+            count(when($"is_corrupt", 1)).as("n_corrupt"),
+            sum(when(!$"is_corrupt", $"k")).as("sum_k"))
+          .select($"kafka_key".as("event_type"),
+            $"n_records", $"n_corrupt", $"sum_k")
+      }),
+
+    // ------------------------------------------------------------------
     // A8 — descriptive moments (reference: describe()/std in
     // tests/test_generate_synthetic_idaice.py:138-139). stddev/avg over
     // fractional doubles drift in the last bits across engines → snapped to

@@ -26,6 +26,82 @@ object Streaming {
   def readEventStream(spark: SparkSession, dir: String, format: String = "parquet"): DataFrame =
     spark.readStream.schema(eventSchema).format(format).load(dir)
 
+  /** Kafka-shaped ingest parse layer — the production front door. Every
+    * Kafka-like transport delivers opaque `(key, value, ts)` frames; this
+    * turns that frame into the typed event schema via `from_json`, with
+    * corrupt records COUNTED, never thrown: a malformed value (bad JSON, a
+    * field that fails its declared type, or a null/empty payload) yields a
+    * row with `is_corrupt = true`, null typed fields, and the raw payload
+    * preserved in `raw_value` for a dead-letter sink. Well-formed rows carry
+    * `is_corrupt = false` and `raw_value` null (so the wide column costs
+    * nothing on the happy path).
+    *
+    * Input contract: `key` (string or binary), `value` (string or binary
+    * JSON payload), `ts` (transport/ingest timestamp). Output: `kafka_key`,
+    * `ingest_ts`, the fields of `schema`, `is_corrupt`, `raw_value`.
+    *
+    * Pure column operations — the same function serves the streaming path
+    * (over a readStream/Kafka frame) and its batch twin (q_event_parse, so
+    * the parse semantics are DuckDB-oracled even though the driver gate
+    * can't run a stream). Scale: per-row narrow map, no shuffle, no state;
+    * corrupt detection rides the same `from_json` that does the parse (one
+    * pass, PERMISSIVE mode with an in-schema corrupt-record column).
+    */
+  def parseEventStream(frames: DataFrame, schema: StructType = eventSchema): DataFrame = {
+    val corruptCol = "_corrupt_record"
+    require(!schema.fieldNames.contains(corruptCol),
+      s"event schema must not declare $corruptCol — the parser reserves it")
+    val parseSchema = StructType(schema.fields :+ StructField(corruptCol, StringType))
+    frames
+      .select(
+        col("key").cast("string").as("kafka_key"),
+        col("ts").as("ingest_ts"),
+        col("value").cast("string").as("__raw"),
+        from_json(col("value").cast("string"), parseSchema).as("__parsed"))
+      // from_json returns a NULL struct for null/whitespace-only payloads and
+      // fills the corrupt column (leaving typed fields null) for malformed or
+      // type-mismatched JSON — both are corrupt, neither throws.
+      .withColumn("is_corrupt",
+        col("__parsed").isNull || col(s"__parsed.$corruptCol").isNotNull)
+      .select(
+        Seq(col("kafka_key"), col("ingest_ts")) ++
+          schema.fieldNames.map(f => col(s"__parsed.`$f`").as(f)) ++
+          Seq(col("is_corrupt"),
+            when(col("is_corrupt"), col("__raw")).as("raw_value")): _*)
+  }
+
+  /** Corrupt-record accounting over a parsed frame: clean/corrupt counts per
+    * tumbling window of ingest time. Streaming-safe (watermarked windowed
+    * agg, state bounded by the lateness horizon) and identical over the
+    * batch twin. Counted, not thrown — the pipeline keeps running while a
+    * poisoned producer shows up as a rising `n_corrupt` curve.
+    */
+  def parseStats(parsed: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    parsed
+      .withWatermark("ingest_ts", watermark)
+      .groupBy(window(col("ingest_ts"), window_))
+      .agg(
+        count(lit(1)).as("n_records"),
+        count(when(col("is_corrupt"), 1)).as("n_corrupt"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_records"), col("n_corrupt"))
+
+  /** The clean side of a parsed frame, in the declared event shape (helper
+    * columns dropped) — what downstream operators consume.
+    */
+  def cleanEvents(parsed: DataFrame): DataFrame =
+    parsed.filter(!col("is_corrupt")).drop("is_corrupt", "raw_value")
+
+  /** The dead-letter side: corrupt frames with their raw payload, for a
+    * quarantine sink and replay-after-fix.
+    */
+  def deadLetters(parsed: DataFrame): DataFrame =
+    parsed.filter(col("is_corrupt"))
+      .select(col("kafka_key"), col("ingest_ts"), col("raw_value"))
+
   /** Tumbling-window per-type aggregation with late-data watermark — the
     * streaming analogue of the batch meter rollup (A9/q_monthly_rollup).
     */

@@ -341,6 +341,73 @@ class StreamingSpec extends SparkSpec {
       s"untouched month partition $m1dir was rewritten on the second life")
   }
 
+  test("Kafka-shaped parse layer: corrupt frames counted not thrown, " +
+      "stream output identical to batch from_json") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def bytes(s: String): Array[Byte] =
+      if (s == null) null else s.getBytes("UTF-8")
+    // 4 well-formed, 4 corrupt in distinct ways: invalid JSON, truncated,
+    // type-mismatched field, null payload (Kafka tombstone)
+    val frames: Seq[(String, Array[Byte], java.sql.Timestamp)] = Seq(
+      ("a", bytes("""{"event_id":1,"ts":"2024-01-01T10:00:00Z","user_id":5,"event_type":"click","value":1.5,"props":"{}"}"""), ts("2024-01-01 10:00:01")),
+      ("a", bytes("""{"event_id":2,"ts":"2024-01-01T10:05:00Z","user_id":5,"event_type":"view","value":2.0,"props":"{}"}"""), ts("2024-01-01 10:05:01")),
+      ("b", bytes("""{"event_id":3,"ts":"2024-01-01T11:00:00Z","user_id":6,"event_type":"click","value":0.5,"props":"{}"}"""), ts("2024-01-01 11:00:01")),
+      ("b", bytes("""{"event_id":4,"ts":"2024-01-01T11:30:00Z","user_id":7,"event_type":"buy","value":9.0,"props":"{}"}"""), ts("2024-01-01 11:30:01")),
+      ("c", bytes("this is not json"), ts("2024-01-01 10:10:00")),
+      ("c", bytes("""{"event_id":5,"ts":"""), ts("2024-01-01 10:20:00")),
+      ("c", bytes("""{"event_id":"not-a-number","ts":"2024-01-01T10:00:00Z"}"""), ts("2024-01-01 10:25:00")),
+      ("c", bytes(null), ts("2024-01-01 10:40:00")))
+
+    val mem = MemoryStream[(String, Array[Byte], java.sql.Timestamp)]
+    mem.addData(frames: _*)
+    val streamFrames = mem.toDF().toDF("key", "value", "ts")
+    assert(streamFrames.isStreaming)
+
+    val q = Streaming.runToMemory(
+      Streaming.parseEventStream(streamFrames), "parsed_frames")
+    q.awaitTermination(120000); q.stop()
+    val got = spark.table("parsed_frames")
+
+    // nothing thrown, every frame accounted for exactly once
+    assert(got.count() == 8)
+    assert(got.where($"is_corrupt").count() == 4)
+    // the clean side carries the typed fields
+    val clean = Streaming.cleanEvents(got)
+    assert(clean.count() == 4)
+    assert(clean.agg(sum("event_id")).head().getLong(0) == 10L)
+    assert(clean.where($"event_type" === "buy" && $"value" === 9.0 &&
+      $"user_id" === 7L).count() == 1)
+    assert(clean.where($"ts" === ts("2024-01-01 10:00:00")).count() == 1)
+    // the dead-letter side preserves the raw payload for replay-after-fix
+    val dead = Streaming.deadLetters(got)
+    assert(dead.count() == 4)
+    assert(dead.where($"raw_value" === "this is not json").count() == 1)
+    assert(dead.where($"raw_value".contains("not-a-number")).count() == 1)
+    assert(dead.where($"raw_value".isNull).count() == 1) // tombstone
+    // clean rows carry NO raw payload (the wide column is corrupt-only)
+    assert(got.where(!$"is_corrupt" && $"raw_value".isNotNull).count() == 0)
+
+    // batch twin over the SAME frames: the streamed result must be
+    // row-identical to batch from_json (modulo row order)
+    val batch = Streaming.parseEventStream(
+      frames.toDF("key", "value", "ts"))
+    assert(batch.exceptAll(got).count() == 0 &&
+      got.exceptAll(batch).count() == 0,
+      "streamed parse diverged from batch from_json")
+
+    // corrupt accounting: windowed stats count the poison without stopping
+    val stats = Streaming.parseStats(batch, "1 hour")
+      .orderBy("window_start").collect()
+    assert(stats.map(_.getLong(2)).sum == 8L)
+    assert(stats.map(_.getLong(3)).sum == 4L)
+    // all four corrupt frames landed in the 10:00 window
+    assert(stats.head.getLong(3) == 4L)
+  }
+
   test("stateful running totals per user via mapGroupsWithState") {
     import spark.implicits._
     val dir = stageEvents()
