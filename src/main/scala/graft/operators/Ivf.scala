@@ -159,12 +159,97 @@ object Ivf {
       .where(col("cluster").isNotNull)
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/data")
     val spark = corpus.sparkSession
+    // member counts for the sidecar ([[refresh]]'s incremental-mean weights):
+    // read back ONLY the partition column — a footer-metadata count, zero
+    // data columns scanned
+    val counts = new Array[Long](model.k)
+    spark.read.parquet(s"$path/data")
+      .groupBy(col("cluster")).count().collect()
+      .foreach(r => counts(r.getInt(0)) = r.getLong(1))
+    writeCentroids(spark, model.centroids, counts, path)
+  }
+
+  /** Centroid sidecar: one tiny file of (cluster, centroid, n_members) —
+    * n_members carries the weights [[refresh]] needs to fold new vectors
+    * into a centroid as an exact incremental mean.
+    */
+  private def writeCentroids(spark: SparkSession, cents: Array[Array[Float]],
+      counts: Array[Long], path: String): Unit = {
     import spark.implicits._
-    model.centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cluster", "centroid")
+    cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq, counts(i)) }.toSeq
+      .toDF("cluster", "centroid", "n_members")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Incremental index maintenance — fold `newDocs` into a [[writeClustered]]
+    * layout WITHOUT retraining or rewriting the existing corpus:
+    *
+    *   1. assign each new vector to its nearest existing centroid (map-only,
+    *      codegen'd) and APPEND it into the partition-pruned data layout —
+    *      dynamic partition append touches only the clusters that actually
+    *      received vectors; every pre-existing file stays byte-identical;
+    *   2. recompute ONLY the touched centroids as the exact incremental mean
+    *      `(n_old·c + Σ new members) / (n_old + n_new)` from one aggregation
+    *      over the new rows (per-cluster count + per-dim sums — O(k×dims)
+    *      to the driver, like train), and rewrite the tiny sidecar.
+    *
+    * Probes immediately see the appended vectors. Centroid drift is bounded
+    * by construction (each refresh moves a centroid toward the true mean of
+    * its members), but old rows keep their original partition assignment —
+    * after MANY refreshes on a drifting corpus the assignment/centroid gap
+    * grows and recall decays toward the rebuild threshold; RecallSpec gates
+    * recall@20 after a 20% append, and a full [[train]]+[[writeClustered]]
+    * remains the reset. Crash between the append and the sidecar write
+    * leaves a probeable index (new rows visible, centroids one step stale) —
+    * re-running the refresh with the same docs would double-append, so
+    * callers retry at the pipeline level with a fresh copy of the failed
+    * batch, as with any at-least-once parquet append.
+    *
+    * Returns the updated model.
+    */
+  def refresh(spark: SparkSession, path: String, idCol: String, vecCol: String,
+      newDocs: DataFrame): Model = {
+    val side = spark.read.parquet(s"$path/centroids")
+      .select(col("cluster"), col("centroid"), col("n_members")).collect()
+    require(side.nonEmpty, s"no centroids at $path/centroids")
+    val k = side.map(_.getInt(0)).max + 1
+    val cents = new Array[Array[Float]](k)
+    val counts = new Array[Long](k)
+    side.foreach { r =>
+      cents(r.getInt(0)) = r.getSeq[Float](1).toArray
+      counts(r.getInt(0)) = r.getLong(2)
+    }
+    val model = Model(cents)
+    val dims = cents.head.length
+
+    // the new slice is small relative to the index — cache it so the append
+    // and the stats aggregation don't each re-read/re-assign the source
+    val assigned = assign(newDocs, vecCol, model)
+      .where(col("cluster").isNotNull)
+      .select(newDocs.columns.map(col) :+ col("cluster"): _*)
+      .persist()
+    try {
+      assigned.write.mode("append").partitionBy("cluster").parquet(s"$path/data")
+      val aggs = count(lit(1)).as("n_new") +:
+        (0 until dims).map(j =>
+          sum(try_element_at(col(vecCol), lit(j + 1))).as(s"s$j"))
+      val stats = assigned.groupBy(col("cluster")).agg(aggs.head, aggs.tail: _*)
+        .collect()
+      stats.foreach { r =>
+        val c = r.getInt(0)
+        val nNew = r.getLong(1)
+        val tot = counts(c) + nNew
+        cents(c) = Array.tabulate(dims) { j =>
+          val s = if (r.isNullAt(j + 2)) 0.0 else r.getDouble(j + 2)
+          ((cents(c)(j).toDouble * counts(c) + s) / tot).toFloat
+        }
+        counts(c) = tot
+      }
+      writeCentroids(spark, cents, counts, path)
+      Model(cents)
+    } finally assigned.unpersist()
   }
 
   /** Load the trained coarse quantizer back from a [[writeClustered]] layout

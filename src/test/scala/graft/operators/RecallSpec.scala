@@ -77,4 +77,54 @@ class RecallSpec extends SparkSpec {
     val recall = (found & exact).size.toDouble / exact.size
     assert(recall >= 0.5, s"near-dup recall = $recall (expected >= 0.5)")
   }
+
+  test("IVF refresh folds a 20% corpus append without rebuild and holds " +
+    "recall@20") {
+    import java.nio.file.{Files, Paths}
+    val path = Files.createTempDirectory("graft_ivf_refresh_").toString
+    // 80/20 split on vec_id: the index is built before the late 20% exists.
+    // NOTE vec_id 0 — the recall query's own vector — is in the LATE slice,
+    // so pre-refresh the index cannot contain the query doc itself.
+    val base = emb.where(col("vec_id") % 5 =!= 0)
+    val late = emb.where(col("vec_id") % 5 === 0)
+    val model = Ivf.train(base, "vec_id", "embedding", k = 8, iters = 2)
+    Ivf.writeClustered(base, "vec_id", "embedding", model, path)
+
+    def dataFiles(): Set[String] = {
+      val walk = Files.walk(Paths.get(path, "data"))
+      try walk.filter(p => p.toString.endsWith(".parquet"))
+        .map[String](_.toString).toArray.map(_.toString).toSet
+      finally walk.close()
+    }
+    val before = dataFiles()
+
+    val refreshed = Ivf.refresh(spark, path, "vec_id", "embedding", late)
+
+    // no rebuild: every pre-existing data file survives byte-name-identical;
+    // the append only ADDED files into touched cluster partitions
+    val after = dataFiles()
+    assert(before.subsetOf(after), "refresh rewrote pre-existing index files")
+    assert(after.size > before.size, "refresh appended no files")
+
+    // the sidecar's member counts fold to the full corpus
+    val total = spark.read.parquet(s"$path/centroids")
+      .agg(sum("n_members")).head().getLong(0)
+    assert(total == emb.count(), s"sidecar counts $total != corpus ${emb.count()}")
+
+    // centroids actually moved toward the appended members (incremental
+    // mean, not a no-op): at least one touched centroid differs
+    assert(refreshed.centroids.zip(model.centroids)
+      .exists { case (a, b) => !a.sameElements(b) },
+      "refresh left every centroid untouched")
+
+    // recall on the refreshed AT-REST index, judged against the full-corpus
+    // brute-force truth — same gate as the fresh-build probe test
+    val got = ids(Ivf.probeClustered(spark, path, "vec_id", "embedding", q,
+      nProbe = 2, k = 20))
+    val recall = (got & bruteTop20).size / 20.0
+    assert(recall >= 0.5, s"post-refresh recall@20 = $recall (expected >= 0.5)")
+    // the late-arriving query doc itself is now probeable (cosine(q,q)=1
+    // must rank first in its own probe)
+    assert(got.contains(0L), "appended vector not visible to probes")
+  }
 }
