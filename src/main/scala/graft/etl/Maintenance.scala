@@ -123,9 +123,11 @@ object Maintenance {
     * top; this operator's contract is clean-replay idempotence, not
     * mid-commit crash recovery.
     *
-    * `partitionCol` must be one of `keyCols` (or functionally determined
-    * by them) so a key's replacement lands in the same partition it is
-    * carried from.
+    * `partitionCol` must be one of `keyCols` (enforced) so a key's
+    * replacement lands in the same partition it is carried from; a caller
+    * whose partition axis is merely functionally determined by the key
+    * (e.g. month derived from a date key) derives it into the key set
+    * first.
     *
     * The merged slice is eagerly `localCheckpoint`ed BEFORE the dynamic
     * overwrite: the merge reads the very partitions the write replaces, so
@@ -138,6 +140,17 @@ object Maintenance {
   def upsert(updates: DataFrame, keyCols: Seq[String], partitionCol: String,
       outDir: String): Seq[String] = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
+    // a partition axis outside the key silently duplicates moved keys: the
+    // old row of a key whose partition value changed sits in a partition
+    // that is neither read (isin on touched) nor overwritten (dynamic
+    // mode), so it survives alongside the replacement. Direct membership is
+    // the only contract this store can check cheaply — a caller with a
+    // partition column merely FUNCTIONALLY determined by the key must
+    // derive it into the key set instead.
+    require(keyCols.contains(partitionCol),
+      s"partitionCol '$partitionCol' must be one of keyCols " +
+        s"${keyCols.mkString("[", ", ", "]")} — otherwise a key that moves " +
+        "partitions leaves its old row behind as a silent duplicate")
     val spark = updates.sparkSession
     val up = updates.persist()
     try {
@@ -171,7 +184,13 @@ object Maintenance {
             keyCols, "left_anti"))
         val merged = carried.unionByName(up).localCheckpoint(true)
         writeDynamic(merged, partitionCol, outDir)
-        touched.map(String.valueOf).sorted
+        // report in the axis' NATURAL order, not lexicographic on the
+        // stringified form (which would order numeric partitions 10 < 2);
+        // nulls — the __HIVE_DEFAULT_PARTITION__ rows — sort first
+        val (nulls, vals) = touched.partition(_ == null)
+        (nulls ++ vals.sortWith((a, b) =>
+          a.asInstanceOf[Comparable[Any]].compareTo(b) < 0))
+          .map(String.valueOf)
       }
     } finally up.unpersist(blocking = false)
   }
@@ -183,6 +202,197 @@ object Maintenance {
     */
   def upsertRollupRows(updates: DataFrame, outDir: String): Seq[String] =
     upsert(updates, Seq("month", "event_type"), "month", outDir)
+
+  // -------------------------------------------------------------------
+  // Manifest-committed store: closes [[upsert]]'s documented commit-window
+  // caveat. Layout:
+  //
+  //   store/data/<partCol>=<val>/part-*.parquet   (append-only data files)
+  //   store/_manifest/v00000001.txt               (one live-file path per line)
+  //
+  // A committed manifest version lists EXACTLY the live files; the commit
+  // point is one atomic rename of the next manifest into place. Writers
+  // only ever APPEND data files (never delete or rewrite), so a reader that
+  // resolved manifest version N keeps reading version N's files undisturbed
+  // while a writer stages version N+1 — mid-upsert it sees the complete old
+  // content, after the rename the complete new content, never a mix (the
+  // plain-parquet dynamic overwrite, by contrast, clears a touched
+  // partition before its replacement lands). Unreferenced files accumulate
+  // until [[vacuumManifested]]. Single-maintainer contract: one writer at a
+  // time (the version-rename refuses to overwrite, so a concurrent writer
+  // fails loudly rather than corrupting); rename atomicity holds on
+  // HDFS-like filesystems — an S3 deployment swaps this for a conditional
+  // PUT. This is the write-to-temp-then-swap layout the [[upsert]] scaladoc
+  // points to, kept dependency-free; a production deployment with an ACID
+  // table format available uses that instead.
+  // -------------------------------------------------------------------
+
+  private def fsFor(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private val manifestRe = "^v(\\d{8})\\.txt$".r
+
+  /** Latest committed manifest version, 0 if none. */
+  private def latestManifestVersion(
+      fs: org.apache.hadoop.fs.FileSystem,
+      manifestDir: org.apache.hadoop.fs.Path): Long =
+    if (!fs.exists(manifestDir)) 0L
+    else fs.listStatus(manifestDir).iterator.map(_.getPath.getName)
+      .collect { case manifestRe(v) => v.toLong }
+      .foldLeft(0L)(math.max)
+
+  /** Live data files (absolute paths) per the latest committed manifest. */
+  private def liveFiles(spark: SparkSession, storeDir: String): Seq[String] = {
+    val (fs, _) = fsFor(spark, storeDir)
+    val mdir = new org.apache.hadoop.fs.Path(s"$storeDir/_manifest")
+    val v = latestManifestVersion(fs, mdir)
+    if (v == 0L) Nil
+    else {
+      val in = fs.open(new org.apache.hadoop.fs.Path(mdir, f"v$v%08d.txt"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map(rel => s"$storeDir/data/$rel").toList
+      finally in.close()
+    }
+  }
+
+  /** All committed parquet files currently under the data dir, as paths
+    * RELATIVE to it (the manifest's key space).
+    */
+  private def dataFilesOnDisk(spark: SparkSession, storeDir: String): Set[String] = {
+    val (fs, _) = fsFor(spark, storeDir)
+    val dataPath = new org.apache.hadoop.fs.Path(s"$storeDir/data")
+    if (!fs.exists(dataPath)) Set.empty
+    else {
+      val base = dataPath.toUri.getPath
+      val out = Set.newBuilder[String]
+      val it = fs.listFiles(dataPath, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (f.isFile && name.endsWith(".parquet") &&
+            !name.startsWith("_") && !name.startsWith("."))
+          out += f.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+      }
+      out.result()
+    }
+  }
+
+  /** Read the store as of its latest committed manifest — the fenced read
+    * path. In-flight (staged, uncommitted) files are invisible by
+    * construction: they are on disk but not in any manifest.
+    */
+  def readManifested(spark: SparkSession, storeDir: String): DataFrame = {
+    val files = liveFiles(spark, storeDir)
+    require(files.nonEmpty, s"no committed manifest under $storeDir/_manifest")
+    spark.read.option("basePath", s"$storeDir/data").parquet(files: _*)
+  }
+
+  /** [[upsert]] semantics (complete-values keyed MERGE, partition-pruned
+    * carry) with a crash-atomic commit: stage the touched partitions'
+    * replacement files as appends, then publish them with one manifest
+    * rename. A crash anywhere before the rename leaves the previous version
+    * fully intact (the orphaned staged files are invisible and reclaimed by
+    * [[vacuumManifested]]); replaying the same batch after a successful
+    * commit rewrites the same logical content (new files, same rows).
+    *
+    * @return the touched partition values (as strings), in natural order
+    */
+  def upsertManifested(updates: DataFrame, keyCols: Seq[String],
+      partitionCol: String, storeDir: String): Seq[String] = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(keyCols.contains(partitionCol),
+      s"partitionCol '$partitionCol' must be one of keyCols " +
+        s"${keyCols.mkString("[", ", ", "]")} — otherwise a key that moves " +
+        "partitions leaves its old row behind as a silent duplicate")
+    val spark = updates.sparkSession
+    val up = updates.persist()
+    try {
+      val touched = up.select(partitionCol).distinct()
+        .collect().map(_.get(0)).toSeq
+      if (touched.isEmpty) Nil
+      else {
+        val (fs, _) = fsFor(spark, storeDir)
+        val mdir = new org.apache.hadoop.fs.Path(s"$storeDir/_manifest")
+        val version = latestManifestVersion(fs, mdir)
+        val live = liveFiles(spark, storeDir)
+        val carried =
+          if (live.isEmpty) up.limit(0)
+          else spark.read.option("basePath", s"$storeDir/data")
+            .parquet(live: _*)
+            .where(col(partitionCol).isin(touched: _*))
+            .join(up.select(keyCols.map(col): _*).distinct(),
+              keyCols, "left_anti")
+        // stage: APPEND-only — the files the current manifest references
+        // are never touched, so no localCheckpoint fence is needed (the
+        // lazy merge plan reads files that stay in place)
+        val before = dataFilesOnDisk(spark, storeDir)
+        carried.unionByName(up)
+          .write.mode("append").partitionBy(partitionCol)
+          .parquet(s"$storeDir/data")
+        val staged = (dataFilesOnDisk(spark, storeDir) -- before).toSeq.sorted
+
+        // next manifest: untouched partitions keep their old file lists;
+        // touched partitions are exactly the staged files
+        val dataBase = s"$storeDir/data/"
+        val touchedDirs = staged.map(_.takeWhile(_ != '/')).toSet
+        val kept = live.map(_.stripPrefix(dataBase))
+          .filterNot(f => touchedDirs.contains(f.takeWhile(_ != '/')))
+        val next = (kept ++ staged).sorted
+
+        // commit: write aside, then ONE atomic rename into the version slot;
+        // rename-refuses-overwrite turns a concurrent writer into a loud
+        // failure instead of a corrupted store
+        fs.mkdirs(mdir)
+        val tmp = new org.apache.hadoop.fs.Path(mdir,
+          s".tmp-${java.util.UUID.randomUUID()}")
+        val os = fs.create(tmp, false)
+        try os.write((next.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally os.close()
+        val target = new org.apache.hadoop.fs.Path(mdir, f"v${version + 1}%08d.txt")
+        if (!fs.rename(tmp, target)) {
+          fs.delete(tmp, false)
+          throw new IllegalStateException(
+            s"manifest commit v${version + 1} lost a race — concurrent writer on $storeDir")
+        }
+        val (nulls, vals) = touched.partition(_ == null)
+        (nulls ++ vals.sortWith((a, b) =>
+          a.asInstanceOf[Comparable[Any]].compareTo(b) < 0))
+          .map(String.valueOf)
+      }
+    } finally up.unpersist(blocking = false)
+  }
+
+  /** Reclaim data files no manifest version ≤ latest references… precisely:
+    * delete every on-disk data file absent from the LATEST manifest, plus
+    * all older manifest versions. Immediate reclamation — a production
+    * deployment holds a grace window for readers pinned to older versions;
+    * here the single-maintainer contract makes the latest version the only
+    * live one.
+    *
+    * @return number of data files deleted
+    */
+  def vacuumManifested(spark: SparkSession, storeDir: String): Int = {
+    val (fs, _) = fsFor(spark, storeDir)
+    val mdir = new org.apache.hadoop.fs.Path(s"$storeDir/_manifest")
+    val v = latestManifestVersion(fs, mdir)
+    require(v > 0L, s"no committed manifest under $storeDir/_manifest")
+    val keep = liveFiles(spark, storeDir)
+      .map(_.stripPrefix(s"$storeDir/data/")).toSet
+    val orphans = (dataFilesOnDisk(spark, storeDir) -- keep).toSeq.sorted
+    orphans.foreach { rel =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$storeDir/data/$rel"), false)
+    }
+    if (fs.exists(mdir)) fs.listStatus(mdir).foreach { st =>
+      st.getPath.getName match {
+        case manifestRe(ver) if ver.toLong < v => fs.delete(st.getPath, false)
+        case n if n.startsWith(".tmp-") => fs.delete(st.getPath, false)
+        case _ => ()
+      }
+    }
+    orphans.size
+  }
 
   /** Dynamic partition overwrite of a partitioned parquet dir: only the
     * partitions present in `df` are replaced (static overwrite mode would

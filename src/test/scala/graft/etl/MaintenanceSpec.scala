@@ -136,6 +136,74 @@ class MaintenanceSpec extends SparkSpec {
     assert(readAll() == expected)
   }
 
+  test("upsert rejects a partition axis outside the key (silent-duplicate " +
+    "guard) and reports touched partitions in natural order") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_upsert_guard_").toString
+    val rows = Seq((2, "a", 1L), (10, "a", 2L)).toDF("scenario", "metric", "v")
+    // partitionCol ∉ keyCols: a moved key's old row would survive unseen
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.upsert(rows, Seq("metric"), "scenario", out)
+    }
+    assert(e.getMessage.contains("must be one of keyCols"))
+    // numeric axis: 2 < 10 in the axis' order, not "10" < "2" lexicographic
+    assert(Maintenance.upsert(rows, Seq("scenario", "metric"), "scenario", out)
+      == Seq("2", "10"))
+  }
+
+  test("manifest-committed upsert: a reader mid-upsert sees the old or the " +
+    "new content in full, never a mix; vacuum reclaims orphans") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_manifest_").toString
+    val day1 = Seq(
+      (1, "a", 10L), (2, "a", 20L), (2, "b", 21L), (3, "a", 30L))
+      .toDF("scenario", "metric", "v")
+    assert(Maintenance.upsertManifested(day1, Seq("scenario", "metric"),
+      "scenario", store) == Seq("1", "2", "3"))
+
+    def readAll(): Set[(Int, String, Long)] =
+      Maintenance.readManifested(spark, store).select("scenario", "metric", "v")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    val v1 = Set((1, "a", 10L), (2, "a", 20L), (2, "b", 21L), (3, "a", 30L))
+    assert(readAll() == v1)
+
+    // MID-UPSERT WINDOW: stage day 2's replacement files exactly as the
+    // writer would (appended data files, manifest NOT yet swapped). A
+    // fenced reader must still see v1 in full — on the plain-parquet
+    // dynamic-overwrite path this same window loses carried rows.
+    Seq((2, "a", 200L), (2, "c", 22L), (2, "b", 21L))
+      .toDF("scenario", "metric", "v")
+      .write.mode("append").partitionBy("scenario").parquet(s"$store/data")
+    assert(readAll() == v1,
+      "reader saw staged-but-uncommitted files — the commit window leaks")
+
+    // the staged-but-never-committed files are exactly what a crashed
+    // writer leaves behind; vacuum reclaims them without touching v1
+    assert(Maintenance.vacuumManifested(spark, store) > 0)
+    assert(readAll() == v1)
+
+    // the real day-2 upsert: replace (2,a), add (2,c), carry (2,b);
+    // partitions 1 and 3 untouched
+    val day2 = Seq((2, "a", 200L), (2, "c", 22L)).toDF("scenario", "metric", "v")
+    assert(Maintenance.upsertManifested(day2, Seq("scenario", "metric"),
+      "scenario", store) == Seq("2"))
+    val v2 = Set((1, "a", 10L), (2, "a", 200L), (2, "b", 21L), (2, "c", 22L),
+      (3, "a", 30L))
+    assert(readAll() == v2)
+
+    // v1's files are still on disk (append-only store) — a reader that had
+    // already resolved v1's manifest keeps its snapshot; vacuum then
+    // reclaims v1's superseded partition-2 files and old manifests
+    val reclaimed = Maintenance.vacuumManifested(spark, store)
+    assert(reclaimed > 0, "vacuum found no superseded files after an upsert")
+    assert(readAll() == v2)
+
+    // replay of the same complete-values batch converges to the same rows
+    Maintenance.upsertManifested(day2, Seq("scenario", "metric"),
+      "scenario", store)
+    assert(readAll() == v2)
+  }
+
   test("incremental rollup refresh rewrites ONLY the touched month partitions") {
     import spark.implicits._
     // the sf0.001 events all land in one month — synthesize a second month
