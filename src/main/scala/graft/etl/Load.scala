@@ -72,7 +72,15 @@ object Load {
       val clustered =
         if (sorts.isEmpty) df
         else {
-          val co = if (parts.isEmpty) df else df.repartition(parts.map(col): _*)
+          // partitioned: co-locate each directory's rows so it gets one
+          // sorted file. Unpartitioned: RANGE-partition on the sort axis so
+          // FILE-level min/max ranges are disjoint too — hash partitioning
+          // (or none) would leave every file spanning the full axis, and a
+          // pushed filter would skip row groups inside each file yet still
+          // probe every file.
+          val co =
+            if (parts.isEmpty) df.repartitionByRange(sorts.map(col): _*)
+            else df.repartition(parts.map(col): _*)
           co.sortWithinPartitions((parts ++ sorts).map(col): _*)
         }
       val w = clustered.write.mode("overwrite").options(writerOptions)

@@ -115,10 +115,20 @@ object Components {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }.foreach(_.unpersist(blocking = false))
 
-    // self-loops carry no connectivity and would survive as (a, a) noise
+    val universe = nodes.select(col(idCol).cast("long").as("n")).distinct()
+
+    // self-loops carry no connectivity and would survive as (a, a) noise.
+    // Edges are also restricted to the node universe: an out-of-universe
+    // endpoint would otherwise act as a silent BRIDGE (merging components
+    // through a node the caller never declared) and could even surface as
+    // the component id itself. Two one-time semi-joins — noise against a
+    // 100 TB edge list next to the per-round |E| shuffles of the star loop.
     var e = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .where(col("a") =!= col("b"))
+      .join(universe.select(col("n").as("a")), Seq("a"), "left_semi")
+      .join(universe.select(col("n").as("b")), Seq("b"), "left_semi")
+      .select(col("a"), col("b"))
       .localCheckpoint(false)
     var prev = checksum(e)
     var round = 0
@@ -140,7 +150,7 @@ object Components {
     // appear with one parent only, but min() keeps the read defensive if a
     // caller lowers maxIter below convergence
     val parents = e.groupBy(col("a").as("n")).agg(min(col("b")).as("pcomp"))
-    val labels = nodes.select(col(idCol).cast("long").as("n")).distinct()
+    val labels = universe
       .join(parents, Seq("n"), "left")
       .select(col("n").as(idCol),
         coalesce(col("pcomp"), col("n")).as("component"))

@@ -60,6 +60,15 @@ class ComponentsSpec extends SparkSpec {
     assert(m.values.toSet == Set(5L))
   }
 
+  test("out-of-universe edges never bridge components nor leak foreign ids") {
+    // 9 is NOT in the node universe: edges (1,9) and (9,2) must not merge
+    // 1 and 2 through the undeclared bridge, and no returned component id
+    // may be an id absent from nodes
+    val m = comps(Seq(1L, 2L, 3L), Seq((1L, 9L), (9L, 2L), (2L, 3L)))
+    assert(m == Map(1L -> 1L, 2L -> 2L, 3L -> 2L),
+      s"out-of-universe endpoint changed labels: $m")
+  }
+
   test("diameter-13 chain converges in O(log n) rounds, not O(diameter)") {
     // the Kiveris large-star/small-star guarantee: each round halves path
     // lengths in the pointer forest, so a 14-node path (diameter 13, which
