@@ -28,23 +28,23 @@ object ExtQueries {
     * covers ≥ `gate` of truth's rows on `keys`. The truth rows are exact and
     * ANSI-recomputable, so DuckDB re-derives them and expects a literal TRUE
     * flag; a broken hash family / bucket join / centroid assignment craters
-    * recall toward 0 and flips the flag → driver hash mismatch. One pass:
-    * left-join the (deduped) found keys, then a whole-partition window
-    * totals hits vs rows — the truth relations here are small pair / top-k
-    * sets, so the single-partition window is O(rows), never the
-    * (currentRow, unboundedFollowing) re-scan trap.
+    * recall toward 0 and flips the flag → driver hash mismatch. The marked
+    * truth is aggregated to ONE (hits, total) row with a plain partial-
+    * aggregable agg, then cross-joined back — a broadcast of one row — so
+    * the truth relation is never funneled through a single-partition window
+    * sort (q_sim_neardup's truth side is 12.5M rows at sf0.1; a one-task
+    * window there pays a pointless full-relation shuffle+sort to compute
+    * two scalars).
     */
   private def withRecallFlag(truth: DataFrame, found: DataFrame,
       keys: Seq[String], gate: Double): DataFrame = {
     val marked = truth.join(
       found.select(keys.map(col): _*).distinct().withColumn("__hit", lit(1)),
       keys, "left")
-    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    marked
-      .withColumn("recall_ok",
-        sum(coalesce(col("__hit"), lit(0))).over(w) >=
-          count(lit(1)).over(w) * gate)
-      .drop("__hit")
+    val flag = marked.agg(
+      (sum(coalesce(col("__hit"), lit(0))) >= count(lit(1)) * gate)
+        .as("recall_ok"))
+    marked.crossJoin(broadcast(flag)).drop("__hit")
   }
 
   /** DuckDB replica of [[graft.functions.expr.Winnow]] (k=8, w=4) as a CTE
@@ -162,6 +162,23 @@ object ExtQueries {
       |         WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
       |         WHEN es_hits >= de_hits THEN 'es'
       |         ELSE 'de' END""".stripMargin
+
+  /** Operator-only builds for the property-oracled queries whose DECLARED
+    * form also executes an exact brute-force truth side in-plan to emit the
+    * recall flag (the correctness-harness cost VERDICT r5 accepted): Bench
+    * times these separately, so bench trends track the operator itself
+    * while the `q_*` entries keep carrying the flag for the driver gate.
+    */
+  val operatorOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = Similarity.vectorOf(s, e, "vec_id", "embedding", 0L)
+      Similarity.lshTopK(e, "vec_id", "embedding", q,
+        dims = 64, nPlanes = 4, k = 20, nTables = 8)
+    }),
+    "q_sim_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding",
+        dims = 64, nPlanes = 4, minSim = 0.2, nTables = 8)))
 
   val defs: Seq[QueryDef] = Seq(
 
