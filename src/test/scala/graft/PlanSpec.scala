@@ -105,6 +105,55 @@ class PlanSpec extends SparkSpec {
       s"salted join still broadcasts:\n$p")
   }
 
+  test("AQE splits a skewed join partition at runtime (the zero-code skew " +
+    "path users hit before reaching for salting)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // q_join_skew_salted proves MANUAL salting; this pins the runtime
+    // alternative: with salting off and thresholds scaled to fixture bytes,
+    // AQE's OptimizeSkewedJoin must split the hot key's shuffle partition
+    // into multiple reader slices instead of melting one reducer.
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    try {
+      // 90% of the big side lands on key 0; the payload keeps partition
+      // bytes real (column pruning must not shrink the skew below threshold)
+      val big = spark.range(200000).select(
+        when($"id" % 10 === 0, pmod($"id", lit(97L))).otherwise(lit(0L)).as("k"),
+        concat(lit("payload-" * 8), $"id").as("payload"))
+      val small = spark.range(100).select($"id".as("k"),
+        concat(lit("dim"), $"id").as("dval"))
+      val joined = big.join(small, "k")
+      // collect(), not a noop write: write() plans a FRESH QueryExecution,
+      // leaving joined's own adaptive plan unexecuted (isFinalPlan=false,
+      // no AQEShuffleRead to observe); collect() drives this one to final
+      // and keeps the payload column in the shuffle (count() would prune
+      // it and shrink the skew below threshold)
+      val n = joined.collect().length
+      val p = finalPlan(joined.queryExecution.executedPlan).toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"skew test degenerated to a broadcast join:\n$p")
+      // OptimizeSkewedJoin marks the reader slices "skewed" in the final plan
+      assert(p.linesIterator.exists(l =>
+        l.contains("AQEShuffleRead") && l.contains("skewed")),
+        s"AQE did not split the skewed partition:\n$p")
+      // and splitting must not change the join's result
+      assert(n == 200000)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("chunking and repetition-ratio are shuffle-free map passes") {
     // the corpus→model-input prep must stay a pure scan→project pipeline:
     // an Exchange here would shuffle the whole 100 TB corpus to do per-row
