@@ -1,7 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Table-maintenance operations a long-lived 100 TB deployment needs around
   * the query engine itself: small-file compaction and schema-evolving reads.
@@ -137,6 +137,32 @@ object Maintenance {
     *
     * @return the touched partition values (as strings), sorted
     */
+  /** Partition-pruning predicate over the touched partition values. NOT a
+    * bare `isin`: NULL partition values are legal (they land in
+    * __HIVE_DEFAULT_PARTITION__) and `isin` never matches NULL — a bare
+    * isin would skip carrying the null partition's other keys while the
+    * write still replaces it, silently deleting them.
+    */
+  private def touchedFilter(partitionCol: String,
+      touched: Seq[Any]): org.apache.spark.sql.Column = {
+    val (nulls, vals) = touched.partition(_ == null)
+    val base =
+      if (vals.nonEmpty) col(partitionCol).isin(vals: _*) else lit(false)
+    if (nulls.nonEmpty) base || col(partitionCol).isNull else base
+  }
+
+  /** Anti-join the carried slice against the update keys with NULL-SAFE
+    * equality: partitionCol ∈ keyCols means a null partition value is also
+    * a null key, and a plain equality anti-join would never match it — the
+    * old row would be carried ALONGSIDE its replacement as a duplicate key.
+    */
+  private def antiJoinKeys(slice: DataFrame, up: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val upKeys = up.select(keyCols.map(c => col(c).as(s"__u_$c")): _*).distinct()
+    val cond = keyCols.map(c => col(c) <=> col(s"__u_$c")).reduce(_ && _)
+    slice.join(upKeys, cond, "left_anti")
+  }
+
   def upsert(updates: DataFrame, keyCols: Seq[String], partitionCol: String,
       outDir: String): Seq[String] = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
@@ -174,14 +200,12 @@ object Maintenance {
           if (!fs.exists(outPath)) None
           else scala.util.Try(spark.read.parquet(outDir)) match {
             case scala.util.Success(df) =>
-              Some(df.where(col(partitionCol).isin(touched: _*)))
+              Some(df.where(touchedFilter(partitionCol, touched)))
             case scala.util.Failure(e: org.apache.spark.sql.AnalysisException)
                 if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => None
             case scala.util.Failure(e) => throw e
           }
-        val carried = existing.fold(up.limit(0))(
-          _.join(up.select(keyCols.map(col): _*).distinct(),
-            keyCols, "left_anti"))
+        val carried = existing.fold(up.limit(0))(antiJoinKeys(_, up, keyCols))
         val merged = carried.unionByName(up).localCheckpoint(true)
         writeDynamic(merged, partitionCol, outDir)
         // report in the axis' NATURAL order, not lexicographic on the
@@ -319,11 +343,11 @@ object Maintenance {
         val live = liveFiles(spark, storeDir)
         val carried =
           if (live.isEmpty) up.limit(0)
-          else spark.read.option("basePath", s"$storeDir/data")
-            .parquet(live: _*)
-            .where(col(partitionCol).isin(touched: _*))
-            .join(up.select(keyCols.map(col): _*).distinct(),
-              keyCols, "left_anti")
+          else antiJoinKeys(
+            spark.read.option("basePath", s"$storeDir/data")
+              .parquet(live: _*)
+              .where(touchedFilter(partitionCol, touched)),
+            up, keyCols)
         // stage: APPEND-only — the files the current manifest references
         // are never touched, so no localCheckpoint fence is needed (the
         // lazy merge plan reads files that stay in place)
@@ -341,9 +365,9 @@ object Maintenance {
           .filterNot(f => touchedDirs.contains(f.takeWhile(_ != '/')))
         val next = (kept ++ staged).sorted
 
-        // commit: write aside, then ONE atomic rename into the version slot;
-        // rename-refuses-overwrite turns a concurrent writer into a loud
-        // failure instead of a corrupted store
+        // commit: write aside, then ONE atomic claim of the version slot;
+        // a lost claim turns a concurrent writer into a loud failure
+        // instead of a corrupted store
         fs.mkdirs(mdir)
         val tmp = new org.apache.hadoop.fs.Path(mdir,
           s".tmp-${java.util.UUID.randomUUID()}")
@@ -351,7 +375,7 @@ object Maintenance {
         try os.write((next.mkString("\n") + "\n").getBytes("UTF-8"))
         finally os.close()
         val target = new org.apache.hadoop.fs.Path(mdir, f"v${version + 1}%08d.txt")
-        if (!fs.rename(tmp, target)) {
+        if (!claimVersionSlot(fs, tmp, target)) {
           fs.delete(tmp, false)
           throw new IllegalStateException(
             s"manifest commit v${version + 1} lost a race — concurrent writer on $storeDir")
@@ -363,6 +387,31 @@ object Maintenance {
       }
     } finally up.unpersist(blocking = false)
   }
+
+  /** Atomically claim a manifest version slot: publish `tmp` as `target`,
+    * failing (false) if the slot is already taken. On HDFS-like filesystems
+    * `rename` refuses an existing destination, which is exactly the claim.
+    * On `file:` schemes Hadoop's rename is POSIX rename(2) — it silently
+    * REPLACES an existing destination — so the claim is a hard-link
+    * creation instead, which is atomic and throws if the target exists
+    * (the tmp copy is then removed; the link IS the published manifest).
+    * On object stores without atomic rename (raw S3) neither holds — swap
+    * in a conditional PUT there, as the class doc notes.
+    */
+  private[etl] def claimVersionSlot(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      target: org.apache.hadoop.fs.Path): Boolean =
+    if (fs.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        fs.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else fs.rename(tmp, target)
 
   /** Reclaim data files no manifest version ≤ latest references… precisely:
     * delete every on-disk data file absent from the LATEST manifest, plus

@@ -204,6 +204,57 @@ class MaintenanceSpec extends SparkSpec {
     assert(readAll() == v2)
   }
 
+  test("upsert into a NULL partition replaces matched keys and carries the " +
+    "rest (isin-vs-NULL and equality-anti-join-vs-NULL traps)") {
+    import spark.implicits._
+    // null partition values land in __HIVE_DEFAULT_PARTITION__; a bare isin
+    // carry filter never matches NULL (the partition would be replaced
+    // without being read), and a plain equality anti-join never matches a
+    // NULL key (the old row would be carried alongside its replacement as
+    // a duplicate). Both upsert variants must get both right.
+    val day1 = Seq(
+      (Some(1), "a", 5L),
+      (None, "a", 1L), (None, "b", 2L)).toDF("scenario", "metric", "v")
+    val day2 = Seq((Option.empty[Int], "a", 10L)).toDF("scenario", "metric", "v")
+    val expected = Set((None, "a", 10L), (None, "b", 2L), (Some(1), "a", 5L))
+
+    val outPlain = Files.createTempDirectory("graft_upsert_null_").toString
+    assert(Maintenance.upsert(day1, Seq("scenario", "metric"), "scenario",
+      outPlain) == Seq("null", "1"))
+    Maintenance.upsert(day2, Seq("scenario", "metric"), "scenario", outPlain)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Option[Int], String, Long)] =
+      df.select("scenario", "metric", "v").collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)),
+          r.getString(1), r.getLong(2))).toSet
+    assert(rows(spark.read.parquet(outPlain)) == expected)
+
+    val store = Files.createTempDirectory("graft_manifest_null_").toString
+    Maintenance.upsertManifested(day1, Seq("scenario", "metric"), "scenario", store)
+    Maintenance.upsertManifested(day2, Seq("scenario", "metric"), "scenario", store)
+    assert(rows(Maintenance.readManifested(spark, store)) == expected)
+  }
+
+  test("manifest version slot can be claimed exactly once on the local FS " +
+    "(concurrent-writer guard; POSIX rename would silently overwrite)") {
+    val dir = Files.createTempDirectory("graft_claim_").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def stage(name: String, content: String) = {
+      val p = new org.apache.hadoop.fs.Path(dir, name)
+      val os = fs.create(p, false)
+      try os.write(content.getBytes("UTF-8")) finally os.close()
+      p
+    }
+    val target = new org.apache.hadoop.fs.Path(dir, "v00000007.txt")
+    assert(Maintenance.claimVersionSlot(fs, stage(".tmp-a", "writer-a"), target))
+    // the loser must observe a taken slot, not silently replace the winner
+    assert(!Maintenance.claimVersionSlot(fs, stage(".tmp-b", "writer-b"), target))
+    val in = fs.open(target)
+    val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    assert(content == "writer-a", s"loser overwrote the committed manifest: $content")
+  }
+
   test("incremental rollup refresh rewrites ONLY the touched month partitions") {
     import spark.implicits._
     // the sf0.001 events all land in one month — synthesize a second month
