@@ -209,7 +209,7 @@ object Ivf {
     *
     * Returns the updated model.
     */
-  def refresh(spark: SparkSession, path: String, idCol: String, vecCol: String,
+  def refresh(spark: SparkSession, path: String, vecCol: String,
       newDocs: DataFrame): Model = {
     val side = spark.read.parquet(s"$path/centroids")
       .select(col("cluster"), col("centroid"), col("n_members")).collect()

@@ -35,6 +35,15 @@ object ExtQueries {
     * sort (q_sim_neardup's truth side is 12.5M rows at sf0.1; a one-task
     * window there pays a pointless full-relation shuffle+sort to compute
     * two scalars).
+    *
+    * DELIBERATE trade: the marked subtree is referenced twice (agg leg +
+    * result leg), so the post-shuffle part of the truth join executes
+    * twice per run. That stays fully parallel and memory-flat, where the
+    * single-partition window funneled the whole relation through ONE task
+    * (an OOM cliff as the truth relation grows). A checkpoint would dedupe
+    * the work but hide the operator's plan from the PlanHash tripwire
+    * behind an opaque RDD scan. Bench's `_operator` sub-timings keep the
+    * harness cost out of operator trends.
     */
   private def withRecallFlag(truth: DataFrame, found: DataFrame,
       keys: Seq[String], gate: Double): DataFrame = {
@@ -163,6 +172,32 @@ object ExtQueries {
       |         WHEN es_hits >= de_hits THEN 'es'
       |         ELSE 'de' END""".stripMargin
 
+  /** Hyperparameters shared by the declared q_sim_lsh / q_sim_neardup
+    * entries and their operator-only bench twins below — ONE definition, so
+    * the `_operator` sub-timing always measures exactly the configuration
+    * the declared query runs (a tuned query with a stale twin would emit
+    * silently misleading bench trends).
+    */
+  private object SimParams {
+    val dims = 64
+    val nPlanes = 4
+    val nTables = 8
+    val k = 20
+    val minSim = 0.2
+  }
+
+  private def lshTopKOp(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = Similarity.vectorOf(s, e, "vec_id", "embedding", 0L)
+    Similarity.lshTopK(e, "vec_id", "embedding", q, dims = SimParams.dims,
+      nPlanes = SimParams.nPlanes, k = SimParams.k, nTables = SimParams.nTables)
+  }
+
+  private def nearDupPairsOp(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding",
+      dims = SimParams.dims, nPlanes = SimParams.nPlanes,
+      minSim = SimParams.minSim, nTables = SimParams.nTables)
+
   /** Operator-only builds for the property-oracled queries whose DECLARED
     * form also executes an exact brute-force truth side in-plan to emit the
     * recall flag (the correctness-harness cost VERDICT r5 accepted): Bench
@@ -170,15 +205,8 @@ object ExtQueries {
     * while the `q_*` entries keep carrying the flag for the driver gate.
     */
   val operatorOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_sim_lsh" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val q = Similarity.vectorOf(s, e, "vec_id", "embedding", 0L)
-      Similarity.lshTopK(e, "vec_id", "embedding", q,
-        dims = 64, nPlanes = 4, k = 20, nTables = 8)
-    }),
-    "q_sim_neardup" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding",
-        dims = 64, nPlanes = 4, minSim = 0.2, nTables = 8)))
+    "q_sim_lsh" -> (lshTopKOp(_, _)),
+    "q_sim_neardup" -> (nearDupPairsOp(_, _)))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -896,9 +924,8 @@ object ExtQueries {
         val e = emb(s, dir)
         val q = Similarity.vectorOf(s, e, "vec_id", "embedding", 0L)
         withRecallFlag(
-          Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 20),
-          Similarity.lshTopK(e, "vec_id", "embedding", q,
-            dims = 64, nPlanes = 4, k = 20, nTables = 8),
+          Similarity.bruteForceTopK(e, "vec_id", "embedding", q, SimParams.k),
+          lshTopKOp(s, dir), // SAME build Bench's _operator sub-timing runs
           Seq("vec_id"), gate = 0.5)
       }),
 
@@ -931,10 +958,9 @@ object ExtQueries {
         val truth = a.crossJoin(b).where(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"),
             graft.functions.VectorNative.cosine(col("va"), col("vb")).as("cosine_sim"))
-          .where(col("cosine_sim") >= 0.2)
+          .where(col("cosine_sim") >= SimParams.minSim)
         withRecallFlag(truth,
-          Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
-            dims = 64, nPlanes = 4, minSim = 0.2, nTables = 8),
+          nearDupPairsOp(s, dir), // SAME build as the _operator sub-timing
           Seq("id_a", "id_b"), gate = 0.5)
       }),
 

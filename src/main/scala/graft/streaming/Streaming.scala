@@ -57,7 +57,12 @@ object Streaming {
         col("key").cast("string").as("kafka_key"),
         col("ts").as("ingest_ts"),
         col("value").cast("string").as("__raw"),
-        from_json(col("value").cast("string"), parseSchema).as("__parsed"))
+        // the corrupt-column name is passed as a per-call option: relying
+        // on the session's spark.sql.columnNameOfCorruptRecord default
+        // would silently break corrupt detection (always-false is_corrupt)
+        // in any deployment that renames that knob
+        from_json(col("value").cast("string"), parseSchema,
+          Map("columnNameOfCorruptRecord" -> corruptCol)).as("__parsed"))
       // from_json returns a NULL struct for null/whitespace-only payloads and
       // fills the corrupt column (leaving typed fields null) for malformed or
       // type-mismatched JSON — both are corrupt, neither throws.

@@ -98,7 +98,7 @@ class RecallSpec extends SparkSpec {
     }
     val before = dataFiles()
 
-    val refreshed = Ivf.refresh(spark, path, "vec_id", "embedding", late)
+    val refreshed = Ivf.refresh(spark, path, "embedding", late)
 
     // no rebuild: every pre-existing data file survives byte-name-identical;
     // the append only ADDED files into touched cluster partitions
