@@ -408,6 +408,48 @@ class StreamingSpec extends SparkSpec {
     assert(stats.head.getLong(3) == 4L)
   }
 
+  test("front door composes: parse → clean → windowed aggregation over one " +
+      "stream, poison frames dropped without disturbing the aggregates") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // the full ingest path a deployment runs: transport frames in, typed
+    // windowed aggregates out — with a poison frame in the middle of the
+    // feed that must reach the dead-letter side only
+    def payload(id: Long, ts: String, typ: String, value: Double): String =
+      s"""{"event_id":$id,"ts":"$ts","user_id":1,"event_type":"$typ","value":$value,"props":"{}"}"""
+    val frames: Seq[(String, Array[Byte], java.sql.Timestamp)] = Seq(
+      ("k", payload(1, "2024-01-01T10:05:00Z", "click", 1.0).getBytes("UTF-8"),
+        java.sql.Timestamp.valueOf("2024-01-01 10:05:01")),
+      ("k", "POISON{not json".getBytes("UTF-8"),
+        java.sql.Timestamp.valueOf("2024-01-01 10:06:00")),
+      ("k", payload(2, "2024-01-01T10:20:00Z", "click", 2.0).getBytes("UTF-8"),
+        java.sql.Timestamp.valueOf("2024-01-01 10:20:01")),
+      ("k", payload(3, "2024-01-01T11:10:00Z", "view", 5.0).getBytes("UTF-8"),
+        java.sql.Timestamp.valueOf("2024-01-01 11:10:01")))
+    val mem = MemoryStream[(String, Array[Byte], java.sql.Timestamp)]
+    mem.addData(frames: _*)
+
+    val parsed = Streaming.parseEventStream(
+      mem.toDF().toDF("key", "value", "ts"))
+    val agg = Streaming.windowedTypeAgg(
+      Streaming.cleanEvents(parsed).drop("kafka_key", "ingest_ts"))
+    val q = Streaming.runToMemory(agg, "front_door",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    q.awaitTermination(120000); q.stop()
+
+    val got = spark.table("front_door")
+      .select($"window_start", $"event_type", $"n_events", $"sum_value")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // clean events aggregate exactly; the poison frame contributes nothing
+    assert(got == Set(
+      ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 11:00:00.0", "view", 1L, 5.0)), s"got $got")
+  }
+
   test("stateful running totals per user via mapGroupsWithState") {
     import spark.implicits._
     val dir = stageEvents()
