@@ -143,4 +143,26 @@ object TextFunctions {
     * the [[shinglesFromTokens]] caveat; hot paths must materialize tokens.
     */
   def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
+
+  /** PII scrubbing — the redaction pass an LLM training pipeline runs before
+    * anything else sees the text: emails → `<EMAIL>`, IPv4 addresses →
+    * `<IP>`, then NANP-style phone numbers → `<PHONE>`, as three chained
+    * `regexp_replace`s (codegen'd, map-only, no shuffle). Order matters: IPs
+    * are redacted before phones so a dotted quad can never half-match the
+    * dotted phone form. Patterns are deliberately restricted to syntax with
+    * identical semantics in Java regex and RE2 (no lookaround, no
+    * backreferences) so the DuckDB oracle replays them verbatim; like every
+    * production scrubber these are high-recall heuristics, not a PII
+    * guarantee — layout-aware detectors stack on top.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\(?\\b\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
 }

@@ -272,4 +272,39 @@ object Corpus {
       }
       .toDF(idCol, chunkIdCol, nTokensCol, "seq_id", "seq_fill")
   }
+
+  /** Deterministic mixture sampling — the knob that turns a cleaned crawl
+    * into a WEIGHTED training mixture: each source is down-sampled to its
+    * target keep rate, seedlessly. A row's uniform is the first 8 md5 hex
+    * digits of `source:id`, compared against the rate's hex threshold
+    * IN STRING SPACE (same-length lowercase hex compares identically to
+    * the numbers it spells), so the keep set is bit-reproducible on any
+    * cluster, partitioning, or engine — unlike `sampleBy`, whose
+    * per-partition seeds reshuffle the sample under every repartition.
+    * Sources absent from `rates` keep everything. Map-only: no shuffle, no
+    * state; the filter rides the scan inside codegen.
+    *
+    * Down-sampling only (rates in [0,1]) — up-weighting a source belongs
+    * to the training loader (epoch repetition), not the data layer, where
+    * duplicating rows would re-trigger the dedup stages upstream.
+    */
+  def mixtureSample(docs: DataFrame, idCol: String, sourceCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0),
+      s"rates must be keep probabilities in [0,1], got $rates")
+    val u = substring(
+      md5(concat(col(sourceCol), lit(":"), col(idCol).cast("string"))
+        .cast("binary")), 1, 8)
+    def thresholdHex(r: Double): String =
+      f"${(r * 4294967296.0).toLong}%08x"
+    val keep = rates.toSeq.sortBy(_._1).foldLeft(lit(null).cast("boolean")) {
+      case (acc, (src, r)) =>
+        val cond =
+          if (r >= 1.0) lit(true)
+          else if (r <= 0.0) lit(false)
+          else u < lit(thresholdHex(r))
+        when(col(sourceCol) === src, cond).otherwise(acc)
+    }
+    docs.where(coalesce(keep, lit(true)))
+  }
 }

@@ -22,6 +22,46 @@ object Dedup {
         count(lit(1)).as("n_copies"),
         min(col(idCol)).as("keep_id"))
 
+  /** Benchmark decontamination — the training-data hygiene gate that flags
+    * every document sharing ANY word `shingleN`-gram with a held-out
+    * evaluation set, so eval answers can't leak into training. Returns
+    * `(idCol, n_hits, contaminated)`: the count of the document's DISTINCT
+    * shingles that appear anywhere in the benchmark, and the drop flag.
+    *
+    * Shape at 100 TB: the benchmark side is tiny by nature (eval suites are
+    * thousands of prompts), so its distinct shingle set builds once and
+    * BROADCASTS — the corpus side is a map-only tokenize→shingle explode
+    * into a broadcast hash join + one re-aggregation keyed on the doc id.
+    * The corpus is never shuffled on content, and nothing is quadratic: a
+    * boilerplate shingle shared by millions of docs costs one broadcast
+    * probe per occurrence, not a join blow-up. Matching is on the shingle
+    * STRING (exact, engine-portable); swap in xxhash64(shingle) for a
+    * narrower shuffle when oracle portability doesn't matter.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String,
+      shingleN: Int = 3): DataFrame = {
+    def distinctShingles(df: DataFrame, c: String) =
+      df.select(tokens(col(c)).as("toks"))
+        .select(explode(
+          arrayBarrier(array_distinct(shinglesFromTokens(col("toks"), shingleN))))
+          .as("shingle"))
+    val benchShingles = distinctShingles(benchmark, benchTextCol).distinct()
+    val hits = docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(
+        arrayBarrier(array_distinct(shinglesFromTokens(col("toks"), shingleN))))
+        .as("shingle"))
+      .join(broadcast(benchShingles), "shingle")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+    docs.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_hits").isNotNull.as("contaminated"))
+  }
+
   /** MinHash signature column: for each of `nPerms` hash permutations take
     * the min over the document's `shingleN`-word shingles. Implemented with
     * xxhash64(shingle, seed) + array_min inside codegen — no UDF, no UDAF.

@@ -221,6 +221,92 @@ object ExtQueries {
       (s, dir) => Dedup.exactGroups(docs(s, dir), "doc_id", "text")),
 
     // ------------------------------------------------------------------
+    // Benchmark decontamination: flag every document sharing ANY 3-gram
+    // with a held-out eval set (here: the doc_id % 20 == 0 slice serves as
+    // the benchmark, derived identically in both engines — its own docs
+    // come back fully contaminated, the realistic exact-leak case). Corpus
+    // side explodes distinct shingles into a BROADCAST join against the
+    // benchmark's shingle set — no corpus shuffle on content; see
+    // Dedup.decontaminate. Same 3-gram tokenization as the jaccard CTE.
+    QueryDef(
+      "q_decontaminate",
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct(CASE WHEN len(t) >= 3
+             |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+             |      ELSE [] END) AS shs
+             |  FROM t),
+             |bench AS (SELECT DISTINCT unnest(shs) AS shingle FROM sh WHERE doc_id % 20 = 0),
+             |ex AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+             |hits AS (SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS nh
+             |         FROM ex JOIN bench USING (shingle) GROUP BY 1)
+             |SELECT d.doc_id,
+             |  COALESCE(h.nh, 0) AS n_hits,
+             |  h.nh IS NOT NULL AS contaminated
+             |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val d = docs(s, dir)
+        Dedup.decontaminate(d, "doc_id", "text",
+          d.where($"doc_id" % 20 === 0), "text")
+      }),
+
+    // ------------------------------------------------------------------
+    // PII scrubbing: emails → <EMAIL>, IPv4 → <IP>, phones → <PHONE> in
+    // three chained regexp_replaces (map-only, codegen'd). The fixture
+    // corpus carries no PII, so each row is salted with a deterministic
+    // doc_id-derived email/phone/IP tail built identically in both engines
+    // — every pattern demonstrably fires on every row, and the oracle
+    // replays the same RE2/Java-portable regexes with DuckDB's 'g' flag
+    // (Spark's regexp_replace is global by default).
+    QueryDef(
+      "q_pii_scrub",
+      Some("""SELECT doc_id,
+             |  regexp_replace(
+             |    regexp_replace(
+             |      regexp_replace(
+             |        text || ' reach user' || doc_id ||
+             |          '@mail.example.com or (555) 867-5309 via 10.1.2.' ||
+             |          (doc_id % 256),
+             |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             |    '\(?\b\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS clean_text
+             |FROM documents""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir).select(
+          $"doc_id",
+          TextFunctions.scrubPii(concat(
+            $"text", lit(" reach user"), $"doc_id",
+            lit("@mail.example.com or (555) 867-5309 via 10.1.2."),
+            $"doc_id" % 256)).as("clean_text"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Mixture sampling: down-sample sources to target keep rates with a
+    // seedless md5-uniform (Corpus.mixtureSample) — reproducible row-level
+    // keep set on any partitioning, which is exactly what the full-row
+    // DuckDB hash compare certifies. src0 drops entirely, src1/src2/src3
+    // keep 25/50/75%, the other 16 sources pass untouched.
+    QueryDef(
+      "q_mixture_sample",
+      Some("""SELECT doc_id, source FROM documents
+             |WHERE CASE source
+             |  WHEN 'src0' THEN false
+             |  WHEN 'src1' THEN substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+             |  WHEN 'src2' THEN substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+             |  WHEN 'src3' THEN substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8) < 'c0000000'
+             |  ELSE true END""".stripMargin),
+      (s, dir) => Corpus.mixtureSample(
+        docs(s, dir).select(col("doc_id"), col("source")),
+        "doc_id", "source",
+        Map("src0" -> 0.0, "src1" -> 0.25, "src2" -> 0.5, "src3" -> 0.75))),
+
+    // ------------------------------------------------------------------
     // Text stats: length, whitespace, word count. DuckDB len() is BIGINT →
     // CAST to INT to match Spark's IntegerType.
     QueryDef(

@@ -178,4 +178,25 @@ class CorpusSpec extends SparkSpec {
       .select("drop_reason").collect().map(_.getString(0))
     assert(reasons.forall(_ === "quality"))
   }
+
+  test("mixture sampling is deterministic, rate-accurate, and " +
+    "partitioning-invariant") {
+    import spark.implicits._
+    val docs = (0L until 4000L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
+    val rates = Map("src0" -> 0.0, "src1" -> 0.25, "src2" -> 1.0)
+    def kept(df: org.apache.spark.sql.DataFrame): Map[String, Set[Long]] =
+      Corpus.mixtureSample(df, "id", "src", rates)
+        .collect().map(r => (r.getString(1), r.getLong(0)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val a = kept(docs)
+    // rate-zero drops all; rate-one and unlisted sources keep all
+    assert(!a.contains("src0"))
+    assert(a("src2").size == 1000 && a("src3").size == 1000)
+    // 25% of 1000 within binomial noise (±4σ ≈ ±55)
+    assert(math.abs(a("src1").size - 250) < 55, s"src1 kept ${a("src1").size}")
+    // the KEEP SET (not just counts) survives an adversarial repartition —
+    // the property partition-seeded sampleBy does not have
+    val b = kept(docs.repartition(17, $"id" % 7))
+    assert(a == b, "mixture keep set changed under repartitioning")
+  }
 }

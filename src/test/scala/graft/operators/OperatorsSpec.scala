@@ -126,4 +126,30 @@ class OperatorsSpec extends SparkSpec {
     assert(fps(0) == fps(1))
     assert(fps(0) != fps(2))
   }
+
+  test("scrubPii redacts emails, IPv4s, and phones — and only them") {
+    val got = Seq((1L,
+      "Mail a.b-c%d@sub.example.org or call (555) 867-5309 / 555-123-4567; " +
+        "host 192.168.0.1 port 8080, version 1.2.3 stays, price 10.99 stays"))
+      .toDF("id", "text")
+      .select(TextFunctions.scrubPii($"text")).head().getString(0)
+    assert(got == "Mail <EMAIL> or call <PHONE> / <PHONE>; " +
+      "host <IP> port 8080, version 1.2.3 stays, price 10.99 stays", got)
+  }
+
+  test("decontaminate flags exactly the docs sharing a 3-gram with the " +
+    "benchmark, with distinct-shingle hit counts") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), // shares "alpha beta gamma" + "beta gamma delta"
+      (2L, "epsilon zeta eta"),       // clean
+      (3L, "x y alpha beta gamma"),   // shares one benchmark 3-gram
+      (4L, "beta gamma beta gamma beta")) // 3-grams not in benchmark
+      .toDF("doc_id", "text")
+    val bench = Seq((10L, "alpha beta gamma delta end")).toDF("bid", "btext")
+    val got = Dedup.decontaminate(docs, "doc_id", "text", bench, "btext")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == Map(
+      1L -> ((2L, true)), 2L -> ((0L, false)),
+      3L -> ((1L, true)), 4L -> ((0L, false))), got.toString)
+  }
 }
