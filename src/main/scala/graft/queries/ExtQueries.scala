@@ -559,6 +559,37 @@ object ExtQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Per-language quality-quantile gate (the CCNet/RedPajama-style "keep
+    // the top fraction per language" filter — an absolute threshold would
+    // silently starve languages whose score distribution sits lower).
+    // Exact-rank form: percent_rank over (lang, quality DESC, doc_id) with
+    // full tie-break, so both rank and the kept set are deterministic and
+    // the (rank-1)/(n-1) double is bit-identical cross-engine. One window
+    // shuffle keyed on lang; at 100 TB the same gate runs as a two-pass
+    // approx-percentile threshold join instead (per-lang thresholds are a
+    // tiny broadcast) — the exact-rank form here is what certifies that
+    // path's semantics.
+    QueryDef(
+      "q_quality_quantile",
+      Some(s"""WITH q AS (
+             |  SELECT doc_id, lang,
+             |    $qualityScoreSql
+             |      AS qs
+             |  FROM documents)
+             |SELECT doc_id, lang, qs, pr FROM (
+             |  SELECT doc_id, lang, qs,
+             |    percent_rank() OVER (PARTITION BY lang ORDER BY qs DESC, doc_id) AS pr
+             |  FROM q)
+             |WHERE pr <= 0.5""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val q = docs(s, dir).select($"doc_id", $"lang",
+          TextFunctions.qualityScore($"text").as("qs"))
+        val w = Window.partitionBy($"lang").orderBy($"qs".desc, $"doc_id")
+        q.withColumn("pr", percent_rank().over(w)).where($"pr" <= 0.5)
+      }),
+
+    // ------------------------------------------------------------------
     // Document fingerprinting (xxhash64-based → no DuckDB oracle).
     QueryDef(
       "q_fingerprint",
