@@ -44,16 +44,33 @@ object ExtQueries {
     * the work but hide the operator's plan from the PlanHash tripwire
     * behind an opaque RDD scan. Bench's `_operator` sub-timings keep the
     * harness cost out of operator trends.
+    *
+    * `boundedTruth = true` flips the trade for the TOP-K queries, whose
+    * truth relation is k rows by construction: there the one-partition
+    * window over k rows is free while re-executing the truth's brute-force
+    * scan twice is all cost — so bounded truths keep the r5 window form
+    * (measured: q_sim_lsh 0.63 s → 0.37 s at sf0.1). The flag itself is
+    * identical either way.
     */
   private def withRecallFlag(truth: DataFrame, found: DataFrame,
-      keys: Seq[String], gate: Double): DataFrame = {
+      keys: Seq[String], gate: Double,
+      boundedTruth: Boolean = false): DataFrame = {
     val marked = truth.join(
       found.select(keys.map(col): _*).distinct().withColumn("__hit", lit(1)),
       keys, "left")
-    val flag = marked.agg(
-      (sum(coalesce(col("__hit"), lit(0))) >= count(lit(1)) * gate)
-        .as("recall_ok"))
-    marked.crossJoin(broadcast(flag)).drop("__hit")
+    if (boundedTruth) {
+      val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      marked
+        .withColumn("recall_ok",
+          sum(coalesce(col("__hit"), lit(0))).over(w) >=
+            count(lit(1)).over(w) * gate)
+        .drop("__hit")
+    } else {
+      val flag = marked.agg(
+        (sum(coalesce(col("__hit"), lit(0))) >= count(lit(1)) * gate)
+          .as("recall_ok"))
+      marked.crossJoin(broadcast(flag)).drop("__hit")
+    }
   }
 
   /** DuckDB replica of [[graft.functions.expr.Winnow]] (k=8, w=4) as a CTE
@@ -1043,7 +1060,7 @@ object ExtQueries {
         withRecallFlag(
           Similarity.bruteForceTopK(e, "vec_id", "embedding", q, SimParams.k),
           lshTopKOp(s, dir), // SAME build Bench's _operator sub-timing runs
-          Seq("vec_id"), gate = 0.5)
+          Seq("vec_id"), gate = 0.5, boundedTruth = true) // truth = k rows
       }),
 
     // ------------------------------------------------------------------
@@ -1210,7 +1227,7 @@ object ExtQueries {
         withRecallFlag(
           Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 20),
           Ivf.probeClustered(s, path, "vec_id", "embedding", q, nProbe = 2, k = 20),
-          Seq("vec_id"), gate = 0.5)
+          Seq("vec_id"), gate = 0.5, boundedTruth = true) // truth = k rows
       })
   )
 
