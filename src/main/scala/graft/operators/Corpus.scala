@@ -295,16 +295,24 @@ object Corpus {
     val u = substring(
       md5(concat(col(sourceCol), lit(":"), col(idCol).cast("string"))
         .cast("binary")), 1, 8)
+    // clamp: r just below 1.0 can round to exactly 2^32, whose hex form is
+    // 9 chars — lexicographically BELOW every 8-char uniform, collapsing
+    // the keep rate to ~6% instead of ~100%
     def thresholdHex(r: Double): String =
-      f"${(r * 4294967296.0).toLong}%08x"
+      f"${math.min((r * 4294967296.0).toLong, 0xFFFFFFFFL)}%08x"
     val keep = rates.toSeq.sortBy(_._1).foldLeft(lit(null).cast("boolean")) {
       case (acc, (src, r)) =>
         val cond =
           if (r >= 1.0) lit(true)
           else if (r <= 0.0) lit(false)
-          else u < lit(thresholdHex(r))
+          // a NULL id has no stable uniform (md5 of NULL is NULL) — fail
+          // CLOSED for a rate-listed source rather than silently keeping
+          // 100% of its null-id rows and biasing the mixture upward
+          else coalesce(u < lit(thresholdHex(r)), lit(false))
         when(col(sourceCol) === src, cond).otherwise(acc)
     }
+    // a NULL source matches no rate entry → unlisted → kept, like any
+    // other source absent from the map
     docs.where(coalesce(keep, lit(true)))
   }
 }

@@ -199,4 +199,28 @@ class CorpusSpec extends SparkSpec {
     val b = kept(docs.repartition(17, $"id" % 7))
     assert(a == b, "mixture keep set changed under repartitioning")
   }
+
+  test("mixture sampling edge cases: near-1.0 rate keeps ~all (hex clamp), " +
+    "NULL ids fail closed in rated sources, NULL source passes as unlisted") {
+    import spark.implicits._
+    // Math.nextDown(1.0) rounds to exactly 2^32 in the threshold scale: an
+    // unclamped 9-hex threshold would collapse the keep rate to ~6%
+    val docs = (0L until 2000L).map(i => (i, "s")).toDF("id", "src")
+    val nearOne = Corpus.mixtureSample(docs, "id", "src",
+      Map("s" -> Math.nextDown(1.0))).count()
+    assert(nearOne >= 1999, s"near-1.0 rate kept only $nearOne/2000")
+
+    val edge = Seq(
+      (Option(1L), Option("rated")),   // sampled normally
+      (None, Option("rated")),         // NULL id in a rated source: DROP
+      (None, Option("open")),          // unlisted source: keep
+      (Option(2L), Option.empty[String])) // NULL source: unlisted → keep
+      .toDF("id", "src")
+    val got = Corpus.mixtureSample(edge, "id", "src", Map("rated" -> 0.5))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    assert(!got.contains((None, Some("rated"))),
+      "NULL id in a rated source must fail closed, not bias the mixture up")
+    assert(got.contains((None, Some("open"))) && got.contains((Some(2L), None)),
+      s"unlisted/null-source rows must pass untouched: $got")
+  }
 }
