@@ -273,6 +273,37 @@ object Corpus {
       .toDF(idCol, chunkIdCol, nTokensCol, "seq_id", "seq_fill")
   }
 
+  /** Per-language quality-quantile gate, scale form — keep each language's
+    * top `keepFraction` by quality WITHOUT ranking the corpus: one
+    * partial-aggregated pass computes a per-language approx-percentile
+    * threshold (error `relErr`, a KB-sized sketch per language to the
+    * driver), and a second map-only pass filters against the BROADCAST
+    * threshold table. Two corpus scans, zero corpus shuffles — vs the
+    * exact percent_rank form (q_quality_quantile), which certifies these
+    * semantics under the DuckDB oracle but must sort every language's
+    * rows. The approx threshold admits boundary docs within `relErr` rank
+    * error — exactly the knob production gates run with.
+    *
+    * Ties AT the threshold are kept (>=): quality scores are coarse blends
+    * with heavy ties, and dropping a whole tie class on a sketch boundary
+    * would swing the kept fraction far beyond relErr.
+    */
+  def qualityQuantileGate(docs: DataFrame, langCol: String, textCol: String,
+      keepFraction: Double, relErr: Double = 0.01): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction <= 1.0,
+      s"keepFraction must be in (0,1], got $keepFraction")
+    val scored = docs.withColumn("__qs",
+      TextFunctions.qualityScore(col(textCol)))
+    val thresholds = scored
+      .groupBy(col(langCol))
+      .agg(percentile_approx(col("__qs"), lit(1.0 - keepFraction),
+        lit(math.max(2, (1.0 / relErr).toInt))).as("__q_min"))
+    scored
+      .join(broadcast(thresholds), Seq(langCol), "left")
+      .where(col("__qs") >= col("__q_min"))
+      .drop("__qs", "__q_min")
+  }
+
   /** Deterministic mixture sampling — the knob that turns a cleaned crawl
     * into a WEIGHTED training mixture: each source is down-sampled to its
     * target keep rate, seedlessly. A row's uniform is the first 8 md5 hex

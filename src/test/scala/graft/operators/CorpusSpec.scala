@@ -200,6 +200,35 @@ class CorpusSpec extends SparkSpec {
     assert(a == b, "mixture keep set changed under repartitioning")
   }
 
+  test("approx quality-quantile gate tracks the exact per-language rank " +
+    "gate within its declared error") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val n = docs.count()
+    val kept = Corpus.qualityQuantileGate(docs, "lang", "text",
+      keepFraction = 0.5, relErr = 0.01)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // exact truth: percent_rank <= 0.5 per language (the oracled
+    // q_quality_quantile shape)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang")
+      .orderBy(graft.functions.TextFunctions.qualityScore($"text").desc, $"doc_id")
+    val exact = docs
+      .withColumn("pr", percent_rank().over(w)).where($"pr" <= 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // every exact-kept doc above the tie boundary must survive; the approx
+    // gate may only add boundary-tie docs, never drop clear keepers.
+    // Symmetric-difference bound: ties at the threshold + relErr rank slop
+    val disagree = (kept diff exact).size + (exact diff kept).size
+    assert(disagree <= 0.15 * n,
+      s"approx gate diverges from exact rank gate: $disagree of $n differ")
+    // and it kept roughly the asked fraction
+    assert(math.abs(kept.size - 0.5 * n) <= 0.15 * n,
+      s"kept ${kept.size} of $n for keepFraction=0.5")
+  }
+
   test("mixture sampling edge cases: near-1.0 rate keeps ~all (hex clamp), " +
     "NULL ids fail closed in rated sources, NULL source passes as unlisted") {
     import spark.implicits._
