@@ -126,5 +126,24 @@ class RecallSpec extends SparkSpec {
     // the late-arriving query doc itself is now probeable (cosine(q,q)=1
     // must rank first in its own probe)
     assert(got.contains(0L), "appended vector not visible to probes")
+
+    // SECOND refresh round (re-appending a 10% slice as complete new ids):
+    // bounded drift means consecutive refreshes must not decay recall
+    // below the gate — the scenario the rebuild-only alternative can't
+    // serve between rebuilds
+    import org.apache.spark.sql.functions.{col => c}
+    val more = emb.where(c("vec_id") % 10 === 3)
+      .withColumn("vec_id", c("vec_id") + 1000000L)
+    Ivf.refresh(spark, path, "embedding", more)
+    val got2 = ids(Ivf.probeClustered(spark, path, "vec_id", "embedding", q,
+      nProbe = 2, k = 20))
+    // duplicate vectors under new ids may legitimately displace old top-k
+    // ids;
+    // judge recall against the brute-force truth over the SAME grown corpus
+    val grownTruth = ids(Similarity.bruteForceTopK(
+      emb.unionByName(more), "vec_id", "embedding", q, 20))
+    val recall2 = (got2 & grownTruth).size / 20.0
+    assert(recall2 >= 0.5,
+      s"recall@20 after a second refresh = $recall2 (expected >= 0.5)")
   }
 }

@@ -450,6 +450,42 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 11:00:00.0", "view", 1L, 5.0)), s"got $got")
   }
 
+  test("dead-letter replay-after-fix: quarantined frames re-parse into the " +
+      "clean set once the payload bug is repaired") {
+    import spark.implicits._
+    // a producer bug prepended a junk header to every payload (a PREFIX:
+    // from_json tolerates trailing garbage after a complete object, so a
+    // suffix would not corrupt); the frames quarantine, the raw payloads
+    // survive, and after the fix the SAME rows re-enter the clean
+    // pipeline — the whole point of keeping raw_value on the dead-letter
+    // side
+    def good(id: Long) =
+      s"""{"event_id":$id,"ts":"2024-01-01T10:0$id:00Z","user_id":7,"event_type":"click","value":$id.5,"props":"{}"}"""
+    val frames = (1L to 4L).map(i =>
+      (s"k$i", ("junk]" + good(i)).getBytes("UTF-8"),
+        java.sql.Timestamp.valueOf(s"2024-01-01 10:0$i:01")))
+      .toDF("key", "value", "ts")
+
+    val parsed = Streaming.parseEventStream(frames)
+    assert(Streaming.cleanEvents(parsed).count() == 0)
+    val quarantine = java.nio.file.Files
+      .createTempDirectory("graft_dlq_").toString + "/dlq"
+    Streaming.deadLetters(parsed).write.parquet(quarantine)
+
+    // replay: strip the junk header from the preserved raw payload and
+    // re-run the SAME parse layer over the repaired frames
+    val repaired = spark.read.parquet(quarantine).select(
+      $"kafka_key".as("key"),
+      regexp_replace($"raw_value", "^junk\\]", "").as("value"),
+      $"ingest_ts".as("ts"))
+    val reparsed = Streaming.parseEventStream(repaired)
+    val clean = Streaming.cleanEvents(reparsed)
+    assert(Streaming.deadLetters(reparsed).count() == 0)
+    assert(clean.count() == 4)
+    assert(clean.agg(sum("event_id")).head().getLong(0) == 10L)
+    assert(clean.where($"event_type" === "click" && $"user_id" === 7L).count() == 4)
+  }
+
   test("stateful running totals per user via mapGroupsWithState") {
     import spark.implicits._
     val dir = stageEvents()
