@@ -88,6 +88,92 @@ object Load {
       else w.parquet(s"$outputDir/$name.parquet")
     }
 
+  /** Morton (Z-order) clustering value over `cols` — the multi-axis
+    * extension of the single-axis `sortCols` tier. A linear sort makes
+    * row-group min/max stats disjoint on its LEADING column only; a filter
+    * on any other clustered axis still probes every row group. Interleaving
+    * the bits of all axes' bucket indices gives every row group a small
+    * hyper-rectangle of the combined key space, so its per-column min/max
+    * ranges are narrow on EVERY interleaved axis and a selective pushed
+    * filter on any one of them skips most row groups (gated against the
+    * linear layout in StorageLayoutSpec).
+    *
+    * Mechanics: each axis is mapped to a `2^bits`-bucket index with
+    * `width_bucket` over its global [min, max] (one tiny agg — 2·|cols|
+    * scalars on the driver), then bucket bits are interleaved LSB-first
+    * (bit j of axis i lands at position j·|cols| + i). Everything after the
+    * one agg is a codegen'd per-row expression — no shuffle beyond the
+    * range-partition the caller does on the result.
+    *
+    * Equal-width buckets assume roughly uniform axes (true of the fixture
+    * keys and most surrogate-key axes). A heavily skewed axis degenerates
+    * (most rows in one bucket → one fat z-cell); pre-map such an axis
+    * through a quantile transform before handing it here.
+    */
+  def zorderColumn(df: DataFrame, cols: Seq[String], bits: Int = 8): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val k = cols.size
+    require(k >= 1, "z-order needs at least one column")
+    require(bits >= 1 && bits * k <= 62, s"bits*cols=${bits * k} exceeds long range")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = 1 << bits
+    val bucketed = cols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) =
+        (if (row.isNullAt(2 * i)) 0d else row.getDouble(2 * i),
+          if (row.isNullAt(2 * i + 1)) 0d else row.getDouble(2 * i + 1))
+      if (hi <= lo) lit(0L) // constant (or all-null) axis carries no bits
+      else {
+        val b = width_bucket(col(c).cast("double"), lit(lo), lit(hi), lit(n)) - 1
+        // width_bucket: < lo → 0, ≥ hi → n+1; clamp into [0, n-1], nulls low
+        coalesce(least(greatest(b, lit(0L)), lit(n - 1L)), lit(0L))
+      }
+    }
+    val terms = for {
+      i <- bucketed.indices
+      j <- 0 until bits
+    } yield shiftleft(shiftrightunsigned(bucketed(i), j).bitwiseAND(lit(1L)), j * k + i)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-ordered parquet sink: range-partition + cluster each table on the
+    * Morton value of `zorderCols`, so pushed filters on ANY of the
+    * interleaved axes skip row groups (and whole files — the range
+    * partition makes file-level z-ranges disjoint too). The multi-axis
+    * sibling of [[loadToParquetPartitioned]]'s `sortCols` tier; use that
+    * one when only a single filter axis matters (a linear sort is strictly
+    * tighter on one axis than any interleave).
+    */
+  def loadToParquetZOrdered(schema: Map[String, DataFrame], outputDir: String,
+      zorderCols: Map[String, Seq[String]],
+      partitionCols: Map[String, Seq[String]] = Map.empty,
+      bits: Int = 8,
+      writerOptions: Map[String, String] = Map.empty): Unit =
+    schema.foreach { case (name, df) =>
+      val zc = zorderCols.getOrElse(name, Nil)
+      val parts = partitionCols.getOrElse(name, Nil)
+      if (zc.isEmpty)
+        loadToParquetPartitioned(Map(name -> df), outputDir,
+          Map(name -> parts), writerOptions = writerOptions)
+      else {
+        val z = df.withColumn("__zval", zorderColumn(df, zc, bits))
+        // directory-partitioned tables co-locate per directory (one sorted
+        // file each); flat tables range-partition on the z-value so file
+        // min/max ranges are disjoint as well
+        val co =
+          if (parts.isEmpty) z.repartitionByRange(col("__zval"))
+          else z.repartition(parts.map(col): _*)
+        val clustered = co
+          .sortWithinPartitions(parts.map(col) :+ col("__zval"): _*)
+          .drop("__zval")
+        val w = clustered.write.mode("overwrite").options(writerOptions)
+        if (parts.nonEmpty)
+          w.partitionBy(parts: _*).parquet(s"$outputDir/$name.parquet")
+        else w.parquet(s"$outputDir/$name.parquet")
+      }
+    }
+
   /** Registers all star tables as temp views + the 3 analytical views
     * (reference: load/__init__.py:36-64 CTAS + :67-163 create_views).
     */

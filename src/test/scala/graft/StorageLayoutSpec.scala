@@ -137,6 +137,78 @@ class StorageLayoutSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("z-order clustering: pushed filters on EITHER interleaved axis skip " +
+    "row groups, where a linear sort only helps its leading axis") {
+    // the multi-axis row-group tier: interleaving (l_partkey, l_suppkey)
+    // bucket bits gives every row group a small rectangle of the combined
+    // key space, so BOTH columns' min/max stats are narrow. The linear
+    // layout sorted on l_partkey is the adversary: tighter than z-order on
+    // its leading axis, useless on l_suppkey.
+    val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
+    val knobs = Map(
+      "parquet.block.size" -> "65536",
+      "parquet.page.size" -> "8192")
+    Load.loadToParquetPartitioned(
+      Map("li_plain" -> li), dir, Map.empty, writerOptions = knobs)
+    Load.loadToParquetPartitioned(
+      Map("li_linear" -> li), dir, Map.empty,
+      sortCols = Map("li_linear" -> Seq("l_partkey")), writerOptions = knobs)
+    Load.loadToParquetZOrdered(
+      Map("li_z" -> li), dir, Map("li_z" -> Seq("l_partkey", "l_suppkey")),
+      writerOptions = knobs)
+
+    def scanRows(q: org.apache.spark.sql.DataFrame): Long = {
+      q.collect()
+      finalPlan(q.queryExecution.executedPlan).collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum
+    }
+    def rows(table: String, pred: org.apache.spark.sql.Column): Long =
+      scanRows(spark.read.parquet(s"$dir/$table.parquet").where(pred))
+
+    // ~1/64-of-axis range predicates, anchored at each axis' min
+    val lows = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    val pkPred = col("l_partkey")
+      .between(lows.getLong(0), lows.getLong(0) + (lows.getLong(1) - lows.getLong(0)) / 64)
+    val skPred = col("l_suppkey")
+      .between(lows.getLong(2), lows.getLong(2) + (lows.getLong(3) - lows.getLong(2)) / 64)
+
+    // z-order beats the unsorted layout on BOTH axes…
+    assert(rows("li_z", pkPred) * 2 <= rows("li_plain", pkPred),
+      "z layout did not skip on the first interleaved axis")
+    assert(rows("li_z", skPred) * 2 <= rows("li_plain", skPred),
+      "z layout did not skip on the second interleaved axis")
+    // …and beats the linear layout on the axis the linear sort can't help
+    assert(rows("li_z", skPred) * 2 <= rows("li_linear", skPred),
+      "z layout no better than a linear l_partkey sort on l_suppkey")
+
+    // the layout change is invisible to query results
+    val a = spark.read.parquet(s"$dir/li_z.parquet").where(pkPred)
+    val b = spark.read.parquet(s"$dir/li_plain.parquet").where(pkPred)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("zorderColumn interleaves bucket bits exactly (corners + checker pattern)") {
+    // bits=2 over x,y ∈ {0..3} with width_bucket(v, 0, 3, 4) reducing to
+    // the identity bucket map ⇒ z is the textbook 4×4 Morton curve:
+    // x bits at even positions, y bits at odd.
+    import spark.implicits._
+    val pts = for { x <- 0 to 3; y <- 0 to 3 } yield (x, y)
+    val df = pts.toDF("x", "y")
+    val z = df.withColumn("z", Load.zorderColumn(df, Seq("x", "y"), bits = 2))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def morton(x: Int, y: Int): Long =
+      (0 until 2).map(j => (((x >> j) & 1) << (2 * j)) | (((y >> j) & 1) << (2 * j + 1)))
+        .map(_.toLong).reduce(_ | _)
+    for { x <- 0 to 3; y <- 0 to 3 }
+      assert(z((x, y)) === morton(x, y), s"z($x,$y)")
+    assert(z((0, 0)) === 0L && z((3, 3)) === 15L && z((3, 0)) === 5L && z((0, 3)) === 10L)
+  }
+
   test("runtime bloom filter from a selective dim predicate prunes the fact " +
     "side of a shuffle join") {
     // the row-level sibling of DPP: when the fact ISN'T partitioned on the
