@@ -346,4 +346,47 @@ object Corpus {
     // other source absent from the map
     docs.where(coalesce(keep, lit(true)))
   }
+
+  /** Deterministic global shuffle + shard assignment — the last step before
+    * a corpus becomes training input: every document gets a `shard` in
+    * [0, nShards) and a dense `shard_pos` within it, such that reading
+    * shards in (shard, shard_pos) order is a reproducible pseudo-random
+    * permutation of the corpus (sequential-ingest order correlates with
+    * crawl locality; training wants it destroyed, and re-runs must destroy
+    * it THE SAME WAY so checkpoint-resumed jobs and the DuckDB oracle see
+    * one canonical order).
+    *
+    * Both coordinates derive from md5 of the id alone — no seeds, no
+    * partition state — so the assignment is bit-stable under any
+    * repartitioning or engine (CorpusSpec proves invariance; contrast
+    * `repartition(n)` + `monotonically_increasing_id`, where both
+    * coordinates change with the task layout). `shard` is the first 8 md5
+    * hex digits mod nShards (map-only, rides the scan); `shard_pos` ranks
+    * the full 32-digit hex within the shard — ONE shuffle keyed on shard,
+    * each task sorting ~n/nShards rows. At 100 TB pick nShards ≥ the
+    * cluster's task parallelism (shards are hash-balanced, so the sorts
+    * are too); the natural sink is `partitionBy(shard)` with shard_pos as
+    * the sort column, which the sorted-write tier already provides.
+    *
+    * NULL ids have no stable coordinate — rejected up front (fail closed)
+    * rather than silently lumped into one shard.
+    */
+  def shardAssign(docs: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be positive, got $nShards")
+    val hex = md5(col(idCol).cast("string").cast("binary"))
+    val shard = (conv(substring(hex, 1, 8), 16, 10).cast("long") % nShards)
+      .cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      // full-hex order with id tie-break: u32 prefix collisions are common
+      // at corpus scale, full-128-bit ones are not, and the id makes the
+      // order total either way
+      .orderBy(col("__shuffle_hex"), col(idCol))
+    docs
+      .withColumn("__shuffle_hex",
+        coalesce(hex, raise_error(lit(s"shardAssign: NULL $idCol"))))
+      .withColumn("shard", shard)
+      .withColumn("shard_pos", row_number().over(w) - 1)
+      .drop("__shuffle_hex")
+  }
 }

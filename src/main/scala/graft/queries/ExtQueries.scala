@@ -612,6 +612,32 @@ object ExtQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Deterministic training-shard assignment — [[Corpus.shardAssign]]:
+    // seedless md5 coordinates make the (shard, shard_pos) permutation
+    // bit-stable across engines/partitionings, so BOTH coordinates sit
+    // under the full hash oracle (row_number ties broken by doc_id; the
+    // md5 hex order is total to begin with). One window shuffle keyed on
+    // shard; the shard column itself is map-only.
+    QueryDef(
+      "q_shard_assign",
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    md5(CAST(doc_id AS VARCHAR)) AS hx,
+             |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS INT) AS shard,
+             |    CAST(length(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpeish
+             |  FROM documents)
+             |SELECT doc_id, shard,
+             |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) - 1 AS INT) AS shard_pos,
+             |  n_bpeish
+             |FROM h""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        Corpus.shardAssign(docs(s, dir), "doc_id", nShards = 16)
+          .select($"doc_id", $"shard", $"shard_pos",
+            TextFunctions.bpeishTokenCount($"text").as("n_bpeish"))
+      }),
+
+    // ------------------------------------------------------------------
     // Document fingerprinting (xxhash64-based → no DuckDB oracle).
     QueryDef(
       "q_fingerprint",

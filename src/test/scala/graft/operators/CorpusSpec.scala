@@ -252,4 +252,46 @@ class CorpusSpec extends SparkSpec {
     assert(got.contains((None, Some("open"))) && got.contains((Some(2L), None)),
       s"unlisted/null-source rows must pass untouched: $got")
   }
+
+  test("shard assignment: bit-stable under repartitioning, hash-balanced, " +
+    "dense positions, and the permutation actually shuffles") {
+    import spark.implicits._
+    val corpus = spark.range(0, 2000).select($"id".as("doc_id"))
+    val nShards = 16
+
+    def coords(df: org.apache.spark.sql.DataFrame): Map[Long, (Int, Int)] =
+      Corpus.shardAssign(df, "doc_id", nShards)
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+
+    // determinism: an adversarial repartition must not move a single
+    // coordinate (monotonically_increasing_id / sampleBy-style partition
+    // seeds would fail exactly here)
+    val base = coords(corpus)
+    assert(coords(corpus.repartition(7)) === base)
+
+    // hash balance: md5-uniform over 2000 ids → every shard near 125
+    val sizes = base.values.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(sizes.keySet === (0 until nShards).toSet, s"empty shard: $sizes")
+    assert(sizes.values.max <= 2 * sizes.values.min,
+      s"shards unbalanced: $sizes")
+
+    // positions are dense 0..size-1 within each shard
+    base.values.groupBy(_._1).foreach { case (s, members) =>
+      assert(members.map(_._2).toSet === (0 until members.size).toSet,
+        s"shard $s positions not dense")
+    }
+
+    // the within-shard order is a real shuffle, not ingest order: shard 0
+    // read in shard_pos order must not be sorted by doc_id
+    val inOrder = base.collect { case (id, (0, pos)) => (pos, id) }
+      .toSeq.sortBy(_._1).map(_._2)
+    assert(inOrder != inOrder.sorted, "permutation left ingest order intact")
+
+    // NULL ids fail closed
+    val withNull = Seq(Some(1L), None).toDF("doc_id")
+    val ex = intercept[Exception] {
+      Corpus.shardAssign(withNull, "doc_id", nShards).collect()
+    }
+    assert(ex.getMessage.contains("shardAssign"), ex.getMessage)
+  }
 }
