@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Components, Corpus, Dedup, Ivf, Similarity}
+import graft.operators.{Bpe, Components, Corpus, Dedup, Ivf, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -609,6 +609,33 @@ object ExtQueries {
           TextFunctions.qualityScore($"text").as("qs"))
         val w = Window.partitionBy($"lang").orderBy($"qs".desc, $"doc_id")
         q.withColumn("pr", percent_rank().over(w)).where($"pr" <= 0.5)
+      }),
+
+    // ------------------------------------------------------------------
+    // BPE round-0 pair statistics — [[Bpe.initialPairCounts]]: weighted
+    // adjacent-char pair counts over the word-frequency table (vocab-sized
+    // after the one corpus scan — the shape that makes BPE training cheap
+    // at scale). Top-20 under a total order (cnt DESC, pair ASC) so LIMIT
+    // is deterministic cross-engine. DuckDB SUM returns HUGEINT → cast.
+    QueryDef(
+      "q_bpe_pairs",
+      Some("""WITH w AS (
+             |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+             |  FROM documents),
+             |wf AS (
+             |  SELECT word, COUNT(*) AS freq FROM w GROUP BY word),
+             |p AS (
+             |  SELECT substr(word, CAST(i AS INT), 1) AS left_sym,
+             |         substr(word, CAST(i AS INT) + 1, 1) AS right_sym, freq
+             |  FROM wf, unnest(range(1, length(word))) AS t(i))
+             |SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS cnt
+             |FROM p GROUP BY left_sym, right_sym
+             |ORDER BY cnt DESC, left_sym, right_sym LIMIT 20""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        Bpe.initialPairCounts(docs(s, dir), "text")
+          .orderBy($"cnt".desc, $"left_sym", $"right_sym")
+          .limit(20)
       }),
 
     // ------------------------------------------------------------------

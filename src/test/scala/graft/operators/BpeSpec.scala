@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Gates the distributed BPE trainer against an independent in-memory
+  * reference implementation of Sennrich-style BPE (word-frequency table,
+  * weighted pair counts, greedy left-to-right merges, ties broken by
+  * (count DESC, pair ASC)) — merge table AND final symbolization must match
+  * exactly, including tie rounds and overlapping-run merges.
+  */
+class BpeSpec extends SparkSpec {
+
+  private def refMergeGreedy(ss: Vector[String], p: (String, String)): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < ss.size) {
+      if (i + 1 < ss.size && ss(i) == p._1 && ss(i + 1) == p._2) {
+        b += (p._1 + p._2); i += 2
+      } else { b += ss(i); i += 1 }
+    }
+    b.result()
+  }
+
+  private def refTrain(words: Map[String, Long], n: Int, minFreq: Long = 2L)
+      : (Seq[(String, String)], Map[String, Vector[String]]) = {
+    var syms = words.map { case (w, _) => w -> w.toVector.map(_.toString) }
+    val out = scala.collection.mutable.Buffer[(String, String)]()
+    var done = false
+    while (out.size < n && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      for ((w, ss) <- syms; i <- 0 until ss.size - 1)
+        counts((ss(i), ss(i + 1))) += words(w)
+      val eligible = counts.filter(_._2 >= minFreq)
+      if (eligible.isEmpty) done = true
+      else {
+        val (pair, _) = eligible.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }
+        out += pair
+        syms = syms.map { case (w, ss) => w -> refMergeGreedy(ss, pair) }
+      }
+    }
+    (out.toSeq, syms)
+  }
+
+  // repeats at controlled weights, an overlapping run (aaa…), a tie pair,
+  // and a single-char word
+  private val corpus = Seq(
+    "banana bandana banana", "banana bandana", "cabbage and banana",
+    "aaaaaa aaaaaa", "x and cabbage", "the the the")
+
+  private def wordsOf(texts: Seq[String]): Map[String, Long] =
+    texts.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  test("trained merge table matches the reference exactly, ties and " +
+    "overlapping runs included") {
+    import spark.implicits._
+    val df = corpus.toDF("text")
+    val got = Bpe.train(df, "text", numMerges = 10)
+    val (want, _) = refTrain(wordsOf(corpus), 10)
+    assert(got === want)
+    assert(got.nonEmpty && got.size <= 10)
+  }
+
+  test("applyMerges reproduces the reference symbolization of every word") {
+    import spark.implicits._
+    val df = corpus.toDF("text")
+    val merges = Bpe.train(df, "text", numMerges = 6)
+    val (refMerges, refSyms) = refTrain(wordsOf(corpus), 6)
+    assert(merges === refMerges)
+    val got = Bpe.wordFreq(df, "text")
+      .select(col("word"),
+        Bpe.applyMerges(Bpe.splitChars(col("word")), merges).as("syms"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector)
+      .toMap
+    assert(got === refSyms)
+  }
+
+  test("trainer exhausts cleanly when no pair clears minPairFreq, and " +
+    "edge words symbolize safely") {
+    import spark.implicits._
+    // all words distinct → every pair count is 1 < minPairFreq=2 → no merges
+    val distinctDf = Seq("ab cd ef").toDF("text")
+    assert(Bpe.train(distinctDf, "text", numMerges = 5) === Seq.empty)
+
+    // single-char and empty-ish texts: no pairs, no crash, chars preserved
+    val edge = Seq("x", "", "  ").toDF("text")
+    assert(Bpe.train(edge, "text", numMerges = 3) === Seq.empty)
+    val syms = edge.select(
+      Bpe.applyMerges(Bpe.splitChars(lit("x")), Seq(("a", "b"))).as("s"))
+      .head().getSeq[String](0)
+    assert(syms === Seq("x"))
+  }
+}
