@@ -1,7 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lag, lead, lit, row_number}
 
 /** Table-maintenance operations a long-lived 100 TB deployment needs around
   * the query engine itself: small-file compaction and schema-evolving reads.
@@ -451,6 +451,93 @@ object Maintenance {
     * restore landing mid-flight would flip another upsert to static mode,
     * which deletes every partition that writer doesn't carry.
     */
+  /** Slowly-changing-dimension Type-2 merge: fold an update batch into a
+    * versioned dimension, preserving full attribute history. `current`
+    * carries the dimension with its version columns (`validFromCol`,
+    * `validToCol`, `isCurrentCol`); `updates` carries the same key +
+    * attribute columns plus `effTsCol`, the observation time.
+    *
+    * Semantics (all deterministic, all window-expressible — the batch twin
+    * `q_scd2` sits under the full DuckDB oracle):
+    *   - CLOSED history rows pass through byte-untouched;
+    *   - open rows and updates stack per key, ordered by
+    *     (ts, attrs) — the attr tie-break makes equal-timestamp batches
+    *     reproducible instead of shuffle-dependent;
+    *   - an update whose attributes null-safely equal its predecessor's is
+    *     a NO-OP (dropped — re-observing an unchanged row must not cut a
+    *     version; equality is transitive, so comparing against the
+    *     immediate physical predecessor compresses whole unchanged runs);
+    *   - each surviving version closes at the next one's start:
+    *     `valid_to = lead(valid_from)`, open-ended ⇒ current;
+    *   - unknown keys in `updates` insert their first version.
+    *
+    * Scale shape: ONE shuffle, keyed on the dimension key (two window
+    * passes over the same partitioning — Catalyst plans one Exchange); the
+    * closed-row leg is a pass-through union. Dimensions are the small side
+    * of a star by construction, so the key window is never the job's
+    * bottleneck; history length per key only grows the partition linearly.
+    */
+  def scdMerge(current: DataFrame, updates: DataFrame, keyCols: Seq[String],
+      attrCols: Seq[String], effTsCol: String,
+      validFromCol: String = "valid_from", validToCol: String = "valid_to",
+      isCurrentCol: String = "is_current"): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty, "need key and attr columns")
+    val outCols = (keyCols ++ attrCols ++ Seq(validFromCol, validToCol, isCurrentCol))
+      .map(col)
+    val closed = current.where(!col(isCurrentCol)).select(outCols: _*)
+    val open = current.where(col(isCurrentCol))
+      .select((keyCols ++ attrCols).map(col) :+ col(validFromCol): _*)
+    val incoming = updates
+      .select((keyCols ++ attrCols).map(col) :+ col(effTsCol).as(validFromCol): _*)
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(validFromCol) +: attrCols.map(col): _*)
+    val prevEq = attrCols
+      .map(a => col(a) <=> lag(col(a), 1).over(w))
+      .reduce(_ && _)
+    val versions = open.unionByName(incoming)
+      .withColumn("__dup", coalesce(lag(lit(true), 1).over(w), lit(false)) && prevEq)
+      .where(!col("__dup"))
+      .withColumn(validToCol, lead(col(validFromCol), 1).over(w))
+      .withColumn(isCurrentCol, col(validToCol).isNull)
+      .select(outCols: _*)
+    versions.unionByName(closed)
+  }
+
+  /** Apply a CDC change batch (op ∈ I/U/D + a unique, monotonically
+    * assigned sequence column — the LSN of a real change feed) to a keyed
+    * snapshot: the HIGHEST-sequence change per key wins entirely; a winning
+    * D removes the key, a winning I/U replaces (or inserts) the row's
+    * attributes; keys without changes pass through untouched. I and U are
+    * deliberately synonymous — change feeds routinely misreport one as the
+    * other around retries, and latest-complete-row-wins makes replay
+    * idempotent (re-applying the same batch is a no-op, same contract as
+    * [[upsert]]).
+    *
+    * Scale shape: one window shuffle over the CHANGE batch (≪ snapshot),
+    * then one join on key — the anti-join side broadcasts when the batch is
+    * small, and AQE picks the shuffle form past that. The snapshot is never
+    * window-sorted. Batch twin `q_cdc_apply` sits under the full DuckDB
+    * oracle.
+    */
+  def applyCdc(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      opCol: String, seqCol: String): DataFrame = {
+    val attrCols = base.columns.filterNot(keyCols.contains).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(seqCol).desc)
+    val latest = changes
+      .select((keyCols ++ attrCols).map(col) :+ col(opCol) :+ col(seqCol): _*)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+    val untouched = base.join(latest.select(keyCols.map(col): _*),
+      keyCols, "left_anti")
+    val applied = latest.where(col(opCol) =!= lit("D"))
+      .select((keyCols ++ attrCols).map(col): _*)
+    untouched.unionByName(applied)
+  }
+
   private def writeDynamic(df: DataFrame, partitionCol: String,
       outDir: String): Unit =
     df.write.mode("overwrite")

@@ -792,6 +792,92 @@ object AnalyticsQueries {
           .orderBy($"qty".desc, $"l_partkey")
         byPart.withColumn("rnk", row_number().over(w))
           .where($"rnk" <= 3)
+      }),
+
+    // ------------------------------------------------------------------
+    // SCD Type-2 merge — [[graft.etl.Maintenance.scdMerge]]: customers as
+    // the initial snapshot (one open version each), a deterministic orders
+    // slice as the update feed (multiple observations per key, ties on
+    // equal dates broken by the attr value in BOTH engines). Unchanged
+    // re-observations (same SEG on a later date) must NOT cut a version —
+    // the compression leg is what the oracle certifies hardest.
+    QueryDef(
+      "q_scd2",
+      Some("""WITH base AS (
+             |  SELECT c_custkey, c_mktsegment AS segment, DATE '1990-01-01' AS valid_from
+             |  FROM customer),
+             |upd AS (
+             |  SELECT o_custkey AS c_custkey,
+             |         'SEG' || CAST(o_orderkey % 3 AS VARCHAR) AS segment,
+             |         o_orderdate AS valid_from
+             |  FROM orders WHERE o_custkey % 10 = 0),
+             |stacked AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+             |marked AS (
+             |  SELECT *,
+             |    lag(segment) OVER (PARTITION BY c_custkey ORDER BY valid_from, segment) AS prev_seg,
+             |    (row_number() OVER (PARTITION BY c_custkey ORDER BY valid_from, segment) > 1) AS has_prev
+             |  FROM stacked),
+             |surv AS (
+             |  SELECT c_custkey, segment, valid_from FROM marked
+             |  WHERE NOT (has_prev AND prev_seg IS NOT DISTINCT FROM segment)),
+             |fin AS (
+             |  SELECT c_custkey, segment, valid_from,
+             |    lead(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from, segment) AS valid_to
+             |  FROM surv)
+             |SELECT c_custkey, segment, valid_from, valid_to,
+             |  (valid_to IS NULL) AS is_current
+             |FROM fin""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val base = t(s, dir, "customer").select(
+          $"c_custkey",
+          $"c_mktsegment".as("segment"),
+          to_date(lit("1990-01-01")).as("valid_from"),
+          lit(null).cast("date").as("valid_to"),
+          lit(true).as("is_current"))
+        val updates = t(s, dir, "orders").where($"o_custkey" % 10 === 0)
+          .select($"o_custkey".as("c_custkey"),
+            concat(lit("SEG"), ($"o_orderkey" % 3).cast("string")).as("segment"),
+            $"o_orderdate".as("eff_date"))
+        graft.etl.Maintenance.scdMerge(base, updates,
+          Seq("c_custkey"), Seq("segment"), "eff_date")
+      }),
+
+    // ------------------------------------------------------------------
+    // CDC apply — [[graft.etl.Maintenance.applyCdc]]: orders as a change
+    // feed over the customer snapshot (o_orderkey = the unique LSN;
+    // latest-per-key wins entirely; % 4 keys delete). Per-row values only
+    // (no sums) → exact cross-engine hash.
+    QueryDef(
+      "q_cdc_apply",
+      Some("""WITH ch AS (
+             |  SELECT o_custkey AS c_custkey,
+             |         'cdc_' || CAST(o_orderkey AS VARCHAR) AS c_name,
+             |         o_totalprice AS c_acctbal,
+             |         CASE WHEN o_orderkey % 4 = 0 THEN 'D' ELSE 'U' END AS op,
+             |         o_orderkey AS seq
+             |  FROM orders),
+             |latest AS (
+             |  SELECT c_custkey, c_name, c_acctbal, op FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+             |    FROM ch) WHERE rn = 1)
+             |SELECT b.c_custkey, b.c_name, b.c_acctbal
+             |FROM customer b
+             |WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = b.c_custkey)
+             |UNION ALL
+             |SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op <> 'D'""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val base = t(s, dir, "customer")
+          .select($"c_custkey", $"c_name", $"c_acctbal")
+        val changes = t(s, dir, "orders").select(
+          $"o_custkey".as("c_custkey"),
+          concat(lit("cdc_"), $"o_orderkey".cast("string")).as("c_name"),
+          $"o_totalprice".as("c_acctbal"),
+          when($"o_orderkey" % 4 === 0, "D").otherwise("U").as("op"),
+          $"o_orderkey".as("seq"))
+        graft.etl.Maintenance.applyCdc(base, changes,
+          Seq("c_custkey"), "op", "seq")
       })
   )
 }

@@ -305,4 +305,63 @@ class MaintenanceSpec extends SparkSpec {
       assert(after(d) == before(d), s"untouched partition $d was rewritten")
     }
   }
+
+  test("SCD2 merge: closed rows pass through, unchanged updates are no-ops, " +
+    "changes cut versions, new keys insert, NULL attrs compare null-safely") {
+    import spark.implicits._
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    val current = Seq(
+      // key 1: one closed + one open version
+      (1L, Option("a"), d("2024-01-01"), Option(d("2024-02-01")), false),
+      (1L, Option("b"), d("2024-02-01"), Option.empty[java.sql.Date], true),
+      // key 2: open with NULL attr
+      (2L, Option.empty[String], d("2024-01-15"), Option.empty[java.sql.Date], true))
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val updates = Seq(
+      (1L, Option("b"), d("2024-03-01")), // unchanged → no-op
+      (1L, Option("c"), d("2024-04-01")), // change → close b, open c
+      (2L, Option.empty[String], d("2024-03-10")), // NULL == NULL → no-op
+      (3L, Option("x"), d("2024-05-01"))) // new key → first version
+      .toDF("k", "attr", "eff")
+
+    val got = Maintenance.scdMerge(current, updates, Seq("k"), Seq("attr"), "eff")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getDate(2).toString,
+        Option(r.getDate(3)).map(_.toString), r.getBoolean(4)))
+      .toSet
+    val want = Set(
+      (1L, Some("a"), "2024-01-01", Some("2024-02-01"), false), // closed, untouched
+      (1L, Some("b"), "2024-02-01", Some("2024-04-01"), false), // closed by c
+      (1L, Some("c"), "2024-04-01", None, true),
+      (2L, None, "2024-01-15", None, true), // NULL no-op left it open
+      (3L, Some("x"), "2024-05-01", None, true))
+    assert(got === want)
+    // exactly one current version per key
+    val currents = got.toSeq.filter(_._5).groupBy(_._1).view.mapValues(_.size)
+    assert(currents.toMap.values.forall(_ == 1))
+  }
+
+  test("CDC apply: latest sequence wins, deletes remove, inserts add, " +
+    "untouched keys pass through, and replay is idempotent") {
+    import spark.implicits._
+    val base = Seq((1L, "one", 10.0), (2L, "two", 20.0), (3L, "three", 30.0))
+      .toDF("k", "name", "bal")
+    val changes = Seq(
+      (1L, "one_v2", 11.0, "U", 100L),
+      (1L, "one_v3", 12.0, "U", 200L), // later seq wins
+      (2L, "ignored", 0.0, "U", 50L),
+      (2L, "ignored2", 0.0, "D", 60L), // latest is D → key gone
+      (4L, "four", 40.0, "I", 70L)) // insert of an unknown key
+      .toDF("k", "name", "bal", "op", "seq")
+
+    def snap(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+    val once = Maintenance.applyCdc(base, changes, Seq("k"), "op", "seq")
+    assert(snap(once) === Set(
+      (1L, "one_v3", 12.0), (3L, "three", 30.0), (4L, "four", 40.0)))
+    // at-least-once replay: applying the same batch to the result is a no-op
+    val twice = Maintenance.applyCdc(once, changes, Seq("k"), "op", "seq")
+    assert(snap(twice) === snap(once))
+  }
 }
