@@ -315,9 +315,10 @@ object Corpus {
     * Sources absent from `rates` keep everything. Map-only: no shuffle, no
     * state; the filter rides the scan inside codegen.
     *
-    * Down-sampling only (rates in [0,1]) — up-weighting a source belongs
-    * to the training loader (epoch repetition), not the data layer, where
-    * duplicating rows would re-trigger the dedup stages upstream.
+    * Down-sampling only (rates in [0,1]) — up-weighting a source mid-
+    * pipeline would re-trigger the dedup stages on its own copies; the
+    * materialized up-sampling form is [[weightedRepeat]], which belongs
+    * AFTER dedup as the final pre-shard step.
     */
   def mixtureSample(docs: DataFrame, idCol: String, sourceCol: String,
       rates: Map[String, Double]): DataFrame = {
@@ -345,6 +346,74 @@ object Corpus {
     // a NULL source matches no rate entry → unlisted → kept, like any
     // other source absent from the map
     docs.where(coalesce(keep, lit(true)))
+  }
+
+  /** Temperature weights for [[weightedRepeat]]: given per-source document
+    * counts and a temperature `alpha` ∈ (0,1], the repeat factor per source
+    * that reshapes the mixture toward `p_s^alpha` (α = 1 keeps the natural
+    * distribution; α → 0 flattens toward uniform — the standard multilingual
+    * rebalancing knob) while PRESERVING total corpus size in expectation:
+    * `r_s = (p_s^α / Σ_t p_t^α) / p_s`, so `Σ r_s·n_s = N`.
+    *
+    * Driver-side pure math over the per-source count map (sources number in
+    * the dozens — the counts agg that feeds this is a broadcast-sized
+    * relation). Kept OUT of the distributed plan on purpose: the factors
+    * become exact literals in both the Spark plan and any differential
+    * oracle, so no cross-engine `pow` rounding can flip a row's copy count.
+    */
+  def temperatureWeights(counts: Map[String, Long],
+      alpha: Double): Map[String, Double] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(counts.nonEmpty && counts.values.forall(_ > 0),
+      s"counts must be positive, got $counts")
+    val n = counts.values.sum.toDouble
+    // fixed fold order (sorted keys) so the result is reproducible across
+    // JVMs and map implementations — Σ of doubles is order-sensitive
+    val shares = counts.toSeq.sortBy(_._1)
+      .map { case (s, c) => s -> math.pow(c / n, alpha) }
+    val z = shares.foldLeft(0.0) { case (acc, (_, w)) => acc + w }
+    shares.map { case (s, w) => s -> (w / z) / (counts(s) / n) }.toMap
+  }
+
+  /** Deterministic weighted repetition — the materialized form of mixture
+    * re-weighting, for the FINAL pre-shard stage (after dedup; see
+    * [[mixtureSample]] for why up-weighting must not run earlier): each
+    * document in source `s` is emitted `⌊r_s⌋` times plus one more with
+    * probability `frac(r_s)`, decided by the same seedless md5-uniform as
+    * [[mixtureSample]] — so the emitted multiset is bit-reproducible on any
+    * partitioning or engine, and a rerun (or the DuckDB oracle) regenerates
+    * it exactly. Rows gain `n_copies` and a 1-based `copy` index so
+    * downstream stages ([[shardAssign]] keyed on `id || '#' || copy`) keep
+    * the copies distinguishable.
+    *
+    * Map-only: the factor lookup is a literal CASE inside codegen, the
+    * expansion an inline `sequence` explode — no shuffle, no state, row
+    * amplification exactly `r_s` in expectation per source. Sources absent
+    * from `repeats` keep one copy; a NULL id has no stable uniform → the
+    * stochastic extra copy fails CLOSED (⌊r⌋ copies, never ⌊r⌋+1).
+    */
+  def weightedRepeat(docs: DataFrame, idCol: String, sourceCol: String,
+      repeats: Map[String, Double]): DataFrame = {
+    require(repeats.values.forall(r => r >= 0.0 && !r.isNaN && !r.isInfinite),
+      s"repeats must be finite and >= 0, got $repeats")
+    val u = substring(
+      md5(concat(col(sourceCol), lit(":"), col(idCol).cast("string"))
+        .cast("binary")), 1, 8)
+    def thresholdHex(fr: Double): String =
+      f"${math.min((fr * 4294967296.0).toLong, 0xFFFFFFFFL)}%08x"
+    val nCopies = repeats.toSeq.sortBy(_._1).foldLeft(lit(1L)) {
+      case (acc, (src, r)) =>
+        val base = math.floor(r).toLong
+        val fr = r - base
+        val extra =
+          if (fr <= 0.0) lit(0L)
+          else coalesce((u < lit(thresholdHex(fr))).cast("long"), lit(0L))
+        when(col(sourceCol) === src, lit(base) + extra).otherwise(acc)
+    }
+    docs.withColumn("n_copies", nCopies)
+      .where(col("n_copies") >= 1)
+      // guard keeps sequence() ascending — sequence(1, 0) would DESCEND
+      .withColumn("copy", explode(sequence(lit(1L), col("n_copies"))))
   }
 
   /** Deterministic global shuffle + shard assignment — the last step before

@@ -101,7 +101,21 @@ object Dedup {
     */
   def minhashPairsFromTokens(tokenized: DataFrame,
       shingleN: Int = 3, nPerms: Int = 32, nBands: Int = 8,
-      maxBucket: Int = 50): DataFrame = {
+      maxBucket: Int = 50): DataFrame =
+    groupPairs(minhashBandBuckets(tokenized, shingleN, nPerms, nBands),
+        Seq("band", "bucket"), col("doc_id"), maxBucket)
+      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+      .select(col("doc_a"), col("doc_b"), col("n_bands"))
+
+  /** The shared signature→banding stage: `(doc_id, band, bucket)` LSH
+    * band-bucket rows for tokenized `(doc_id, toks)` input. This is also
+    * exactly what an at-rest LSH INDEX persists — write it bucketed on
+    * `(band, bucket)` and [[minhashPairsIncremental]] probes become
+    * co-located joins against the stored buckets.
+    */
+  def minhashBandBuckets(tokenized: DataFrame, shingleN: Int = 3,
+      nPerms: Int = 32, nBands: Int = 8): DataFrame = {
     // nBands > nPerms would give every band a constant bucket (all docs in
     // one dropped-oversized group → silently zero pairs); a non-dividing
     // nBands would silently discard the remainder permutations
@@ -115,16 +129,65 @@ object Dedup {
       min(xxhash64(col("shingle"), lit(0))).as("h0"),
       (1 until nPerms).map(seed =>
         min(xxhash64(col("shingle"), lit(seed))).as(s"h$seed")): _*)
-    val bands = sig.select(col("doc_id"), explode(array((0 until nBands).map { b =>
+    sig.select(col("doc_id"), explode(array((0 until nBands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(((b * rowsPerBand until (b + 1) * rowsPerBand)
           .map(i => col(s"h$i")) :+ lit(b).cast("long")): _*).as("bucket"))
     }: _*)).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+  }
 
-    groupPairs(bands, Seq("band", "bucket"), col("doc_id"), maxBucket)
-      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
+  /** Incremental MinHash-LSH dedup: candidate pairs INVOLVING a new batch,
+    * against an already-indexed corpus — the everyday at-scale shape (a
+    * daily crawl lands; re-pairing the whole corpus is absurd; you probe
+    * the stored band-bucket index and pair new-vs-all only). Returns the
+    * same `(doc_a, doc_b, n_bands)` relation as [[minhashPairs]] restricted
+    * to pairs with ≥1 new doc — EXACTLY equal to running the full job over
+    * `indexed ∪ newDocs` and filtering (DedupSpec proves set equality,
+    * including under bucket capping), because both the hash family and the
+    * capping rule (combined bucket size vs `maxBucket`) are shared.
+    *
+    * Scale shape: the indexed side is read pre-bucketed (one
+    * `minhashBandBuckets` pass here; in production a stored index bucketed
+    * on `(band, bucket)` — see [[minhashBandBuckets]]), the new side is a
+    * batch ≪ corpus; the only expansion is new-side rows × their bucket
+    * co-members, bounded by `maxBucket`. Old×old pairs are NEVER generated
+    * — the join is anchored on the new side. No collect_list arrays at all,
+    * so a skewed bucket costs join rows, not an aggregation buffer.
+    *
+    * Ids must be disjoint between `indexed` and `newDocs` (same contract as
+    * an append to the corpus); a shared id would silently self-pair against
+    * its own old copy's buckets.
+    */
+  def minhashPairsIncremental(indexed: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, nPerms: Int = 32,
+      nBands: Int = 8, maxBucket: Int = 50): DataFrame = {
+    def toks(df: DataFrame) = df.select(
+      col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    val all = minhashBandBuckets(toks(indexed), shingleN, nPerms, nBands)
+      .withColumn("is_new", lit(false))
+      .unionByName(minhashBandBuckets(toks(newDocs), shingleN, nPerms, nBands)
+        .withColumn("is_new", lit(true)))
+    // count-first capping on the COMBINED bucket size — the same rule the
+    // full run applies, which is what makes incremental ≡ full-filtered;
+    // buckets without any new member are dropped here too (nothing to pair)
+    val keep = all.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__gn"), max(col("is_new")).as("__has_new"))
+      .where(col("__gn") >= 2 && col("__gn") <= maxBucket && col("__has_new"))
+      .select(col("band"), col("bucket"))
+    val kept = all.join(keep, Seq("band", "bucket"))
+    val newSide = kept.where(col("is_new"))
+      .select(col("band"), col("bucket"), col("doc_id").as("id_n"))
+    newSide
+      .join(kept.select(col("band"), col("bucket"),
+        col("doc_id").as("id_o"), col("is_new")), Seq("band", "bucket"))
+      // new-new pairs once via id order; new-old pairs once from the new
+      // anchor (the old side never joins as the left anchor at all)
+      .where((col("is_new") && col("id_n") < col("id_o")) ||
+        (!col("is_new") && col("id_n") =!= col("id_o")))
+      .select(least(col("id_n"), col("id_o")).as("doc_a"),
+        greatest(col("id_n"), col("id_o")).as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
-      .select(col("doc_a"), col("doc_b"), col("n_bands"))
   }
 
   /** 64-bit SimHash per document: per-token xxhash64, each bit votes ±1,
@@ -237,5 +300,52 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
       .where(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "n_inter", "jaccard")
+  }
+
+  /** Per-document duplicated-SPAN statistics — the span-level dedup signal
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): for each document, how many of its distinct `spanN`-token
+    * spans also appear in at least one OTHER document, and what fraction of
+    * its spans that is. Document-level dedup ([[exactGroups]],
+    * [[minhashPairs]]) misses partially-copied text — a page quoting three
+    * boilerplate paragraphs is unique as a whole but its spans are not; this
+    * is the gate that catches it. Returns
+    * `(doc_id, n_spans, n_dup_spans, dup_span_ratio)` for EVERY input doc
+    * (docs shorter than `spanN` tokens report 0 / 0 / 0.0).
+    *
+    * Shape at 100 TB: one explode + one shuffle on the span string (the
+    * explicit repartition is reused by both the document-frequency agg and
+    * the join back — ReusedExchange, same trick as [[jaccardPairs]]), one
+    * shuffle on doc id for the re-aggregation, and a final left join to
+    * restore span-less docs. Nothing is quadratic: a span shared by a
+    * million docs costs one df row, not a pair explosion — this is why the
+    * span RATIO is the scalable signal while span PAIRS are not.
+    *
+    * df counts DOCUMENT frequency (spans are per-doc distinct before the
+    * explode), so a span repeated many times inside one doc does not count
+    * as duplicated — in-doc repetition is [[graft.queries.ExtQueries]]'
+    * `q_repetition_ratio`'s job; this operator measures cross-doc copying.
+    */
+  def dupSpanStats(docs: DataFrame, idCol: String, textCol: String,
+      spanN: Int = 8): DataFrame = {
+    val byDoc = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        arrayBarrier(array_distinct(shinglesFromTokens(col("toks"), spanN))).as("spans"))
+      .select(col("doc_id"), size(col("spans")).as("n_spans"),
+        explode(col("spans")).as("span"))
+      .repartition(col("span"))
+    val df = byDoc.groupBy(col("span")).agg(count(lit(1)).as("df"))
+    val perDoc = byDoc.join(df, "span")
+      .groupBy(col("doc_id"), col("n_spans"))
+      .agg(sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        when(col("n_spans") > 0,
+          col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+          .otherwise(lit(0.0)).as("dup_span_ratio"))
   }
 }

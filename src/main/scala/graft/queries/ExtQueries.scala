@@ -223,9 +223,17 @@ object ExtQueries {
     * times these separately, so bench trends track the operator itself
     * while the `q_*` entries keep carrying the flag for the driver gate.
     */
+  private def incrementalPairsOp(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.minhashPairsIncremental(
+      d.where(col("doc_id") % 5 =!= 0), d.where(col("doc_id") % 5 === 0),
+      "doc_id", "text")
+  }
+
   val operatorOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_lsh" -> (lshTopKOp(_, _)),
-    "q_sim_neardup" -> (nearDupPairsOp(_, _)))
+    "q_sim_neardup" -> (nearDupPairsOp(_, _)),
+    "q_dedup_incremental" -> (incrementalPairsOp(_, _)))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -327,6 +335,38 @@ object ExtQueries {
         docs(s, dir).select(col("doc_id"), col("source")),
         "doc_id", "source",
         Map("src0" -> 0.0, "src1" -> 0.25, "src2" -> 0.5, "src3" -> 0.75))),
+
+    // ------------------------------------------------------------------
+    // Temperature re-weighting, materialized (Corpus.weightedRepeat): the
+    // multilingual-rebalancing sibling of q_mixture_sample — English
+    // down-sampled (r = 0.6), low-resource langs repeated (de 2.5, es 1.75,
+    // fr exactly 3), zh unlisted → 1 copy. Factors are literals (the
+    // counts→factors math is Corpus.temperatureWeights, driver-side and
+    // CorpusSpec-gated — keeping pow() out of the distributed plan is what
+    // makes this row-exactly oracle-able). Stochastic extra copy decided by
+    // the same md5-hex-compare uniform as q_mixture_sample: 0.6 → < 0x9999
+    // 9999, 0.5 → < 0x80000000, 0.75 → < 0xc0000000 of 2^32. Map-only +
+    // inline sequence explode; full row-level oracle incl. copy indices.
+    QueryDef(
+      "q_mixture_temperature",
+      Some("""WITH c AS (
+             |  SELECT doc_id, lang,
+             |    CASE lang
+             |      WHEN 'en' THEN 0 + CASE WHEN substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8) < '99999999' THEN 1 ELSE 0 END
+             |      WHEN 'de' THEN 2 + CASE WHEN substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000' THEN 1 ELSE 0 END
+             |      WHEN 'es' THEN 1 + CASE WHEN substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8) < 'c0000000' THEN 1 ELSE 0 END
+             |      WHEN 'fr' THEN 3
+             |      ELSE 1 END AS n_copies
+             |  FROM documents)
+             |SELECT doc_id, lang, CAST(n_copies AS BIGINT) AS n_copies,
+             |       CAST(copy AS BIGINT) AS copy
+             |FROM (SELECT doc_id, lang, n_copies,
+             |        unnest(range(1, n_copies + 1)) AS copy
+             |      FROM c WHERE n_copies >= 1)""".stripMargin),
+      (s, dir) => Corpus.weightedRepeat(
+        docs(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", "lang",
+        Map("en" -> 0.6, "de" -> 2.5, "es" -> 1.75, "fr" -> 3.0))),
 
     // ------------------------------------------------------------------
     // Text stats: length, whitespace, word count. DuckDB len() is BIGINT →
@@ -833,6 +873,35 @@ object ExtQueries {
       }),
 
     // ------------------------------------------------------------------
+    // INCREMENTAL MinHash dedup: a "new batch" (doc_id % 5 = 0) probed
+    // against the already-indexed rest — the everyday at-scale shape where
+    // re-pairing the whole corpus per append is absurd. Same property-
+    // oracle pattern as q_dedup_minhash, with the exact-Jaccard truth
+    // restricted to pairs involving a new doc (14 truth pairs at sf0.01);
+    // recall gate 0.7 like the full job (DedupSpec separately proves the
+    // incremental pair set EQUALS the full run filtered to new-involving
+    // pairs, so a gate pass here certifies the same hash family through
+    // the incremental join path).
+    QueryDef(
+      "q_dedup_incremental",
+      Some(s"""WITH $jaccardPairsCte
+             |SELECT doc_a, doc_b,
+             |       CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard,
+             |       true AS recall_ok
+             |FROM pairs
+             |WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.3
+             |  AND (doc_a % 5 = 0 OR doc_b % 5 = 0)""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        withRecallFlag(
+          Dedup.jaccardPairs(d, "doc_id", "text")
+            .where(col("doc_a") % 5 === 0 || col("doc_b") % 5 === 0)
+            .select(col("doc_a"), col("doc_b"), col("jaccard")),
+          incrementalPairsOp(s, dir), // SAME build as the _operator sub-timing
+          Seq("doc_a", "doc_b"), gate = 0.7)
+      }),
+
+    // ------------------------------------------------------------------
     // SimHash near-dup pairs within Hamming distance 3. Same property-
     // oracle shape as q_dedup_minhash: exact-Jaccard truth rows + a recall
     // flag over the SimHash pair set. SimHash answers a different question
@@ -878,6 +947,43 @@ object ExtQueries {
       (s, dir) => Dedup.jaccardPairs(docs(s, dir), "doc_id", "text")),
 
     // ------------------------------------------------------------------
+    // Span-level dedup signal (Dedup.dupSpanStats): per-doc count/fraction
+    // of distinct 8-token spans shared with ≥1 other document. Fully
+    // ANSI-expressible (exact string spans, int counts, one IEEE division)
+    // → direct DuckDB oracle, same list-slice correspondence as
+    // jaccardPairsCte but with span length 8 (range end-exclusive;
+    // t[i:i+7] = DuckDB 1-based inclusive slice of 8 tokens). df ≥ 2 on
+    // per-doc-distinct spans = document frequency. Types pinned: INT
+    // n_spans (Spark size()), BIGINT n_dup_spans (Spark sum).
+    QueryDef(
+      "q_dedup_spans",
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct(
+             |    CASE WHEN len(t) >= 8
+             |         THEN list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))
+             |         ELSE [] END) AS spans
+             |  FROM (SELECT doc_id,
+             |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+             |        FROM documents)
+             |), ex AS (
+             |  SELECT doc_id, len(spans) AS n_spans, unnest(spans) AS span FROM sh
+             |), df AS (
+             |  SELECT span, count(*) AS df FROM ex GROUP BY 1
+             |), agg AS (
+             |  SELECT e.doc_id, e.n_spans,
+             |         sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS n_dup_spans
+             |  FROM ex e JOIN df d ON e.span = d.span GROUP BY 1, 2
+             |)
+             |SELECT s.doc_id,
+             |  CAST(COALESCE(a.n_spans, 0) AS INT) AS n_spans,
+             |  CAST(COALESCE(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+             |  CASE WHEN a.n_spans > 0
+             |       THEN CAST(a.n_dup_spans AS DOUBLE) / CAST(a.n_spans AS DOUBLE)
+             |       ELSE 0.0 END AS dup_span_ratio
+             |FROM sh s LEFT JOIN agg a ON s.doc_id = a.doc_id""".stripMargin),
+      (s, dir) => Dedup.dupSpanStats(docs(s, dir), "doc_id", "text")),
+
+    // ------------------------------------------------------------------
     // Near-dup CLUSTERING: connected components over the Jaccard pair graph
     // (Components.connectedComponents, min-label propagation) + canonical
     // selection — the step that turns pairs into delete decisions; A~B~C
@@ -906,6 +1012,60 @@ object ExtQueries {
           .connectedComponents(d.select("doc_id"), "doc_id",
             pairs, "doc_a", "doc_b")
           .withColumn("is_canonical", col("component") === col("doc_id"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Quality-ranked cluster representatives: after near-dup clustering,
+    // production pipelines keep the BEST document per cluster (highest
+    // quality score), not the arbitrary min-id — min-id keeps whichever
+    // copy crawled first, which is routinely the boilerplate-wrapped one.
+    // Composes components + quality + ONE window keyed on component
+    // (running first() under the default UNBOUNDED PRECEDING..CURRENT ROW
+    // frame — the rank-1 row is visible to every row, O(n) per partition,
+    // never the unboundedFollowing trap). Tie-break (quality DESC, doc_id)
+    // is total, and qualityScoreSql is IEEE-exact cross-engine (proven by
+    // q_text_quality's hash match) → fully oracled incl. the recursive-CTE
+    // component derivation.
+    QueryDef(
+      "q_dedup_canonical",
+      Some(s"""WITH RECURSIVE $jaccardPairsCte, edges AS (
+             |  SELECT doc_a AS a, doc_b AS b FROM pairs
+             |  WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.3
+             |), und AS (
+             |  SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
+             |), reach(n, m) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT u.b, r.m FROM reach r JOIN und u ON u.a = r.n
+             |), comp AS (
+             |  SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
+             |), scored AS (
+             |  SELECT doc_id,
+             |  $qualityScoreSql
+             |    AS quality
+             |  FROM documents
+             |), ranked AS (
+             |  SELECT c.doc_id, c.component, s.quality,
+             |    first_value(c.doc_id) OVER (
+             |      PARTITION BY c.component ORDER BY s.quality DESC, c.doc_id) AS rep_id
+             |  FROM comp c JOIN scored s ON c.doc_id = s.doc_id
+             |)
+             |SELECT doc_id, component, quality, rep_id,
+             |       doc_id = rep_id AS keep
+             |FROM ranked""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val pairs = Dedup.jaccardPairs(d, "doc_id", "text")
+        val comp = Components.connectedComponents(d.select("doc_id"), "doc_id",
+          pairs, "doc_a", "doc_b")
+        val scored = d.select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        val w = Window.partitionBy(col("component"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        comp.join(scored, "doc_id")
+          .withColumn("rep_id", first(col("doc_id")).over(w))
+          .select(col("doc_id"), col("component"), col("quality"),
+            col("rep_id"), (col("doc_id") === col("rep_id")).as("keep"))
       }),
 
     // ------------------------------------------------------------------

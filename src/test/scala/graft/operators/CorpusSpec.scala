@@ -253,6 +253,55 @@ class CorpusSpec extends SparkSpec {
       s"unlisted/null-source rows must pass untouched: $got")
   }
 
+  test("temperature weights: size-preserving, monotone toward uniform, " +
+    "identity at alpha = 1") {
+    val counts = Map("a" -> 900L, "b" -> 90L, "c" -> 10L)
+    val r = Corpus.temperatureWeights(counts, alpha = 0.5)
+    // expected output size preserved: sum r_s * n_s == N
+    val total = counts.map { case (s, n) => r(s) * n }.sum
+    assert(math.abs(total - 1000.0) < 1e-9, s"size drifted: $total")
+    // rarer sources get larger repeat factors, dominant source shrinks
+    assert(r("c") > r("b") && r("b") > r("a"))
+    assert(r("a") < 1.0 && r("c") > 1.0)
+    // alpha = 1 is the natural distribution: every factor ~1
+    val id = Corpus.temperatureWeights(counts, alpha = 1.0)
+    id.values.foreach(v => assert(math.abs(v - 1.0) < 1e-12))
+    intercept[IllegalArgumentException] {
+      Corpus.temperatureWeights(counts, alpha = 0.0)
+    }
+  }
+
+  test("weighted repeat: exact integer factors, stochastic fraction is " +
+    "deterministic and partitioning-invariant, NULL ids fail closed") {
+    import spark.implicits._
+    val docs = (0L until 3000L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    val reps = Map("s0" -> 3.0, "s1" -> 0.5) // s2 unlisted → 1 copy
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long, Long)] =
+      Corpus.weightedRepeat(df, "id", "src", reps)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val a = rows(docs)
+    // exact-integer factor: every s0 doc appears exactly 3× with copy 1..3
+    val s0 = a.filter(_._2 == "s0")
+    assert(s0.size == 3000 && s0.groupBy(_._1).forall { case (_, c) =>
+      c.map(_._4).toSeq.sorted == Seq(1L, 2L, 3L) })
+    // unlisted source: exactly one copy each
+    assert(a.count(_._2 == "s2") == 1000)
+    // fractional 0.5: ~half survive, within binomial noise (±4σ ≈ ±63)
+    val s1 = a.filter(_._2 == "s1")
+    assert(math.abs(s1.size - 500) < 63, s"s1 kept ${s1.size}")
+    assert(s1.forall(_._4 == 1L))
+    // the emitted MULTISET is partition-invariant (seedless md5 uniform)
+    assert(rows(docs.repartition(17, $"id" % 7)) == a)
+    // NULL id: stochastic extra copy fails closed (1.5 → exactly 1 copy)
+    val e = Corpus.weightedRepeat(
+      Seq((Option.empty[Long], "x"), (Option(7L), "y")).toDF("id", "src"),
+      "id", "src", Map("x" -> 1.5))
+      .collect().map(r => (Option(r.get(0)), r.getString(1), r.getLong(3)))
+    assert(e.count(_._2 == "x") == 1 && e.filter(_._2 == "x").forall(_._3 == 1L))
+  }
+
   test("shard assignment: bit-stable under repartitioning, hash-balanced, " +
     "dense positions, and the permutation actually shuffles") {
     import spark.implicits._

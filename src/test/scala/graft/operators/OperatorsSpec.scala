@@ -62,6 +62,56 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(near._3 - 0.75) < 1e-12)
   }
 
+  test("minhashPairsIncremental equals the full run filtered to " +
+    "new-involving pairs, including under bucket capping") {
+    val extra = Seq(
+      (6L, "the quick brown fox jumps over the lazy dog today"),
+      (7L, "el gato que duerme en la casa de la abuela gris"),
+      (8L, "completely different content about spark engines here"))
+      .toDF("doc_id", "text")
+    val all = docs.unionByName(extra)
+    val newD = all.where($"doc_id" % 2 === 0) // 2, 4, 6, 8
+    val oldD = all.where($"doc_id" % 2 =!= 0)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for (cap <- Seq(50, 2)) {
+      val fullFiltered = toSet(Dedup.minhashPairs(all, "doc_id", "text",
+        shingleN = 3, nPerms = 16, nBands = 8, maxBucket = cap))
+        .filter(p => p._1 % 2 == 0 || p._2 % 2 == 0)
+      val inc = toSet(Dedup.minhashPairsIncremental(oldD, newD,
+        "doc_id", "text", shingleN = 3, nPerms = 16, nBands = 8,
+        maxBucket = cap))
+      assert(inc === fullFiltered, s"maxBucket=$cap")
+      // never an old-old pair
+      assert(inc.forall(p => p._1 % 2 == 0 || p._2 % 2 == 0))
+    }
+    // non-vacuous: the exact-dup pair (1→old, 4→new) must surface uncapped
+    val uncapped = toSet(Dedup.minhashPairsIncremental(oldD, newD,
+      "doc_id", "text", shingleN = 3, nPerms = 16, nBands = 8, maxBucket = 50))
+    assert(uncapped.exists(p => p._1 == 1L && p._2 == 4L))
+  }
+
+  test("dupSpanStats counts cross-doc spans, not in-doc repetition, " +
+    "and reports 0 for span-less docs") {
+    // spanN = 8 over the shared fixture: docs 1/4 are identical 9-token
+    // texts (2 spans each, both shared), doc 2 shares only the first span,
+    // doc 3 has 6 tokens (no spans), doc 5's spans are unique
+    val got = Dedup.dupSpanStats(docs, "doc_id", "text", spanN = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((2, 2L, 1.0)))
+    assert(got(2L) == ((2, 1L, 0.5)))
+    assert(got(3L) == ((0, 0L, 0.0))) // too short for any span: present, zeroed
+    assert(got(4L) == ((2, 2L, 1.0)))
+    assert(got(5L) == ((3, 0L, 0.0)))
+    // a doc that repeats ITS OWN span but shares nothing reports 0 dups
+    val selfRep = Seq((9L, "a b c d e f g h a b c d e f g h")).toDF("doc_id", "text")
+    val solo = Dedup.dupSpanStats(docs.unionByName(selfRep), "doc_id", "text", spanN = 8)
+      .where($"doc_id" === 9L).collect().head
+    assert(solo.getLong(2) == 0L)
+  }
+
   test("vector ops: dot/norm/cosine on known vectors") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f)),
