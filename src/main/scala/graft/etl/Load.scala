@@ -118,7 +118,10 @@ object Load {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val n = 1 << bits
+    // Long literal: the guard admits bits up to 62 (k = 1), where Int
+    // `1 << bits` wraps — bits = 32 would silently put EVERY row in
+    // bucket 0 (constant z-value, zero clustering)
+    val n = 1L << bits
     val bucketed = cols.zipWithIndex.map { case (c, i) =>
       val (lo, hi) =
         (if (row.isNullAt(2 * i)) 0d else row.getDouble(2 * i),

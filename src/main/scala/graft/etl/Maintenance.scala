@@ -459,7 +459,8 @@ object Maintenance {
     *
     * Semantics (all deterministic, all window-expressible — the batch twin
     * `q_scd2` sits under the full DuckDB oracle):
-    *   - CLOSED history rows pass through byte-untouched;
+    *   - CLOSED history rows (valid_to set) pass through with only the
+    *     is_current flag normalized to false;
     *   - open rows and updates stack per key, ordered by
     *     (ts, attrs) — the attr tie-break makes equal-timestamp batches
     *     reproducible instead of shuffle-dependent;
@@ -484,8 +485,15 @@ object Maintenance {
     require(keyCols.nonEmpty && attrCols.nonEmpty, "need key and attr columns")
     val outCols = (keyCols ++ attrCols ++ Seq(validFromCol, validToCol, isCurrentCol))
       .map(col)
-    val closed = current.where(!col(isCurrentCol)).select(outCols: _*)
-    val open = current.where(col(isCurrentCol))
+    // openness derives from valid_to nullity, NOT the is_current flag: a
+    // row whose flag is NULL (sloppy upstream writer) would match neither
+    // where(!flag) nor where(flag) and silently vanish from the merge.
+    // valid_to IS NULL has no such third state; is_current is recomputed
+    // on BOTH legs so an inconsistent input flag heals instead of leaking
+    val closed = current.where(col(validToCol).isNotNull)
+      .withColumn(isCurrentCol, lit(false))
+      .select(outCols: _*)
+    val open = current.where(col(validToCol).isNull)
       .select((keyCols ++ attrCols).map(col) :+ col(validFromCol): _*)
     val incoming = updates
       .select((keyCols ++ attrCols).map(col) :+ col(effTsCol).as(validFromCol): _*)
@@ -513,7 +521,9 @@ object Maintenance {
     * deliberately synonymous — change feeds routinely misreport one as the
     * other around retries, and latest-complete-row-wins makes replay
     * idempotent (re-applying the same batch is a no-op, same contract as
-    * [[upsert]]).
+    * [[upsert]]). Anything that is not a literal `"D"` — including a NULL
+    * or unrecognized op — applies as an upsert: a malformed feed row must
+    * never silently DELETE data.
     *
     * Scale shape: one window shuffle over the CHANGE batch (≪ snapshot),
     * then one join on key — the anti-join side broadcasts when the batch is
@@ -533,7 +543,12 @@ object Maintenance {
       .where(col("__rn") === 1)
     val untouched = base.join(latest.select(keyCols.map(col): _*),
       keyCols, "left_anti")
-    val applied = latest.where(col(opCol) =!= lit("D"))
+    // only a literal 'D' deletes — null-safe, so a malformed change row
+    // with a NULL (or unexpected) op applies as an upsert instead of
+    // silently deleting the key (`=!= "D"` is NULL for NULL op, which
+    // would drop the row from BOTH legs: the anti-join already removed
+    // the key, and a NULL filter would exclude it here too)
+    val applied = latest.where(!(col(opCol) <=> lit("D")))
       .select((keyCols ++ attrCols).map(col): _*)
     untouched.unionByName(applied)
   }

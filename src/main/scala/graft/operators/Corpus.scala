@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.util.QueryExecutionListener
@@ -292,16 +292,27 @@ object Corpus {
       keepFraction: Double, relErr: Double = 0.01): DataFrame = {
     require(keepFraction > 0.0 && keepFraction <= 1.0,
       s"keepFraction must be in (0,1], got $keepFraction")
+    // relErr = 0 would pass accuracy Int.MaxValue to the sketch (retain
+    // ~every sample per language — the exact opposite of the KB-sized-
+    // sketch contract); negative would silently degrade to accuracy 2
+    require(relErr > 0.0 && relErr <= 0.5,
+      s"relErr must be in (0, 0.5], got $relErr")
     val scored = docs.withColumn("__qs",
       TextFunctions.qualityScore(col(textCol)))
     val thresholds = scored
       .groupBy(col(langCol))
       .agg(percentile_approx(col("__qs"), lit(1.0 - keepFraction),
         lit(math.max(2, (1.0 / relErr).toInt))).as("__q_min"))
+      .withColumnRenamed(langCol, "__lang_t")
+    // null-safe join: NULL-lang docs (upstream lang-id failure) are a real
+    // group with their own threshold row from the groupBy — a plain equi-
+    // join would never match them and the >= predicate would then silently
+    // drop every one of them regardless of quality
     scored
-      .join(broadcast(thresholds), Seq(langCol), "left")
+      .join(broadcast(thresholds),
+        col(langCol) <=> col("__lang_t"), "left")
       .where(col("__qs") >= col("__q_min"))
-      .drop("__qs", "__q_min")
+      .drop("__qs", "__q_min", "__lang_t")
   }
 
   /** Deterministic mixture sampling — the knob that turns a cleaned crawl
@@ -320,18 +331,30 @@ object Corpus {
     * materialized up-sampling form is [[weightedRepeat]], which belongs
     * AFTER dedup as the final pre-shard step.
     */
+  /** The seedless per-row uniform shared by [[mixtureSample]] and
+    * [[weightedRepeat]]: first 8 md5 hex digits of `source:id`. ONE
+    * definition, because both operators' DuckDB oracles replay it verbatim
+    * — a drift between two copies would silently diverge their keep sets.
+    */
+  private def md5Uniform(idCol: String, sourceCol: String): Column =
+    substring(
+      md5(concat(col(sourceCol), lit(":"), col(idCol).cast("string"))
+        .cast("binary")), 1, 8)
+
+  /** 8-hex-char threshold spelling probability `r` of 2^32 — compared
+    * against [[md5Uniform]] in string space. Clamp: r just below 1.0 can
+    * round to exactly 2^32, whose hex form is 9 chars — lexicographically
+    * BELOW every 8-char uniform, collapsing the keep rate to ~6% instead
+    * of ~100%.
+    */
+  private def thresholdHex(r: Double): String =
+    f"${math.min((r * 4294967296.0).toLong, 0xFFFFFFFFL)}%08x"
+
   def mixtureSample(docs: DataFrame, idCol: String, sourceCol: String,
       rates: Map[String, Double]): DataFrame = {
     require(rates.values.forall(r => r >= 0.0 && r <= 1.0),
       s"rates must be keep probabilities in [0,1], got $rates")
-    val u = substring(
-      md5(concat(col(sourceCol), lit(":"), col(idCol).cast("string"))
-        .cast("binary")), 1, 8)
-    // clamp: r just below 1.0 can round to exactly 2^32, whose hex form is
-    // 9 chars — lexicographically BELOW every 8-char uniform, collapsing
-    // the keep rate to ~6% instead of ~100%
-    def thresholdHex(r: Double): String =
-      f"${math.min((r * 4294967296.0).toLong, 0xFFFFFFFFL)}%08x"
+    val u = md5Uniform(idCol, sourceCol)
     val keep = rates.toSeq.sortBy(_._1).foldLeft(lit(null).cast("boolean")) {
       case (acc, (src, r)) =>
         val cond =
@@ -396,11 +419,7 @@ object Corpus {
       repeats: Map[String, Double]): DataFrame = {
     require(repeats.values.forall(r => r >= 0.0 && !r.isNaN && !r.isInfinite),
       s"repeats must be finite and >= 0, got $repeats")
-    val u = substring(
-      md5(concat(col(sourceCol), lit(":"), col(idCol).cast("string"))
-        .cast("binary")), 1, 8)
-    def thresholdHex(fr: Double): String =
-      f"${math.min((fr * 4294967296.0).toLong, 0xFFFFFFFFL)}%08x"
+    val u = md5Uniform(idCol, sourceCol)
     val nCopies = repeats.toSeq.sortBy(_._1).foldLeft(lit(1L)) {
       case (acc, (src, r)) =>
         val base = math.floor(r).toLong

@@ -163,10 +163,16 @@ object Dedup {
       nBands: Int = 8, maxBucket: Int = 50): DataFrame = {
     def toks(df: DataFrame) = df.select(
       col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    // the explicit repartition on the join keys is what lets the THREE
+    // consumers below (cap agg, new side, join right side) share ONE
+    // execution of the signature pipeline via ReusedExchange — without it
+    // Spark re-runs the 32-permutation minhash aggregation over the whole
+    // corpus once per consumer (same trick as jaccardPairs/dupSpanStats)
     val all = minhashBandBuckets(toks(indexed), shingleN, nPerms, nBands)
       .withColumn("is_new", lit(false))
       .unionByName(minhashBandBuckets(toks(newDocs), shingleN, nPerms, nBands)
         .withColumn("is_new", lit(true)))
+      .repartition(col("band"), col("bucket"))
     // count-first capping on the COMBINED bucket size — the same rule the
     // full run applies, which is what makes incremental ≡ full-filtered;
     // buckets without any new member are dropped here too (nothing to pair)

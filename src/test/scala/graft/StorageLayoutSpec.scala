@@ -207,6 +207,13 @@ class StorageLayoutSpec extends SparkSpec {
     for { x <- 0 to 3; y <- 0 to 3 }
       assert(z((x, y)) === morton(x, y), s"z($x,$y)")
     assert(z((0, 0)) === 0L && z((3, 3)) === 15L && z((3, 0)) === 5L && z((0, 3)) === 10L)
+
+    // wide single-axis form: bits past Int-shift range must still bucket
+    // (an Int `1 << 32` wraps to 1 → constant z for every row)
+    val wide = Seq(0, 1000).toDF("x")
+    val wz = wide.withColumn("z", Load.zorderColumn(wide, Seq("x"), bits = 32))
+      .select("z").distinct().count()
+    assert(wz === 2L, "bits = 32 must still separate distinct values")
   }
 
   test("runtime bloom filter from a selective dim predicate prunes the fact " +

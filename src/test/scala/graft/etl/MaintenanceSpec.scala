@@ -364,4 +364,45 @@ class MaintenanceSpec extends SparkSpec {
     val twice = Maintenance.applyCdc(once, changes, Seq("k"), "op", "seq")
     assert(snap(twice) === snap(once))
   }
+
+  test("CDC apply: a NULL or unknown op never deletes — malformed feed " +
+    "rows apply as upserts") {
+    import spark.implicits._
+    val base = Seq((1L, "one", 10.0)).toDF("k", "name", "bal")
+    val changes = Seq(
+      (1L, "one_null_op", 11.0, Option.empty[String], 100L), // NULL op wins
+      (2L, "two_weird", 20.0, Option("X"), 50L)) // unknown op on a new key
+      .toDF("k", "name", "bal", "op", "seq")
+    val got = Maintenance.applyCdc(base, changes, Seq("k"), "op", "seq")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, "one_null_op", 11.0), (2L, "two_weird", 20.0)))
+  }
+
+  test("SCD2 merge: a row with NULL is_current is never dropped — openness " +
+    "derives from valid_to nullity") {
+    import spark.implicits._
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    val current = Seq(
+      // NULL flag + NULL valid_to: must behave as the open version
+      (1L, Option("a"), d("2024-01-01"), Option.empty[java.sql.Date],
+        Option.empty[Boolean]),
+      // NULL flag + set valid_to: must pass through as closed history
+      (2L, Option("b"), d("2024-01-01"), Option(d("2024-02-01")),
+        Option.empty[Boolean]),
+      (2L, Option("c"), d("2024-02-01"), Option.empty[java.sql.Date],
+        Option(true)))
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val updates = Seq((1L, Option("z"), d("2024-03-01")))
+      .toDF("k", "attr", "eff")
+    val got = Maintenance.scdMerge(current, updates, Seq("k"), Seq("attr"), "eff")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getDate(2).toString,
+        Option(r.getDate(3)).map(_.toString), r.getBoolean(4)))
+      .toSet
+    assert(got === Set(
+      (1L, Some("a"), "2024-01-01", Some("2024-03-01"), false), // healed open → closed by z
+      (1L, Some("z"), "2024-03-01", None, true),
+      (2L, Some("b"), "2024-01-01", Some("2024-02-01"), false), // closed kept despite NULL flag
+      (2L, Some("c"), "2024-02-01", None, true)))
+  }
 }

@@ -253,6 +253,30 @@ class CorpusSpec extends SparkSpec {
       s"unlisted/null-source rows must pass untouched: $got")
   }
 
+  test("quality-quantile gate: NULL-lang docs form their own group instead " +
+    "of being silently dropped, and relErr is validated") {
+    import spark.implicits._
+    val good = "the cat and the dog is of a house in the town and it is " +
+      "nice to see the garden of the house in the morning light"
+    val rows = (0L until 20L).map(i =>
+      (i, Option.when(i < 10)("en"), if (i % 2 == 0) good else "1234 5678"))
+      .toDF("doc_id", "lang", "text")
+    // keepFraction 0.3 puts the 0.7-quantile threshold strictly inside the
+    // good-quality tie class (5 good / 5 zero-quality per group), away from
+    // the approx sketch's boundary ambiguity at 0.5
+    val kept = Corpus.qualityQuantileGate(rows, "lang", "text",
+      keepFraction = 0.3, relErr = 0.1)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    // the 5 high-quality NULL-lang docs must survive their own group's gate
+    val keptNull = kept.filter(_._2.isEmpty).map(_._1)
+    assert(keptNull.nonEmpty, "every NULL-lang doc was dropped")
+    assert(keptNull.forall(_ % 2 == 0), "a low-quality NULL-lang doc passed")
+    intercept[IllegalArgumentException] {
+      Corpus.qualityQuantileGate(rows, "lang", "text",
+        keepFraction = 0.5, relErr = 0.0)
+    }
+  }
+
   test("temperature weights: size-preserving, monotone toward uniform, " +
     "identity at alpha = 1") {
     val counts = Map("a" -> 900L, "b" -> 90L, "c" -> 10L)
