@@ -348,44 +348,115 @@ object Maintenance {
               .parquet(live: _*)
               .where(touchedFilter(partitionCol, touched)),
             up, keyCols)
-        // stage: APPEND-only — the files the current manifest references
-        // are never touched, so no localCheckpoint fence is needed (the
-        // lazy merge plan reads files that stay in place)
-        val before = dataFilesOnDisk(spark, storeDir)
-        carried.unionByName(up)
-          .write.mode("append").partitionBy(partitionCol)
-          .parquet(s"$storeDir/data")
-        val staged = (dataFilesOnDisk(spark, storeDir) -- before).toSeq.sorted
-
-        // next manifest: untouched partitions keep their old file lists;
-        // touched partitions are exactly the staged files
-        val dataBase = s"$storeDir/data/"
-        val touchedDirs = staged.map(_.takeWhile(_ != '/')).toSet
-        val kept = live.map(_.stripPrefix(dataBase))
-          .filterNot(f => touchedDirs.contains(f.takeWhile(_ != '/')))
-        val next = (kept ++ staged).sorted
-
-        // commit: write aside, then ONE atomic claim of the version slot;
-        // a lost claim turns a concurrent writer into a loud failure
-        // instead of a corrupted store
-        fs.mkdirs(mdir)
-        val tmp = new org.apache.hadoop.fs.Path(mdir,
-          s".tmp-${java.util.UUID.randomUUID()}")
-        val os = fs.create(tmp, false)
-        try os.write((next.mkString("\n") + "\n").getBytes("UTF-8"))
-        finally os.close()
-        val target = new org.apache.hadoop.fs.Path(mdir, f"v${version + 1}%08d.txt")
-        if (!claimVersionSlot(fs, tmp, target)) {
-          fs.delete(tmp, false)
-          throw new IllegalStateException(
-            s"manifest commit v${version + 1} lost a race — concurrent writer on $storeDir")
-        }
-        val (nulls, vals) = touched.partition(_ == null)
-        (nulls ++ vals.sortWith((a, b) =>
-          a.asInstanceOf[Comparable[Any]].compareTo(b) < 0))
-          .map(String.valueOf)
+        stageAndCommitPartitions(spark, carried.unionByName(up),
+          partitionCol, storeDir, touched)
       }
     } finally up.unpersist(blocking = false)
+  }
+
+  /** Apply a CDC change batch ([[applyCdc]] semantics: highest-seq wins,
+    * a winning literal `"D"` deletes) to a manifest-committed store —
+    * the keyed-store sibling of [[upsertManifested]], with DELETE support:
+    * a deleted key simply doesn't appear in its partition's replacement
+    * content, and a partition whose keys all die drops out of the manifest
+    * entirely. Same crash-atomicity (a crash before the manifest rename
+    * leaves the prior version intact) and the same replay idempotence
+    * (latest-wins is stable under re-application — the at-least-once
+    * contract [[graft.streaming.Streaming.materializeCdcStream]] relies
+    * on). A fresh store (no manifest yet) treats the batch as the initial
+    * snapshot load.
+    *
+    * @return the touched partition values (as strings), in natural order
+    */
+  def applyCdcManifested(changes: DataFrame, keyCols: Seq[String],
+      opCol: String, seqCol: String, partitionCol: String,
+      storeDir: String): Seq[String] = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(keyCols.contains(partitionCol),
+      s"partitionCol '$partitionCol' must be one of keyCols " +
+        s"${keyCols.mkString("[", ", ", "]")} — otherwise a change cannot " +
+        "locate its key's at-rest partition")
+    val spark = changes.sparkSession
+    val ch = changes.persist()
+    try {
+      val touched = ch.select(partitionCol).distinct()
+        .collect().map(_.get(0)).toSeq
+      if (touched.isEmpty) Nil
+      else {
+        val live = liveFiles(spark, storeDir)
+        val base =
+          if (live.isEmpty) ch.drop(opCol, seqCol).limit(0)
+          else spark.read.option("basePath", s"$storeDir/data")
+            .parquet(live: _*)
+            .where(touchedFilter(partitionCol, touched))
+        val next = applyCdc(base, ch, keyCols, opCol, seqCol)
+        stageAndCommitPartitions(spark, next, partitionCol, storeDir, touched)
+      }
+    } finally ch.unpersist(blocking = false)
+  }
+
+  /** Shared commit tail of [[upsertManifested]] / [[applyCdcManifested]]:
+    * stage `content` (the full replacement rows of exactly the `touched`
+    * partitions) as APPEND-only files — the files the current manifest
+    * references are never touched — then publish ONE new manifest where
+    * untouched partitions keep their old file lists and touched partitions
+    * are exactly the staged files. Touched directories are derived from
+    * the partition VALUES (Spark's own path escaping), not from the staged
+    * files, so a touched partition whose replacement content is EMPTY
+    * (every key deleted) still drops its old files from the manifest.
+    */
+  private def stageAndCommitPartitions(spark: SparkSession,
+      content: DataFrame, partitionCol: String, storeDir: String,
+      touched: Seq[Any]): Seq[String] = {
+    val (fs, _) = fsFor(spark, storeDir)
+    val mdir = new org.apache.hadoop.fs.Path(s"$storeDir/_manifest")
+    val version = latestManifestVersion(fs, mdir)
+    val live = liveFiles(spark, storeDir)
+
+    val before = dataFilesOnDisk(spark, storeDir)
+    content.write.mode("append").partitionBy(partitionCol)
+      .parquet(s"$storeDir/data")
+    val staged = (dataFilesOnDisk(spark, storeDir) -- before).toSeq.sorted
+
+    val dataBase = s"$storeDir/data/"
+    val touchedDirs = touched.map(partitionDirName(partitionCol, _)).toSet
+    val kept = live.map(_.stripPrefix(dataBase))
+      .filterNot(f => touchedDirs.contains(f.takeWhile(_ != '/')))
+    val next = (kept ++ staged).sorted
+
+    // commit: write aside, then ONE atomic claim of the version slot;
+    // a lost claim turns a concurrent writer into a loud failure
+    // instead of a corrupted store
+    fs.mkdirs(mdir)
+    val tmp = new org.apache.hadoop.fs.Path(mdir,
+      s".tmp-${java.util.UUID.randomUUID()}")
+    val os = fs.create(tmp, false)
+    try os.write((next.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally os.close()
+    val target = new org.apache.hadoop.fs.Path(mdir, f"v${version + 1}%08d.txt")
+    if (!claimVersionSlot(fs, tmp, target)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"manifest commit v${version + 1} lost a race — concurrent writer on $storeDir")
+    }
+    val (nulls, vals) = touched.partition(_ == null)
+    (nulls ++ vals.sortWith((a, b) =>
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0))
+      .map(String.valueOf)
+  }
+
+  /** The directory name Spark's partitioned writer produces for a value of
+    * `partitionCol` — same escaping (`ExternalCatalogUtils.escapePathName`)
+    * and the Hive NULL sentinel, so manifest bookkeeping can address a
+    * partition it is ABOUT to delete without any staged file to learn the
+    * name from.
+    */
+  private def partitionDirName(partitionCol: String, v: Any): String = {
+    val s =
+      if (v == null) "__HIVE_DEFAULT_PARTITION__"
+      else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(String.valueOf(v))
+    s"$partitionCol=$s"
   }
 
   /** Atomically claim a manifest version slot: publish `tmp` as `target`,

@@ -331,6 +331,108 @@ object Corpus {
     * materialized up-sampling form is [[weightedRepeat]], which belongs
     * AFTER dedup as the final pre-shard step.
     */
+  /** Exact token-budget selection — data curation under a budget: per
+    * source, keep documents in (quality DESC, id) order while the running
+    * INCLUSIVE token total stays within that source's budget. Token counts
+    * are positive, so the running total is monotone and the kept set is a
+    * clean quality-ranked prefix: the best docs that fit. Sources absent
+    * from `budgets` (and NULL sources) pass through unbudgeted.
+    *
+    * This is the ORACLE-CERTIFYING exact form (one window shuffle keyed on
+    * source; each source's rows sort inside one partition — fine up to
+    * millions of docs per source, and what `q_budget_select` runs under
+    * the DuckDB differential). At 100 TB a single source can be billions
+    * of rows in ONE window partition: use [[budgetGate]], the histogram
+    * form with zero corpus shuffles, gated against this exact form in
+    * CorpusSpec.
+    */
+  def budgetSelect(docs: DataFrame, idCol: String, sourceCol: String,
+      tokensCol: String, qualityCol: String,
+      budgets: Map[String, Long]): DataFrame = {
+    require(budgets.values.forall(_ >= 0), s"budgets must be >= 0: $budgets")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(col(qualityCol).desc, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val budget = budgets.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("long")) { case (acc, (src, b)) =>
+        when(col(sourceCol) === src, lit(b)).otherwise(acc)
+      }
+    docs
+      .withColumn("__cum", sum(col(tokensCol).cast("long")).over(w))
+      // NULL budget = unlisted source → the comparison is NULL → keep
+      .where(coalesce(col("__cum") <= budget, lit(true)))
+      .drop("__cum")
+  }
+
+  /** Scale form of [[budgetSelect]]: a quality HISTOGRAM per source stands
+    * in for the per-source sort. Pass 1 aggregates each source's quality
+    * range; pass 2 aggregates token mass per (source, quality-bin) — a
+    * `|sources| × nBins` relation, driver-bounded; the driver walks each
+    * source's bins from the top and keeps the highest-quality bins whose
+    * cumulative token mass fits the budget; pass 3 filters map-only against
+    * the broadcast thresholds. Three corpus scans, ZERO corpus shuffles, no
+    * per-source sort anywhere.
+    *
+    * Contract vs the exact form: NEVER exceeds a budget (the boundary bin
+    * that would overflow is excluded wholesale — fail-closed), may
+    * under-fill by at most that one bin's token mass (shrinks as nBins
+    * grows; with every doc in its own bin the kept set equals
+    * [[budgetSelect]]'s exactly — CorpusSpec gates both properties). Docs
+    * with NULL quality in a budgeted source fail closed; a budgeted source
+    * whose quality range is degenerate (all equal → one bin) keeps either
+    * everything (fits) or nothing (doesn't) — the histogram cannot split a
+    * single bin.
+    */
+  def budgetGate(docs: DataFrame, sourceCol: String, tokensCol: String,
+      qualityCol: String, budgets: Map[String, Long],
+      nBins: Int = 1024): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    require(budgets.values.forall(_ >= 0), s"budgets must be >= 0: $budgets")
+    val srcs = budgets.keys.toSeq.sorted
+    // isin never matches NULL → a NULL source must be rescued explicitly
+    // (unlisted semantics), not silently dropped by the negation
+    val unlisted = docs.where(coalesce(!col(sourceCol).isin(srcs: _*), lit(true)))
+    val listed = docs.where(col(sourceCol).isin(srcs: _*))
+
+    val stats = listed.groupBy(col(sourceCol))
+      .agg(min(col(qualityCol)).as("__qlo"), max(col(qualityCol)).as("__qhi"))
+    def binOf(q: Column): Column =
+      when(col("__qhi") <= col("__qlo"), lit(0))
+        .otherwise(least(lit(nBins - 1), greatest(lit(0),
+          floor((q - col("__qlo")) / (col("__qhi") - col("__qlo")) * nBins)
+            .cast("int"))))
+    val binned = listed.join(broadcast(stats), sourceCol)
+      .withColumn("__bin", binOf(col(qualityCol)))
+    // (source, bin) token histogram — partial-aggregated, KB-sized
+    val hist = binned.groupBy(col(sourceCol), col("__bin"))
+      .agg(sum(col(tokensCol).cast("long")).as("__toks"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // per source: lowest bin index whose top-down cumulative fits. nBins
+    // (no bin qualifies) → keep nothing for that source
+    val thresholds: Map[String, Int] = srcs.map { s =>
+      val b = budgets(s)
+      var cum = 0L
+      var t = nBins
+      var stopped = false
+      ((nBins - 1) to 0 by -1).foreach { bin =>
+        val m = hist.getOrElse((s, bin), 0L)
+        if (!stopped && cum + m <= b) { cum += m; t = bin }
+        else stopped = true
+      }
+      s -> t
+    }.toMap
+    val tCol = srcs.foldLeft(lit(null).cast("int")) { (acc, s) =>
+      when(col(sourceCol) === s, lit(thresholds(s))).otherwise(acc)
+    }
+    val kept = binned
+      .where(col("__bin") >= tCol)
+      .drop("__bin", "__qlo", "__qhi")
+    unlisted.unionByName(kept)
+  }
+
   /** The seedless per-row uniform shared by [[mixtureSample]] and
     * [[weightedRepeat]]: first 8 md5 hex digits of `source:id`. ONE
     * definition, because both operators' DuckDB oracles replay it verbatim

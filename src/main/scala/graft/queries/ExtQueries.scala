@@ -369,6 +369,48 @@ object ExtQueries {
         Map("en" -> 0.6, "de" -> 2.5, "es" -> 1.75, "fr" -> 3.0))),
 
     // ------------------------------------------------------------------
+    // Token-budget curation (Corpus.budgetSelect, exact form): per source
+    // keep the quality-ranked prefix of docs whose running BPE-ish token
+    // total fits the source's budget — "the best data that fits". Budgets
+    // exercise a real cut (src0 500, src1 800 ≪ per-source token mass), a
+    // no-op ceiling (src2 10M), a zero budget (src3 → source vanishes),
+    // and unlisted sources (pass through). Window = ROWS UNBOUNDED
+    // PRECEDING..CURRENT ROW over the total (quality DESC, doc_id) order —
+    // identical rank arithmetic + integer cumsum in both engines; quality
+    // emitted too, IEEE-exact (q_text_quality precedent). The 100 TB
+    // histogram form (Corpus.budgetGate, zero corpus shuffles) is
+    // CorpusSpec-gated against this exact kept set.
+    QueryDef(
+      "q_budget_select",
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, source,
+             |    CAST(length(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_tokens,
+             |    $qualityScoreSql
+             |      AS quality
+             |  FROM documents
+             |), c AS (
+             |  SELECT *, sum(CAST(n_tokens AS BIGINT)) OVER (
+             |    PARTITION BY source ORDER BY quality DESC, doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM t)
+             |SELECT doc_id, source, n_tokens, quality FROM c
+             |WHERE CASE source
+             |  WHEN 'src0' THEN cum <= 500
+             |  WHEN 'src1' THEN cum <= 800
+             |  WHEN 'src2' THEN cum <= 10000000
+             |  WHEN 'src3' THEN cum <= 0
+             |  ELSE true END""".stripMargin),
+      (s, dir) => {
+        val annotated = docs(s, dir).select(
+          col("doc_id"), col("source"),
+          TextFunctions.bpeishTokenCount(col("text")).as("n_tokens"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        Corpus.budgetSelect(annotated, "doc_id", "source", "n_tokens",
+          "quality", Map("src0" -> 500L, "src1" -> 800L,
+            "src2" -> 10000000L, "src3" -> 0L))
+      }),
+
+    // ------------------------------------------------------------------
     // Text stats: length, whitespace, word count. DuckDB len() is BIGINT →
     // CAST to INT to match Spark's IntegerType.
     QueryDef(

@@ -339,6 +339,36 @@ object Streaming {
       .trigger(trigger)
       .start()
 
+  /** Streaming CDC materialization — the change feed's terminal: each
+    * micro-batch folds into a manifest-committed keyed store with
+    * latest-wins semantics ([[graft.etl.Maintenance.applyCdcManifested]]:
+    * highest `seqCol` per key wins, a winning `"D"` deletes, everything
+    * else upserts). foreachBatch + checkpoint gives AT-LEAST-ONCE batch
+    * delivery; latest-wins is stable under re-application, so a replayed
+    * batch rewrites the same logical content and a restart mid-stream
+    * converges to exactly the batch [[graft.etl.Maintenance.applyCdc]]
+    * truth (StreamingSpec proves it across a kill + replay). Readers see
+    * old-or-new per manifest version, never a torn mix.
+    *
+    * State story at scale: NO Spark state store at all — the only state is
+    * the store itself plus the source offsets in the checkpoint; each
+    * micro-batch's work is bounded by the batch size and the touched
+    * partitions, never by stream history.
+    */
+  def materializeCdcStream(changes: DataFrame, keyCols: Seq[String],
+      opCol: String, seqCol: String, partitionCol: String, storeDir: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    changes.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.etl.Maintenance.applyCdcManifested(batch.toDF(), keyCols,
+          opCol, seqCol, partitionCol, storeDir); ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   /** Runs a streaming aggregation to a named in-memory sink with an
     * AvailableNow trigger (process everything currently on disk, then
     * terminate). Callers should `awaitTermination()`, NOT

@@ -198,6 +198,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(user_id"), p)
   }
 
+  test("incremental minhash executes its signature pipeline once: the " +
+    "(band, bucket) exchange is reused across cap agg, new side, and join") {
+    // without the explicit repartition the union subtree (full 32-perm
+    // minhash over corpus + batch) re-executes once per consumer — a silent
+    // 3× of the operator's dominant cost
+    val d = Tables.load(spark, sf, "documents")
+    val df = graft.operators.Dedup.minhashPairsIncremental(
+      d.where(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0),
+      d.where(org.apache.spark.sql.functions.col("doc_id") % 5 === 0),
+      "doc_id", "text")
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan).toString
+    assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage"),
+      s"expected the band/bucket exchange to be reused:\n$p")
+  }
+
   test("surrogate-key windows only ever consume post-distinct inputs " +
     "(row_number over a raw fact would single-partition the corpus)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, LogicalPlan, Window => LWindow}

@@ -365,6 +365,49 @@ class MaintenanceSpec extends SparkSpec {
     assert(snap(twice) === snap(once))
   }
 
+  test("CDC-manifested store: bootstraps from the first batch, deletes drop " +
+    "keys AND fully-emptied partitions, replay is a no-op, untouched " +
+    "partition files stay byte-identical") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_cdc_store_").toString
+    def read(): Set[(Long, Int, String)] =
+      Maintenance.readManifested(spark, store)
+        .select("k", "p", "v").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    def partFiles(p: Int): Map[String, Long] = {
+      val d = new java.io.File(s"$store/data/p=$p")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+
+    val b1 = Seq(
+      (1L, 1, "a", "I", 10L), (2L, 1, "b", "I", 11L),
+      (3L, 2, "c", "I", 12L), (4L, 2, "d", "I", 13L),
+      (5L, 3, "e", "I", 14L))
+      .toDF("k", "p", "v", "op", "seq")
+    Maintenance.applyCdcManifested(b1, Seq("k", "p"), "op", "seq", "p", store)
+    assert(read() === Set((1L, 1, "a"), (2L, 1, "b"), (3L, 2, "c"),
+      (4L, 2, "d"), (5L, 3, "e")))
+    val p3Before = partFiles(3)
+
+    // update k1, delete ALL of partition 2 — its directory must drop out
+    // of the manifest even though the replacement content stages no files
+    val b2 = Seq(
+      (1L, 1, "a2", "U", 20L),
+      (3L, 2, "x", "D", 21L), (4L, 2, "y", "D", 22L))
+      .toDF("k", "p", "v", "op", "seq")
+    Maintenance.applyCdcManifested(b2, Seq("k", "p"), "op", "seq", "p", store)
+    assert(read() === Set((1L, 1, "a2"), (2L, 1, "b"), (5L, 3, "e")))
+
+    // at-least-once replay of the same batch: same logical content
+    Maintenance.applyCdcManifested(b2, Seq("k", "p"), "op", "seq", "p", store)
+    assert(read() === Set((1L, 1, "a2"), (2L, 1, "b"), (5L, 3, "e")))
+
+    // the untouched partition's files were never rewritten
+    assert(partFiles(3) === p3Before, "untouched partition p=3 was rewritten")
+  }
+
   test("CDC apply: a NULL or unknown op never deletes — malformed feed " +
     "rows apply as upserts") {
     import spark.implicits._

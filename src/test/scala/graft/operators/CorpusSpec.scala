@@ -253,6 +253,45 @@ class CorpusSpec extends SparkSpec {
       s"unlisted/null-source rows must pass untouched: $got")
   }
 
+  test("budget select keeps the exact quality-ranked prefix per source; " +
+    "budget gate never exceeds a budget and matches exact when bins resolve") {
+    import spark.implicits._
+    val rows = Seq(
+      // source A, budget 70: cum 40, 70, 100, 110 → keep ids 1, 2 only
+      (1L, Option("A"), 40, 0.9), (2L, Option("A"), 30, 0.8),
+      (3L, Option("A"), 30, 0.7), (4L, Option("A"), 10, 0.6),
+      // source C, budget 100, all-equal quality (one bin, mass 150):
+      // exact form keeps the id-ordered prefix; histogram form can't split
+      // the bin → keeps nothing (fail-closed, documented)
+      (7L, Option("C"), 50, 0.5), (8L, Option("C"), 50, 0.5),
+      (9L, Option("C"), 50, 0.5),
+      (5L, Option("B"), 10, 0.5),              // unlisted source → kept
+      (6L, Option.empty[String], 10, 0.4))     // NULL source → kept
+      .toDF("id", "src", "toks", "q")
+    val budgets = Map("A" -> 70L, "C" -> 100L)
+
+    val sel = Corpus.budgetSelect(rows, "id", "src", "toks", "q", budgets)
+      .collect().map(_.getLong(0)).toSet
+    assert(sel === Set(1L, 2L, 7L, 8L, 5L, 6L)) // C: 50+50 fits, third doesn't
+    val gate = Corpus.budgetGate(rows, "src", "toks", "q", budgets)
+    val gateIds = gate.collect().map(_.getLong(0)).toSet
+    // A's qualities land in distinct bins → exact agreement; C collapses
+    // to one un-splittable bin → dropped wholesale, never overfilled
+    assert(gateIds === Set(1L, 2L, 5L, 6L))
+    // the hard invariant: no budgeted source exceeds its budget
+    val bylSrc = gate.where($"src".isNotNull).groupBy("src").sum("toks")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    budgets.foreach { case (s, b) =>
+      assert(bylSrc.getOrElse(s, 0L) <= b, s"source $s over budget")
+    }
+    // zero budget empties the source in both forms
+    val z = Map("A" -> 0L)
+    assert(!Corpus.budgetSelect(rows, "id", "src", "toks", "q", z)
+      .collect().map(_.getLong(0)).toSet.exists(Set(1L, 2L, 3L, 4L)))
+    assert(!Corpus.budgetGate(rows, "src", "toks", "q", z)
+      .collect().map(_.getLong(0)).toSet.exists(Set(1L, 2L, 3L, 4L)))
+  }
+
   test("quality-quantile gate: NULL-lang docs form their own group instead " +
     "of being silently dropped, and relErr is validated") {
     import spark.implicits._

@@ -281,6 +281,51 @@ class StreamingSpec extends SparkSpec {
     assert(mismatches.count() == 0, "a post-restart session differs from batch truth")
   }
 
+  test("streaming CDC materialization converges to batch applyCdc truth " +
+    "across a restart, and keys deleted mid-stream stay deleted") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_cdc_src_").toString
+    val store = Files.createTempDirectory("graft_cdc_mat_").toString
+    val cp = Files.createTempDirectory("graft_cdc_cp_").toString
+    val d1 = Seq(
+      (1L, 1, "a", "I", 10L), (2L, 1, "b", "I", 11L), (3L, 2, "c", "I", 12L))
+      .toDF("k", "p", "v", "op", "seq")
+    val d2 = Seq(
+      (1L, 1, "a2", "U", 20L),  // update survives
+      (2L, 1, "x", "D", 21L),   // delete wins over the batch-1 insert
+      (4L, 3, "d", "I", 22L))   // brand-new partition appears
+      .toDF("k", "p", "v", "op", "seq")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_cdc_drop_").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(src, name))
+    }
+    def run(): Unit = {
+      val stream = spark.readStream.schema(d1.schema).parquet(src)
+      val q = Streaming.materializeCdcStream(stream, Seq("k", "p"),
+        "op", "seq", "p", store, cp)
+      q.awaitTermination(120000); q.stop()
+    }
+    stage(d1, "b1.parquet")
+    run()                       // first life: applies batch 1 only
+    stage(d2, "b2.parquet")
+    run()                       // second life: checkpoint offsets → ONLY b2
+
+    val got = graft.etl.Maintenance.readManifested(spark, store)
+      .select("k", "p", "v").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // batch truth over the whole feed (seq is monotone across drops, so
+    // sequential per-batch application must equal one-shot application)
+    val truth = graft.etl.Maintenance.applyCdc(
+      d1.drop("op", "seq").limit(0), d1.unionByName(d2), Seq("k", "p"),
+      "op", "seq")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got === truth)
+    assert(got === Set((1L, 1, "a2"), (3L, 2, "c"), (4L, 3, "d")))
+  }
+
   test("streaming rollup maintenance converges to batch truth, touches only " +
     "changed month partitions") {
     import spark.implicits._
