@@ -12,6 +12,20 @@ import org.apache.spark.sql.functions._
 object Dedup {
   import PairGen.groupPairs
 
+  /** No-op aggregate term (always 0, even on an all-NULL column) that
+    * defeats column pruning on a shared exchange: `coalesce(max(c)*0, 0)`
+    * forces the aggregation branch to READ `c`. Where two consumers of one
+    * explicitly-repartitioned relation need identical column sets, this
+    * keeps their Exchange subtrees canonically EQUAL so they plan as one
+    * ReusedExchange — without it the optimizer prunes the aggregation copy
+    * narrower and the upstream (often a whole tokenize→shingle→explode
+    * corpus scan) executes once per consumer. Spark has no rule folding
+    * `e * 0` (NULL semantics), so the guard survives optimization; the cost
+    * is one max accumulator. OperatorsSpec pins the resulting reuse.
+    */
+  private[operators] def pruneGuard(c: Column): Column =
+    coalesce(max(hash(c)).cast("long") * lit(0L), lit(0L))
+
   /** Exact dedup by content hash: groups identical texts, keeps the minimum
     * id as the canonical survivor (deterministic, unlike dropDuplicates).
     * One hash-shuffle; at scale this is the cheapest possible full-corpus op.
@@ -336,12 +350,22 @@ object Dedup {
       spanN: Int = 8): DataFrame = {
     val byDoc = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      // a NULL id can never match the final restore join anyway; filtering
+      // EXPLICITLY here keeps the filter in both consumers of the span
+      // exchange (the left-outer join infers it into its right branch only,
+      // which would make the two exchange copies canonicalize unequal)
+      .where(col("doc_id").isNotNull)
       .select(col("doc_id"),
         arrayBarrier(array_distinct(shinglesFromTokens(col("toks"), spanN))).as("spans"))
       .select(col("doc_id"), size(col("spans")).as("n_spans"),
         explode(col("spans")).as("span"))
       .repartition(col("span"))
-    val df = byDoc.groupBy(col("span")).agg(count(lit(1)).as("df"))
+    // pruneGuard: the df branch must read (doc_id, n_spans) like the join
+    // branch, or the two copies of the span exchange canonicalize unequal
+    // and the span explode runs twice (one extra corpus scan at 100 TB)
+    val df = byDoc.groupBy(col("span"))
+      .agg((count(lit(1)) +
+        Dedup.pruneGuard(struct(col("doc_id"), col("n_spans")))).as("df"))
     val perDoc = byDoc.join(df, "span")
       .groupBy(col("doc_id"), col("n_spans"))
       .agg(sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))

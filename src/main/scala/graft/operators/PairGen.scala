@@ -29,8 +29,11 @@ private[operators] object PairGen {
   def groupPairs(df: DataFrame, keys: Seq[String], payload: Column,
       maxGroup: Int): DataFrame = {
     val keyCols = keys.map(col)
+    // the pruneGuard no-op keeps this count branch reading the SAME columns
+    // as the pair branch below, so both consume one ReusedExchange instead
+    // of re-running the upstream candidate pipeline (see Dedup.pruneGuard)
     val smallGroups = df.groupBy(keyCols: _*)
-      .agg(count(lit(1)).as("__gn"))
+      .agg((count(lit(1)) + Dedup.pruneGuard(payload)).as("__gn"))
       .where(col("__gn") >= 2 && col("__gn") <= maxGroup)
       .select(keyCols: _*)
     df.join(smallGroups, keys)

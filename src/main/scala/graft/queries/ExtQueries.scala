@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Bpe, Components, Corpus, Dedup, Ivf, Similarity}
+import graft.operators.{Bpe, Components, Corpus, Dedup, Ivf, Lm, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -628,6 +628,46 @@ object ExtQueries {
           .orderBy($"n".desc, $"bigram")
           .limit(20)
       }),
+
+    // ------------------------------------------------------------------
+    // Bigram-LM quality scoring (Lm.bigramScore) — the CCNet-style
+    // perplexity filter with an exactly-recomputable count model: mean
+    // ln((c(w1w2)+1)/(c(w1)+V)) per doc. Every per-bigram term is
+    // IEEE-deterministic (integer counts, one divide, one ln); only the
+    // mean's accumulation order varies → snapped 1e-6 (QueryDef rules).
+    // Scale shape: the exploded bigram relation is partitioned once on the
+    // bigram key (count agg + count join share the Exchange), unigram
+    // counts join on the bigram's first word, one doc-keyed re-agg.
+    QueryDef(
+      "q_lm_score",
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+             |                x -> len(x) > 0) AS toks
+             |  FROM documents),
+             |ex AS (SELECT unnest(toks) AS w FROM t),
+             |uni AS (SELECT w, count(*) AS c1 FROM ex GROUP BY 1),
+             |v AS (SELECT count(*) AS vocab FROM uni),
+             |bg AS (
+             |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+             |    THEN list_transform(range(1, len(toks)),
+             |                        i -> array_to_string(toks[i:i+1], ' '))
+             |    ELSE [] END) AS bigram
+             |  FROM t),
+             |bc AS (SELECT bigram, count(*) AS cb FROM bg GROUP BY 1),
+             |sc AS (
+             |  SELECT b.doc_id, ln((c.cb + 1.0) / (u.c1 + v.vocab)) AS logp
+             |  FROM bg b
+             |  JOIN bc c ON b.bigram = c.bigram
+             |  JOIN uni u ON split_part(b.bigram, ' ', 1) = u.w
+             |  CROSS JOIN v),
+             |agg AS (
+             |  SELECT doc_id, count(*) AS n, avg(logp) AS m FROM sc GROUP BY 1)
+             |SELECT t.doc_id,
+             |  CAST(COALESCE(a.n, 0) AS INT) AS n_bigrams,
+             |  FLOOR(a.m * 1000000 + 0.5) / 1000000 AS lm_logp
+             |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin),
+      (s, dir) => Lm.bigramScore(docs(s, dir), "doc_id", "text")),
 
     // ------------------------------------------------------------------
     // Language-ID heuristic: stopword-marker argmax with fixed tie order.

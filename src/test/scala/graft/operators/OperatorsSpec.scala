@@ -202,4 +202,48 @@ class OperatorsSpec extends SparkSpec {
       1L -> ((2L, true)), 2L -> ((0L, false)),
       3L -> ((1L, true)), 4L -> ((0L, false))), got.toString)
   }
+
+  test("bigramScore matches the hand-computed add-one bigram model and " +
+    "reuses the bigram exchange between count agg and join") {
+    // corpus: unigrams a=4 b=3, V=2; bigrams "a b"=2, "b a"=2
+    val lmDocs = Seq(
+      (1L, "a b a"), // bigrams: "a b", "b a"
+      (2L, "a"),     // no bigrams -> NULL score, 0 count
+      (3L, "b a b")) // bigrams: "b a", "a b"
+      .toDF("doc_id", "text")
+    val df = Lm.bigramScore(lmDocs, "doc_id", "text")
+    val got = df.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    def snap(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // "a b": ln((2+1)/(4+2)); "b a": ln((2+1)/(3+2)); both docs average the
+    // same two terms
+    val exp = snap((math.log(3.0 / 6.0) + math.log(3.0 / 5.0)) / 2.0)
+    assert(got == Map(
+      1L -> ((2, Some(exp))), 2L -> ((0, None)), 3L -> ((2, Some(exp)))),
+      got.toString)
+
+    // the explicit repartition on the bigram key must be shared by the
+    // count aggregation and the join back (one exchange, not two runs of
+    // the explode) — the dupSpanStats ReusedExchange contract. At toy scale
+    // AQE broadcasts the count side (which re-executes the tiny explode —
+    // fine there); disable broadcast to assert the AT-SCALE shape, where the
+    // count relation is corpus-sized and the join must sit on the shared
+    // hashpartitioning.
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      val df2 = Lm.bigramScore(lmDocs, "doc_id", "text")
+      df2.collect()
+      val p = df2.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case other => other.toString
+      }
+      assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage"),
+        s"expected the bigram exchange to be reused:\n$p")
+    } finally spark.conf.set(thresholdKey, prev)
+  }
 }
