@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's TPC-H-ish testdata (TESTDATA.md / FIXTURES.md §B).
   *
@@ -20,16 +21,25 @@ object Tables {
   val all: Seq[String]   = dims ++ facts ++ ext
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects outright;
-    // read it as a long (ns since epoch) and truncate to µs exactly like
-    // DuckDB's CAST(ts_ns AS TIMESTAMP) so oracle comparisons agree.
-    // The flag is session-wide and there is no per-read option for it, so it
-    // is set unconditionally here — behavior must not depend on whether the
-    // events table happened to be loaded first.
+    // events.ts encoding has varied across testdata generations:
+    // TIMESTAMP(NANOS) (which Spark 4 rejects unless read as a long) and
+    // plain timestamp[us] (read as TIMESTAMP_NTZ). Normalize BOTH to a
+    // µs-precision instant TimestampType so every downstream query and the
+    // DuckDB oracle (CAST(ts AS TIMESTAMP)) agree regardless of generation.
+    // The nanosAsLong flag is session-wide with no per-read option, so it is
+    // set unconditionally — behavior must not depend on load order.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if (name == "events") {
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.schema("ts").dataType match {
+        // ns-as-long: truncate to µs exactly like DuckDB CAST(ns AS TIMESTAMP)
+        case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // µs wall-clock: session tz is UTC, so NTZ → instant is exact
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType    => df
+        case other =>
+          throw new IllegalStateException(s"events.ts: unsupported parquet type $other")
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

@@ -20,6 +20,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       // remove any stale output FIRST: if this round's build breaks the
       // query, a previous round's parquet must not pass the compare for it
@@ -36,8 +37,15 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += (name -> Option(e.getMessage).getOrElse(e.getClass.getName))
       }
     }
+    // Sidecar of build/run failures: a query that fails here must show up in
+    // the correctness artifact as broken, not silently vanish from it.
+    val failedJson = failed.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${JsonOut.quote(k)}: ${JsonOut.quote(v.take(500))}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failed.json"), failedJson)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${JsonOut.quote(k)}: ${JsonOut.quote(v)}" }
       .mkString("{", ",", "}")
