@@ -97,12 +97,23 @@ object Bench {
     // SUBTRACT time and make a broken build look faster)
     val total = results.map(_._2).filter(_ >= 0).sum
     def sweepTotal(s: Seq[(String, Double)]) = s.map(_._2).filter(_ >= 0).sum
+    // Bench-validity flag: identical work three times should produce nearly
+    // identical sweep totals; a max/min ratio over 1.5 means the container
+    // was contended during at least one sweep and medians inherit the
+    // second-worst sweep — readers should discount regressions accordingly
+    // (round 6: sweeps of 1462s/190s/461s inflated most medians 2-4x).
+    val sweepTotals = sweeps.map(sweepTotal)
+    val dispersion =
+      if (sweepTotals.min > 0) sweepTotals.max / sweepTotals.min else -1.0
+    val validity = if (dispersion > 0 && dispersion <= 1.5) "clean" else "contended"
     val json = s"""{"metric":"total","value":$total,"unit":"sec"""" +
       s""","queries":${jmap(results)}""" +
       s""","spread":${jmap(spreads)}""" +
       s""","subtimings":${jmap(subtimings)}""" +
       s""","plan_hashes":${jmap(planHashes)}""" +
-      s""","sweep_totals":[${sweeps.map(sweepTotal).mkString(",")}]""" +
+      s""","sweep_totals":[${sweepTotals.mkString(",")}]""" +
+      s""","sweep_dispersion":$dispersion""" +
+      s""","bench_validity":${JsonOut.quote(validity)}""" +
       s""","sf":${JsonOut.quote(sfDir)}}"""
     println(json)
     // Also self-record to a file: a stdout tail capture can truncate

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, each designed for the
@@ -377,5 +378,60 @@ object Dedup {
         when(col("n_spans") > 0,
           col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
           .otherwise(lit(0.0)).as("dup_span_ratio"))
+  }
+
+  /** Per-document LONGEST duplicated-run statistics — the actionable
+    * remove-the-span depth signal from Lee et al. ("Deduplicating Training
+    * Data Makes Language Models Better"): [[dupSpanStats]] says how MUCH of
+    * a document is duplicated elsewhere; this says how CONTIGUOUS the
+    * duplication is. A doc whose dup spans are scattered single shingles is
+    * quote-noise; a doc with a 200-span consecutive run contains a literal
+    * copied passage whose exact token range a pipeline can excise. Returns
+    * `(doc_id, max_dup_run, max_dup_run_tokens)` for EVERY input doc:
+    * `max_dup_run` = length (in spans) of the longest run of consecutive
+    * token positions whose `spanN`-gram also appears in ≥1 OTHER document,
+    * and `max_dup_run_tokens` = the token length of that passage
+    * (run + spanN − 1), both 0 when nothing is duplicated.
+    *
+    * Shape at 100 TB: the same single span exchange as [[dupSpanStats]]
+    * (posexplode → repartition(span), document-frequency agg + join-back
+    * sharing one ReusedExchange), then gaps-and-islands per doc: dup
+    * positions only, `pos − row_number()` groups consecutive positions, two
+    * doc-keyed aggregations. The window partitions by doc id — bounded by
+    * the longest document, never corpus-sized — and everything after the df
+    * join has shed the span strings. df counts DOCUMENT frequency
+    * (count_distinct doc), so in-doc repetition alone never marks a run.
+    */
+  def dupRunStats(docs: DataFrame, idCol: String, textCol: String,
+      spanN: Int = 8): DataFrame = {
+    val byDoc = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .where(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        arrayBarrier(shinglesFromTokens(col("toks"), spanN)).as("spans"))
+      .select(col("doc_id"), posexplode(col("spans")))
+      .withColumnRenamed("col", "span")
+      .repartition(col("span"))
+    // pruneGuard: keep the df branch reading (doc_id, pos) like the join
+    // branch so the two copies of the span exchange canonicalize equal
+    // (same double-corpus-scan trap as dupSpanStats). HashPartitioning(span)
+    // satisfies the distinct-agg's ClusteredDistribution(span, doc_id), so
+    // the count_distinct re-uses the exchange without an extra shuffle.
+    val df = byDoc.groupBy(col("span"))
+      .agg((count_distinct(col("doc_id")) +
+        Dedup.pruneGuard(struct(col("doc_id"), col("pos")))).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = byDoc.join(df, "span")
+      .where(col("df") >= 2)
+      .select(col("doc_id"), col("pos"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id")).agg(max(col("run")).as("max_dup_run"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"),
+        coalesce(col("max_dup_run") + lit(spanN - 1).cast("long"), lit(0L))
+          .as("max_dup_run_tokens"))
   }
 }

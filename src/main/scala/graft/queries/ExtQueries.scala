@@ -1066,6 +1066,43 @@ object ExtQueries {
       (s, dir) => Dedup.dupSpanStats(docs(s, dir), "doc_id", "text")),
 
     // ------------------------------------------------------------------
+    // Longest duplicated RUN per doc (Dedup.dupRunStats): gaps-and-islands
+    // over positional dup spans — the excisable-passage depth signal from
+    // Lee et al. that dup_span_ratio can't express (scattered quotes vs one
+    // literal copied block). Fully ANSI: positional spans via DuckDB's
+    // zipped generate_subscripts+unnest ≡ Spark posexplode (offset differs
+    // by 1 but pos − row_number() is offset-invariant), document frequency
+    // via count(DISTINCT doc_id), identical window/group chain. Types
+    // pinned BIGINT both engines (Spark count/max are long).
+    QueryDef(
+      "q_dedup_runs",
+      Some("""WITH sh AS (
+             |  SELECT doc_id, CASE WHEN len(t) >= 8
+             |         THEN list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))
+             |         ELSE [] END AS spans
+             |  FROM (SELECT doc_id,
+             |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+             |        FROM documents)
+             |), ex AS (
+             |  SELECT doc_id, generate_subscripts(spans, 1) AS pos, unnest(spans) AS span FROM sh
+             |), df AS (
+             |  SELECT span, count(DISTINCT doc_id) AS df FROM ex GROUP BY 1
+             |), islands AS (
+             |  SELECT e.doc_id,
+             |         e.pos - row_number() OVER (PARTITION BY e.doc_id ORDER BY e.pos) AS grp
+             |  FROM ex e JOIN df d ON e.span = d.span WHERE d.df >= 2
+             |), runs AS (
+             |  SELECT doc_id, max(run) AS max_dup_run FROM (
+             |    SELECT doc_id, grp, count(*) AS run FROM islands GROUP BY 1, 2)
+             |  GROUP BY 1
+             |)
+             |SELECT s.doc_id,
+             |  CAST(COALESCE(r.max_dup_run, 0) AS BIGINT) AS max_dup_run,
+             |  CAST(COALESCE(r.max_dup_run + 7, 0) AS BIGINT) AS max_dup_run_tokens
+             |FROM sh s LEFT JOIN runs r ON s.doc_id = r.doc_id""".stripMargin),
+      (s, dir) => Dedup.dupRunStats(docs(s, dir), "doc_id", "text")),
+
+    // ------------------------------------------------------------------
     // Near-dup CLUSTERING: connected components over the Jaccard pair graph
     // (Components.connectedComponents, min-label propagation) + canonical
     // selection — the step that turns pairs into delete decisions; A~B~C

@@ -112,6 +112,58 @@ class OperatorsSpec extends SparkSpec {
     assert(solo.getLong(2) == 0L)
   }
 
+  test("dupRunStats finds the LONGEST consecutive dup run, not the total") {
+    // 9-token fixture docs, spanN = 8 → 2 spans each: 1/4 identical (both
+    // spans dup, consecutive → run 2 = 9 tokens), 2 shares only span 0
+    // (run 1 = 8 tokens), 3 span-less, 5 unique
+    val got = Dedup.dupRunStats(docs, "doc_id", "text", spanN = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((2L, 9L)))
+    assert(got(2L) == ((1L, 8L)))
+    assert(got(3L) == ((0L, 0L)))
+    assert(got(4L) == ((2L, 9L)))
+    assert(got(5L) == ((0L, 0L)))
+
+    // two separated dup blocks must report the LONGER one, never the sum:
+    // docA = 8-token block X + gap + 10-token block Y; X appears in docB
+    // (1 dup span), Y in docC (3 consecutive dup spans → 10 tokens)
+    val x = (1 to 8).map(i => s"x$i").mkString(" ")
+    val y = (1 to 10).map(i => s"y$i").mkString(" ")
+    val split = Seq(
+      (10L, s"$x gap $y"), (11L, x), (12L, y)).toDF("doc_id", "text")
+    val g2 = Dedup.dupRunStats(split, "doc_id", "text", spanN = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(g2(10L) == ((3L, 10L)), g2.toString) // block Y, not 1+3
+    assert(g2(11L) == ((1L, 8L)))
+    assert(g2(12L) == ((3L, 10L)))
+
+    // in-doc self-repetition alone never marks a run (document frequency)
+    val selfRep = Seq((9L, "a b c d e f g h a b c d e f g h")).toDF("doc_id", "text")
+    val solo = Dedup.dupRunStats(docs.unionByName(selfRep), "doc_id", "text", spanN = 8)
+      .where($"doc_id" === 9L).collect().head
+    assert(solo.getLong(1) == 0L)
+  }
+
+  test("dupRunStats shares ONE span exchange between df agg and join-back") {
+    // same at-scale contract as dupSpanStats/bigramScore: broadcast off so
+    // the df side must sit on the shared hashpartitioning(span) exchange
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      val df = Dedup.dupRunStats(docs, "doc_id", "text", spanN = 8)
+      df.collect()
+      val p = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case other => other.toString
+      }
+      assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage"),
+        s"expected the span exchange to be reused:\n$p")
+    } finally spark.conf.set(thresholdKey, prev)
+  }
+
   test("vector ops: dot/norm/cosine on known vectors") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f)),

@@ -326,6 +326,81 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((1L, 1, "a2"), (3L, 2, "c"), (4L, 3, "d")))
   }
 
+  test("manifested store serves consistent old-or-new reads WHILE a CDC " +
+    "stream commits (live-append reader atomicity)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val src = Files.createTempDirectory("graft_cdc_live_src_").toString
+    val store = Files.createTempDirectory("graft_cdc_live_mat_").toString
+    val cp = Files.createTempDirectory("graft_cdc_live_cp_").toString
+    val nBatches = 4
+    // batch b rewrites ALL four keys (one per partition) to v = b, so any
+    // committed version is "all rows carry the same v" — a reader that ever
+    // sees two v values in one read caught a torn commit
+    def batch(b: Int) = (1 to 4).map(p => (p.toLong, p, b, "U", b.toLong))
+      .toDF("k", "p", "v", "op", "seq")
+    def stage(b: Int): Unit = {
+      val tmp = Files.createTempDirectory("graft_cdc_live_drop_").toString
+      batch(b).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(src, s"b$b.parquet"))
+    }
+
+    @volatile var stopReader = false
+    @volatile var latestSeen = -1
+    val violations = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reader = new Thread(() => {
+      while (!stopReader) {
+        try {
+          val vs = graft.etl.Maintenance.readManifested(spark, store)
+            .select("v").collect().map(_.getInt(0)).toSeq
+          if (vs.nonEmpty) {
+            if (vs.distinct.size != 1)
+              violations.add(s"torn read: ${vs.sorted.mkString(",")}")
+            else if (vs.size != 4)
+              violations.add(s"partial read: ${vs.size} rows of v=${vs.head}")
+            else {
+              if (vs.head < latestSeen)
+                violations.add(s"version went BACKWARD: ${vs.head} after $latestSeen")
+              latestSeen = math.max(latestSeen, vs.head)
+            }
+          }
+        } catch {
+          // before the first commit there is no manifest yet — not a tear
+          case _: IllegalArgumentException =>
+          case e: Throwable => violations.add(s"read threw: ${e.getMessage}")
+        }
+      }
+    })
+
+    val stream = spark.readStream.schema(batch(1).schema).parquet(src)
+    val q = Streaming.materializeCdcStream(stream, Seq("k", "p"),
+      "op", "seq", "p", store, cp,
+      trigger = Trigger.ProcessingTime("50 milliseconds"))
+    reader.start()
+    try {
+      (1 to nBatches).foreach { b =>
+        stage(b)
+        // gate the next drop on the READER having observed this version:
+        // guarantees the reader thread races every single commit
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (latestSeen < b && System.nanoTime() < deadline) Thread.sleep(20)
+        assert(latestSeen >= b, s"reader never observed v=$b")
+      }
+    } finally {
+      q.stop()
+      stopReader = true
+      reader.join(30000)
+    }
+    assert(violations.isEmpty, violations.toArray.mkString("; "))
+    assert(latestSeen == nBatches)
+    // final state is exactly batch truth
+    val fin = graft.etl.Maintenance.readManifested(spark, store)
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(fin == (1 to 4).map(k => (k.toLong, nBatches)).toSet)
+  }
+
   test("streaming rollup maintenance converges to batch truth, touches only " +
     "changed month partitions") {
     import spark.implicits._
