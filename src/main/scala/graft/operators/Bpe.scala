@@ -135,4 +135,51 @@ object Bpe {
     words.unpersist()
     merges.result()
   }
+
+  /** CORPUS tokenization under a trained (or shipped) merge table — the
+    * step that turns the learned vocabulary into actual per-document token
+    * counts, replacing `q_token_count`'s regex ESTIMATE with the real
+    * tokenizer's arithmetic. Returns `(doc_id, n_words, n_tokens)` for
+    * every input doc (zero-word docs report 0 / 0).
+    *
+    * Shape at 100 TB — encode the VOCABULARY, not the corpus: terms explode
+    * once into a single word-keyed exchange shared by all three consumers
+    * (per-(doc,word) occurrence counts, the distinct-word relation the merge
+    * fold actually runs on, and the join stitching them back —
+    * `HashPartitioning(word)` satisfies every one of their distributions, so
+    * the whole encode costs ONE corpus shuffle plus a doc-keyed re-agg).
+    * The merge fold ([[applyMerges]]) touches only distinct words: a word
+    * appearing a billion times is encoded once. In-plan, no driver state,
+    * no UDF.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    import graft.functions.TextFunctions.{arrayBarrier, termsAlnum}
+    val terms = docs
+      .select(col(idCol).as("doc_id"),
+        explode(arrayBarrier(termsAlnum(col(textCol)))).as("word"))
+      .where(col("doc_id").isNotNull)
+      .repartition(col("word"))
+    val occurrences = terms.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    // pruneGuard: the vocab branch must read doc_id like the occurrence
+    // branch, or the two copies of the word exchange canonicalize unequal
+    // and the term explode runs twice (same trap as Dedup.dupSpanStats).
+    // The guard term (always 0) is folded INTO n_subtoks — as a dropped
+    // column it would itself be pruned away, taking doc_id with it
+    val vocab = terms.groupBy(col("word"))
+      .agg(Dedup.pruneGuard(struct(col("doc_id"))).as("__g"))
+      .select(col("word"),
+        (size(applyMerges(splitChars(col("word")), merges)) + col("__g"))
+          .as("n_subtoks"))
+    val perDoc = occurrences.join(vocab, "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_subtoks").cast("long")).as("n_tokens"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
 }

@@ -174,6 +174,28 @@ object ExtQueries {
       |           ELSE 0.0 END * 0.4
       |    + CASE WHEN length(text) BETWEEN 20 AND 10000 THEN 0.2 ELSE 0.0 END""".stripMargin
 
+  /** The fixed merge table q_bpe_encode ships (applied in order; includes
+    * the chained (t,h)→(th,e) case so merge-on-merged-symbol is exercised).
+    * ONE definition feeds both the Spark fold and the generated DuckDB
+    * regex chain below, so the two sides can never encode different
+    * tokenizers.
+    */
+  private val bpeEncodeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"))
+
+  /** DuckDB expression encoding one word `w` under [[bpeEncodeMerges]]:
+    * chars space-joined, then one non-overlapping global regexp_replace per
+    * merge in application order — bit-equivalent to [[Bpe.mergePair]]'s
+    * greedy left-to-right disjoint fold (see q_bpe_encode's comment).
+    * Merges are alnum so no regex escaping is needed.
+    */
+  private val bpeEncodeRegexSql: String =
+    bpeEncodeMerges.foldLeft(
+      "array_to_string(list_transform(range(1, len(w)+1), i -> w[i]), ' ')") {
+      case (acc, (a, b)) => s"regexp_replace($acc, '\\b$a $b\\b', '$a$b', 'g')"
+    }
+
   /** Per-language marker-hit counts (shared by q_lang_id and
     * q_corpus_funnel_exact — same single-source rationale).
     */
@@ -759,6 +781,32 @@ object ExtQueries {
           .orderBy($"cnt".desc, $"left_sym", $"right_sym")
           .limit(20)
       }),
+
+    // ------------------------------------------------------------------
+    // CORPUS tokenization under a shipped merge table (Bpe.encode): real
+    // per-doc token counts from the trained tokenizer, replacing
+    // q_token_count's regex estimate. The merge table here is a FIXED
+    // literal (production encodes with a SHIPPED tokenizer; the
+    // train→encode composition is BpeSpec's job), which is what makes the
+    // full DuckDB oracle possible: greedy left-to-right disjoint pair
+    // merging over a symbol array ≡ non-overlapping global regexp_replace
+    // of '\bA B\b'→'AB' on the space-joined symbol string, applied once
+    // per merge in order (regex scans resume AFTER each replacement —
+    // exactly the fold's disjointness; symbols are alnum so \b can never
+    // split one). Both engines then just count symbols. An INDEPENDENT
+    // re-derivation: Spark folds per-symbol aggregates, DuckDB rewrites
+    // strings — agreement pins the merge semantics, not the encoding.
+    QueryDef(
+      "q_bpe_encode",
+      Some(s"""WITH words AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(ws) AS BIGINT) AS n_words,
+             |  CAST(COALESCE(list_sum(list_transform(ws, w ->
+             |    len(string_split($bpeEncodeRegexSql, ' ')))), 0) AS BIGINT) AS n_tokens
+             |FROM words""".stripMargin),
+      (s, dir) => Bpe.encode(docs(s, dir), "doc_id", "text", bpeEncodeMerges)),
 
     // ------------------------------------------------------------------
     // Deterministic training-shard assignment — [[Corpus.shardAssign]]:

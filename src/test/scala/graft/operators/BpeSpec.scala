@@ -78,6 +78,57 @@ class BpeSpec extends SparkSpec {
     assert(got === refSyms)
   }
 
+  test("encode: per-doc token counts under a trained merge table match the " +
+    "reference, zero-word docs report 0/0, occurrences weighted") {
+    import spark.implicits._
+    val trainDf = corpus.toDF("text")
+    val merges = Bpe.train(trainDf, "text", numMerges = 6)
+    assert(merges.nonEmpty)
+    def refEncode(w: String): Vector[String] =
+      merges.foldLeft(w.toVector.map(_.toString))(refMergeGreedy)
+
+    val docs = Seq(
+      (1L, "banana bandana banana"),   // repeated word: counted 2x
+      (2L, "the cabbage"),
+      (3L, "???"),                     // no alnum terms → 0/0
+      (4L, "")).toDF("doc_id", "text")
+    val got = Bpe.encode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def want(text: String): (Long, Long) = {
+      val ws = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+      (ws.size.toLong, ws.map(refEncode(_).size.toLong).sum)
+    }
+    assert(got(1L) == want("banana bandana banana"))
+    assert(got(1L)._1 == 3L)
+    assert(got(2L) == want("the cabbage"))
+    assert(got(3L) == ((0L, 0L)))
+    assert(got(4L) == ((0L, 0L)))
+    // non-vacuous: merging actually shrank something below char count
+    // (banana-family words definitely trained merges on this corpus)
+    assert(got(1L)._2 < "bananabandanabanana".length)
+  }
+
+  test("encode shares ONE word exchange between vocab, occurrences, and " +
+    "the join back") {
+    import spark.implicits._
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val df = Bpe.encode(docs, "doc_id", "text", Seq(("a", "n"), ("an", "a")))
+      df.collect()
+      val p = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case other => other.toString
+      }
+      assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage"),
+        s"expected the word exchange to be reused:\n$p")
+    } finally spark.conf.set(thresholdKey, prev)
+  }
+
   test("trainer exhausts cleanly when no pair clears minPairFreq, and " +
     "edge words symbolize safely") {
     import spark.implicits._
