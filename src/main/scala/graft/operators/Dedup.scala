@@ -380,6 +380,32 @@ object Dedup {
           .otherwise(lit(0.0)).as("dup_span_ratio"))
   }
 
+  /** The most-copied passages themselves — the diagnostic that tells a
+    * pipeline operator WHAT the boilerplate is before deciding what
+    * [[dupSpanStats]]/[[dupRunStats]] should excise: every distinct
+    * `spanN`-token span appearing in ≥2 documents, with its document
+    * frequency and the minimum doc id as a stable example. Callers rank by
+    * (df DESC, span) and limit — `orderBy.limit` plans as
+    * TakeOrderedAndProject (per-partition top-k, then a k-row merge on the
+    * driver; never a global sort).
+    *
+    * Shape at 100 TB: identical front half to [[dupSpanStats]] (per-doc
+    * distinct spans, so a span repeated inside one doc counts once), one
+    * span-keyed shuffle with map-side partial aggregation, output bounded
+    * by the duplicated-span vocabulary.
+    */
+  def topDupPassages(docs: DataFrame, idCol: String, textCol: String,
+      spanN: Int = 8): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .where(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        explode(arrayBarrier(array_distinct(shinglesFromTokens(col("toks"), spanN))))
+          .as("span"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("example_doc"))
+      .where(col("df") >= 2)
+
   /** Per-document LONGEST duplicated-run statistics — the actionable
     * remove-the-span depth signal from Lee et al. ("Deduplicating Training
     * Data Makes Language Models Better"): [[dupSpanStats]] says how MUCH of

@@ -1114,6 +1114,37 @@ object ExtQueries {
       (s, dir) => Dedup.dupSpanStats(docs(s, dir), "doc_id", "text")),
 
     // ------------------------------------------------------------------
+    // The most-copied passages themselves (Dedup.topDupPassages): the
+    // "what IS the boilerplate" diagnostic — top-20 8-token spans by
+    // document frequency (per-doc distinct, so in-doc repetition counts
+    // once), min doc id as a stable example. Total (df DESC, span) order
+    // makes the LIMIT boundary deterministic; orderBy+limit plans as
+    // TakeOrderedAndProject, never a global sort. Same list-slice
+    // correspondence as the q_dedup_spans oracle.
+    QueryDef(
+      "q_dedup_passages",
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct(
+             |    CASE WHEN len(t) >= 8
+             |         THEN list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))
+             |         ELSE [] END) AS spans
+             |  FROM (SELECT doc_id,
+             |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+             |        FROM documents)
+             |), ex AS (
+             |  SELECT doc_id, unnest(spans) AS span FROM sh
+             |)
+             |SELECT span, CAST(count(*) AS BIGINT) AS df,
+             |       min(doc_id) AS example_doc
+             |FROM ex GROUP BY span HAVING count(*) >= 2
+             |ORDER BY df DESC, span LIMIT 20""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        Dedup.topDupPassages(docs(s, dir), "doc_id", "text")
+          .orderBy($"df".desc, $"span").limit(20)
+      }),
+
+    // ------------------------------------------------------------------
     // Longest duplicated RUN per doc (Dedup.dupRunStats): gaps-and-islands
     // over positional dup spans — the excisable-passage depth signal from
     // Lee et al. that dup_span_ratio can't express (scattered quotes vs one

@@ -369,6 +369,106 @@ object Streaming {
       .trigger(trigger)
       .start()
 
+  /** One micro-batch of the streaming near-dup gate (the foreachBatch body
+    * of [[dedupNearStream]], package-visible so the batch semantics are
+    * spec-testable without a stream): MinHash-band every incoming doc,
+    * drop any doc whose bucket collides with the AT-REST LSH index (the
+    * same `(doc_id, band, bucket)` relation
+    * [[graft.operators.Dedup.minhashBandBuckets]] builds and
+    * `minhashPairsIncremental` treats as the persistable index) or with a
+    * smaller-id doc in the SAME batch, then append survivors' rows to
+    * `outDir` and their band buckets to the index.
+    *
+    * Write order is index-BEFORE-output on purpose: under foreachBatch's
+    * at-least-once replay, a replayed batch's docs collide with their own
+    * now-indexed buckets and drop — the output can never accumulate
+    * duplicates (the gate's whole contract). The cost is the narrow crash
+    * window between the two writes, where a doc is indexed but not output
+    * — a dedup gate prefers losing one boundary doc over emitting dups.
+    *
+    * Scale shape: per-batch work is the batch's signature pipeline plus
+    * one semi-join against the index, bucketed on (band, bucket) — bounded
+    * by batch size, never by stream history; no Spark state store (the
+    * state IS the index, exactly the materializeCdcStream philosophy).
+    */
+  private[graft] def applyNearDedupBatch(batch: DataFrame, idCol: String,
+      textCol: String, indexDir: String, outDir: String,
+      shingleN: Int, nPerms: Int, nBands: Int): Unit = {
+    import graft.functions.TextFunctions.tokens
+    val spark = batch.sparkSession
+    val b = batch.persist()
+    try {
+      val bands = graft.operators.Dedup.minhashBandBuckets(
+        b.select(col(idCol).cast("long").as("doc_id"),
+          tokens(col(textCol)).as("toks")),
+        shingleN, nPerms, nBands).persist()
+      try {
+        val index: DataFrame = {
+          val p = new org.apache.hadoop.fs.Path(indexDir)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+            spark.read.parquet(indexDir)
+          else bands.limit(0)
+        }
+        val hitIndex = bands
+          .join(index.select(col("band"), col("bucket")),
+            Seq("band", "bucket"), "left_semi")
+          .select(col("doc_id")).distinct()
+        // within-batch: the smallest doc id in each bucket is the keeper
+        val keeper = bands.groupBy(col("band"), col("bucket"))
+          .agg(min(col("doc_id")).as("keep_id"))
+        val hitBatch = bands.join(keeper, Seq("band", "bucket"))
+          .where(col("doc_id") > col("keep_id"))
+          .select(col("doc_id")).distinct()
+        val dropped = hitIndex.unionByName(hitBatch).distinct()
+        // EAGER localCheckpoint, not persist: `passing`'s lineage reads the
+        // index, and the index append below would otherwise be visible to
+        // any partition recomputed during the later output write — a doc
+        // would collide with its OWN just-appended buckets and silently
+        // vanish from the output (read-your-own-write). Checkpointing
+        // severs the lineage BEFORE the append; a lost block then fails
+        // loudly instead of recomputing through the mutated index.
+        val passing = b.join(
+          dropped.select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
+          .localCheckpoint()
+        try {
+          if (!passing.isEmpty) {
+            bands.join(passing.select(col(idCol).cast("long").as("doc_id")),
+                Seq("doc_id"), "left_semi")
+              .write.mode("append").parquet(indexDir)
+            passing.write.mode("append").parquet(outDir)
+          }
+        } finally passing.queryExecution.analyzed.collect {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+        }.foreach(_.unpersist(blocking = false))
+      } finally bands.unpersist(blocking = false)
+    } finally b.unpersist(blocking = false)
+  }
+
+  /** Streaming near-duplicate gate — the LLM-pipeline front door that keeps
+    * a crawl stream clean AS IT ARRIVES instead of re-deduplicating the
+    * corpus after the fact: each micro-batch is MinHash-banded, collided
+    * docs (vs the at-rest LSH index OR a smaller-id doc in the same batch)
+    * are dropped, survivors land in `outDir` and their buckets join the
+    * index — so batch N+1 dedups against everything batch N admitted.
+    * Recall-oriented like every LSH gate: a bucket collision is treated as
+    * a duplicate without verifying Jaccard (tune nPerms/nBands for the
+    * false-positive rate the pipeline tolerates).
+    */
+  def dedupNearStream(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, outDir: String, checkpoint: String,
+      shingleN: Int = 3, nPerms: Int = 32, nBands: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        applyNearDedupBatch(batch.toDF(), idCol, textCol, indexDir, outDir,
+          shingleN, nPerms, nBands)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   /** Runs a streaming aggregation to a named in-memory sink with an
     * AvailableNow trigger (process everything currently on disk, then
     * terminate). Callers should `awaitTermination()`, NOT

@@ -401,6 +401,54 @@ class StreamingSpec extends SparkSpec {
     assert(fin == (1 to 4).map(k => (k.toLong, nBatches)).toSet)
   }
 
+  test("streaming near-dup gate drops intra-batch and cross-batch " +
+    "collisions, and a full replay admits nothing twice") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_neardup_src_").toString
+    val idx = Files.createTempDirectory("graft_neardup_idx_").toString
+    val out = Files.createTempDirectory("graft_neardup_out_").toString
+    val cp = Files.createTempDirectory("graft_neardup_cp_").toString
+    val dog = "the quick brown fox jumps over the lazy dog"
+    def stage(rows: Seq[(Long, String)], name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_neardup_drop_").toString
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(src, name))
+    }
+    def run(checkpoint: String): Unit = {
+      val stream = spark.readStream
+        .schema(Seq((1L, "x")).toDF("doc_id", "text").schema).parquet(src)
+      val q = Streaming.dedupNearStream(stream, "doc_id", "text",
+        idx, out, checkpoint, shingleN = 3, nPerms = 16, nBands = 8)
+      q.awaitTermination(120000); q.stop()
+    }
+    def admitted(): Set[Long] =
+      spark.read.parquet(out).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+
+    // batch 1: doc 2 is an exact dup of doc 1 (guaranteed all-band
+    // collision); doc 3 is distinct content
+    stage(Seq(1L -> dog, 2L -> dog,
+      3L -> "completely different content about spark engines"), "b1.parquet")
+    run(cp)
+    assert(admitted() == Set(1L, 3L))
+
+    // batch 2: doc 4 duplicates batch 1's doc 1 ACROSS batches (caught by
+    // the at-rest index, not by anything in this batch); doc 5 is new
+    stage(Seq(4L -> dog,
+      5L -> "el gato que duerme en la casa de la abuela"), "b2.parquet")
+    run(cp)
+    assert(admitted() == Set(1L, 3L, 5L))
+
+    // full replay with a FRESH checkpoint re-processes both drops: every
+    // doc now collides with its own indexed buckets — nothing admitted
+    // twice, the output stays duplicate-free (the index-first contract)
+    run(Files.createTempDirectory("graft_neardup_cp2_").toString)
+    assert(admitted() == Set(1L, 3L, 5L))
+  }
+
   test("streaming rollup maintenance converges to batch truth, touches only " +
     "changed month partitions") {
     import spark.implicits._
