@@ -20,9 +20,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     counting is always expressed as COUNT(CASE ...) in oracles;
   *   - calendar parts are CAST to INT on the DuckDB side (its date parts are
   *     BIGINT, Spark's are INT);
-  *   - nanosecond timestamps (events.ts) are compared through
-  *     unix_micros ↔ epoch_us(CAST(ts AS TIMESTAMP)) since Spark truncates
-  *     parquet ns → µs on read.
+  *   - events.ts is µs-precision in both engines regardless of the
+  *     testdata generation's parquet encoding ([[Tables.load]] normalizes
+  *     ns-as-long by truncation and TIMESTAMP_NTZ by UTC-instant cast, both
+  *     to µs TimestampType; DuckDB reads the same file natively at µs), so
+  *     unix_micros ↔ epoch_us(CAST(ts AS TIMESTAMP)) is exact — tie
+  *     boundaries in as-of joins / resampling agree bit-for-bit.
   */
 final case class QueryDef(
     name: String,

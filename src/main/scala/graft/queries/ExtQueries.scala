@@ -255,7 +255,14 @@ object ExtQueries {
   val operatorOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_lsh" -> (lshTopKOp(_, _)),
     "q_sim_neardup" -> (nearDupPairsOp(_, _)),
-    "q_dedup_incremental" -> (incrementalPairsOp(_, _)))
+    "q_dedup_incremental" -> (incrementalPairsOp(_, _)),
+    // declared minhash/simhash entries run the exact Jaccard truth side
+    // in-plan for their recall flag — bench trends should also see the
+    // bare operator (winnow's declared entry is already bare)
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(docs(s, dir), "doc_id", "text")),
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text")))
 
   val defs: Seq[QueryDef] = Seq(
 
