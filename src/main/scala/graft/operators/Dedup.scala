@@ -77,6 +77,34 @@ object Dedup {
         col("n_hits").isNotNull.as("contaminated"))
   }
 
+  /** FUZZY benchmark decontamination — [[decontaminate]] catches exact
+    * n-gram leaks; this catches the near-verbatim ones (light paraphrase,
+    * token-level noise) that share ≥1 MinHash band with an eval doc.
+    * Returns the distinct ids of flagged corpus docs. Recall-oriented like
+    * every LSH gate: a band collision flags without verifying Jaccard
+    * (at the 0.9-Jaccard contamination level an 8×4 band family hits with
+    * p ≈ 0.9998 per pair).
+    *
+    * Shape at 100 TB: the benchmark's `(band, bucket)` set is tiny
+    * (nBands rows per eval doc) and BROADCAST; the corpus never shuffles
+    * content — [[minhashBandBuckets]]' signature shuffle carries 32
+    * map-side-combined longs per doc, then the bucket probe is a
+    * broadcast semi-join and the final distinct is doc-keyed. Mirrors the
+    * exact gate's broadcast shape with signatures in place of shingles.
+    */
+  def decontaminateNear(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, nPerms: Int = 32,
+      nBands: Int = 8): DataFrame = {
+    def toks(df: DataFrame) = df.select(
+      col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    val benchBuckets =
+      minhashBandBuckets(toks(benchmark), shingleN, nPerms, nBands)
+        .select(col("band"), col("bucket")).distinct()
+    minhashBandBuckets(toks(corpus), shingleN, nPerms, nBands)
+      .join(broadcast(benchBuckets), Seq("band", "bucket"), "left_semi")
+      .select(col("doc_id")).distinct()
+  }
+
   /** MinHash signature column: for each of `nPerms` hash permutations take
     * the min over the document's `shingleN`-word shingles. Implemented with
     * xxhash64(shingle, seed) + array_min inside codegen — no UDF, no UDAF.
@@ -405,6 +433,71 @@ object Dedup {
       .groupBy(col("span"))
       .agg(count(lit(1)).as("df"), min(col("doc_id")).as("example_doc"))
       .where(col("df") >= 2)
+
+  /** Span EXCISION — the actionable transformation the span signals feed
+    * (Lee et al.: remove the duplicated substring, keep the document):
+    * every token covered by a cross-doc duplicated `spanN`-gram is removed
+    * and the survivors are re-joined in order. Returns
+    * `(doc_id, n_tokens, n_removed, cleaned_text)` for EVERY input doc;
+    * `cleaned_text` is in token-normalized space (lowercased,
+    * single-spaced — the same normalization every span operator tokenizes
+    * under), empty when everything was duplicated or the doc had no tokens.
+    *
+    * A token at position p is covered iff ANY dup span starts in
+    * `[p−spanN+1, p]` — computed with a bounded ROWS window
+    * (`spanN−1 PRECEDING .. CURRENT ROW` max over the dup-start flag; token
+    * positions are dense, so ROWS ≡ RANGE) — never a lookahead frame.
+    *
+    * Shape at 100 TB: the positional-span front half of [[dupRunStats]]
+    * (one span-keyed exchange shared by the document-frequency agg and the
+    * join back), plus a token-level pass repartitioned ONCE by doc id —
+    * `HashPartitioning(doc_id)` satisfies the flag join, the coverage
+    * window, and the final re-aggregation, so the whole back half rides a
+    * single doc-keyed shuffle per side. Window frames are bounded by
+    * `spanN`, partitions by the longest document.
+    */
+  def scrubDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      spanN: Int = 8): DataFrame = {
+    val toked = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .where(col("doc_id").isNotNull)
+    val pos = toked
+      .select(col("doc_id"),
+        arrayBarrier(shinglesFromTokens(col("toks"), spanN)).as("spans"))
+      .select(col("doc_id"), posexplode(col("spans")))
+      .withColumnRenamed("col", "span")
+      .repartition(col("span"))
+    // same shared-exchange contract as dupRunStats (guard keeps pos read)
+    val df = pos.groupBy(col("span"))
+      .agg((count_distinct(col("doc_id")) +
+        Dedup.pruneGuard(struct(col("doc_id"), col("pos")))).as("df"))
+    val dupStarts = pos.join(df, "span")
+      .where(col("df") >= 2)
+      .select(col("doc_id"), col("pos"), lit(1).as("sd"))
+      .repartition(col("doc_id"))
+    val toks = toked
+      .select(col("doc_id"), posexplode(col("toks")))
+      .withColumnRenamed("col", "tok")
+      .repartition(col("doc_id"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(spanN - 1), Window.currentRow)
+    val cleaned = toks
+      .join(dupStarts, Seq("doc_id", "pos"), "left")
+      .withColumn("cov", max(coalesce(col("sd"), lit(0))).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("cov")).as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("cov") === 0, struct(col("pos"), col("tok"))))),
+          s => s.getField("tok"))).as("cleaned_text"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
 
   /** Per-document LONGEST duplicated-run statistics — the actionable
     * remove-the-span depth signal from Lee et al. ("Deduplicating Training

@@ -1152,6 +1152,90 @@ object ExtQueries {
       }),
 
     // ------------------------------------------------------------------
+    // FUZZY decontamination (Dedup.decontaminateNear): q_decontaminate
+    // catches exact n-gram leaks; this flags near-verbatim eval leakage by
+    // MinHash band collision with the % 20 benchmark slice. Property-
+    // oracled like q_dedup_minhash: the declared rows are the EXACT truth
+    // (benchmark docs themselves + corpus docs with a ≥ 0.9-Jaccard pair
+    // to one, re-derivable in DuckDB from the shared pair CTE) plus a
+    // recall_ok flag — at 0.9 Jaccard an 8×4 band family hits with
+    // p ≈ 0.9998 per pair and benchmark docs collide with their own
+    // buckets, so the 0.5 gate has enormous margin while a broken band
+    // hash (recall → 0) still fails loudly.
+    QueryDef(
+      "q_decontaminate_near",
+      Some(s"""WITH $jaccardPairsCte, hits AS (
+             |  SELECT CASE WHEN doc_a % 20 = 0 THEN doc_b ELSE doc_a END AS doc_id
+             |  FROM pairs
+             |  WHERE (doc_a % 20 = 0 OR doc_b % 20 = 0)
+             |    AND CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.9
+             |)
+             |SELECT doc_id, true AS recall_ok FROM (
+             |  SELECT doc_id FROM documents WHERE doc_id % 20 = 0
+             |  UNION SELECT doc_id FROM hits)""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val d = docs(s, dir)
+        val bench = d.where($"doc_id" % 20 === 0)
+        val truth = bench.select($"doc_id")
+          .union(Dedup.jaccardPairs(d, "doc_id", "text")
+            .where(($"doc_a" % 20 === 0 || $"doc_b" % 20 === 0) &&
+              $"jaccard" >= 0.9)
+            .select(when($"doc_a" % 20 === 0, $"doc_b").otherwise($"doc_a")
+              .as("doc_id")))
+          .distinct()
+        withRecallFlag(truth,
+          Dedup.decontaminateNear(d, bench, "doc_id", "text"),
+          Seq("doc_id"), gate = 0.5)
+      }),
+
+    // ------------------------------------------------------------------
+    // Span EXCISION (Dedup.scrubDupSpans): the actionable Lee-et-al.
+    // transformation — remove every token covered by a cross-doc
+    // duplicated 8-gram, emit the cleaned text (token-normalized space).
+    // Coverage is a bounded ROWS window (7 PRECEDING..CURRENT max over the
+    // dup-start flag; positions are dense so ROWS ≡ RANGE — identical
+    // frames both engines, never a lookahead). Ordered string_agg ≡
+    // sorted-struct collect (pos is a distinct int key), NULLs skipped by
+    // both. Fully DuckDB-oracled including all-covered and sub-span docs.
+    QueryDef(
+      "q_scrub_spans",
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+             |  FROM documents
+             |), sh AS (
+             |  SELECT doc_id, CASE WHEN len(t) >= 8
+             |         THEN list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))
+             |         ELSE [] END AS spans
+             |  FROM tok
+             |), ex AS (
+             |  SELECT doc_id, generate_subscripts(spans, 1) AS pos, unnest(spans) AS span FROM sh
+             |), df AS (
+             |  SELECT span, count(DISTINCT doc_id) AS df FROM ex GROUP BY 1
+             |), starts AS (
+             |  SELECT e.doc_id, e.pos FROM ex e JOIN df d ON e.span = d.span WHERE d.df >= 2
+             |), toks AS (
+             |  SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok FROM tok
+             |), cov AS (
+             |  SELECT tk.doc_id, tk.pos, tk.tok,
+             |    max(CASE WHEN s.pos IS NULL THEN 0 ELSE 1 END) OVER (
+             |      PARTITION BY tk.doc_id ORDER BY tk.pos
+             |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cov
+             |  FROM toks tk LEFT JOIN starts s ON tk.doc_id = s.doc_id AND tk.pos = s.pos
+             |), agg AS (
+             |  SELECT doc_id, count(*) AS n_tokens, sum(cov) AS n_removed,
+             |    COALESCE(string_agg(CASE WHEN cov = 0 THEN tok END, ' ' ORDER BY pos), '') AS cleaned_text
+             |  FROM cov GROUP BY 1
+             |)
+             |SELECT t.doc_id,
+             |  CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+             |  CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed,
+             |  COALESCE(a.cleaned_text, '') AS cleaned_text
+             |FROM tok t LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin),
+      (s, dir) => Dedup.scrubDupSpans(docs(s, dir), "doc_id", "text")),
+
+    // ------------------------------------------------------------------
     // Longest duplicated RUN per doc (Dedup.dupRunStats): gaps-and-islands
     // over positional dup spans — the excisable-passage depth signal from
     // Lee et al. that dup_span_ratio can't express (scattered quotes vs one

@@ -145,6 +145,47 @@ class OperatorsSpec extends SparkSpec {
     assert(solo.getLong(1) == 0L)
   }
 
+  test("decontaminateNear flags benchmark self-leaks and near-verbatim " +
+    "copies, never unrelated docs") {
+    // benchmark = docs 1,3; doc 4 is an exact copy of benchmark doc 1
+    // (all bands collide), docs 2/5 differ (2 is a near-dup of 1 but the
+    // assertion only requires it NOT to flag unrelated 5)
+    val bench = docs.where($"doc_id" === 1L || $"doc_id" === 3L)
+    val flagged = Dedup.decontaminateNear(docs, bench, "doc_id", "text",
+      shingleN = 3, nPerms = 16, nBands = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged.contains(1L) && flagged.contains(3L)) // self-leak
+    assert(flagged.contains(4L))                         // exact copy of 1
+    assert(!flagged.contains(5L))                        // unrelated
+  }
+
+  test("scrubDupSpans removes exactly the covered tokens and re-joins " +
+    "survivors in order") {
+    // fixture: docs 1/4 identical 9 tokens → every token covered → empty
+    // cleaned text; doc 2 shares only span 0 (tokens 0..7 covered, token 8
+    // 'cat' survives); docs 3/5 untouched (no spans / unique spans)
+    val got = Dedup.scrubDupSpans(docs, "doc_id", "text", spanN = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((9L, 9L, "")))
+    assert(got(2L) == ((9L, 8L, "cat")))
+    assert(got(3L) == ((6L, 0L, "completely different content about spark engines")))
+    assert(got(4L) == ((9L, 9L, "")))
+    assert(got(5L) == ((10L, 0L, "el gato que duerme en la casa de la abuela")))
+
+    // split blocks: only the duplicated block's tokens go, the gap stays
+    val x = (1 to 8).map(i => s"x$i").mkString(" ")
+    val split = Seq(
+      (10L, s"$x gap alpha beta"), (11L, x)).toDF("doc_id", "text")
+    val g2 = Dedup.scrubDupSpans(split, "doc_id", "text", spanN = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(g2(10L) == ((11L, 8L, "gap alpha beta")), g2.toString)
+    assert(g2(11L) == ((8L, 8L, "")))
+  }
+
   test("dupRunStats shares ONE span exchange between df agg and join-back") {
     // same at-scale contract as dupSpanStats/bigramScore: broadcast off so
     // the df side must sit on the shared hashpartitioning(span) exchange
