@@ -1608,6 +1608,57 @@ object ExtQueries {
       }),
 
     // ------------------------------------------------------------------
+    // SEMANTIC dedup clustering (SemDeDup-style): connected components
+    // over the embedding-cosine similarity graph — groups of semantically
+    // interchangeable documents collapse to one canonical representative,
+    // the embedding-space sibling of q_dedup_clusters' lexical graph. The
+    // declared form builds the EXACT ≥ 0.4 pair graph (the same bit-exact
+    // crossJoin truth q_sim_neardup pays; 0.4 sits above this corpus'
+    // percolation threshold — 0.3 collapses 97% of vectors into ONE giant
+    // component, 0.4 yields real clusters: 42 non-singleton / largest 8 at
+    // sf0.01, 268 / largest 75 at sf0.1) and runs
+    // the SAME Components loop; at 100 TB the pair input swaps to
+    // Similarity.cosineNearDupPairs (LSH-bucketed, recall-gated) with the
+    // identical downstream — Components accepts any edge relation. Oracle:
+    // DuckDB recursive CTE transitive closure over the identically-exact
+    // pair relation (cosine accumulates left-to-right in double in both
+    // engines — the q_sim_bruteforce bit-exactness argument — so the 0.4
+    // boundary cannot disagree).
+    QueryDef(
+      "q_sim_clusters",
+      Some("""WITH RECURSIVE c AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |    list_sum(list_transform(range(1, len(a.embedding)+1),
+             |             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS d,
+             |    sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+             |      * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nn
+             |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |), edges AS (
+             |  SELECT id_a AS a, id_b AS b FROM c WHERE nn > 0 AND d / nn >= 0.4
+             |), und AS (
+             |  SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
+             |), reach(n, m) AS (
+             |  SELECT vec_id, vec_id FROM embeddings
+             |  UNION
+             |  SELECT u.b, r.m FROM reach r JOIN und u ON u.a = r.n
+             |)
+             |SELECT n AS vec_id, min(m) AS component, min(m) = n AS is_canonical
+             |FROM reach GROUP BY n""".stripMargin),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+        val pairs = a.crossJoin(b).where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            graft.functions.VectorNative.cosine(col("va"), col("vb")).as("cos"))
+          .where(col("cos") >= 0.4)
+        Components
+          .connectedComponents(e.select("vec_id"), "vec_id",
+            pairs, "id_a", "id_b")
+          .withColumn("is_canonical", col("component") === col("vec_id"))
+      }),
+
+    // ------------------------------------------------------------------
     // End-to-end corpus cleaning funnel: quality → lang → exact dedup →
     // MinHash near-dedup, with per-document drop reasons (hash-based
     // near-dup stage → rows-only check).
