@@ -78,6 +78,38 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.5, s"near-dup recall = $recall (expected >= 0.5)")
   }
 
+  test("semantic clusters from LSH-bucketed pairs recover the exact " +
+    "co-cluster pairs (the q_sim_clusters scale form)") {
+    // exact clusters: the q_sim_clusters declared form (crossJoin >= 0.4)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val exactPairs = a.crossJoin(b)
+      .where(col("id_a") < col("id_b"))
+      .where(cosine(col("va"), col("vb")) >= 0.4)
+    def coClustered(pairs: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val labels = Components.connectedComponents(
+        emb.select("vec_id"), "vec_id", pairs, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      labels.groupBy(_._2).values.flatMap { m =>
+        val ids = m.keys.toSeq.sorted
+        for (i <- ids.indices; j <- i + 1 until ids.size) yield (ids(i), ids(j))
+      }.toSet
+    }
+    val exactCo = coClustered(exactPairs)
+    assert(exactCo.nonEmpty, "degenerate fixture: no exact clusters at 0.4")
+    // scale form: SAME Components downstream, LSH-bucketed edge input
+    val lshCo = coClustered(
+      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        dims = 64, nPlanes = 4, minSim = 0.4, nTables = 8)
+        .select("id_a", "id_b"))
+    // bucketing only drops edges, and every kept edge is exact-verified —
+    // so LSH co-clustering can merge nothing the exact graph wouldn't
+    assert((lshCo -- exactCo).isEmpty,
+      s"false co-clusters: ${(lshCo -- exactCo).take(5)}")
+    val recall = (lshCo & exactCo).size.toDouble / exactCo.size
+    assert(recall >= 0.3, s"co-cluster recall = $recall (expected >= 0.3)")
+  }
+
   test("IVF refresh folds a 20% corpus append without rebuild and holds " +
     "recall@20") {
     import java.nio.file.{Files, Paths}
