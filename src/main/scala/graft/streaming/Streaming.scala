@@ -445,6 +445,42 @@ object Streaming {
     } finally b.unpersist(blocking = false)
   }
 
+  /** Maintenance for [[dedupNearStream]]'s at-rest LSH index: every
+    * micro-batch appends one small file, so a long-running gate accumulates
+    * thousands of tiny files and the per-batch semi-join's scan goes
+    * listing-bound. Compaction rewrites the index `repartitionByRange` on
+    * `(band, bucket)` — one range shuffle of the (doc_id, band, bucket)
+    * relation, giving both a bounded file count and bucket-clustered row
+    * groups (min/max on `bucket` lets the probe's scan skip row groups).
+    * Write-temp-then-swap: the live index dir is replaced only after the
+    * compacted copy is fully written, and the gate is per-batch (no reader
+    * holds the dir between batches) — run it between batches or during a
+    * stream pause, exactly like production OPTIMIZE jobs.
+    *
+    * @return (files before, files after)
+    */
+  def compactNearDupIndex(spark: SparkSession, indexDir: String,
+      targetPartitions: Int = 32): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(dir: org.apache.hadoop.fs.Path): Int =
+      if (!fs.exists(dir)) 0
+      else fs.listStatus(dir).count(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles(p)
+    if (before == 0) return (0, 0)
+    val tmp = new org.apache.hadoop.fs.Path(indexDir + "._compact_tmp")
+    spark.read.parquet(indexDir)
+      .repartitionByRange(targetPartitions, col("band"), col("bucket"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(indexDir + "._compact_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(p, old), s"could not stage old index $p")
+    require(fs.rename(tmp, p), s"could not publish compacted index $tmp")
+    fs.delete(old, true)
+    (before, parquetFiles(p))
+  }
+
   /** Streaming near-duplicate gate — the LLM-pipeline front door that keeps
     * a crawl stream clean AS IT ARRIVES instead of re-deduplicating the
     * corpus after the fact: each micro-batch is MinHash-banded, collided

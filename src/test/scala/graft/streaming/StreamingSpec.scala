@@ -449,6 +449,33 @@ class StreamingSpec extends SparkSpec {
     assert(admitted() == Set(1L, 3L, 5L))
   }
 
+  test("near-dup index compaction preserves content, cuts file count, and " +
+    "the gate keeps working against the compacted index") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_compact_idx_").toString
+    val out = Files.createTempDirectory("graft_compact_out_").toString
+    // simulate many tiny per-batch appends: 6 batches of distinct docs
+    (0 until 6).foreach { b =>
+      val docs = Seq((b * 10L + 1, s"unique content batch $b alpha beta gamma delta " +
+        s"epsilon zeta eta theta b$b")).toDF("doc_id", "text")
+      Streaming.applyNearDedupBatch(docs, "doc_id", "text", idx, out, 3, 16, 8)
+    }
+    val rowsBefore = spark.read.parquet(idx).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val (nb, na) = Streaming.compactNearDupIndex(spark, idx, targetPartitions = 2)
+    assert(nb > na, s"expected fewer files, got $nb -> $na")
+    assert(na <= 2)
+    val rowsAfter = spark.read.parquet(idx).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rowsAfter == rowsBefore) // logical content untouched
+    // a replayed old batch still collides with the compacted index
+    val replay = Seq((1L, "unique content batch 0 alpha beta gamma delta " +
+      "epsilon zeta eta theta b0")).toDF("doc_id", "text")
+    val outRows = spark.read.parquet(out).count()
+    Streaming.applyNearDedupBatch(replay, "doc_id", "text", idx, out, 3, 16, 8)
+    assert(spark.read.parquet(out).count() == outRows) // dropped, not re-admitted
+  }
+
   test("streaming rollup maintenance converges to batch truth, touches only " +
     "changed month partitions") {
     import spark.implicits._
