@@ -64,6 +64,36 @@ class TablesSpec extends SparkSpec {
     assert(df.select($"ts").as[Timestamp].head() == usTruncated)
   }
 
+  test("driver testdata schemas match what the query inventory assumes " +
+    "(tripwire for the next generator regen — the r6 events lesson)") {
+    val sfDir = "/root/testdata/sf0.001"
+    def types(name: String): Map[String, DataType] =
+      Tables.load(spark, sfDir, name).schema
+        .map(f => f.name -> f.dataType).toMap
+    // the columns queries/oracles depend on; a regen that shifts any of
+    // these dtypes should fail HERE, not as 50 cryptic query errors
+    assert(types("events")("ts") == TimestampType)
+    assert(types("events")("event_id") == LongType)
+    assert(types("events")("user_id") == LongType)
+    assert(types("events")("event_type") == StringType)
+    assert(types("events")("value") == DoubleType)
+    assert(types("events")("props") == StringType)
+    assert(types("documents")("doc_id") == LongType)
+    assert(types("documents")("text") == StringType)
+    assert(types("documents")("lang") == StringType)
+    assert(types("documents")("source") == StringType)
+    assert(types("embeddings")("vec_id") == LongType)
+    assert(types("embeddings")("embedding") == ArrayType(FloatType, containsNull = true))
+    assert(types("embeddings")("label") == IntegerType)
+    // orders/lineitem date columns are DELIBERATELY left as the parquet
+    // encoding (their oracles agree on naive semantics) — pin what it is
+    // so a regen to a different encoding is a visible decision, not drift
+    assert(types("orders")("o_orderdate") == TimestampNTZType)
+    assert(types("lineitem")("l_shipdate") == TimestampNTZType)
+    assert(types("lineitem")("l_quantity") == DoubleType)
+    assert(types("lineitem")("l_extendedprice") == DoubleType)
+  }
+
   test("driver testdata events loads and is analyzable end-to-end") {
     val sfDir = "/root/testdata/sf0.001"
     val df = Tables.load(spark, sfDir, "events")
