@@ -8,6 +8,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // UTC parity with Verify/SparkSpec: Tables.load's TIMESTAMP_NTZ cast is
+      // timezone-dependent, so a non-UTC host would bench (and plan-hash)
+      // subtly different plans than the correctness sessions
+      .config("spark.sql.session.timeZone", "UTC")
       // the PRODUCTION extension wiring: this is the first session of the
       // JVM, so the config string drives Spark's reflective applyExtensions
       // -> GraftExtensions.apply(injectFunction) — the injector path itself,

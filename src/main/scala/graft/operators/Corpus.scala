@@ -92,12 +92,20 @@ object Corpus {
     spark.listenerManager.register(listener)
   }
 
+  /** @param portableHash route the near-dup stage through the
+    *   engine-portable MinHash family ([[Dedup.portableBandBuckets]]:
+    *   md5-based base hash + affine perms mod 2^31−1) instead of the
+    *   64-bit xxhash64 default — every stage of the funnel is then
+    *   ANSI-expressible and a DuckDB differential certifies the WHOLE
+    *   kept-set bit-exact (q_corpus_clean). Default stays xxhash64 (wider
+    *   hash space) for production runs.
+    */
   def clean(docs: DataFrame, idCol: String, textCol: String,
       minQuality: Double = 0.3,
       keepLangs: Set[String] = Set("en"),
       minBands: Long = 6L,
       shingleN: Int = 3, nPerms: Int = 32, nBands: Int = 8,
-      nearDedup: Boolean = true): DataFrame = {
+      nearDedup: Boolean = true, portableHash: Boolean = false): DataFrame = {
     require(minBands >= 1 && minBands <= nBands,
       s"minBands ($minBands) must be in [1, nBands=$nBands]")
 
@@ -136,10 +144,11 @@ object Corpus {
 
         // stage 4: near-dup drops = larger id of every confident candidate
         // pair ((a < b) by construction); shares the annotate pass's tokens
-        val nd = Dedup
-          .minhashPairsFromTokens(
-            narrow.select(id.as("doc_id"), col("__toks").as("toks")),
-            shingleN, nPerms, nBands)
+        val toks = narrow.select(id.as("doc_id"), col("__toks").as("toks"))
+        val pairs =
+          if (portableHash) Dedup.portablePairsFromTokens(toks, shingleN, nPerms, nBands)
+          else Dedup.minhashPairsFromTokens(toks, shingleN, nPerms, nBands)
+        val nd = pairs
           .where(col("n_bands") >= minBands)
           .select(col("doc_b").as("__near_drop")).distinct()
         (k, Some(nd))

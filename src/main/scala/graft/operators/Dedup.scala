@@ -97,12 +97,33 @@ object Dedup {
       nBands: Int = 8): DataFrame = {
     def toks(df: DataFrame) = df.select(
       col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    val benchToks = toks(benchmark)
+    val corpToks = toks(corpus)
     val benchBuckets =
-      minhashBandBuckets(toks(benchmark), shingleN, nPerms, nBands)
+      minhashBandBuckets(benchToks, shingleN, nPerms, nBands)
         .select(col("band"), col("bucket")).distinct()
-    minhashBandBuckets(toks(corpus), shingleN, nPerms, nBands)
+    val lshHits = minhashBandBuckets(corpToks, shingleN, nPerms, nBands)
       .join(broadcast(benchBuckets), Seq("band", "bucket"), "left_semi")
-      .select(col("doc_id")).distinct()
+      .select(col("doc_id"))
+    // SHORT-DOC fallback: a doc with fewer than shingleN tokens produces no
+    // shingles, hence no signature — without this branch even an EXACT copy
+    // of a short eval prompt would sail through (an LSH recall hole beyond
+    // the stated band probabilities). Short docs are matched by exact
+    // token-normalized content hash against the benchmark's short docs —
+    // broadcast-sized like the bucket set. Near-verbatim (non-exact) short
+    // copies remain out of reach of shingle LSH by construction; length-
+    // mismatched pairs (short corpus doc vs long bench doc) can never be
+    // near-dups at the gate's similarity level, so short-vs-short exact is
+    // the whole recoverable surface.
+    val shortHash = md5(concat_ws(" ", col("toks")))
+    def shorts(t: DataFrame) =
+      t.where(size(col("toks")) > 0 && size(col("toks")) < shingleN)
+    val benchShort = shorts(benchToks)
+      .select(shortHash.as("__bh")).distinct()
+    val shortHits = shorts(corpToks)
+      .join(broadcast(benchShort), shortHash === col("__bh"), "left_semi")
+      .select(col("doc_id"))
+    lshHits.unionByName(shortHits).distinct()
   }
 
   /** MinHash signature column: for each of `nPerms` hash permutations take
@@ -178,6 +199,88 @@ object Dedup {
           .map(i => col(s"h$i")) :+ lit(b).cast("long")): _*).as("bucket"))
     }: _*)).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.bucket"))
   }
+
+  /** The engine-PORTABLE MinHash family's modulus: the Mersenne prime
+    * 2^31 − 1. Affine maps `h ↦ (a·h + b) mod p` over Z_p are the classic
+    * MinHash permutation construction (the same one Spark MLlib's
+    * MinHashLSH uses); with u < p and a < p the product stays under 2^62,
+    * so every step is plain positive BIGINT arithmetic — no unsigned
+    * types, no overflow, bit-identical in any ANSI engine.
+    */
+  private[graft] val PortablePrime = 2147483647L
+
+  /** Deterministic affine coefficients (a_i, b_i) for portable permutation
+    * `i` — a pure function of `i` (Knuth/xxhash-style odd multipliers mod
+    * p), shared verbatim by the Spark expressions and the generated DuckDB
+    * oracle SQL so the two engines cannot drift.
+    */
+  private[graft] def portableCoef(i: Int): (Long, Long) = (
+    1L + (2654435761L * (i + 1)) % (PortablePrime - 1),
+    (2246822519L * (i + 1)) % PortablePrime)
+
+  /** 30-bit engine-portable base hash of a shingle string: the first 15 md5
+    * hex digits (60 bits, always positive in a signed 64-bit lane) reduced
+    * mod [[PortablePrime]]. DuckDB replays it as
+    * `CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT) % p`.
+    */
+  private def portableBaseHash(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long") % PortablePrime
+
+  /** [[minhashBandBuckets]] with the ENGINE-PORTABLE hash family: md5-based
+    * base hash + affine permutations mod 2^31−1 instead of 32 seeded
+    * xxhash64 draws, and the band bucket as the comma-joined signature
+    * slice instead of an xxhash64 of it. Every step is ANSI-expressible,
+    * so a DuckDB differential re-derives signatures, buckets, candidate
+    * pairs and the resulting drop set BIT-EXACT — this is what puts the
+    * full [[Corpus.clean]] funnel (q_corpus_clean) under the driver's hash
+    * gate. The trade is hash width: a 30-bit base space starts showing
+    * birthday collisions around ~10^5 distinct shingles (a colliding
+    * shingle pair can only make two docs look MORE similar — recall is
+    * unaffected, precision dips negligibly), so the production default
+    * stays the 64-bit xxhash64 family; this family is for
+    * oracle-certified runs and cross-engine reproducibility.
+    *
+    * Same scale shape as the default family: shingles explode once, the
+    * per-perm mins combine map-side, the shuffle carries one row per
+    * (doc × perm). The base hash is ONE md5 per shingle row; the 32
+    * affine transforms ride the aggregation as multiply-mod terms.
+    */
+  def portableBandBuckets(tokenized: DataFrame, shingleN: Int = 3,
+      nPerms: Int = 32, nBands: Int = 8): DataFrame = {
+    require(nBands >= 1 && nBands <= nPerms && nPerms % nBands == 0,
+      s"nBands ($nBands) must divide nPerms ($nPerms)")
+    val rowsPerBand = nPerms / nBands
+    val sh = tokenized
+      .select(col("doc_id"),
+        explode(arrayBarrier(shinglesFromTokens(col("toks"), shingleN))).as("shingle"))
+      .select(col("doc_id"), portableBaseHash(col("shingle")).as("u"))
+    val sig = sh.groupBy(col("doc_id")).agg(
+      min((lit(portableCoef(0)._1) * col("u") + lit(portableCoef(0)._2))
+        % PortablePrime).as("h0"),
+      (1 until nPerms).map { i =>
+        val (a, b) = portableCoef(i)
+        min((lit(a) * col("u") + lit(b)) % PortablePrime).as(s"h$i")
+      }: _*)
+    sig.select(col("doc_id"), explode(array((0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"h$i")): _*).as("bucket"))
+    }: _*)).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** [[minhashPairsFromTokens]] over the portable family — identical
+    * candidate shape (count-first bucket capping, within-bucket pairs,
+    * agreeing-band counts), different hash family. See
+    * [[portableBandBuckets]] for the portability/width trade.
+    */
+  def portablePairsFromTokens(tokenized: DataFrame,
+      shingleN: Int = 3, nPerms: Int = 32, nBands: Int = 8,
+      maxBucket: Int = 50): DataFrame =
+    groupPairs(portableBandBuckets(tokenized, shingleN, nPerms, nBands),
+        Seq("band", "bucket"), col("doc_id"), maxBucket)
+      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+      .select(col("doc_a"), col("doc_b"), col("n_bands"))
 
   /** Incremental MinHash-LSH dedup: candidate pairs INVOLVING a new batch,
     * against an already-indexed corpus — the everyday at-scale shape (a

@@ -174,6 +174,65 @@ object ExtQueries {
       |           ELSE 0.0 END * 0.4
       |    + CASE WHEN length(text) BETWEEN 20 AND 10000 THEN 0.2 ELSE 0.0 END""".stripMargin
 
+  /** DuckDB replica of the PORTABLE MinHash near-dup drop set
+    * ([[Dedup.portableBandBuckets]] → capped band buckets → candidate pairs
+    * → `n_bands >= minBands` → distinct larger ids), ending in a CTE
+    * `pneardrop(doc_id)`. Exact to the bit by construction: the base hash is
+    * the first 15 md5 hex digits mod 2^31−1 (positive 60-bit parse — DuckDB
+    * `CAST('0x…' AS BIGINT)` ≡ Spark `conv(…,16,10)`), the permutations are
+    * the SAME affine coefficients [[Dedup.portableCoef]] interpolates into
+    * the Spark plan (products < 2^62, plain signed arithmetic in both
+    * engines), band buckets are the comma-joined signature slice, and the
+    * capping rule replays PairGen's count-first `BETWEEN 2 AND maxBucket`.
+    */
+  private def portableNearDropCte(shingleN: Int, nPerms: Int, nBands: Int,
+      minBands: Int, maxBucket: Int): String = {
+    val p = graft.operators.Dedup.PortablePrime
+    val rowsPerBand = nPerms / nBands
+    val sigExprs = (0 until nPerms).map { i =>
+      val (a, b) = graft.operators.Dedup.portableCoef(i)
+      s"min(($a*u + $b) % $p) AS h$i"
+    }.mkString(",\n      ")
+    val bandSelects = (0 until nBands).map { b =>
+      val hs = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => s"h$i").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $hs) AS bucket FROM psig"
+    }.mkString("\n    UNION ALL ")
+    s"""pt AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS t
+       |  FROM documents
+       |), pex AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(t) >= $shingleN
+       |         THEN list_transform(range(1, len(t) - ${shingleN - 2}),
+       |                             i -> array_to_string(t[i:i+${shingleN - 1}], ' '))
+       |         ELSE [] END) AS shingle
+       |  FROM pt
+       |), puh AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % $p AS u
+       |  FROM pex
+       |), psig AS (
+       |  SELECT doc_id,
+       |      $sigExprs
+       |  FROM puh GROUP BY doc_id
+       |), pbands AS (
+       |    $bandSelects
+       |), pkeepb AS (
+       |  SELECT band, bucket FROM pbands
+       |  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $maxBucket
+       |), pmp AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_bands
+       |  FROM pbands x JOIN pkeepb k ON x.band = k.band AND x.bucket = k.bucket
+       |       JOIN pbands y ON y.band = x.band AND y.bucket = x.bucket
+       |                    AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |), pneardrop AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM pmp WHERE n_bands >= $minBands
+       |)""".stripMargin
+  }
+
   /** The fixed merge table q_bpe_encode ships (applied in order; includes
     * the chained (t,h)→(th,e) case so merge-on-merged-symbol is exercised).
     * ONE definition feeds both the Spark fold and the generated DuckDB
@@ -1660,14 +1719,48 @@ object ExtQueries {
 
     // ------------------------------------------------------------------
     // End-to-end corpus cleaning funnel: quality → lang → exact dedup →
-    // MinHash near-dedup, with per-document drop reasons (hash-based
-    // near-dup stage → rows-only check).
+    // MinHash near-dedup, with per-document drop reasons. FULLY oracled
+    // (VERDICT r7 #1): the near-dup stage runs the engine-PORTABLE MinHash
+    // family (Dedup.portableBandBuckets — md5-based base hash + affine
+    // perms mod 2^31−1, same construction as Spark MLlib's MinHashLSH),
+    // so DuckDB re-derives signatures → capped buckets → pairs → drop set
+    // bit-exact and the WHOLE funnel's stage accounting sits under the
+    // driver hash gate, not a rows-only check. The production default
+    // family stays 64-bit xxhash64 (certified via q_dedup_minhash's
+    // property oracle); the portable family trades hash width for
+    // cross-engine replayability — see portableBandBuckets' scaladoc.
     QueryDef(
       "q_corpus_clean",
-      None,
+      Some(s"""WITH ${portableNearDropCte(shingleN = 3, nPerms = 32,
+                 nBands = 8, minBands = 6, maxBucket = 50)},
+             |q AS (
+             |  SELECT doc_id, text,
+             |    $qualityScoreSql
+             |      AS quality_score,
+             |    $langHitsSql,
+             |    md5(text) AS h
+             |  FROM documents),
+             |langed AS (
+             |  SELECT doc_id, text, quality_score, h,
+             |    $langArgmaxSql AS predicted_lang
+             |  FROM q),
+             |k AS (SELECT h AS kh, MIN(doc_id) AS keep_id FROM q GROUP BY 1),
+             |reasons AS (
+             |  SELECT l.doc_id,
+             |    CASE WHEN l.text IS NULL THEN 'null_text'
+             |         WHEN l.quality_score < 0.2 THEN 'quality'
+             |         WHEN l.predicted_lang NOT IN ('en', 'es', 'de') THEN 'lang'
+             |         WHEN l.doc_id != k.keep_id THEN 'exact_dup'
+             |         WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+             |         ELSE 'kept' END AS stage
+             |  FROM langed l LEFT JOIN k ON l.h = k.kh
+             |       LEFT JOIN pneardrop nd ON l.doc_id = nd.doc_id)
+             |SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs
+             |FROM reasons GROUP BY stage""".stripMargin),
       (s, dir) => Corpus.funnel(
         Corpus.clean(docs(s, dir), "doc_id", "text",
-          minQuality = 0.2, keepLangs = Set("en", "es", "de")))),
+          minQuality = 0.2, keepLangs = Set("en", "es", "de"),
+          portableHash = true))),
 
     // ------------------------------------------------------------------
     // The funnel's fully-deterministic slice: quality → lang → exact dedup

@@ -40,6 +40,39 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
   }
 
+  test("portable MinHash family mirrors the xxhash family's behavior and " +
+    "stays recall-sane on the fixture corpus") {
+    // tiny corpus: the portable family must find the same structure the
+    // xxhash family does (exact dup = all bands agree; near-dup collides;
+    // unrelated doc never pairs) — a degenerate base hash or broken affine
+    // mixing would collapse every sig and pair everything with everything
+    def toks(df: org.apache.spark.sql.DataFrame) = df.select(
+      $"doc_id", TextFunctions.tokens($"text").as("toks"))
+    val pairs = Dedup.portablePairsFromTokens(toks(docs),
+      shingleN = 3, nPerms = 16, nBands = 8).collect()
+    val byPair = pairs.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(byPair.get((1L, 4L)).contains(8L)) // exact dup: ALL bands agree
+    assert(!pairs.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
+    assert(!pairs.exists(r => r.getLong(0) == 5L || r.getLong(1) == 5L))
+
+    // fixture corpus: the confident-drop sets (n_bands >= 6 of 8) of the
+    // two families must agree heavily — they answer the same question with
+    // different hash draws. Requires ≥70% overlap in BOTH directions, so
+    // neither a recall collapse (portable finds nothing) nor a precision
+    // collapse (portable pairs everything) can pass.
+    val fixture = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def confident(p: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      p.where($"n_bands" >= 6).select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val port = confident(Dedup.portablePairsFromTokens(toks(fixture)))
+    val xx = confident(Dedup.minhashPairsFromTokens(toks(fixture)))
+    assert(xx.nonEmpty, "fixture lost its near-dup pairs — regenerate check")
+    assert((port & xx).size >= math.ceil(xx.size * 0.7),
+      s"portable family missed xxhash-confident pairs: ${port.size} vs ${xx.size}")
+    assert((port & xx).size >= math.ceil(port.size * 0.7),
+      s"portable family over-pairs vs xxhash: ${port.size} vs ${xx.size}")
+  }
+
   test("simhash: identical texts get identical hashes, near-dups are close") {
     val sh = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -157,6 +190,23 @@ class OperatorsSpec extends SparkSpec {
     assert(flagged.contains(1L) && flagged.contains(3L)) // self-leak
     assert(flagged.contains(4L))                         // exact copy of 1
     assert(!flagged.contains(5L))                        // unrelated
+  }
+
+  test("decontaminateNear catches exact copies of SHORT benchmark docs " +
+    "(below the shingle horizon) via the content-hash fallback") {
+    // "yes or no" has 3 tokens < shingleN=4 → zero 4-gram shingles → no
+    // LSH signature; before the fallback an exact copy passed silently
+    val bench = Seq((100L, "yes or no")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "yes or no"),              // exact short copy → must flag
+      (2L, "yes or  NO "),            // token-normalized same → must flag
+      (3L, "yes or maybe"),           // different short doc → clean
+      (4L, "a long document about something entirely different here"))
+      .toDF("doc_id", "text")
+    val flagged = Dedup.decontaminateNear(corpus, bench, "doc_id", "text",
+      shingleN = 4, nPerms = 16, nBands = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(1L, 2L))
   }
 
   test("scrubDupSpans removes exactly the covered tokens and re-joins " +
