@@ -424,21 +424,7 @@ object Maintenance {
       .filterNot(f => touchedDirs.contains(f.takeWhile(_ != '/')))
     val next = (kept ++ staged).sorted
 
-    // commit: write aside, then ONE atomic claim of the version slot;
-    // a lost claim turns a concurrent writer into a loud failure
-    // instead of a corrupted store
-    fs.mkdirs(mdir)
-    val tmp = new org.apache.hadoop.fs.Path(mdir,
-      s".tmp-${java.util.UUID.randomUUID()}")
-    val os = fs.create(tmp, false)
-    try os.write((next.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally os.close()
-    val target = new org.apache.hadoop.fs.Path(mdir, f"v${version + 1}%08d.txt")
-    if (!claimVersionSlot(fs, tmp, target)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"manifest commit v${version + 1} lost a race — concurrent writer on $storeDir")
-    }
+    publishManifest(fs, mdir, version, next, storeDir)
     val (nulls, vals) = touched.partition(_ == null)
     (nulls ++ vals.sortWith((a, b) =>
       a.asInstanceOf[Comparable[Any]].compareTo(b) < 0))
@@ -512,6 +498,80 @@ object Maintenance {
       }
     }
     orphans.size
+  }
+
+  /** Latest committed manifest version of a manifest store (0 = no store
+    * yet) — the bootstrap probe for flat-manifest consumers like the
+    * streaming LSH index ([[graft.streaming.Streaming.applyNearDedupBatch]]).
+    */
+  def manifestVersion(spark: SparkSession, storeDir: String): Long = {
+    val (fs, _) = fsFor(spark, storeDir)
+    latestManifestVersion(fs, new org.apache.hadoop.fs.Path(s"$storeDir/_manifest"))
+  }
+
+  /** Live data-file count per the latest committed manifest — the honest
+    * "how fragmented is this store" metric (files on disk may include
+    * uncommitted or orphaned ones).
+    */
+  def manifestFileCount(spark: SparkSession, storeDir: String): Int =
+    liveFiles(spark, storeDir).size
+
+  /** APPEND-shaped manifest commit for a FLAT (unpartitioned) store: stage
+    * `rows` as new data files, then publish ONE manifest listing the old
+    * live files plus the staged ones. Crash before the manifest rename ⇒
+    * readers keep the previous version intact (staged files are invisible
+    * orphans, reclaimed by [[vacuumManifested]]); there is never a moment
+    * where the store is missing or torn — the failure mode the raw
+    * append-to-dir layout cannot avoid during maintenance swaps.
+    */
+  def appendManifested(rows: DataFrame, storeDir: String): Unit =
+    commitFlat(rows, storeDir, replace = false)
+
+  /** Full-content REPLACEMENT commit for a flat manifest store — the
+    * compaction/OPTIMIZE primitive: stage `rows` (typically the store's own
+    * content re-read and repartitioned) as new files, then publish a
+    * manifest listing ONLY them. A reader resolving the manifest sees the
+    * complete old content or the complete new content, never an absent or
+    * half-swapped store — this closes the two-rename swap window a
+    * plain-directory compaction has. Old files become orphans;
+    * [[vacuumManifested]] reclaims them.
+    */
+  def replaceManifested(rows: DataFrame, storeDir: String): Unit =
+    commitFlat(rows, storeDir, replace = true)
+
+  private def commitFlat(rows: DataFrame, storeDir: String,
+      replace: Boolean): Unit = {
+    val spark = rows.sparkSession
+    val (fs, _) = fsFor(spark, storeDir)
+    val mdir = new org.apache.hadoop.fs.Path(s"$storeDir/_manifest")
+    val version = latestManifestVersion(fs, mdir)
+    val live = liveFiles(spark, storeDir).map(_.stripPrefix(s"$storeDir/data/"))
+    val before = dataFilesOnDisk(spark, storeDir)
+    rows.write.mode("append").parquet(s"$storeDir/data")
+    val staged = (dataFilesOnDisk(spark, storeDir) -- before).toSeq.sorted
+    val next = (if (replace) staged else (live ++ staged).sorted)
+    publishManifest(fs, mdir, version, next, storeDir)
+  }
+
+  /** Shared commit point: write the next manifest aside, then ONE atomic
+    * claim of the version slot (a lost claim = loud concurrent-writer
+    * failure, never a corrupted store).
+    */
+  private def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
+      mdir: org.apache.hadoop.fs.Path, version: Long, lines: Seq[String],
+      storeDir: String): Unit = {
+    fs.mkdirs(mdir)
+    val tmp = new org.apache.hadoop.fs.Path(mdir,
+      s".tmp-${java.util.UUID.randomUUID()}")
+    val os = fs.create(tmp, false)
+    try os.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally os.close()
+    val target = new org.apache.hadoop.fs.Path(mdir, f"v${version + 1}%08d.txt")
+    if (!claimVersionSlot(fs, tmp, target)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"manifest commit v${version + 1} lost a race — concurrent writer on $storeDir")
+    }
   }
 
   /** Dynamic partition overwrite of a partitioned parquet dir: only the

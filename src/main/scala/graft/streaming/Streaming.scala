@@ -369,74 +369,171 @@ object Streaming {
       .trigger(trigger)
       .start()
 
+  /** The gate's 64-bit document key: integral id columns cast straight to
+    * long; string ids take their xxhash64 (a stable surrogate — collision
+    * odds 2^-64 per pair; "smallest id keeps" then means smallest hash,
+    * deterministic across runs). Any other type is rejected up front, and a
+    * NULL id fails LOUDLY — a silently-NULL doc_id could never be dropped
+    * (NULL satisfies neither the keeper comparison nor the anti-join
+    * equality) and its NULL-keyed band rows would pollute the index forever.
+    */
+  private def gateDocId(batch: DataFrame, idCol: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    val keyed = batch.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => col(idCol).cast("long")
+      // the isNotNull guard matters: xxhash64 IGNORES null inputs and
+      // returns the seed hash, so a bare xxhash64(id) would key every
+      // null-id doc to one shared value instead of failing
+      case StringType => when(col(idCol).isNotNull, xxhash64(col(idCol)))
+      case other => throw new IllegalArgumentException(
+        s"near-dup gate id column '$idCol' must be integral or string, got $other")
+    }
+    coalesce(keyed, raise_error(lit(s"near-dup gate: NULL $idCol")).cast("long"))
+  }
+
   /** One micro-batch of the streaming near-dup gate (the foreachBatch body
     * of [[dedupNearStream]], package-visible so the batch semantics are
     * spec-testable without a stream): MinHash-band every incoming doc,
-    * drop any doc whose bucket collides with the AT-REST LSH index (the
-    * same `(doc_id, band, bucket)` relation
-    * [[graft.operators.Dedup.minhashBandBuckets]] builds and
-    * `minhashPairsIncremental` treats as the persistable index) or with a
-    * smaller-id doc in the SAME batch, then append survivors' rows to
-    * `outDir` and their band buckets to the index.
+    * drop any doc that collides with the MANIFEST-COMMITTED at-rest LSH
+    * index (the same `(doc_id, band, bucket)` relation
+    * [[graft.operators.Dedup.minhashBandBuckets]] builds) or with a
+    * smaller-id doc in the SAME batch, then commit survivors' band rows to
+    * the index and the survivors themselves to `outDir`.
     *
-    * Write order is index-BEFORE-output on purpose: under foreachBatch's
-    * at-least-once replay, a replayed batch's docs collide with their own
-    * now-indexed buckets and drop — the output can never accumulate
-    * duplicates (the gate's whole contract). The cost is the narrow crash
-    * window between the two writes, where a doc is indexed but not output
-    * — a dedup gate prefers losing one boundary doc over emitting dups.
+    * EFFECTIVELY-EXACTLY-ONCE under foreachBatch's at-least-once replay,
+    * via two mechanisms working together:
+    *   - index rows carry `batch_id`, and the collision probe EXEMPTS rows
+    *     of the CURRENT batch id — so a replayed batch does not collide
+    *     with its own first-attempt index rows and recomputes the exact
+    *     same survivor set (only the latest batch can ever replay, so the
+    *     exemption never hides a genuine cross-batch duplicate);
+    *   - the output write is a dynamic partition overwrite of
+    *     `ingest_batch=<batchId>` — a replay REWRITES that partition with
+    *     identical content instead of appending a second copy.
+    * A crash between the index commit and the output write therefore loses
+    * nothing: the replay passes the same survivors through the exempted
+    * probe and lands them in the output (this closes the r7 crash window
+    * where a batch's survivors were indexed-but-never-output and then
+    * dropped forever on replay). The replayed index append adds duplicate
+    * band rows (same rows, same batch_id) — semantically inert for a
+    * semi-join probe, and [[compactNearDupIndex]] folds them away.
+    *
+    * `minBandsGate` tunes precision: 1 (default) drops on ANY raw bucket
+    * collision (recall-oriented, the classic LSH gate); k > 1 requires the
+    * colliding pair to agree on ≥ k of the `nBands` bands — the MinHash
+    * estimate of Jaccard similarity, so the gate verifies candidates
+    * instead of trusting single-band luck (at 8 bands × 4 rows, 6-of-8
+    * agreement ≈ Jaccard ≳ 0.9). Same criterion as
+    * [[graft.operators.Dedup.minhashPairsIncremental]] filtered to
+    * `n_bands >= k` — StreamingSpec proves the kept sets coincide.
     *
     * Scale shape: per-batch work is the batch's signature pipeline plus
-    * one semi-join against the index, bucketed on (band, bucket) — bounded
+    * one probe join against the index, bucketed on (band, bucket) — bounded
     * by batch size, never by stream history; no Spark state store (the
     * state IS the index, exactly the materializeCdcStream philosophy).
     */
   private[graft] def applyNearDedupBatch(batch: DataFrame, idCol: String,
       textCol: String, indexDir: String, outDir: String,
-      shingleN: Int, nPerms: Int, nBands: Int): Unit = {
+      shingleN: Int, nPerms: Int, nBands: Int, batchId: Long,
+      minBandsGate: Int = 1): Unit = {
     import graft.functions.TextFunctions.tokens
+    require(minBandsGate >= 1 && minBandsGate <= nBands,
+      s"minBandsGate ($minBandsGate) must be in [1, nBands=$nBands]")
     val spark = batch.sparkSession
-    val b = batch.persist()
+    val b = batch.withColumn("__doc_id", gateDocId(batch, idCol)).persist()
     try {
+      val toked = b.select(col("__doc_id").as("doc_id"),
+        tokens(col(textCol)).as("toks"))
+      // SHORT-DOC fallback rows: a doc under the shingle horizon produces no
+      // signature and would sail through every collision check — even as an
+      // exact copy. Synthetic `band = -1` rows keyed on the exact token-
+      // normalized content hash ride the SAME relation (probe, keeper,
+      // index) so short exact dups dedup across batches like everything
+      // else. Zero-token docs still pass (nothing to dedup on — empty-doc
+      // policy belongs to the upstream quality gate).
+      val shortRows = toked
+        .where(size(col("toks")) > 0 && size(col("toks")) < shingleN)
+        .select(col("doc_id"), lit(-1).as("band"),
+          xxhash64(concat_ws(" ", col("toks"))).as("bucket"))
       val bands = graft.operators.Dedup.minhashBandBuckets(
-        b.select(col(idCol).cast("long").as("doc_id"),
-          tokens(col(textCol)).as("toks")),
-        shingleN, nPerms, nBands).persist()
+        toked, shingleN, nPerms, nBands)
+        .unionByName(shortRows).persist()
       try {
-        val index: DataFrame = {
-          val p = new org.apache.hadoop.fs.Path(indexDir)
-          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-            spark.read.parquet(indexDir)
-          else bands.limit(0)
-        }
-        val hitIndex = bands
-          .join(index.select(col("band"), col("bucket")),
-            Seq("band", "bucket"), "left_semi")
-          .select(col("doc_id")).distinct()
-        // within-batch: the smallest doc id in each bucket is the keeper
-        val keeper = bands.groupBy(col("band"), col("bucket"))
-          .agg(min(col("doc_id")).as("keep_id"))
-        val hitBatch = bands.join(keeper, Seq("band", "bucket"))
-          .where(col("doc_id") > col("keep_id"))
-          .select(col("doc_id")).distinct()
+        val index: DataFrame =
+          if (graft.etl.Maintenance.manifestVersion(spark, indexDir) > 0L)
+            graft.etl.Maintenance.readManifested(spark, indexDir)
+          else {
+            // bootstrap — legal ONLY for a genuinely fresh gate. An output
+            // dir with admitted docs but no index manifest means the index
+            // vanished mid-stream (e.g. a deleted store); silently starting
+            // from an empty index would re-admit every future duplicate.
+            val op = new org.apache.hadoop.fs.Path(outDir)
+            val fs = op.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            require(!fs.exists(op) || fs.listStatus(op).isEmpty,
+              s"near-dup gate: no index manifest at $indexDir but output " +
+                s"$outDir is non-empty — the index vanished mid-stream; " +
+                "rebuild it from the output before resuming")
+            bands.limit(0).withColumn("batch_id", lit(-1L))
+          }
+        // replay exemption: the current batch's own first-attempt rows are
+        // invisible to the probe (see the exactly-once contract above)
+        val visible = index.where(col("batch_id") =!= lit(batchId))
+          .select(col("band"), col("bucket"), col("doc_id").as("__idx_doc"))
+        // verified mode counts agreeing bands per candidate pair — except a
+        // band −1 (short-doc exact-hash) collision, which IS Jaccard 1 and
+        // always drops regardless of the gate
+        val hitIndex =
+          if (minBandsGate == 1)
+            bands.join(visible.select(col("band"), col("bucket")),
+              Seq("band", "bucket"), "left_semi")
+              .select(col("doc_id")).distinct()
+          else
+            bands.join(visible, Seq("band", "bucket"))
+              .groupBy(col("doc_id"), col("__idx_doc"))
+              .agg(count(lit(1)).as("__nb"),
+                max((col("band") === -1).cast("int")).as("__exact"))
+              .where(col("__nb") >= minBandsGate || col("__exact") === 1)
+              .select(col("doc_id")).distinct()
+        val hitBatch =
+          if (minBandsGate == 1) {
+            // the smallest doc id in each bucket is the keeper
+            val keeper = bands.groupBy(col("band"), col("bucket"))
+              .agg(min(col("doc_id")).as("keep_id"))
+            bands.join(keeper, Seq("band", "bucket"))
+              .where(col("doc_id") > col("keep_id"))
+              .select(col("doc_id")).distinct()
+          } else
+            bands.join(bands.select(col("band"), col("bucket"),
+                col("doc_id").as("__other")), Seq("band", "bucket"))
+              .where(col("__other") < col("doc_id"))
+              .groupBy(col("doc_id"), col("__other"))
+              .agg(count(lit(1)).as("__nb"),
+                max((col("band") === -1).cast("int")).as("__exact"))
+              .where(col("__nb") >= minBandsGate || col("__exact") === 1)
+              .select(col("doc_id")).distinct()
         val dropped = hitIndex.unionByName(hitBatch).distinct()
         // EAGER localCheckpoint, not persist: `passing`'s lineage reads the
-        // index, and the index append below would otherwise be visible to
+        // index, and the index commit below would otherwise be visible to
         // any partition recomputed during the later output write — a doc
         // would collide with its OWN just-appended buckets and silently
         // vanish from the output (read-your-own-write). Checkpointing
         // severs the lineage BEFORE the append; a lost block then fails
         // loudly instead of recomputing through the mutated index.
         val passing = b.join(
-          dropped.select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
+          dropped.select(col("doc_id").as("__doc_id")), Seq("__doc_id"), "left_anti")
           .localCheckpoint()
         try {
           if (!passing.isEmpty) {
-            bands.join(passing.select(col(idCol).cast("long").as("doc_id")),
-                Seq("doc_id"), "left_semi")
-              .write.mode("append").parquet(indexDir)
-            passing.write.mode("append").parquet(outDir)
+            graft.etl.Maintenance.appendManifested(
+              bands.join(passing.select(col("__doc_id").as("doc_id")),
+                  Seq("doc_id"), "left_semi")
+                .withColumn("batch_id", lit(batchId)),
+              indexDir)
+            passing.drop("__doc_id")
+              .withColumn("ingest_batch", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("ingest_batch").parquet(outDir)
           }
         } finally passing.queryExecution.analyzed.collect {
           case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
@@ -447,59 +544,66 @@ object Streaming {
 
   /** Maintenance for [[dedupNearStream]]'s at-rest LSH index: every
     * micro-batch appends one small file, so a long-running gate accumulates
-    * thousands of tiny files and the per-batch semi-join's scan goes
+    * thousands of tiny files and the per-batch probe's scan goes
     * listing-bound. Compaction rewrites the index `repartitionByRange` on
-    * `(band, bucket)` — one range shuffle of the (doc_id, band, bucket)
-    * relation, giving both a bounded file count and bucket-clustered row
-    * groups (min/max on `bucket` lets the probe's scan skip row groups).
-    * Write-temp-then-swap: the live index dir is replaced only after the
-    * compacted copy is fully written, and the gate is per-batch (no reader
-    * holds the dir between batches) — run it between batches or during a
-    * stream pause, exactly like production OPTIMIZE jobs.
+    * `(band, bucket)` — one range shuffle of the (doc_id, band, bucket,
+    * batch_id) relation, giving both a bounded file count and
+    * bucket-clustered row groups (min/max on `bucket` lets the probe's scan
+    * skip row groups) — and `dropDuplicates` folds away any replay-
+    * duplicated band rows. Published via the manifest-committed store
+    * ([[graft.etl.Maintenance.replaceManifested]]): the commit is ONE
+    * atomic manifest rename, so a gate batch racing the compaction reads
+    * the complete old index or the complete new one — never an absent or
+    * half-swapped directory (the r7 two-rename layout had exactly that
+    * window, and a gate bootstrapping against it silently admitted
+    * duplicates). A crash mid-compaction leaves the old manifest intact;
+    * the orphaned staged files are reclaimed by the vacuum that runs on
+    * the next successful compaction. `batch_id` values survive compaction,
+    * so a replayed latest batch keeps its self-collision exemption.
     *
-    * @return (files before, files after)
+    * @return (live files before, live files after) per the manifests
     */
   def compactNearDupIndex(spark: SparkSession, indexDir: String,
       targetPartitions: Int = 32): (Int, Int) = {
-    val p = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def parquetFiles(dir: org.apache.hadoop.fs.Path): Int =
-      if (!fs.exists(dir)) 0
-      else fs.listStatus(dir).count(s =>
-        s.isFile && s.getPath.getName.endsWith(".parquet"))
-    val before = parquetFiles(p)
-    if (before == 0) return (0, 0)
-    val tmp = new org.apache.hadoop.fs.Path(indexDir + "._compact_tmp")
-    spark.read.parquet(indexDir)
-      .repartitionByRange(targetPartitions, col("band"), col("bucket"))
-      .write.mode("overwrite").parquet(tmp.toString)
-    val old = new org.apache.hadoop.fs.Path(indexDir + "._compact_old")
-    if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(p, old), s"could not stage old index $p")
-    require(fs.rename(tmp, p), s"could not publish compacted index $tmp")
-    fs.delete(old, true)
-    (before, parquetFiles(p))
+    import graft.etl.Maintenance
+    if (Maintenance.manifestVersion(spark, indexDir) == 0L) return (0, 0)
+    val before = Maintenance.manifestFileCount(spark, indexDir)
+    // vacuum FIRST (reclaims the previous compaction's orphans), so the
+    // files this compaction orphans stay on disk until the next run — a
+    // reader pinned to the outgoing manifest keeps its files
+    Maintenance.vacuumManifested(spark, indexDir)
+    Maintenance.replaceManifested(
+      Maintenance.readManifested(spark, indexDir)
+        .dropDuplicates()
+        .repartitionByRange(targetPartitions, col("band"), col("bucket")),
+      indexDir)
+    (before, Maintenance.manifestFileCount(spark, indexDir))
   }
 
   /** Streaming near-duplicate gate — the LLM-pipeline front door that keeps
     * a crawl stream clean AS IT ARRIVES instead of re-deduplicating the
     * corpus after the fact: each micro-batch is MinHash-banded, collided
     * docs (vs the at-rest LSH index OR a smaller-id doc in the same batch)
-    * are dropped, survivors land in `outDir` and their buckets join the
+    * are dropped, survivors land in `outDir` (partitioned by
+    * `ingest_batch` — the provenance column that makes replays rewrite
+    * instead of duplicate) and their buckets join the manifest-committed
     * index — so batch N+1 dedups against everything batch N admitted.
-    * Recall-oriented like every LSH gate: a bucket collision is treated as
-    * a duplicate without verifying Jaccard (tune nPerms/nBands for the
-    * false-positive rate the pipeline tolerates).
+    * Effectively exactly-once under foreachBatch replay (see
+    * [[applyNearDedupBatch]]). Default `minBandsGate = 1` drops on any raw
+    * bucket collision (recall-oriented); raise it to require k-of-nBands
+    * agreement — the MinHash-estimated-Jaccard verification knob for
+    * precision-sensitive pipelines.
     */
   def dedupNearStream(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, outDir: String, checkpoint: String,
       shingleN: Int = 3, nPerms: Int = 32, nBands: Int = 8,
+      minBandsGate: Int = 1,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         applyNearDedupBatch(batch.toDF(), idCol, textCol, indexDir, outDir,
-          shingleN, nPerms, nBands)
+          shingleN, nPerms, nBands, batchId, minBandsGate)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

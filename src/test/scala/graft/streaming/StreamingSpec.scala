@@ -458,22 +458,177 @@ class StreamingSpec extends SparkSpec {
     (0 until 6).foreach { b =>
       val docs = Seq((b * 10L + 1, s"unique content batch $b alpha beta gamma delta " +
         s"epsilon zeta eta theta b$b")).toDF("doc_id", "text")
-      Streaming.applyNearDedupBatch(docs, "doc_id", "text", idx, out, 3, 16, 8)
+      Streaming.applyNearDedupBatch(docs, "doc_id", "text", idx, out, 3, 16, 8,
+        batchId = b)
     }
-    val rowsBefore = spark.read.parquet(idx).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    def idxRows(): Set[(Long, Int, Long)] =
+      graft.etl.Maintenance.readManifested(spark, idx)
+        .select("doc_id", "band", "bucket").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val rowsBefore = idxRows()
     val (nb, na) = Streaming.compactNearDupIndex(spark, idx, targetPartitions = 2)
     assert(nb > na, s"expected fewer files, got $nb -> $na")
     assert(na <= 2)
-    val rowsAfter = spark.read.parquet(idx).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-    assert(rowsAfter == rowsBefore) // logical content untouched
-    // a replayed old batch still collides with the compacted index
-    val replay = Seq((1L, "unique content batch 0 alpha beta gamma delta " +
-      "epsilon zeta eta theta b0")).toDF("doc_id", "text")
+    assert(idxRows() == rowsBefore) // logical content untouched
+    // a LATER batch carrying batch-0's content still collides with the
+    // compacted index (new batch id — only a same-id replay is exempt)
+    val replay = Seq((100L, "unique content batch 0 alpha beta gamma delta " +
+      s"epsilon zeta eta theta b0")).toDF("doc_id", "text")
     val outRows = spark.read.parquet(out).count()
-    Streaming.applyNearDedupBatch(replay, "doc_id", "text", idx, out, 3, 16, 8)
+    Streaming.applyNearDedupBatch(replay, "doc_id", "text", idx, out, 3, 16, 8,
+      batchId = 6)
     assert(spark.read.parquet(out).count() == outRows) // dropped, not re-admitted
+  }
+
+  test("near-dup gate survives a crashed compaction (staged-but-uncommitted " +
+    "files), a crash between index commit and output write, and fails loudly " +
+    "when the index vanishes under a non-empty output") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_crash_idx_").toString
+    val out = Files.createTempDirectory("graft_crash_out_").toString
+    val doc0 = "the quick brown fox jumps over the lazy dog again and again"
+    Streaming.applyNearDedupBatch(Seq((1L, doc0)).toDF("doc_id", "text"),
+      "doc_id", "text", idx, out, 3, 16, 8, batchId = 0)
+
+    // CRASHED COMPACTION: staged data files exist on disk but no manifest
+    // references them — exactly the state a kill mid-replaceManifested
+    // leaves. The gate must keep reading the committed manifest (old index
+    // intact ⇒ a duplicate still drops), and the next compaction must
+    // converge, reclaiming the orphans.
+    Seq((999L, 0, 12345L, 99L)).toDF("doc_id", "band", "bucket", "batch_id")
+      .coalesce(1).write.mode("append").parquet(s"$idx/data")
+    Streaming.applyNearDedupBatch(Seq((2L, doc0)).toDF("doc_id", "text"),
+      "doc_id", "text", idx, out, 3, 16, 8, batchId = 1)
+    assert(spark.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L)) // dup dropped despite orphans
+    val (_, after) = Streaming.compactNearDupIndex(spark, idx)
+    assert(after >= 1)
+    // the orphan row never entered the committed content
+    assert(graft.etl.Maintenance.readManifested(spark, idx)
+      .where($"doc_id" === 999L).isEmpty)
+
+    // CRASH BETWEEN INDEX COMMIT AND OUTPUT WRITE (the r7 lost-survivor
+    // window): batch 2's docs are indexed but never output; the foreachBatch
+    // replay (same batch id) must still OUTPUT them — the self-collision
+    // exemption makes the replay recompute the same survivor set.
+    val newDoc = "entirely fresh content about manifest committed index stores"
+    val b2 = Seq((3L, newDoc)).toDF("doc_id", "text")
+    // simulate the crash: do only the index half of the batch by hand
+    graft.etl.Maintenance.appendManifested(
+      graft.operators.Dedup.minhashBandBuckets(
+        b2.select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("toks")),
+        3, 16, 8).withColumn("batch_id", lit(2L)),
+      idx)
+    // replay of batch 2 (at-least-once): survivors must land in the output
+    Streaming.applyNearDedupBatch(b2, "doc_id", "text", idx, out, 3, 16, 8,
+      batchId = 2)
+    assert(spark.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L))
+    // and a SECOND replay of the same batch changes nothing (idempotent)
+    Streaming.applyNearDedupBatch(b2, "doc_id", "text", idx, out, 3, 16, 8,
+      batchId = 2)
+    assert(spark.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).toList.sorted == List(1L, 3L))
+
+    // INDEX VANISHED: a gate pointed at an index-less dir with a non-empty
+    // output must fail loudly, not bootstrap-and-admit-duplicates
+    val gone = Files.createTempDirectory("graft_gone_idx_").toString
+    val e = intercept[IllegalArgumentException] {
+      Streaming.applyNearDedupBatch(Seq((9L, doc0)).toDF("doc_id", "text"),
+        "doc_id", "text", gone, out, 3, 16, 8, batchId = 3)
+    }
+    assert(e.getMessage.contains("index vanished"))
+  }
+
+  test("near-dup gate verified mode (minBandsGate) keeps exactly the docs " +
+    "minhashPairsIncremental keeps at the same threshold, and hashes " +
+    "string ids instead of nulling them") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_verif_idx_").toString
+    val out = Files.createTempDirectory("graft_verif_out_").toString
+    val fixture = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    val indexed = fixture.where($"doc_id" % 5 =!= 0)
+    val incoming = fixture.where($"doc_id" % 5 === 0)
+    val gate = 6
+    Streaming.applyNearDedupBatch(indexed, "doc_id", "text", idx, out,
+      3, 32, 8, batchId = 0, minBandsGate = gate)
+    val admitted0 = spark.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    Streaming.applyNearDedupBatch(incoming, "doc_id", "text", idx, out,
+      3, 32, 8, batchId = 1, minBandsGate = gate)
+    val admitted = spark.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).toSet -- admitted0
+
+    // batch truth from the incremental pair relation at the SAME n_bands
+    // threshold, where the "old" side is what batch 0 actually admitted
+    // (the gate dedups batch 0 internally before indexing it):
+    //   - a new-old pair drops the NEW doc regardless of id order (an index
+    //     hit has no id comparison),
+    //   - a new-new pair drops the larger id (the within-batch rule)
+    val admittedOld = indexed.where($"doc_id".isin(admitted0.toSeq: _*))
+    val newIds = incoming.select("doc_id").collect().map(_.getLong(0)).toSet
+    val incPairs = graft.operators.Dedup.minhashPairsIncremental(
+      admittedOld, incoming, "doc_id", "text", 3, 32, 8,
+      maxBucket = Int.MaxValue)
+      .where($"n_bands" >= gate)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val truthDrops = incPairs.flatMap { case (a, b) =>
+      (newIds(a), newIds(b)) match {
+        case (true, false) => Seq(a) // index hit: the new doc drops
+        case (false, true) => Seq(b)
+        case (true, true) => Seq(b) // within-batch: larger id drops
+        case _ => Nil // old-old pairs never occur by construction
+      }
+    }.toSet
+    assert(admitted == newIds -- truthDrops,
+      s"verified gate kept ${admitted.size}, truth keeps ${(newIds -- truthDrops).size}")
+
+    // string ids: hashed (xxhash64), never silently NULLed — an exact dup
+    // pair under string ids still collapses to one admitted doc
+    val sIdx = Files.createTempDirectory("graft_sid_idx_").toString
+    val sOut = Files.createTempDirectory("graft_sid_out_").toString
+    Streaming.applyNearDedupBatch(
+      Seq(("doc-a", "the quick brown fox jumps over the lazy dog"),
+        ("doc-b", "the quick brown fox jumps over the lazy dog"),
+        ("doc-c", "unrelated content entirely about something else")
+      ).toDF("doc_id", "text"),
+      "doc_id", "text", sIdx, sOut, 3, 16, 8, batchId = 0)
+    val sAdmitted = spark.read.parquet(sOut).select("doc_id").collect()
+      .map(_.getString(0)).toSet
+    assert(sAdmitted.size == 2 && sAdmitted.contains("doc-c"))
+    // NULL id fails loudly instead of passing the gate unconditionally
+    val err = intercept[Exception] {
+      Streaming.applyNearDedupBatch(
+        Seq((null.asInstanceOf[String], "whatever content this is"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", sIdx, sOut, 3, 16, 8, batchId = 1)
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("near-dup gate dedups SHORT docs (below the shingle horizon) across " +
+    "batches via the exact-hash fallback band, in raw and verified mode") {
+    import spark.implicits._
+    for (gate <- Seq(1, 6)) {
+      val idx = Files.createTempDirectory(s"graft_short_idx_$gate").toString
+      val out = Files.createTempDirectory(s"graft_short_out_$gate").toString
+      // batch 0: a 2-token doc (zero 3-gram shingles) + within-batch copy
+      Streaming.applyNearDedupBatch(
+        Seq((1L, "hello world"), (2L, "HELLO   world"), (3L, "bye now"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", idx, out, 3, 16, 8, batchId = 0, minBandsGate = gate)
+      // batch 1: cross-batch short copy + a fresh short doc
+      Streaming.applyNearDedupBatch(
+        Seq((4L, "hello world"), (5L, "new short"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", idx, out, 3, 16, 8, batchId = 1, minBandsGate = gate)
+      val admitted = spark.read.parquet(out).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(admitted == Set(1L, 3L, 5L),
+        s"minBandsGate=$gate admitted $admitted")
+    }
   }
 
   test("streaming rollup maintenance converges to batch truth, touches only " +
