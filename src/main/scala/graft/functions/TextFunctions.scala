@@ -74,6 +74,20 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(text), "\\s+", " "))
 
+  /** ENGINE-PORTABLE 60-bit content fingerprint: the first 15 md5 hex
+    * digits of the same normalized text, parsed as a positive BIGINT —
+    * identical semantics to [[fingerprint]] (a content key surviving
+    * trivial edits) with a hash any ANSI engine replays bit-exact
+    * (`CAST('0x'||substr(md5(…),1,15) AS BIGINT)` in DuckDB), which is what
+    * puts q_fingerprint under the driver's differential oracle. Production
+    * dedup keys stay on the xxhash64 form (cheaper, full 64-bit space);
+    * this is the reproducibility/certification variant — the same trade as
+    * [[graft.operators.Dedup.portableBandBuckets]].
+    */
+  def fingerprintPortable(text: Column): Column =
+    conv(substring(md5(regexp_replace(lower(text), "\\s+", " ")), 1, 15),
+      16, 10).cast("long")
+
   /** Winnowing rolling-hash fingerprints (MOSS): `array<bigint>` of selected
     * k-gram hashes; any shared substring of length ≥ w+k−1 between two
     * documents shares at least one fingerprint. Native O(n) expression

@@ -229,21 +229,24 @@ object Corpus {
     * the unfilled tail of each sequence, reported as `seq_fill`).
     *
     * Optimal bin packing is inherently sequential; the scalable form is
-    * greedy packing WITHIN partitions: one co-locating exchange on the doc
-    * id, a partition-local sort, then a single mapPartitions pass — no
-    * global coordination, no driver state. Sequence ids are
-    * `(partition << 40) | localSeq`, collision-free and DETERMINISTIC for a
-    * fixed partition count (hash partitioning + a total within-partition
-    * sort on the unique (doc, chunk) key ⇒ identical assignment on every
-    * run — CorpusSpec reruns and compares). The partition component is
-    * derived from the DATA (`pmod(hash(id), n)` — exactly the expression
-    * hash partitioning routes by), NOT `TaskContext.getPartitionId`: the
-    * task's partition index is a property of the executing STAGE, so a plan
-    * embedded in a larger query (a union re-indexes its second input's
-    * tasks) would mint different ids for identical rows. A chunk longer
-    * than `capacity`
-    * occupies a sequence alone (truncation is the tokenizer's concern, not
-    * the packer's).
+    * greedy packing WITHIN bounded groups: one co-locating exchange on the
+    * group key, a partition-local sort, then a single mapPartitions pass —
+    * no global coordination, no driver state. Groups are derived from the
+    * DATA, seedlessly and ENGINE-PORTABLY (the [[shardAssign]] trick: first
+    * 8 md5 hex digits of the doc id mod `nPartitions`), NOT from
+    * `TaskContext.getPartitionId` or Spark's murmur3 — the task's partition
+    * index is a property of the executing STAGE, and murmur3 is a property
+    * of the ENGINE; either would mint different ids for identical rows
+    * under a re-embedded plan or a different engine. Sequence ids are
+    * `(group << 40) | localSeq`, collision-free, identical on every rerun,
+    * any partitioning, and any ANSI engine — which is what lets the DuckDB
+    * oracle replay the whole greedy fold (q_pack_sequences) as a recursive
+    * CTE instead of settling for a rows-only check. A physical partition
+    * may hold several groups (the exchange routes by murmur3 OF the group
+    * key); the fold resets its counters at each group boundary, so the
+    * assignment never depends on which groups co-reside. A chunk longer
+    * than `capacity` occupies a sequence alone (truncation is the
+    * tokenizer's concern, not the packer's).
     *
     * Output: exactly (`idCol`, `chunkIdCol`, `nTokensCol`, `seq_id`,
     * `seq_fill`) — other input columns (chunk_text) are NOT carried; join
@@ -258,25 +261,28 @@ object Corpus {
     import spark.implicits._
     val np = if (nPartitions > 0) nPartitions
       else spark.sessionState.conf.numShufflePartitions
+    // md5 of the CAST id's string form: the group must derive from the
+    // VALUE, identically for int/long/string spellings of the same id and
+    // identically in any engine (DuckDB: CAST('0x'||substr(md5(id),1,8) AS
+    // BIGINT) % np)
+    val grp = (conv(substring(md5(col(idCol).cast("long").cast("string")), 1, 8),
+      16, 10).cast("long") % np).cast("int")
     chunks
-      // hash the CAST id: repartition routes by the post-cast long column,
-      // and murmur3 of int/string/long inputs differ — a pre-cast hash
-      // would disagree with the physical partitioning for non-bigint ids
-      // and mint colliding seq_ids across partitions
       .select(col(idCol).cast("long"), col(chunkIdCol).cast("int"),
-        col(nTokensCol).cast("int"),
-        pmod(hash(col(idCol).cast("long")), lit(np)).cast("int"))
+        col(nTokensCol).cast("int"), grp.as("__grp"))
       .as[(Long, Int, Int, Int)]
-      .repartition(np, col(idCol))
-      .sortWithinPartitions(col(idCol), col(chunkIdCol))
+      .repartition(np, col("__grp"))
+      .sortWithinPartitions(col("__grp"), col(idCol), col(chunkIdCol))
       .mapPartitions { it =>
+        var curGrp = Int.MinValue
         var seq = 0L
         var used = 0
-        it.map { case (doc, cid, n, pid) =>
+        it.map { case (doc, cid, n, g) =>
+          if (g != curGrp) { curGrp = g; seq = 0L; used = 0 }
           val take = math.min(n, capacity)
           if (used + take > capacity) { seq += 1; used = 0 }
           used += take
-          (doc, cid, n, (pid.toLong << 40) | seq, used)
+          (doc, cid, n, (g.toLong << 40) | seq, used)
         }
       }
       .toDF(idCol, chunkIdCol, nTokensCol, "seq_id", "seq_fill")

@@ -633,20 +633,56 @@ object ExtQueries {
     // ------------------------------------------------------------------
     // Sequence packing — [[Corpus.packSequences]]: chunks greedily packed
     // into capacity-256 training sequences (one co-locating exchange + a
-    // partition-local mapPartitions pass). Declared rows-only: the
-    // assignment depends on hash partitioning, which has no DuckDB
-    // equivalent by construction; the packing invariants (exact coverage,
-    // capacity, in-order prefix fill, rerun determinism) are
-    // ScalaTest-gated in CorpusSpec instead. Output = per-sequence fill
-    // stats, the padding-waste audit a training pipeline reads.
+    // partition-local mapPartitions pass). FULLY oracled since the r8
+    // canonicalization: packing groups derive from md5 of the doc id (the
+    // shardAssign trick) instead of Spark murmur3, so the greedy first-fit
+    // fold is engine-invariant and DuckDB replays it exactly — groups via
+    // the same hex-parse, the in-group (doc, chunk) order via row_number,
+    // and the stateful fold (bin closes when the next chunk doesn't fit;
+    // counters reset per group) as a recursive CTE advancing one row per
+    // group per step. Output = per-sequence fill stats, the padding-waste
+    // audit a training pipeline reads. The packing invariants (coverage,
+    // capacity, prefix fill, rerun determinism) stay ScalaTest-gated in
+    // CorpusSpec on top.
     QueryDef(
       "q_pack_sequences",
-      None,
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n
+             |  FROM documents),
+             |chunks AS (
+             |  SELECT doc_id, unnest(range(0, CAST(ceil(n / 32.0) AS INT))) AS chunk_id, n
+             |  FROM toks WHERE n > 0),
+             |c2 AS (
+             |  SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+             |    CAST(least(n - chunk_id * 32, 32) AS INT) AS n_tokens,
+             |    CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS INT) AS grp
+             |  FROM chunks),
+             |ord AS (
+             |  SELECT doc_id, chunk_id, n_tokens, grp,
+             |    row_number() OVER (PARTITION BY grp ORDER BY doc_id, chunk_id) AS rn
+             |  FROM c2),
+             |pack AS (
+             |  SELECT grp, rn, doc_id,
+             |    CAST(0 AS BIGINT) AS seq, least(n_tokens, 256) AS used
+             |  FROM ord WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.grp, o.rn, o.doc_id,
+             |    CASE WHEN p.used + least(o.n_tokens, 256) > 256
+             |         THEN p.seq + 1 ELSE p.seq END,
+             |    CASE WHEN p.used + least(o.n_tokens, 256) > 256
+             |         THEN least(o.n_tokens, 256)
+             |         ELSE p.used + least(o.n_tokens, 256) END
+             |  FROM pack p JOIN ord o ON o.grp = p.grp AND o.rn = p.rn + 1)
+             |SELECT CAST(grp AS BIGINT) * 1099511627776 + seq AS seq_id,
+             |  CAST(count(*) AS BIGINT) AS n_chunks,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  CAST(max(used) AS INT) AS fill_tokens
+             |FROM pack GROUP BY 1""".stripMargin),
       (s, dir) => {
         import s.implicits._
         val chunks = Corpus.chunk(docs(s, dir), "doc_id", "text", chunkSize = 32)
         Corpus.packSequences(chunks, "doc_id", "chunk_id", "n_tokens",
-            capacity = 256)
+            capacity = 256, nPartitions = 16)
           .groupBy($"seq_id")
           .agg(count(lit(1)).as("n_chunks"),
             countDistinct($"doc_id").as("n_docs"),
@@ -901,16 +937,23 @@ object ExtQueries {
       }),
 
     // ------------------------------------------------------------------
-    // Document fingerprinting (xxhash64-based → no DuckDB oracle).
+    // Document fingerprinting. FULLY oracled since r8 via the portable
+    // md5-derived fingerprint (TextFunctions.fingerprintPortable — same
+    // normalize-then-hash semantics, ANSI-replayable hash); the xxhash64
+    // production form stays spec-gated in OperatorsSpec. `fingerprint`
+    // survives case/whitespace edits, `raw_hash` keys the exact bytes.
     QueryDef(
       "q_fingerprint",
-      None,
+      Some("""SELECT doc_id,
+             |  CAST(concat('0x', substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 15)) AS BIGINT) AS fingerprint,
+             |  CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS raw_hash
+             |FROM documents""".stripMargin),
       (s, dir) => {
         import s.implicits._
         docs(s, dir).select(
           $"doc_id",
-          TextFunctions.fingerprint($"text").as("fingerprint"),
-          xxhash64($"text").as("raw_hash"))
+          TextFunctions.fingerprintPortable($"text").as("fingerprint"),
+          conv(substring(md5($"text"), 1, 15), 16, 10).cast("long").as("raw_hash"))
       }),
 
     // ------------------------------------------------------------------
@@ -1841,13 +1884,26 @@ object ExtQueries {
     // re-trains). Returns the cluster histogram — the balance diagnostic an
     // index build emits. Declared BEFORE q_sim_ivf; Bench runs in declared
     // order so the probe measures probe-only.
+    // PROPERTY oracle (r8): the per-cluster histogram itself is k-means-
+    // seed-structural, but the build's COVERAGE contract is not — every
+    // well-formed corpus vector must land in exactly one cluster partition
+    // of the at-rest layout (a lost partition write, a NULL-cluster leak,
+    // or a double-append all break the count), and the cluster ids must
+    // stay inside [0, k). DuckDB re-derives the corpus count; the flag is
+    // computed from the real index content and must be literally TRUE.
+    // The histogram diagnostic stays observable via IvfSpec/RecallSpec.
     QueryDef(
       "q_sim_ivf_build",
-      None,
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_vectors, true AS coverage_ok
+             |FROM embeddings""".stripMargin),
       (s, dir) => {
         val path = IvfIndex.ensure(s, dir)
-        s.read.parquet(s"$path/data")
-          .groupBy(col("cluster")).agg(count(lit(1)).as("n_vectors"))
+        val hist = s.read.parquet(s"$path/data")
+          .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+        hist.agg(
+          sum(col("n")).as("n_vectors"),
+          (min(col("cluster")) >= 0 && max(col("cluster")) < IvfIndex.K &&
+            count(lit(1)) <= IvfIndex.K).as("coverage_ok"))
       }),
 
     // ------------------------------------------------------------------
@@ -1855,9 +1911,13 @@ object ExtQueries {
     // rank only the nProbe nearest clusters via a PARTITION-PRUNED scan.
     // Train cost lives in q_sim_ivf_build, exactly like a 100 TB serving path.
     // PROPERTY oracle (same shape as q_sim_lsh): rows are the exact
-    // brute-force top-20; the flag asserts IVF probe recall@20 ≥ 0.5, the
-    // RecallSpec:46 gate (measured 0.55 sf0.01 / 0.70 sf0.1 at
-    // nProbe=2 of k=8 — the nProbe/k knob IS the recall dial).
+    // brute-force top-20; the flag asserts IVF probe recall@20 ≥ 0.5 at
+    // nProbe=4 of k=8 (measured 0.70 sf0.01 / 0.85 sf0.1 — twice the old
+    // nProbe=2 margin over the gate). The nProbe knob itself is gated
+    // STRUCTURALLY in RecallSpec: recall monotone in nProbe, and full-width
+    // probe equals brute force exactly — regen-proof where a raised
+    // measured gate (0.8 needs nProbe≥5 on these weakly-clustered fixture
+    // vectors) would flake.
     QueryDef(
       "q_sim_ivf",
       Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -1879,7 +1939,7 @@ object ExtQueries {
         val q = Similarity.vectorOf(s, e, "vec_id", "embedding", 0L)
         withRecallFlag(
           Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 20),
-          Ivf.probeClustered(s, path, "vec_id", "embedding", q, nProbe = 2, k = 20),
+          Ivf.probeClustered(s, path, "vec_id", "embedding", q, nProbe = 4, k = 20),
           Seq("vec_id"), gate = 0.5, boundedTruth = true) // truth = k rows
       })
   )
@@ -1893,11 +1953,16 @@ object ExtQueries {
     * trusted).
     */
   private object IvfIndex {
+    /** Cluster count of the declared index build — shared by the build call
+      * and q_sim_ivf_build's coverage flag.
+      */
+    val K = 8
+
     private val built = scala.collection.mutable.Set[String]()
 
     def ensure(s: SparkSession, dir: String): String = synchronized {
       val src = new java.io.File(dir, "embeddings.parquet")
-      val key = s"${src.getAbsolutePath}:${src.length}:${src.lastModified}:k8:i2"
+      val key = s"${src.getAbsolutePath}:${src.length}:${src.lastModified}:k$K:i2"
       val path = new java.io.File(
         sys.props.getOrElse("java.io.tmpdir", "/tmp"),
         "graft_ivf_" + java.lang.Long.toHexString(
@@ -1907,7 +1972,7 @@ object ExtQueries {
         val marker = new java.io.File(path, "_GRAFT_OK")
         if (!marker.exists()) {
           val e = emb(s, dir)
-          val model = Ivf.train(e, "vec_id", "embedding", k = 8, iters = 2)
+          val model = Ivf.train(e, "vec_id", "embedding", k = K, iters = 2)
           Ivf.writeClustered(e, "vec_id", "embedding", model, path)
           marker.createNewFile()
         }

@@ -82,8 +82,21 @@ object ProbeRecall {
       dims = 64, nPlanes = 4, k = 20, nTables = 8))
     println(f"[probe] lsh recall@20 = ${(lsh & brute).size / 20.0}%.3f")
     val model = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
-    val ivf = ids(Ivf.topK(emb, "vec_id", "embedding", model, q, nProbe = 2, k = 20))
-    println(f"[probe] ivf recall@20 = ${(ivf & brute).size / 20.0}%.3f")
+    for (np <- 1 to 6) {
+      val ivf = ids(Ivf.topK(emb, "vec_id", "embedding", model, q, nProbe = np, k = 20))
+      println(f"[probe] ivf recall@20 nProbe=$np = ${(ivf & brute).size / 20.0}%.3f")
+    }
+    // worst-case over several query vectors at the gate-candidate nProbe=4
+    val qids = emb.select("vec_id").orderBy("vec_id").limit(8)
+      .collect().map(_.getLong(0))
+    val worst = qids.map { qid =>
+      val qv = Similarity.vectorOf(spark, emb, "vec_id", "embedding", qid)
+      val bt = ids(Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 20))
+      val iv = ids(Ivf.topK(emb, "vec_id", "embedding", model, qv, nProbe = 4, k = 20))
+      (iv & bt).size / 20.0
+    }
+    println(f"[probe] ivf nProbe=4 recall over ${qids.length} queries: " +
+      f"min=${worst.min}%.3f mean=${worst.sum / worst.length}%.3f")
 
     spark.stop()
   }

@@ -43,12 +43,27 @@ class RecallSpec extends SparkSpec {
     assert(multi.size > single.size, "8 tables found nothing beyond table 0")
   }
 
-  test("IVF probe recall@20 vs brute force (same params as q_sim_ivf)") {
+  test("IVF probe recall@20 vs brute force (same params as q_sim_ivf), and " +
+    "the nProbe knob behaves: recall is monotone in nProbe and EXACT at " +
+    "full probe width") {
     val model = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
-    val ivf = ids(Ivf.topK(emb, "vec_id", "embedding", model, q,
-      nProbe = 2, k = 20))
-    val recall = (ivf & bruteTop20).size / 20.0
-    assert(recall >= 0.5, s"IVF recall@20 = $recall (expected >= 0.5)")
+    def ivfAt(np: Int): Set[Long] =
+      ids(Ivf.topK(emb, "vec_id", "embedding", model, q, nProbe = np, k = 20))
+    def recallAt(np: Int): Double = (ivfAt(np) & bruteTop20).size / 20.0
+    // the declared-query configuration (nProbe=4 since r8; measured 0.70
+    // sf0.01 / 0.85 sf0.1 — the 0.5 gate holds a broken centroid
+    // assignment, which craters toward 0.1, well away from fixture noise)
+    assert(recallAt(4) >= 0.5, s"IVF recall@20 = ${recallAt(4)} (expected >= 0.5)")
+    // STRUCTURAL knob guarantees (fixture-regen-proof, unlike measured
+    // gates): probed clusters are a sorted prefix, so the candidate set
+    // only grows with nProbe and a true-top-20 member once probed always
+    // surfaces ⇒ recall is monotone; probing every cluster IS the exact
+    // scan ⇒ recall 1.0 by construction
+    val r1 = recallAt(1); val r2 = recallAt(2); val r4 = recallAt(4)
+    assert(r1 <= r2 && r2 <= r4,
+      s"recall not monotone in nProbe: $r1, $r2, $r4")
+    assert(ivfAt(8) == bruteTop20,
+      "full-width probe must equal the brute-force top-20 exactly")
   }
 
   test("embedding near-dup pairs recall vs exact all-pairs at the same " +
