@@ -136,6 +136,65 @@ object Bpe {
     merges.result()
   }
 
+  /** The distinct single characters of the corpus word table — the BASE
+    * alphabet a vocab-bounded trainer starts from ([[trainVocab]]) and the
+    * in-vocabulary set [[encodeFallback]] checks before byte-expanding.
+    * One distinct agg over the vocabulary relation; driver-collected
+    * because an alphabet is dozens of symbols by construction (the shared
+    * `[a-z0-9]+` training tokenizer bounds it at 36).
+    */
+  def alphabet(docs: DataFrame, textCol: String): Seq[String] =
+    wordFreq(docs, textCol)
+      .select(explode(splitChars(col("word"))).as("ch"))
+      .distinct().orderBy(col("ch"))
+      .collect().map(_.getString(0)).toSeq
+
+  /** Vocab-size-bounded training — how real tokenizers are specified (a
+    * target vocabulary size, not a merge count): the final vocabulary is
+    * the corpus' base alphabet plus one new symbol per merge, so exactly
+    * `vocabSize − |alphabet|` merges are trained (fewer if the corpus
+    * exhausts below `minPairFreq` first — the vocab bound is an upper
+    * bound, never exceeded; BpeSpec gates `|alphabet| + |merges| <=
+    * vocabSize`).
+    *
+    * @return (base alphabet, merge table in application order)
+    */
+  def trainVocab(docs: DataFrame, textCol: String, vocabSize: Int,
+      minPairFreq: Long = 2L): (Seq[String], Seq[(String, String)]) = {
+    val base = alphabet(docs, textCol)
+    require(vocabSize >= base.size,
+      s"vocabSize ($vocabSize) below the corpus alphabet (${base.size})")
+    (base, train(docs, textCol, vocabSize - base.size, minPairFreq))
+  }
+
+  /** UTF-8 byte tokens of one character: `<0xNN>` per byte, the GPT-2-style
+    * byte-level escape hatch that makes encoding total — any character not
+    * in the trained alphabet is representable, so there is no OOV. Hex via
+    * the engine's `hex(encode(c))` (uppercase in Spark AND DuckDB, which is
+    * what lets q_bpe_fallback's oracle replay these tokens verbatim).
+    */
+  private def byteTokens(c: Column): Column = {
+    // fully qualified: Bpe.encode (the corpus tokenizer) shadows the
+    // sql.functions byte-encode in this scope
+    val hx = hex(org.apache.spark.sql.functions.encode(c, "UTF-8"))
+    transform(sequence(lit(1), (length(hx) / 2).cast("int")), j =>
+      concat(lit("<0x"), hx.substr(j * 2 - 1, lit(2)), lit(">")))
+  }
+
+  /** [[splitChars]] with byte fallback: characters in `alphabet` stay
+    * single-char symbols (merge-eligible); anything else expands to its
+    * UTF-8 [[byteTokens]]. Byte tokens can never merge accidentally — the
+    * trained pairs are alphabet symbols, and `<0xNN>` contains no symbol
+    * boundary for the merge fold to match.
+    */
+  def splitCharsFallback(word: Column, alphabet: Seq[String]): Column =
+    when(length(word) > 0,
+      flatten(transform(sequence(lit(1), length(word)), i => {
+        val c = word.substr(i, lit(1))
+        when(c.isin(alphabet: _*), array(c)).otherwise(byteTokens(c))
+      })))
+      .otherwise(array().cast("array<string>"))
+
   /** CORPUS tokenization under a trained (or shipped) merge table — the
     * step that turns the learned vocabulary into actual per-document token
     * counts, replacing `q_token_count`'s regex ESTIMATE with the real
@@ -153,11 +212,28 @@ object Bpe {
     * no UDF.
     */
   def encode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    encodeCore(docs, idCol, textCol,
+      graft.functions.TextFunctions.termsAlnum, splitChars, merges)
+
+  /** [[encode]] over the WHITESPACE tokenizer with byte-level fallback —
+    * the OOV-free form: words keep their punctuation/diacritics, alphabet
+    * characters ride the merge fold, everything else counts as its UTF-8
+    * bytes. Same one-corpus-shuffle shape as [[encode]].
+    */
+  def encodeFallback(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], alphabet: Seq[String]): DataFrame =
+    encodeCore(docs, idCol, textCol,
+      graft.functions.TextFunctions.tokens,
+      w => splitCharsFallback(w, alphabet), merges)
+
+  private def encodeCore(docs: DataFrame, idCol: String, textCol: String,
+      tokenizer: Column => Column, symbolize: Column => Column,
       merges: Seq[(String, String)]): DataFrame = {
-    import graft.functions.TextFunctions.{arrayBarrier, termsAlnum}
+    import graft.functions.TextFunctions.arrayBarrier
     val terms = docs
       .select(col(idCol).as("doc_id"),
-        explode(arrayBarrier(termsAlnum(col(textCol)))).as("word"))
+        explode(arrayBarrier(tokenizer(col(textCol)))).as("word"))
       .where(col("doc_id").isNotNull)
       .repartition(col("word"))
     val occurrences = terms.groupBy(col("doc_id"), col("word"))
@@ -170,7 +246,7 @@ object Bpe {
     val vocab = terms.groupBy(col("word"))
       .agg(Dedup.pruneGuard(struct(col("doc_id"))).as("__g"))
       .select(col("word"),
-        (size(applyMerges(splitChars(col("word")), merges)) + col("__g"))
+        (size(applyMerges(symbolize(col("word")), merges)) + col("__g"))
           .as("n_subtoks"))
     val perDoc = occurrences.join(vocab, "word")
       .groupBy(col("doc_id"))

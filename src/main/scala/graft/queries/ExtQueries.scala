@@ -249,11 +249,37 @@ object ExtQueries {
     * greedy left-to-right disjoint fold (see q_bpe_encode's comment).
     * Merges are alnum so no regex escaping is needed.
     */
-  private val bpeEncodeRegexSql: String =
-    bpeEncodeMerges.foldLeft(
-      "array_to_string(list_transform(range(1, len(w)+1), i -> w[i]), ' ')") {
+  private def bpeRegexChain(symbolizedExpr: String): String =
+    bpeEncodeMerges.foldLeft(symbolizedExpr) {
       case (acc, (a, b)) => s"regexp_replace($acc, '\\b$a $b\\b', '$a$b', 'g')"
     }
+
+  private val bpeEncodeRegexSql: String = bpeRegexChain(
+    "array_to_string(list_transform(range(1, len(w)+1), i -> w[i]), ' ')")
+
+  /** The base alphabet q_bpe_fallback ships alongside [[bpeEncodeMerges]]
+    * ([a-z0-9] — what the alnum training tokenizer can ever produce). ONE
+    * definition feeds the Spark isin and the generated DuckDB list below.
+    */
+  private val bpeAlphabet: Seq[String] =
+    (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+
+  /** DuckDB symbolization of `w` WITH byte fallback, feeding the same
+    * merge chain: in-alphabet chars stay single symbols, anything else
+    * expands to `<0xNN>` per UTF-8 byte (hex() is uppercase in BOTH
+    * engines). The chain's merge pairs are lowercase letters while byte
+    * tokens contain only `[<>0-9A-Fx]` with no internal space, so the
+    * regexes can never touch a byte token.
+    */
+  private val bpeFallbackRegexSql: String = {
+    val alphaList = bpeAlphabet.map(c => s"'$c'").mkString("[", ", ", "]")
+    bpeRegexChain(
+      s"""array_to_string(flatten(list_transform(range(1, len(w)+1), i ->
+         |      CASE WHEN list_contains($alphaList, w[i]) THEN [w[i]]
+         |           ELSE list_transform(range(1, len(hex(encode(w[i]))) // 2 + 1), j ->
+         |                  '<0x' || substr(hex(encode(w[i])), j*2-1, 2) || '>')
+         |      END)), ' ')""".stripMargin)
+  }
 
   /** Per-language marker-hit counts (shared by q_lang_id and
     * q_corpus_funnel_exact — same single-source rationale).
@@ -311,6 +337,35 @@ object ExtQueries {
       "doc_id", "text")
   }
 
+  /** ×`m` synthetic embedding corpus for the scale-growth bench twins:
+    * `m − 1` id-shifted copies with a small deterministic per-copy
+    * perturbation (sin of (id, copy, dim) — seedless, rerun-stable), so the
+    * multiplied corpus behaves like a larger crawl rather than m exact
+    * replicas piling into identical buckets.
+    */
+  private def embTimes(s: SparkSession, dir: String, m: Int): DataFrame = {
+    // project to the two operator-relevant columns: the copies don't carry
+    // the fixture's label column, and unionByName must see equal schemas
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    (0 until m).map { c =>
+      if (c == 0) e
+      else e.select((col("vec_id") + lit(c * 10000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x + sin((col("vec_id") * (c * 7 + 1) + i).cast("double")) * lit(0.05))
+            .cast("float")).as("embedding"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The at-scale hyperplane count for an ×`m` corpus: production LSH holds
+    * BUCKET OCCUPANCY constant by adding a plane per corpus doubling
+    * (buckets ∝ 2^nPlanes), so growth measurements exercise the knob a real
+    * deployment turns instead of letting the ×m corpus overflow a fixed
+    * bucket grid into the maxBucket cap (which would fake sub-linearity by
+    * silently discarding work).
+    */
+  private def nPlanesAt(m: Int): Int =
+    SimParams.nPlanes + (31 - Integer.numberOfLeadingZeros(m))
+
   val operatorOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_lsh" -> (lshTopKOp(_, _)),
     "q_sim_neardup" -> (nearDupPairsOp(_, _)),
@@ -321,7 +376,36 @@ object ExtQueries {
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(docs(s, dir), "doc_id", "text")),
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(docs(s, dir), "doc_id", "text")))
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text")),
+    // ×4 SCALE-GROWTH twins (VERDICT r7 #3): the crossJoin-truth queries'
+    // operator forms on a 4× corpus at the at-scale plane count — BENCH
+    // juxtaposes these with the ×1 twins so sub-quadratic growth is a
+    // MEASURED artifact (all-pairs work grows 16×; the bucketed paths
+    // should grow ~4× and the bucket-probe top-k far less), not an assertion
+    "q_sim_neardup_x4" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(embTimes(s, dir, 4), "vec_id", "embedding",
+        dims = SimParams.dims, nPlanes = nPlanesAt(4),
+        minSim = SimParams.minSim, nTables = SimParams.nTables)),
+    "q_sim_lsh_x4" -> ((s, dir) => {
+      val e4 = embTimes(s, dir, 4)
+      Similarity.lshTopK(e4, "vec_id", "embedding",
+        Similarity.vectorOf(s, e4, "vec_id", "embedding", 0L),
+        dims = SimParams.dims, nPlanes = nPlanesAt(4), k = SimParams.k,
+        nTables = SimParams.nTables)
+    }),
+    // the clusters SCALE FORM (LSH-bucketed pairs → Components loop — the
+    // declared q_sim_clusters pays crossJoin truth instead) at ×1 and ×4,
+    // so the growth ratio compares like with like
+    "q_sim_clusters_x1" -> ((s, dir) => simClustersScale(embTimes(s, dir, 1), 1)),
+    "q_sim_clusters_x4" -> ((s, dir) => simClustersScale(embTimes(s, dir, 4), 4)))
+
+  private def simClustersScale(e: DataFrame, m: Int): DataFrame = {
+    val pairs = Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
+      dims = SimParams.dims, nPlanes = nPlanesAt(m), minSim = 0.4,
+      nTables = SimParams.nTables)
+    Components.connectedComponents(e.select(col("vec_id")), "vec_id",
+      pairs, "id_a", "id_b")
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -909,6 +993,41 @@ object ExtQueries {
              |    len(string_split($bpeEncodeRegexSql, ' ')))), 0) AS BIGINT) AS n_tokens
              |FROM words""".stripMargin),
       (s, dir) => Bpe.encode(docs(s, dir), "doc_id", "text", bpeEncodeMerges)),
+
+    // ------------------------------------------------------------------
+    // OOV-FREE tokenization (Bpe.encodeFallback): the whitespace tokenizer
+    // keeps punctuation/diacritics and every character outside the trained
+    // [a-z0-9] alphabet counts as its UTF-8 `<0xNN>` byte tokens — the
+    // GPT-2-style byte-level escape hatch that makes encoding total. Same
+    // independent-re-derivation oracle as q_bpe_encode (Spark folds symbol
+    // arrays, DuckDB rewrites strings), with the byte expansion replayed
+    // via hex(encode(char)) in both engines. The input unions one
+    // synthetic mixed-content row (punctuation, quotes, a multibyte é)
+    // because the fixture corpus is clean alnum prose — without it the
+    // fallback branch would be dead in the oracle.
+    QueryDef(
+      "q_bpe_fallback",
+      Some(s"""WITH inp AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT 9000001, 'Trained: café & "quoted" tokens, the-end!'),
+             |words AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS ws
+             |  FROM inp)
+             |SELECT doc_id,
+             |  CAST(len(ws) AS BIGINT) AS n_words,
+             |  CAST(COALESCE(list_sum(list_transform(ws, w ->
+             |    len(string_split($bpeFallbackRegexSql, ' ')))), 0) AS BIGINT) AS n_tokens
+             |FROM words""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val input = docs(s, dir).select($"doc_id", $"text")
+          .unionByName(Seq(
+            (9000001L, "Trained: café & \"quoted\" tokens, the-end!"))
+            .toDF("doc_id", "text"))
+        Bpe.encodeFallback(input, "doc_id", "text", bpeEncodeMerges, bpeAlphabet)
+      }),
 
     // ------------------------------------------------------------------
     // Deterministic training-shard assignment — [[Corpus.shardAssign]]:

@@ -144,4 +144,48 @@ class BpeSpec extends SparkSpec {
       .head().getSeq[String](0)
     assert(syms === Seq("x"))
   }
+
+  test("trainVocab bounds |alphabet| + |merges| by the target vocab size " +
+    "and its merges are the plain trainer's prefix") {
+    import spark.implicits._
+    val df = Seq.fill(6)("the theme then and band sand hand").toDF("text")
+    val (base, merges) = Bpe.trainVocab(df, "text", vocabSize = 15)
+    assert(base.nonEmpty && base == base.sorted && base.distinct == base)
+    assert(base.size + merges.size <= 15,
+      s"vocab overflow: ${base.size} + ${merges.size} > 15")
+    // same corpus, same rules: vocab-bounded training IS merge-bounded
+    // training at numMerges = vocabSize - |alphabet|
+    assert(merges == Bpe.train(df, "text", numMerges = 15 - base.size))
+    // below-alphabet target is a loud error, not a truncated alphabet
+    intercept[IllegalArgumentException] {
+      Bpe.trainVocab(df, "text", vocabSize = base.size - 1)
+    }
+  }
+
+  test("byte-level fallback: encoding is total (no OOV), in-alphabet text " +
+    "encodes like the plain form, and out-of-alphabet chars count their " +
+    "UTF-8 bytes") {
+    import spark.implicits._
+    val alpha = (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+    // symbolization directly: é is 2 UTF-8 bytes, ! is 1; 'th' merge
+    // applies around them
+    val syms = spark.range(1).select(
+      Bpe.applyMerges(Bpe.splitCharsFallback(lit("thé!"), alpha),
+        Seq(("t", "h"))).as("s")).head().getSeq[String](0)
+    assert(syms == Seq("th", "<0xC3>", "<0xA9>", "<0x21>"))
+
+    // encodeFallback vs encode on pure-alnum text: identical token counts
+    val clean = Seq((1L, "the theme and band")).toDF("doc_id", "text")
+    val m = Seq(("t", "h"), ("th", "e"))
+    val a = Bpe.encode(clean, "doc_id", "text", m).collect().head
+    val b = Bpe.encodeFallback(clean, "doc_id", "text", m, alpha).collect().head
+    assert(a.getLong(1) == b.getLong(1) && a.getLong(2) == b.getLong(2))
+
+    // mixed text: total, every char accounted for — "café!" = c,a,f (3) +
+    // é (2 bytes) + ! (1 byte) = 6 tokens under no merges
+    val mixed = Seq((1L, "café!")).toDF("doc_id", "text")
+    val r = Bpe.encodeFallback(mixed, "doc_id", "text", Nil, alpha)
+      .collect().head
+    assert(r.getLong(1) == 1L && r.getLong(2) == 6L)
+  }
 }
