@@ -131,8 +131,21 @@ case class GraftNorm2(child: Expression)
     nullSafeCodeGen(ctx, ev, x => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val s = ctx.freshName("s"); val xi = ctx.freshName("xi")
+      // ev.isNull may be referenced ONLY when this expression is nullable:
+      // with a non-nullable child and containsNull=false elements, nullable
+      // is false and nullSafeCodeGen never DECLARES the isNull variable —
+      // an unconditional `if (!${ev.isNull})` then references an undeclared
+      // name, Janino rejects the whole generated class, and every query
+      // containing the expression silently falls back to interpreted
+      // execution (exactly the non-codegen-in-hot-path smell this native
+      // expression exists to avoid; surfaced by SimplifySelfCosine's
+      // rewrite, whose GraftNorm2(array(lit...)) is non-nullable)
       val nullCheck = if (elementsMayBeNull)
         s"if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }" else ""
+      val assign =
+        if (elementsMayBeNull)
+          s"if (!${ev.isNull}) { ${ev.value} = java.lang.Math.sqrt($s); }"
+        else s"${ev.value} = java.lang.Math.sqrt($s);"
       s"""
          |final int $n = $x.numElements();
          |double $s = 0.0;
@@ -141,7 +154,7 @@ case class GraftNorm2(child: Expression)
          |  final double $xi = (double) $x.getFloat($i);
          |  $s += $xi * $xi;
          |}
-         |if (!${ev.isNull}) { ${ev.value} = java.lang.Math.sqrt($s); }
+         |$assign
        """.stripMargin
     })
 

@@ -179,6 +179,10 @@ object Ivf {
     cents.zipWithIndex
       .map { case (c, i) => (i, c.toSeq, counts(i)) }.toSeq
       .toDF("cluster", "centroid", "n_members")
+      // coalesce(1) is safe here ONLY because the sidecar is k rows of
+      // dims floats (KBs); if k ever grows to where a one-task write
+      // matters, switch to repartition(1) so upstream parallelism is
+      // preserved — do not let this pattern migrate to data-sized writes
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
   }

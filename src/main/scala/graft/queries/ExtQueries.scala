@@ -233,6 +233,85 @@ object ExtQueries {
        |)""".stripMargin
   }
 
+  /** DuckDB replica of [[Corpus.clean]]'s deterministic stages over
+    * `documents`, ending in `reasons(doc_id, text, stage)` — the shared
+    * spine of q_corpus_clean (aggregates stages) and q_prep_e2e (filters
+    * `stage = 'kept'`). Expects [[portableNearDropCte]]'s `pneardrop` CTE
+    * earlier in the same WITH chain. ONE definition so the funnel's gate
+    * order / NULL handling cannot drift between its two consumers.
+    */
+  private def funnelReasonsCte(minQuality: Double, langsInSql: String): String =
+    s"""fq AS (
+       |  SELECT doc_id, text,
+       |    $qualityScoreSql
+       |      AS quality_score,
+       |    $langHitsSql,
+       |    md5(text) AS h
+       |  FROM documents),
+       |langed AS (
+       |  SELECT doc_id, text, quality_score, h,
+       |    $langArgmaxSql AS predicted_lang
+       |  FROM fq),
+       |k AS (SELECT h AS kh, MIN(doc_id) AS keep_id FROM fq GROUP BY 1),
+       |reasons AS (
+       |  SELECT l.doc_id, l.text,
+       |    CASE WHEN l.text IS NULL THEN 'null_text'
+       |         WHEN l.quality_score < $minQuality THEN 'quality'
+       |         WHEN l.predicted_lang NOT IN ($langsInSql) THEN 'lang'
+       |         WHEN l.doc_id != k.keep_id THEN 'exact_dup'
+       |         WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+       |         ELSE 'kept' END AS stage
+       |  FROM langed l LEFT JOIN k ON l.h = k.kh
+       |       LEFT JOIN pneardrop nd ON l.doc_id = nd.doc_id)""".stripMargin
+
+  /** DuckDB replica of the [[Corpus.chunk]]→[[Corpus.packSequences]] chain
+    * over a docs relation `rel(doc_id, text)`, ending in
+    * `ppack(grp, rn, doc_id, seq, used)`: md5-derived packing groups, the
+    * in-group (doc, chunk) order via row_number, and the stateful greedy
+    * first-fit as a recursive CTE advancing one row per group per step.
+    * Callers' WITH chain must be declared RECURSIVE. Shared by
+    * q_pack_sequences (raw corpus) and q_prep_e2e (cleaned corpus).
+    */
+  private def packCtes(rel: String, chunkSize: Int, capacity: Int,
+      nGroups: Int): String =
+    s"""ptoks AS (
+       |  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n
+       |  FROM $rel),
+       |pchunks AS (
+       |  SELECT doc_id, unnest(range(0, CAST(ceil(n / $chunkSize.0) AS INT))) AS chunk_id, n
+       |  FROM ptoks WHERE n > 0),
+       |pc2 AS (
+       |  SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       |    CAST(least(n - chunk_id * $chunkSize, $chunkSize) AS INT) AS n_tokens,
+       |    CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % $nGroups AS INT) AS grp
+       |  FROM pchunks),
+       |pord AS (
+       |  SELECT doc_id, chunk_id, n_tokens, grp,
+       |    row_number() OVER (PARTITION BY grp ORDER BY doc_id, chunk_id) AS rn
+       |  FROM pc2),
+       |ppack AS (
+       |  SELECT grp, rn, doc_id,
+       |    CAST(0 AS BIGINT) AS seq, least(n_tokens, $capacity) AS used
+       |  FROM pord WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.grp, o.rn, o.doc_id,
+       |    CASE WHEN p.used + least(o.n_tokens, $capacity) > $capacity
+       |         THEN p.seq + 1 ELSE p.seq END,
+       |    CASE WHEN p.used + least(o.n_tokens, $capacity) > $capacity
+       |         THEN least(o.n_tokens, $capacity)
+       |         ELSE p.used + least(o.n_tokens, $capacity) END
+       |  FROM ppack p JOIN pord o ON o.grp = p.grp AND o.rn = p.rn + 1)""".stripMargin
+
+  /** Per-sequence stats off [[packCtes]]' `ppack` — the q_pack_sequences /
+    * q_prep_e2e output shape.
+    */
+  private val packStatsSelect: String =
+    """SELECT CAST(grp AS BIGINT) * 1099511627776 + seq AS seq_id,
+      |  CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(max(used) AS INT) AS fill_tokens
+      |FROM ppack GROUP BY 1""".stripMargin
+
   /** The fixed merge table q_bpe_encode ships (applied in order; includes
     * the chained (t,h)→(th,e) case so merge-on-merged-symbol is exercised).
     * ONE definition feeds both the Spark fold and the generated DuckDB
@@ -730,38 +809,9 @@ object ExtQueries {
     // CorpusSpec on top.
     QueryDef(
       "q_pack_sequences",
-      Some("""WITH RECURSIVE toks AS (
-             |  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n
-             |  FROM documents),
-             |chunks AS (
-             |  SELECT doc_id, unnest(range(0, CAST(ceil(n / 32.0) AS INT))) AS chunk_id, n
-             |  FROM toks WHERE n > 0),
-             |c2 AS (
-             |  SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
-             |    CAST(least(n - chunk_id * 32, 32) AS INT) AS n_tokens,
-             |    CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS INT) AS grp
-             |  FROM chunks),
-             |ord AS (
-             |  SELECT doc_id, chunk_id, n_tokens, grp,
-             |    row_number() OVER (PARTITION BY grp ORDER BY doc_id, chunk_id) AS rn
-             |  FROM c2),
-             |pack AS (
-             |  SELECT grp, rn, doc_id,
-             |    CAST(0 AS BIGINT) AS seq, least(n_tokens, 256) AS used
-             |  FROM ord WHERE rn = 1
-             |  UNION ALL
-             |  SELECT o.grp, o.rn, o.doc_id,
-             |    CASE WHEN p.used + least(o.n_tokens, 256) > 256
-             |         THEN p.seq + 1 ELSE p.seq END,
-             |    CASE WHEN p.used + least(o.n_tokens, 256) > 256
-             |         THEN least(o.n_tokens, 256)
-             |         ELSE p.used + least(o.n_tokens, 256) END
-             |  FROM pack p JOIN ord o ON o.grp = p.grp AND o.rn = p.rn + 1)
-             |SELECT CAST(grp AS BIGINT) * 1099511627776 + seq AS seq_id,
-             |  CAST(count(*) AS BIGINT) AS n_chunks,
-             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-             |  CAST(max(used) AS INT) AS fill_tokens
-             |FROM pack GROUP BY 1""".stripMargin),
+      Some(s"""WITH RECURSIVE ${packCtes("documents", chunkSize = 32,
+                 capacity = 256, nGroups = 16)}
+             |$packStatsSelect""".stripMargin),
       (s, dir) => {
         import s.implicits._
         val chunks = Corpus.chunk(docs(s, dir), "doc_id", "text", chunkSize = 32)
@@ -1895,34 +1945,49 @@ object ExtQueries {
       "q_corpus_clean",
       Some(s"""WITH ${portableNearDropCte(shingleN = 3, nPerms = 32,
                  nBands = 8, minBands = 6, maxBucket = 50)},
-             |q AS (
-             |  SELECT doc_id, text,
-             |    $qualityScoreSql
-             |      AS quality_score,
-             |    $langHitsSql,
-             |    md5(text) AS h
-             |  FROM documents),
-             |langed AS (
-             |  SELECT doc_id, text, quality_score, h,
-             |    $langArgmaxSql AS predicted_lang
-             |  FROM q),
-             |k AS (SELECT h AS kh, MIN(doc_id) AS keep_id FROM q GROUP BY 1),
-             |reasons AS (
-             |  SELECT l.doc_id,
-             |    CASE WHEN l.text IS NULL THEN 'null_text'
-             |         WHEN l.quality_score < 0.2 THEN 'quality'
-             |         WHEN l.predicted_lang NOT IN ('en', 'es', 'de') THEN 'lang'
-             |         WHEN l.doc_id != k.keep_id THEN 'exact_dup'
-             |         WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
-             |         ELSE 'kept' END AS stage
-             |  FROM langed l LEFT JOIN k ON l.h = k.kh
-             |       LEFT JOIN pneardrop nd ON l.doc_id = nd.doc_id)
+             |${funnelReasonsCte(0.2, "'en', 'es', 'de'")}
              |SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs
              |FROM reasons GROUP BY stage""".stripMargin),
       (s, dir) => Corpus.funnel(
         Corpus.clean(docs(s, dir), "doc_id", "text",
           minQuality = 0.2, keepLangs = Set("en", "es", "de"),
           portableHash = true))),
+
+    // ------------------------------------------------------------------
+    // END-TO-END training-data prep (r8): the flagship composition a real
+    // pipeline runs as ONE job — clean (quality → lang → exact → portable
+    // near-dedup) → chunk(32) → pack(256) — with the whole chain under one
+    // bit-exact cross-engine differential: DuckDB re-derives the funnel's
+    // kept set (shared reasons CTE), then replays the md5-grouped greedy
+    // packing over exactly those docs (shared recursive pack CTE). Every
+    // sequence assignment of the cleaned corpus must agree — a drift in ANY
+    // stage (a gate order change, a hash family nudge, a packing reorder)
+    // surfaces as a row-hash mismatch here even if each stage's own query
+    // still passes. Scale shape = the stages' own shapes composed; the only
+    // coupling is the kept-doc filter riding into the chunk scan.
+    QueryDef(
+      "q_prep_e2e",
+      Some(s"""WITH RECURSIVE ${portableNearDropCte(shingleN = 3, nPerms = 32,
+                 nBands = 8, minBands = 6, maxBucket = 50)},
+             |${funnelReasonsCte(0.2, "'en', 'es', 'de'")},
+             |keptdocs AS (
+             |  SELECT doc_id, text FROM reasons WHERE stage = 'kept'),
+             |${packCtes("keptdocs", chunkSize = 32, capacity = 256, nGroups = 16)}
+             |$packStatsSelect""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val kept = Corpus.clean(docs(s, dir), "doc_id", "text",
+            minQuality = 0.2, keepLangs = Set("en", "es", "de"),
+            portableHash = true)
+          .where($"keep").select($"doc_id", $"text")
+        val chunks = Corpus.chunk(kept, "doc_id", "text", chunkSize = 32)
+        Corpus.packSequences(chunks, "doc_id", "chunk_id", "n_tokens",
+            capacity = 256, nPartitions = 16)
+          .groupBy($"seq_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            countDistinct($"doc_id").as("n_docs"),
+            max($"seq_fill").as("fill_tokens"))
+      }),
 
     // ------------------------------------------------------------------
     // The funnel's fully-deterministic slice: quality → lang → exact dedup

@@ -609,6 +609,35 @@ object Streaming {
       .trigger(trigger)
       .start()
 
+  /** Streaming corpus-clean front door — the full LLM-ingest funnel AS A
+    * STREAM: map-only quality / language / null gates (the same
+    * TextFunctions scores the batch funnel uses) ahead of the near-dup
+    * gate, so a crawl feed lands already cleaned. Gate order mirrors a
+    * production ingest: the cheap codegen'd filters drop first and only
+    * plausible docs pay the signature + index-probe cost.
+    *
+    * Semantic note vs the batch [[graft.operators.Corpus.clean]] on the
+    * same corpus: the batch funnel computes near-dup pairs over ALL docs
+    * (drop accounting reports each doc's FIRST failing gate), while a
+    * staged ingest never bands docs an earlier gate dropped — a doc whose
+    * only near-dup partner itself failed quality stays IN here.
+    * StreamingSpec proves exact kept-set equality with the batch
+    * composition `clean(pre-filtered docs)` at the same band threshold.
+    */
+  def cleanDocStream(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, outDir: String, checkpoint: String,
+      minQuality: Double = 0.3, keepLangs: Set[String] = Set("en"),
+      shingleN: Int = 3, nPerms: Int = 32, nBands: Int = 8,
+      minBandsGate: Int = 1,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import graft.functions.TextFunctions
+    val gated = docs.where(col(textCol).isNotNull &&
+      TextFunctions.qualityScore(col(textCol)) >= minQuality &&
+      TextFunctions.predictedLang(col(textCol)).isin(keepLangs.toSeq: _*))
+    dedupNearStream(gated, idCol, textCol, indexDir, outDir, checkpoint,
+      shingleN, nPerms, nBands, minBandsGate, trigger)
+  }
+
   /** Runs a streaming aggregation to a named in-memory sink with an
     * AvailableNow trigger (process everything currently on disk, then
     * terminate). Callers should `awaitTermination()`, NOT

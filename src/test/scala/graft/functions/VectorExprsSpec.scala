@@ -163,4 +163,30 @@ class VectorExprsSpec extends SparkSpec {
     assert(df.select(VectorNative.cosine(col("v"), reverse(col("v"))))
       .where(col("graft_cosine(v, reverse(v))").isNotNull).count() === 100)
   }
+
+  test("non-nullable inputs COMPILE: graft_norm2 over a containsNull=false " +
+    "array must not fall back to interpreted execution") {
+    // regression (r8): with a non-nullable child and containsNull=false
+    // elements GraftNorm2.nullable is false, nullSafeCodeGen never declares
+    // the isNull variable, and a template referencing ${ev.isNull}
+    // unconditionally produced invalid Java — Janino rejected the class and
+    // EVERY query containing the expression silently ran interpreted.
+    // spark.sql.codegen.fallback=false turns that silent fallback into a
+    // loud failure so the gate is real.
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows = spark.range(3).selectExpr(
+        "graft_norm2(array(CAST(id AS FLOAT), CAST(4.0 AS FLOAT))) AS n")
+        .orderBy("n").collect().map(_.getDouble(0))
+      assert(rows.length === 3 && math.abs(rows(0) - 4.0) < 1e-12)
+      // the SimplifySelfCosine rewrite path that surfaced the bug
+      assert(spark.range(2).selectExpr(
+        "graft_cosine(array(CAST(id + 3 AS FLOAT)), array(CAST(id + 3 AS FLOAT))) AS c")
+        .collect().forall(_.getDouble(0) == 1.0))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
 }

@@ -608,6 +608,70 @@ class StreamingSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("cleanDocStream keeps exactly the batch composition's kept set: " +
+    "quality/lang/null gates then verified near-dedup, across two batches") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_cleanstream_src_").toString
+    val idx = Files.createTempDirectory("graft_cleanstream_idx_").toString
+    val out = Files.createTempDirectory("graft_cleanstream_out_").toString
+    val cp = Files.createTempDirectory("graft_cleanstream_cp_").toString
+    val base = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    // gate-exercising extras (the q_corpus_funnel_exact slices): exact
+    // copies (+1e6 → near-dup 8/8 bands vs their originals), pure-Spanish
+    // marker rows (+2e6 → lang gate), NULL texts (+3e6 → null gate);
+    // minQuality=0.55 splits the real quality distribution
+    val extras = base.where($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+      .unionByName(base.where($"doc_id" % 7 === 0)
+        .select(($"doc_id" + 2000000L).as("doc_id"),
+          repeat(lit("a in la de que los el "), 10).as("text")))
+      .unionByName(base.where($"doc_id" % 11 === 0)
+        .select(($"doc_id" + 3000000L).as("doc_id"),
+          lit(null).cast("string").as("text")))
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_cleanstream_drop_").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(src, name))
+    }
+    stage(base, "b1.parquet")
+    stage(extras, "b2.parquet")
+    // maxFilesPerTrigger=1 → the two staged files process as two
+    // micro-batches under AvailableNow, so the cross-batch index path (not
+    // just within-batch pairing) is on the line
+    val stream = spark.readStream
+      .schema(base.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    val q = Streaming.cleanDocStream(stream, "doc_id", "text", idx, out, cp,
+      minQuality = 0.55, keepLangs = Set("en"), shingleN = 3, nPerms = 32,
+      nBands = 8, minBandsGate = 6)
+    q.awaitTermination(120000); q.stop()
+    val admitted = spark.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+
+    // batch composition truth: pre-filter, then pair-based ≥6-band drops of
+    // the larger id over the WHOLE filtered corpus (every cross-batch dup
+    // has the larger id by construction, so index-hit drops ≡ doc_b drops)
+    val filtered = base.unionByName(extras)
+      .where($"text".isNotNull &&
+        graft.functions.TextFunctions.qualityScore($"text") >= 0.55 &&
+        graft.functions.TextFunctions.predictedLang($"text") === "en")
+    val filteredIds = filtered.select("doc_id").collect().map(_.getLong(0)).toSet
+    val dropIds = graft.operators.Dedup.minhashPairsFromTokens(
+        filtered.select($"doc_id",
+          graft.functions.TextFunctions.tokens($"text").as("toks")),
+        3, 32, 8, maxBucket = Int.MaxValue)
+      .where($"n_bands" >= 6)
+      .select("doc_b").collect().map(_.getLong(0)).toSet
+    assert(admitted == filteredIds -- dropIds,
+      s"stream kept ${admitted.size}, batch composition keeps " +
+        s"${(filteredIds -- dropIds).size}")
+    // the gates actually fired: extras contributed drops of every kind
+    assert(filteredIds.size < base.count() + extras.count())
+    assert(dropIds.nonEmpty, "no near-dup drops — fixture lost its copies")
+  }
+
   test("near-dup gate dedups SHORT docs (below the shingle horizon) across " +
     "batches via the exact-hash fallback band, in raw and verified mode") {
     import spark.implicits._
