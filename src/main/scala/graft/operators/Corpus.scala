@@ -288,6 +288,37 @@ object Corpus {
       .toDF(idCol, chunkIdCol, nTokensCol, "seq_id", "seq_fill")
   }
 
+  /** Materialized packing — turns a [[packSequences]] assignment back into
+    * PHYSICAL training sequences: each sequence's chunk texts concatenated
+    * in (doc, chunk) order, with chunk/token counts. This is the step that
+    * actually writes model inputs; [[packSequences]] deliberately returns
+    * only the assignment (joining text through the packer would drag the
+    * corpus through its group exchange), so the text joins back here on
+    * the unique (doc, chunk) key.
+    *
+    * Scale: one equi-join on (doc, chunk) + one seq-keyed aggregation; the
+    * collected array is bounded per sequence by capacity/min-chunk-size,
+    * never corpus-sized. The ordered concat uses the sorted-struct
+    * collect_list (the [[graft.operators.Dedup.scrubDupSpans]] pattern) —
+    * deterministic under any partitioning, ANSI-replayable as
+    * `string_agg(... ORDER BY doc, chunk)`.
+    */
+  def materializePacked(chunks: DataFrame, packed: DataFrame,
+      idCol: String, chunkIdCol: String,
+      chunkTextCol: String = "chunk_text"): DataFrame =
+    chunks
+      .select(col(idCol), col(chunkIdCol), col(chunkTextCol),
+        col("n_tokens"))
+      .join(packed.select(col(idCol), col(chunkIdCol), col("seq_id")),
+        Seq(idCol, chunkIdCol))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            struct(col(idCol), col(chunkIdCol), col(chunkTextCol)))),
+          s => s.getField(chunkTextCol))).as("seq_text"))
+
   /** Per-language quality-quantile gate, scale form — keep each language's
     * top `keepFraction` by quality WITHOUT ranking the corpus: one
     * partial-aggregated pass computes a per-language approx-percentile

@@ -290,11 +290,11 @@ object ExtQueries {
        |    row_number() OVER (PARTITION BY grp ORDER BY doc_id, chunk_id) AS rn
        |  FROM pc2),
        |ppack AS (
-       |  SELECT grp, rn, doc_id,
+       |  SELECT grp, rn, doc_id, chunk_id,
        |    CAST(0 AS BIGINT) AS seq, least(n_tokens, $capacity) AS used
        |  FROM pord WHERE rn = 1
        |  UNION ALL
-       |  SELECT o.grp, o.rn, o.doc_id,
+       |  SELECT o.grp, o.rn, o.doc_id, o.chunk_id,
        |    CASE WHEN p.used + least(o.n_tokens, $capacity) > $capacity
        |         THEN p.seq + 1 ELSE p.seq END,
        |    CASE WHEN p.used + least(o.n_tokens, $capacity) > $capacity
@@ -821,6 +821,38 @@ object ExtQueries {
           .agg(count(lit(1)).as("n_chunks"),
             countDistinct($"doc_id").as("n_docs"),
             max($"seq_fill").as("fill_tokens"))
+      }),
+
+    // ------------------------------------------------------------------
+    // MATERIALIZED packing (Corpus.materializePacked): the pack assignment
+    // joined back to the chunk text — one row per training sequence with
+    // its concatenated text in (doc, chunk) order, the physical artifact a
+    // training job writes. Fully oracled: DuckDB replays the recursive
+    // pack, re-slices each chunk's tokens, and string_agg's them in the
+    // same order; the hash compare covers every byte of every sequence.
+    QueryDef(
+      "q_pack_materialize",
+      Some(s"""WITH RECURSIVE ${packCtes("documents", chunkSize = 32,
+                 capacity = 256, nGroups = 16)},
+             |ptext AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+             |  FROM documents),
+             |pctext AS (
+             |  SELECT c.doc_id, c.chunk_id, c.n_tokens,
+             |    array_to_string(x.t[c.chunk_id*32+1 : c.chunk_id*32+32], ' ') AS chunk_text
+             |  FROM pc2 c JOIN ptext x ON c.doc_id = x.doc_id)
+             |SELECT CAST(p.grp AS BIGINT) * 1099511627776 + p.seq AS seq_id,
+             |  CAST(count(*) AS BIGINT) AS n_chunks,
+             |  CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens,
+             |  string_agg(t.chunk_text, ' ' ORDER BY t.doc_id, t.chunk_id) AS seq_text
+             |FROM ppack p JOIN pctext t
+             |  ON p.doc_id = t.doc_id AND p.chunk_id = t.chunk_id
+             |GROUP BY 1""".stripMargin),
+      (s, dir) => {
+        val chunks = Corpus.chunk(docs(s, dir), "doc_id", "text", chunkSize = 32)
+        val packed = Corpus.packSequences(chunks, "doc_id", "chunk_id",
+          "n_tokens", capacity = 256, nPartitions = 16)
+        Corpus.materializePacked(chunks, packed, "doc_id", "chunk_id")
       }),
 
     // ------------------------------------------------------------------
