@@ -523,6 +523,14 @@ object Maintenance {
     * orphans, reclaimed by [[vacuumManifested]]); there is never a moment
     * where the store is missing or torn — the failure mode the raw
     * append-to-dir layout cannot avoid during maintenance swaps.
+    *
+    * Concurrency scope (same single-maintainer contract as the whole
+    * manifest store, stated precisely): the atomic version claim makes a
+    * racing COMMIT loud, but staged files are identified by an on-disk
+    * diff — two writers STAGING at once could absorb each other's
+    * (possibly half-written) files into one manifest. One writer per store
+    * at a time; the streaming gate satisfies this by construction
+    * (foreachBatch bodies are serial, compaction runs between batches).
     */
   def appendManifested(rows: DataFrame, storeDir: String): Unit =
     commitFlat(rows, storeDir, replace = false)

@@ -85,8 +85,22 @@ object TextFunctions {
     * [[graft.operators.Dedup.portableBandBuckets]].
     */
   def fingerprintPortable(text: Column): Column =
-    conv(substring(md5(regexp_replace(lower(text), "\\s+", " ")), 1, 15),
-      16, 10).cast("long")
+    md5PrefixLong(regexp_replace(lower(text), "\\s+", " "), 15)
+
+  /** The engine-portable md5-hex-prefix-to-BIGINT construction — the ONE
+    * Spark spelling of the cross-engine hash contract every portable
+    * operator shares (portable MinHash base hash, portable fingerprints,
+    * packing groups; DuckDB replays it as
+    * `CAST('0x' || substr(md5(x), 1, digits) AS BIGINT)`). `digits <= 15`
+    * keeps the parsed value positive in a signed 64-bit lane; a drift in
+    * any copy of this idiom would silently break only that operator's
+    * oracle, so there is exactly one copy.
+    */
+  def md5PrefixLong(c: Column, digits: Int): Column = {
+    require(digits >= 1 && digits <= 15,
+      s"md5PrefixLong digits must be in [1, 15], got $digits")
+    conv(substring(md5(c), 1, digits), 16, 10).cast("long")
+  }
 
   /** Winnowing rolling-hash fingerprints (MOSS): `array<bigint>` of selected
     * k-gram hashes; any shared substring of length ≥ w+k−1 between two

@@ -108,21 +108,26 @@ object Bpe {
     */
   private[operators] def applyMergesSeq(syms0: Seq[String],
       merges: Seq[(String, String)]): Seq[String] = {
-    var cur = syms0
+    // Array, not Seq: the pass below random-accesses cur(i)/cur(i+1), and a
+    // List there would make each merge pass O(len²) — in the function whose
+    // whole reason to exist is production-scale constants. Passes compact
+    // in place: `m` is the live prefix length after each merge pass.
+    var cur = syms0.toArray
+    var m = cur.length
     val it = merges.iterator
-    while (it.hasNext && cur.lengthCompare(1) > 0) {
+    while (it.hasNext && m > 1) {
       val (a, b) = it.next()
-      val out = Seq.newBuilder[String]
       var i = 0
-      val n = cur.length
-      while (i < n) {
-        if (i + 1 < n && cur(i) == a && cur(i + 1) == b) {
-          out += (a + b); i += 2
-        } else { out += cur(i); i += 1 }
+      var w = 0
+      while (i < m) {
+        if (i + 1 < m && cur(i) == a && cur(i + 1) == b) {
+          cur(w) = a + b; i += 2
+        } else { cur(w) = cur(i); i += 1 }
+        w += 1
       }
-      cur = out.result()
+      m = w
     }
-    cur
+    cur.take(m).toSeq
   }
 
   /** [[encode]] for PRODUCTION-SIZED merge tables: same one-corpus-shuffle

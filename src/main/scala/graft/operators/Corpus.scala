@@ -77,7 +77,12 @@ object Corpus {
         pendingReleases.remove(this)
       }
     private def maybeRelease(qe: QueryExecution): Unit =
-      if (qe.analyzed.exists(_.sameResult(cachedPlan))) release()
+      // accessing qe.analyzed can itself throw for a query that FAILED
+      // analysis (onFailure delivers those too); a release listener must
+      // never propagate — the worst case of swallowing is a cache released
+      // one action later
+      try { if (qe.analyzed.exists(_.sameResult(cachedPlan))) release() }
+      catch { case scala.util.control.NonFatal(_) => () }
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
       maybeRelease(qe)
     override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
@@ -265,8 +270,8 @@ object Corpus {
     // VALUE, identically for int/long/string spellings of the same id and
     // identically in any engine (DuckDB: CAST('0x'||substr(md5(id),1,8) AS
     // BIGINT) % np)
-    val grp = (conv(substring(md5(col(idCol).cast("long").cast("string")), 1, 8),
-      16, 10).cast("long") % np).cast("int")
+    val grp = (TextFunctions.md5PrefixLong(col(idCol).cast("long").cast("string"), 8)
+      % np).cast("int")
     chunks
       .select(col(idCol).cast("long"), col(chunkIdCol).cast("int"),
         col(nTokensCol).cast("int"), grp.as("__grp"))
@@ -305,19 +310,44 @@ object Corpus {
     */
   def materializePacked(chunks: DataFrame, packed: DataFrame,
       idCol: String, chunkIdCol: String,
-      chunkTextCol: String = "chunk_text"): DataFrame =
+      chunkTextCol: String = "chunk_text",
+      nTokensCol: String = "n_tokens"): DataFrame =
     chunks
       .select(col(idCol), col(chunkIdCol), col(chunkTextCol),
-        col("n_tokens"))
+        col(nTokensCol))
       .join(packed.select(col(idCol), col(chunkIdCol), col("seq_id")),
         Seq(idCol, chunkIdCol))
       .groupBy(col("seq_id"))
       .agg(count(lit(1)).as("n_chunks"),
-        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        sum(col(nTokensCol).cast("long")).as("n_tokens"),
         concat_ws(" ", transform(
           array_sort(collect_list(
             struct(col(idCol), col(chunkIdCol), col(chunkTextCol)))),
           s => s.getField(chunkTextCol))).as("seq_text"))
+
+  /** Order-invariant corpus content checksum — the reproducibility
+    * primitive a pipeline run signs its output with: `(n_docs,
+    * content_checksum, normalized_checksum)` where each checksum is the
+    * bit-XOR of a portable per-document 60-bit content hash (raw bytes /
+    * token-normalized). Two runs (or two engines, or the same corpus under
+    * any repartitioning) produce identical triples iff they hold the same
+    * document MULTISET-up-to-duplicates — XOR is commutative, associative,
+    * and self-inverse, so ordering and partitioning can never matter (note
+    * the self-inverse also means a document present an EVEN number of
+    * times cancels out; pair the checksum with n_docs, and with
+    * [[graft.operators.Dedup.exactGroups]] when duplicate multiplicity
+    * matters). ONE partial-aggregated pass, a 3-value result — at 100 TB
+    * this is the cheapest possible full-corpus signature. NULL texts are
+    * skipped by the aggregate in every ANSI engine alike, so the count is
+    * the honest companion signal.
+    */
+  def contentChecksum(docs: DataFrame, textCol: String): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      bit_xor(TextFunctions.md5PrefixLong(col(textCol), 15))
+        .as("content_checksum"),
+      bit_xor(TextFunctions.fingerprintPortable(col(textCol)))
+        .as("normalized_checksum"))
 
   /** Per-language quality-quantile gate, scale form — keep each language's
     * top `keepFraction` by quality WITHOUT ranking the corpus: one

@@ -224,7 +224,7 @@ object Dedup {
     * `CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT) % p`.
     */
   private def portableBaseHash(shingle: Column): Column =
-    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long") % PortablePrime
+    md5PrefixLong(shingle, 15) % PortablePrime
 
   /** [[minhashBandBuckets]] with the ENGINE-PORTABLE hash family: md5-based
     * base hash + affine permutations mod 2^31−1 instead of 32 seeded

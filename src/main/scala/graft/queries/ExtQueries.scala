@@ -856,6 +856,21 @@ object ExtQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Order-invariant corpus checksum (Corpus.contentChecksum): the
+    // reproducibility signature a pipeline run signs its output with —
+    // bit-XOR of portable per-doc content hashes (raw + normalized) plus
+    // the doc count, identical across engines/partitionings/orderings iff
+    // the corpora match. One partial-agg pass, 3 scalars. Direct oracle:
+    // XOR and the md5-prefix hash are both ANSI-replayable bit-exact.
+    QueryDef(
+      "q_corpus_checksum",
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |  bit_xor(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)) AS content_checksum,
+             |  bit_xor(CAST(concat('0x', substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 15)) AS BIGINT)) AS normalized_checksum
+             |FROM documents""".stripMargin),
+      (s, dir) => Corpus.contentChecksum(docs(s, dir), "text")),
+
+    // ------------------------------------------------------------------
     // Repetition-ratio quality signal (the Gopher-style repetition gate):
     // 1 − distinct/total terms per doc. Map-only — array_distinct runs
     // inside the scan's codegen; the ratio is one IEEE divide + subtract,
@@ -1154,7 +1169,7 @@ object ExtQueries {
         docs(s, dir).select(
           $"doc_id",
           TextFunctions.fingerprintPortable($"text").as("fingerprint"),
-          conv(substring(md5($"text"), 1, 15), 16, 10).cast("long").as("raw_hash"))
+          TextFunctions.md5PrefixLong($"text", 15).as("raw_hash"))
       }),
 
     // ------------------------------------------------------------------

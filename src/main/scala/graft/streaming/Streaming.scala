@@ -475,6 +475,27 @@ object Streaming {
                 "rebuild it from the output before resuming")
             bands.limit(0).withColumn("batch_id", lit(-1L))
           }
+        // GUARD the only-the-latest-batch-replays assumption the exemption
+        // and the partition-overwrite output both rest on: a stream
+        // restarted against a lost/fresh checkpoint restarts batch ids at 0
+        // — the exemption would then hide ALL historical batch-0 rows
+        // (re-admitting their duplicates) and the dynamic overwrite would
+        // DELETE partition ingest_batch=0's previously-admitted docs. Fail
+        // loudly instead: resume with the original checkpoint, or point the
+        // gate at fresh index/output dirs. Checked only at batchId == 0 —
+        // a checkpoint reset ALWAYS restarts there, so this is the one
+        // batch that can be older than history (a legitimate batch-0
+        // replay has max batch_id == 0 and passes), and later batches
+        // never pay the index-scan the check costs.
+        if (batchId == 0L) {
+          val maxIndexed = index.agg(max(col("batch_id"))).head()
+          if (!maxIndexed.isNullAt(0))
+            require(maxIndexed.getLong(0) <= 0L,
+              s"near-dup gate: batch id 0 against an index whose latest " +
+                s"batch is ${maxIndexed.getLong(0)} — the checkpoint was " +
+                "reset against a populated index; resume with the original " +
+                "checkpoint or use fresh index/output dirs")
+        }
         // replay exemption: the current batch's own first-attempt rows are
         // invisible to the probe (see the exactly-once contract above)
         val visible = index.where(col("batch_id") =!= lit(batchId))
@@ -490,7 +511,13 @@ object Streaming {
           else
             bands.join(visible, Seq("band", "bucket"))
               .groupBy(col("doc_id"), col("__idx_doc"))
-              .agg(count(lit(1)).as("__nb"),
+              // countDistinct(band), NOT count(*): a crash-replayed batch
+              // appends its band rows a second time (same rows, same
+              // batch_id), and until compaction folds them away a raw count
+              // would tally each agreeing band twice — a 3-of-8 pair would
+              // pass a 6-band gate and silently over-drop. Distinct bands
+              // are immune to index-row multiplicity.
+              .agg(countDistinct(col("band")).as("__nb"),
                 max((col("band") === -1).cast("int")).as("__exact"))
               .where(col("__nb") >= minBandsGate || col("__exact") === 1)
               .select(col("doc_id")).distinct()
@@ -617,12 +644,19 @@ object Streaming {
     * plausible docs pay the signature + index-probe cost.
     *
     * Semantic note vs the batch [[graft.operators.Corpus.clean]] on the
-    * same corpus: the batch funnel computes near-dup pairs over ALL docs
-    * (drop accounting reports each doc's FIRST failing gate), while a
-    * staged ingest never bands docs an earlier gate dropped — a doc whose
-    * only near-dup partner itself failed quality stays IN here.
-    * StreamingSpec proves exact kept-set equality with the batch
-    * composition `clean(pre-filtered docs)` at the same band threshold.
+    * same corpus — TWO deliberate staging differences:
+    *   - the batch funnel computes near-dup pairs over ALL docs (drop
+    *     accounting reports each doc's first failing gate), while a staged
+    *     ingest never bands docs an earlier gate dropped — a doc whose only
+    *     near-dup partner itself failed quality stays IN here;
+    *   - near-dup CHAINS split across batches resolve greedily per batch:
+    *     with pairs (A,B) and (B,C) but not (A,C), a batch boundary between
+    *     B and C keeps C (B was dropped and never indexed), where the
+    *     single-pass funnel's drop-every-doc_b rule drops it. Both are the
+    *     standard over-drop/under-drop trades of streamed vs global dedup.
+    * StreamingSpec proves exact kept-set equality with the STAGED batch
+    * composition (per-batch pairs at the same band threshold + the
+    * incremental pair relation against what earlier batches admitted).
     */
   def cleanDocStream(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, outDir: String, checkpoint: String,

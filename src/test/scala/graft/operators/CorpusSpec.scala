@@ -179,6 +179,32 @@ class CorpusSpec extends SparkSpec {
     assert(reasons.forall(_ === "quality"))
   }
 
+  test("contentChecksum: order/partitioning-invariant, content-sensitive, " +
+    "and normalization-aware") {
+    import spark.implicits._
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    def sig(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val r = Corpus.contentChecksum(df, "text").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val base = sig(d)
+    // any reordering / repartitioning yields the identical signature
+    assert(sig(d.repartition(7).sortWithinPartitions($"doc_id".desc)) == base)
+    // one changed document flips both checksums but not the count
+    val mutated = d.withColumn("text",
+      when($"doc_id" === d.select(min($"doc_id")).head().getLong(0),
+        concat($"text", lit(" tampered"))).otherwise($"text"))
+    val m = sig(mutated)
+    assert(m._1 == base._1 && m._2 != base._2 && m._3 != base._3)
+    // whitespace/case edits flip the raw checksum but not the normalized one
+    val reflowed = d.withColumn("text",
+      regexp_replace(upper($"text"), " ", "  "))
+    val rf = sig(reflowed)
+    assert(rf._2 != base._2 && rf._3 == base._3,
+      "normalized checksum must survive case/whitespace reflow")
+  }
+
   test("mixture sampling is deterministic, rate-accurate, and " +
     "partitioning-invariant") {
     import spark.implicits._

@@ -442,11 +442,21 @@ class StreamingSpec extends SparkSpec {
     run(cp)
     assert(admitted() == Set(1L, 3L, 5L))
 
-    // full replay with a FRESH checkpoint re-processes both drops: every
-    // doc now collides with its own indexed buckets — nothing admitted
-    // twice, the output stays duplicate-free (the index-first contract)
-    run(Files.createTempDirectory("graft_neardup_cp2_").toString)
-    assert(admitted() == Set(1L, 3L, 5L))
+    // a FRESH checkpoint against the populated index/output is the
+    // dangerous operational mistake (r8): batch ids restart at 0, so the
+    // self-collision exemption would hide ALL historical batch-0 index
+    // rows (re-admitting their duplicates) and the ingest_batch=0 dynamic
+    // overwrite would DELETE previously-admitted output. The gate fails
+    // LOUDLY before writing anything instead of silently corrupting.
+    val e = intercept[Exception] {
+      run(Files.createTempDirectory("graft_neardup_cp2_").toString)
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("reset against a populated index")),
+      s"expected the checkpoint-reset guard, got: ${chain(e).mkString(" | ")}")
+    assert(admitted() == Set(1L, 3L, 5L)) // nothing deleted, nothing re-admitted
   }
 
   test("near-dup index compaction preserves content, cuts file count, and " +
@@ -650,26 +660,48 @@ class StreamingSpec extends SparkSpec {
     val admitted = spark.read.parquet(out).select("doc_id").collect()
       .map(_.getLong(0)).toSet
 
-    // batch composition truth: pre-filter, then pair-based ≥6-band drops of
-    // the larger id over the WHOLE filtered corpus (every cross-batch dup
-    // has the larger id by construction, so index-hit drops ≡ doc_b drops)
-    val filtered = base.unionByName(extras)
-      .where($"text".isNotNull &&
+    // STAGED batch-composition truth, batch by batch — regen-robust: this
+    // is exactly the gate's semantics even for near-dup CHAINS split across
+    // batches (where a whole-corpus doc_b rule would diverge; see the
+    // cleanDocStream scaladoc)
+    def filteredOf(df: org.apache.spark.sql.DataFrame) =
+      df.where($"text".isNotNull &&
         graft.functions.TextFunctions.qualityScore($"text") >= 0.55 &&
         graft.functions.TextFunctions.predictedLang($"text") === "en")
-    val filteredIds = filtered.select("doc_id").collect().map(_.getLong(0)).toSet
-    val dropIds = graft.operators.Dedup.minhashPairsFromTokens(
-        filtered.select($"doc_id",
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val f1 = filteredOf(base); val f2 = filteredOf(extras)
+    // batch 1: within-batch pair drops (larger id of every >= 6-band pair)
+    val drops1 = graft.operators.Dedup.minhashPairsFromTokens(
+        f1.select($"doc_id",
           graft.functions.TextFunctions.tokens($"text").as("toks")),
         3, 32, 8, maxBucket = Int.MaxValue)
       .where($"n_bands" >= 6)
       .select("doc_b").collect().map(_.getLong(0)).toSet
-    assert(admitted == filteredIds -- dropIds,
-      s"stream kept ${admitted.size}, batch composition keeps " +
-        s"${(filteredIds -- dropIds).size}")
+    val kept1 = ids(f1) -- drops1
+    // batch 2: incremental pairs vs what batch 1 ADMITTED (an index hit
+    // drops the new doc regardless of id order) + within-batch doc_b
+    val f2Ids = ids(f2)
+    val incPairs = graft.operators.Dedup.minhashPairsIncremental(
+        f1.where($"doc_id".isin(kept1.toSeq: _*)), f2,
+        "doc_id", "text", 3, 32, 8, maxBucket = Int.MaxValue)
+      .where($"n_bands" >= 6)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val drops2 = incPairs.flatMap { case (a, b) =>
+      (f2Ids(a), f2Ids(b)) match {
+        case (true, false) => Seq(a)
+        case (false, true) => Seq(b)
+        case (true, true) => Seq(b)
+        case _ => Nil
+      }
+    }.toSet
+    val expected = kept1 ++ (f2Ids -- drops2)
+    assert(admitted == expected,
+      s"stream kept ${admitted.size}, staged composition keeps ${expected.size}")
     // the gates actually fired: extras contributed drops of every kind
-    assert(filteredIds.size < base.count() + extras.count())
-    assert(dropIds.nonEmpty, "no near-dup drops — fixture lost its copies")
+    assert((ids(f1) ++ f2Ids).size < base.count() + extras.count())
+    assert(drops2.nonEmpty, "no near-dup drops — fixture lost its copies")
   }
 
   test("near-dup gate dedups SHORT docs (below the shingle horizon) across " +
