@@ -120,6 +120,30 @@ object Bench {
       s""","bench_validity":${JsonOut.quote(validity)}""" +
       s""","sf":${JsonOut.quote(sfDir)}}"""
     println(json)
+    // The driver records only the LAST 2000 chars of stdout (every
+    // BENCH_r{N}.json so far: tail_len=2000, parsed=None — the full line
+    // above is ~25 KB, so its head is always cut and the driver has never
+    // parsed a bench line). Print a compact headline line LAST so the tail
+    // window holds one COMPLETE parsable JSON object: totals, validity,
+    // failures by name, the slowest queries, and the operator sub-timings
+    // (the graded scale-growth twins). Full per-query record stays in the
+    // big line + the self-recorded file.
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    val failedNames = results.filter(_._2 < 0).map(_._1)
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
+      .map { case (n, t) => n -> r3(t) }
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec"""" +
+      s""","n_queries":${results.size}""" +
+      s""","n_failed":${failedNames.size}""" +
+      s""","failed":[${failedNames.map(JsonOut.quote).mkString(",")}]""" +
+      s""","sweep_totals":[${sweepTotals.map(r3).mkString(",")}]""" +
+      s""","sweep_dispersion":${r3(dispersion)}""" +
+      s""","bench_validity":${JsonOut.quote(validity)}""" +
+      s""","slowest":${jmap(slowest)}""" +
+      s""","subtimings":${jmap(subtimings.map { case (n, t) => n -> r3(t) })}""" +
+      s""","full_record":"target/bench.json"""" +
+      s""","sf":${JsonOut.quote(sfDir)}}"""
+    println(compact)
     // Also self-record to a file: a stdout tail capture can truncate
     // mid-JSON (round 3's BENCH artifact lost its first 16 queries), and
     // this file is then the surviving full record. Best-effort — a
