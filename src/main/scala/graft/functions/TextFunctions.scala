@@ -193,4 +193,45 @@ object TextFunctions {
         regexp_replace(text, emailRe, "<EMAIL>"),
         ipv4Re, "<IP>"),
       phoneRe, "<PHONE>")
+
+  /** Markup stripping — the crawl-cleaning normalizer that turns scraped
+    * HTML-ish text into plain prose before any quality/dedup stage sees it
+    * (reference corollary: the reference ingests clean CSV, but every web
+    * corpus needs this first). Four passes, all chained `regexp_replace`s
+    * (codegen'd, map-only, no shuffle):
+    *
+    *   1. drop `<script>`/`<style>` ELEMENTS wholesale — their content is
+    *      code, not prose (non-greedy `(?is)` block match);
+    *   2. strip remaining tags to a space (space, not empty: `a<br>b` must
+    *      not weld into `ab`);
+    *   3. decode the six common entities, `&amp;` deliberately LAST and in
+    *      a single pass — `&amp;lt;` decodes to the LITERAL `&lt;` the
+    *      author wrote, never recursively to `<`;
+    *   4. collapse whitespace runs and trim.
+    *
+    * Like [[scrubPii]], every pattern is restricted to syntax with
+    * identical semantics in Java regex and RE2 (inline `(?is)` flags,
+    * non-greedy, non-capturing groups; the explicit `[ \t\r\n]` class
+    * instead of `\s`, whose membership differs between the engines), so
+    * the DuckDB oracle replays the exact same strings. A heuristic
+    * stripper, not an HTML parser — comments strip only while they contain
+    * no inner `>`, CDATA and exotic entities pass through; that is the
+    * standard trade at crawl scale.
+    */
+  val scriptStyleRe = "(?is)<(?:script|style)[^>]*>.*?</(?:script|style)[ \\t\\r\\n]*>"
+  val tagRe = "<[^>]*>"
+  val wsRunRe = "[ \\t\\r\\n]+"
+  val entityDecode: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",
+    "&amp;" -> "&")
+
+  def stripMarkup(text: Column): Column = {
+    val noTags = regexp_replace(
+      regexp_replace(text, scriptStyleRe, " "), tagRe, " ")
+    val decoded = entityDecode.foldLeft(noTags) {
+      case (c, (pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    trim(regexp_replace(decoded, wsRunRe, " "))
+  }
 }

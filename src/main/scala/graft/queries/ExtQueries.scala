@@ -568,6 +568,48 @@ object ExtQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Markup stripping (TextFunctions.stripMarkup): script/style elements
+    // dropped wholesale, tags stripped to spaces, the six common entities
+    // decoded non-recursively (&amp; last), whitespace collapsed — the
+    // crawl-cleaning normalizer ahead of every quality/dedup stage. The
+    // fixture corpus is plain text, so each row is salted with a
+    // deterministic doc_id-derived HTML wrapper built identically in both
+    // engines — every rule (block drop, tag strip, each entity, collapse)
+    // demonstrably fires on every row. Oracle SQL is GENERATED from the
+    // same pattern constants and entity table the Spark side folds over
+    // (the qualityScoreSql single-source rule), so a pattern tweak lands
+    // in both engines at once.
+    QueryDef(
+      "q_strip_markup",
+      Some {
+        val salted = "text || '<div id=\"d' || doc_id || '\"><h1>Head</h1>" +
+          "<script type=\"text/x\">var v=' || doc_id || ';</script>" +
+          "<style>.a{color:red}</style><p>A &amp;amp; B &lt;i&gt;ok&lt;/i&gt; " +
+          "&quot;q&quot; &#39;s&#39;&nbsp;end</p>'"
+        val noTags = s"regexp_replace(regexp_replace($salted, " +
+          s"'${TextFunctions.scriptStyleRe}', ' ', 'g'), " +
+          s"'${TextFunctions.tagRe}', ' ', 'g')"
+        val decoded = TextFunctions.entityDecode.foldLeft(noTags) {
+          case (acc, (p, r)) =>
+            s"regexp_replace($acc, '$p', '${r.replace("'", "''")}', 'g')"
+        }
+        s"SELECT doc_id, TRIM(regexp_replace($decoded, " +
+          s"'${TextFunctions.wsRunRe}', ' ', 'g')) AS clean_text FROM documents"
+      },
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir).select(
+          $"doc_id",
+          TextFunctions.stripMarkup(concat(
+            $"text",
+            lit("<div id=\"d"), $"doc_id",
+            lit("\"><h1>Head</h1><script type=\"text/x\">var v="), $"doc_id",
+            lit(";</script><style>.a{color:red}</style><p>A &amp;amp; B " +
+              "&lt;i&gt;ok&lt;/i&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>")))
+            .as("clean_text"))
+      }),
+
+    // ------------------------------------------------------------------
     // Mixture sampling: down-sample sources to target keep rates with a
     // seedless md5-uniform (Corpus.mixtureSample) — reproducible row-level
     // keep set on any partitioning, which is exactly what the full-row

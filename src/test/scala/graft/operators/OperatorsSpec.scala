@@ -330,6 +330,26 @@ class OperatorsSpec extends SparkSpec {
       "host <IP> port 8080, version 1.2.3 stays, price 10.99 stays", got)
   }
 
+  test("stripMarkup: block elements dropped, tags spaced, entities decoded " +
+    "once, whitespace collapsed") {
+    def strip(s: String): String =
+      Seq(Tuple1(s)).toDF("text")
+        .select(TextFunctions.stripMarkup($"text")).head().getString(0)
+    // script/style content vanishes; tag boundaries become spaces, not welds
+    assert(strip("<p>a</p><script>var x = '<b>not text</b>';</script>b<br>c") ==
+      "a b c")
+    assert(strip("x<STYLE media=\"all\">.c{..}</STYLE\n>y") == "x y")
+    // entity decode is single-pass and &amp; is last: the author's literal
+    // "&lt;" survives as text, never re-decoded into a tag
+    assert(strip("A &amp;lt; B &amp; C &lt;i&gt; &quot;q&quot; &#39;s&#39;&nbsp;.") ==
+      "A &lt; B & C <i> \"q\" 's' .")
+    // unknown entities pass through; a `>`-free comment strips as a
+    // pseudo-tag (heuristic, not a parser)
+    assert(strip("keep &copy; and <!-- note --> text") == "keep &copy; and text")
+    // whitespace runs (incl. tabs/newlines) collapse; ends trimmed
+    assert(strip("  a\t\t b\n\n<p>\n</p> c  ") == "a b c")
+  }
+
   test("decontaminate flags exactly the docs sharing a 3-gram with the " +
     "benchmark, with distinct-shingle hit counts") {
     val docs = Seq(
