@@ -165,8 +165,9 @@ object Dedup {
     */
   def minhashPairsFromTokens(tokenized: DataFrame,
       shingleN: Int = 3, nPerms: Int = 32, nBands: Int = 8,
-      maxBucket: Int = 50): DataFrame =
-    groupPairs(minhashBandBuckets(tokenized, shingleN, nPerms, nBands),
+      maxBucket: Int = 50, derivePerms: Boolean = false): DataFrame =
+    groupPairs(minhashBandBuckets(tokenized, shingleN, nPerms, nBands,
+        derivePerms),
         Seq("band", "bucket"), col("doc_id"), maxBucket)
       .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
@@ -177,18 +178,44 @@ object Dedup {
     * exactly what an at-rest LSH INDEX persists — write it bucketed on
     * `(band, bucket)` and [[minhashPairsIncremental]] probes become
     * co-located joins against the stored buckets.
+    *
+    * `derivePerms` selects the signature stage's per-shingle cost model —
+    * the knob that matters most at 100 TB, where signature computation is
+    * the dominant CPU of the whole dedup family:
+    *   - `false` (default): permutation `i` re-hashes the shingle STRING
+    *     with seed `i` — `nPerms` full string hashes per shingle
+    *     occurrence (cost ∝ nPerms × shingle bytes);
+    *   - `true`: the string hashes ONCE to an 8-byte base and each
+    *     permutation hashes that fixed-width long (the MLlib MinHashLSH
+    *     shape: independent draws derived from one base) — cost ∝
+    *     shingle bytes + nPerms × 8 bytes, a ~4× signature-stage saving
+    *     at 32 perms on typical 25-byte shingles, growing with nPerms.
+    * Both families are deterministic and produce valid MinHash estimates;
+    * they bucket DIFFERENTLY (different hash draws), so a stored index
+    * must be probed with the family that built it. Default stays `false`
+    * — every committed oracle/spec pins that family — and the derived
+    * family is the documented production default at scale
+    * (OperatorsSpec gates exact-dup recall, determinism, and confident-
+    * pair agreement between the families; BENCH twins measure the win).
     */
   def minhashBandBuckets(tokenized: DataFrame, shingleN: Int = 3,
-      nPerms: Int = 32, nBands: Int = 8): DataFrame = {
+      nPerms: Int = 32, nBands: Int = 8,
+      derivePerms: Boolean = false): DataFrame = {
     // nBands > nPerms would give every band a constant bucket (all docs in
     // one dropped-oversized group → silently zero pairs); a non-dividing
     // nBands would silently discard the remainder permutations
     require(nBands >= 1 && nBands <= nPerms && nPerms % nBands == 0,
       s"nBands ($nBands) must divide nPerms ($nPerms)")
     val rowsPerBand = nPerms / nBands
-    val sh = tokenized
+    val shRaw = tokenized
       .select(col("doc_id"),
         explode(arrayBarrier(shinglesFromTokens(col("toks"), shingleN))).as("shingle"))
+    // derived path: one string hash per shingle row materialized in this
+    // projection, so the nPerms aggregate draws below hash a fixed-width
+    // long, never the string again
+    val sh =
+      if (derivePerms) shRaw.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      else shRaw
     val sig = sh.groupBy(col("doc_id")).agg(
       min(xxhash64(col("shingle"), lit(0))).as("h0"),
       (1 until nPerms).map(seed =>

@@ -454,6 +454,15 @@ object ExtQueries {
     // bare operator (winnow's declared entry is already bare)
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(docs(s, dir), "doc_id", "text")),
+    // derived-permutation signature family (one string hash per shingle,
+    // perms drawn from the 8-byte base — the at-scale production default):
+    // benched against q_dedup_minhash_operator so the signature-stage
+    // saving is a measured artifact
+    "q_dedup_minhash_fastsig" -> ((s, dir) =>
+      Dedup.minhashPairsFromTokens(
+        docs(s, dir).select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("toks")),
+        derivePerms = true)),
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text")),
     // ×4 SCALE-GROWTH twins (VERDICT r7 #3): the crossJoin-truth queries'

@@ -73,6 +73,40 @@ class OperatorsSpec extends SparkSpec {
       s"portable family over-pairs vs xxhash: ${port.size} vs ${xx.size}")
   }
 
+  test("derived-permutation MinHash family (one string hash per shingle) " +
+    "mirrors the re-hash family's structure and confident pairs") {
+    def toks(df: org.apache.spark.sql.DataFrame) = df.select(
+      $"doc_id", TextFunctions.tokens($"text").as("toks"))
+    // structure on the tiny corpus: exact dup agrees on ALL bands (families
+    // can't disagree on identical shingle sets), unrelated docs never pair,
+    // and the family is deterministic across runs
+    val pairs = Dedup.minhashPairsFromTokens(toks(docs),
+      shingleN = 3, nPerms = 16, nBands = 8, derivePerms = true).collect()
+    val byPair = pairs.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(byPair.get((1L, 4L)).contains(8L))
+    assert(!pairs.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
+    val again = Dedup.minhashPairsFromTokens(toks(docs),
+      shingleN = 3, nPerms = 16, nBands = 8, derivePerms = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(again == byPair)
+
+    // fixture corpus: confident (≥6-of-8-band) drop sets of the derived and
+    // re-hash families agree in both directions — same question, different
+    // independent draws (the portable-family overlap gate, same bound)
+    val fixture = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def confident(p: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      p.where($"n_bands" >= 6).select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val derived = confident(Dedup.minhashPairsFromTokens(toks(fixture),
+      derivePerms = true))
+    val rehash = confident(Dedup.minhashPairsFromTokens(toks(fixture)))
+    assert(rehash.nonEmpty, "fixture lost its near-dup pairs — regenerate check")
+    assert((derived & rehash).size >= math.ceil(rehash.size * 0.7),
+      s"derived family missed re-hash-confident pairs: ${derived.size} vs ${rehash.size}")
+    assert((derived & rehash).size >= math.ceil(derived.size * 0.7),
+      s"derived family over-pairs vs re-hash: ${derived.size} vs ${rehash.size}")
+  }
+
   test("simhash: identical texts get identical hashes, near-dups are close") {
     val sh = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
