@@ -19,6 +19,14 @@ object TextFunctions {
     */
   def wordCount(text: Column): Column = regexp_count(lower(text), lit("[a-z0-9]+"))
 
+  /** Sentence count as runs of terminal punctuation — the denominator of
+    * words-per-sentence, a standard prose-quality signal (repetitive or
+    * boilerplate text skews it hard in either direction). Heuristic by
+    * design (abbreviation dots count); engine-portable (DuckDB:
+    * `length(regexp_extract_all(text, '[.!?]+'))`).
+    */
+  def sentenceCount(text: Column): Column = regexp_count(text, lit("[.!?]+"))
+
   /** BPE-ish token estimate: count of letter-runs, digit-runs and individual
     * punctuation marks — the shape of a byte-pair pre-tokenizer — plus the
     * classic chars/4 heuristic as a second signal. Case-folded.

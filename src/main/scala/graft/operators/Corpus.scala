@@ -637,6 +637,42 @@ object Corpus {
     * NULL ids have no stable coordinate — rejected up front (fail closed)
     * rather than silently lumped into one shard.
     */
+  /** Deterministic train/val/test split assignment — every pipeline's
+    * first partitioning decision, made the reproducible way: each doc's
+    * bucket comes from the first 8 md5 hex digits of `"split:" || id`
+    * compared against the splits' cumulative-fraction thresholds (the
+    * [[mixtureSample]] hex-uniform, under a DIFFERENT salt so split
+    * membership is statistically independent of any sampling decision on
+    * the same ids). Map-only, zero shuffles, identical on any engine or
+    * partitioning; a NULL id fails LOUDLY (a silently-defaulted row would
+    * leak into the last split and contaminate eval).
+    *
+    * `splits` are (name, fraction) in declaration order, fractions summing
+    * to 1; a doc lands in the first split whose cumulative threshold
+    * exceeds its uniform — so fractions are hit in expectation with 2^-32
+    * granularity, and membership NEVER reshuffles when rows are added or
+    * removed (the property random-number splits lose).
+    */
+  def splitAssign(docs: DataFrame, idCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.size >= 2, s"need at least two splits, got $splits")
+    require(splits.forall(_._2 > 0.0), s"fractions must be positive: $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got $splits")
+    val u = coalesce(
+      substring(
+        md5(concat(lit("split:"), col(idCol).cast("string")).cast("binary")),
+        1, 8),
+      raise_error(lit(s"splitAssign: NULL $idCol")).cast("string"))
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val assigned = splits.dropRight(1).zip(cum.dropRight(1)).reverse
+      .foldLeft(lit(splits.last._1): Column) {
+        case (acc, ((name, _), c)) =>
+          when(u < lit(thresholdHex(c)), lit(name)).otherwise(acc)
+      }
+    docs.withColumn("split", assigned)
+  }
+
   def shardAssign(docs: DataFrame, idCol: String, nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be positive, got $nShards")
     val hex = md5(col(idCol).cast("string").cast("binary"))

@@ -732,6 +732,31 @@ object ExtQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Sentence-level prose stats (TextFunctions.sentenceCount): sentence
+    // count as terminal-punctuation runs, question count, and
+    // words-per-sentence — the Gopher-style quality signal boilerplate
+    // skews hard in either direction. Map-only; the single double division
+    // is IEEE-exact in both engines.
+    QueryDef(
+      "q_sentence_stats",
+      Some("""SELECT doc_id,
+             |  CAST(length(regexp_extract_all(text, '[.!?]+')) AS INT) AS n_sentences,
+             |  CAST(length(regexp_extract_all(text, '\?')) AS INT) AS n_questions,
+             |  CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE)
+             |    / GREATEST(length(regexp_extract_all(text, '[.!?]+')), 1) AS words_per_sentence
+             |FROM documents""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val nSent = TextFunctions.sentenceCount($"text")
+        docs(s, dir).select(
+          $"doc_id",
+          nSent.as("n_sentences"),
+          regexp_count($"text", lit("\\?")).as("n_questions"),
+          (TextFunctions.wordCount($"text").cast("double") /
+            greatest(nSent, lit(1))).as("words_per_sentence"))
+      }),
+
+    // ------------------------------------------------------------------
     // Token counting: BPE-ish pre-tokenizer regex + chars/4 estimate.
     QueryDef(
       "q_token_count",
@@ -1202,6 +1227,25 @@ object ExtQueries {
           .select($"doc_id", $"shard", $"shard_pos",
             TextFunctions.bpeishTokenCount($"text").as("n_bpeish"))
       }),
+
+    // ------------------------------------------------------------------
+    // Deterministic train/val/test split (Corpus.splitAssign): bucket from
+    // the first 8 md5 hex digits of 'split:' || id vs cumulative-fraction
+    // thresholds — 0.8 → floor(0.8·2^32) = 0xcccccccc, 0.9 → 0xe6666666
+    // (Corpus.thresholdHex's clamp-and-format, literal here like
+    // q_mixture_sample's). Map-only; membership never reshuffles when rows
+    // come or go, unlike any random-number split. Salt differs from the
+    // mixture uniform's 'source:id' so sampling and split stay independent.
+    QueryDef(
+      "q_split_assign",
+      Some("""SELECT doc_id, source,
+             |  CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+             |       WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM documents""".stripMargin),
+      (s, dir) => Corpus.splitAssign(
+        docs(s, dir).select(col("doc_id"), col("source")),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
 
     // ------------------------------------------------------------------
     // Document fingerprinting. FULLY oracled since r8 via the portable

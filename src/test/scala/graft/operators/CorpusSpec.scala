@@ -432,4 +432,43 @@ class CorpusSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("shardAssign"), ex.getMessage)
   }
+
+  test("split assignment: fraction-accurate, membership frozen under row " +
+    "churn, independent of the mixture uniform, NULL id fails loudly") {
+    import spark.implicits._
+    val corpus = spark.range(0, 2000).select($"id".as("doc_id"))
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def assign(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      Corpus.splitAssign(df, "doc_id", splits)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val base = assign(corpus)
+    // fractions in expectation: 2000 md5-uniforms; ±5 σ bands
+    val sizes = base.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(sizes("train") - 1600) < 5 * math.sqrt(2000 * 0.8 * 0.2),
+      s"train fraction off: $sizes")
+    assert(math.abs(sizes("val") - 200) < 5 * math.sqrt(2000 * 0.1 * 0.9),
+      s"val fraction off: $sizes")
+    // membership is per-id, so adding/removing rows moves NOTHING — the
+    // property a random-number split loses (and the reason eval sets stay
+    // uncontaminated across corpus refreshes)
+    val subset = assign(corpus.where($"doc_id" % 3 === 0))
+    assert(subset.forall { case (id, s) => base(id) == s },
+      "row churn reshuffled split membership")
+    // different salt than the mixture uniform: a doc's split must not be
+    // predictable from its mixture keep-decision at the same fraction
+    // (perfect correlation would mean shared draws; compare the two
+    // 80%-buckets' member sets)
+    val mixKept = Corpus.mixtureSample(
+      corpus.withColumn("source", lit("s")), "doc_id", "source",
+      Map("s" -> 0.8)).select("doc_id").collect().map(_.getLong(0)).toSet
+    val trainIds = base.collect { case (id, "train") => id }.toSet
+    val overlap = (mixKept & trainIds).size.toDouble / trainIds.size
+    assert(overlap > 0.7 && overlap < 0.9,
+      s"split and mixture draws look correlated: overlap $overlap")
+    val ex2 = intercept[Exception] {
+      Corpus.splitAssign(Seq(Some(1L), None).toDF("doc_id"), "doc_id", splits)
+        .collect()
+    }
+    assert(ex2.getMessage.contains("splitAssign"), ex2.getMessage)
+  }
 }
