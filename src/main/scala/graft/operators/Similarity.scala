@@ -140,4 +140,28 @@ object Similarity {
       vecCol: String, id: Long): Seq[Float] =
     corpus.where(col(idCol) === id).select(col(vecCol))
       .head().getSeq[Float](0)
+
+  /** Per-label mean vectors (class centroids) — the building block of
+    * nearest-centroid classification, embedding-drift monitoring, and
+    * cluster summarization. Computed in the flat-aggregate shape
+    * [[Ivf.train]] uses: `dims` parallel `avg` aggregates with map-side
+    * partial combine, so the shuffle carries one row per label × dims
+    * COLUMNS — the corpus is never posexploded to rows × dims rows (that
+    * shape is 64× the shuffle bytes at these dims). Output is long-format
+    * `(label, dim, centroid)` — n_labels × dims rows, broadcast-sized for
+    * the joins centroid consumers run. `try_element_at` keeps malformed
+    * short vectors from throwing under ANSI mode; their missing dims
+    * simply don't vote.
+    */
+  def labelCentroids(embeddings: DataFrame, labelCol: String,
+      vecCol: String, dims: Int): DataFrame = {
+    require(dims >= 1, s"dims must be positive, got $dims")
+    val aggs = (0 until dims).map(j =>
+      avg(try_element_at(col(vecCol), lit(j + 1))).as(s"__c$j"))
+    embeddings.groupBy(col(labelCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(labelCol), posexplode(
+        array((0 until dims).map(j => col(s"__c$j")): _*))
+        .as(Seq("dim", "centroid")))
+  }
 }

@@ -1807,6 +1807,25 @@ object ExtQueries {
     // one partial-agg'd groupBy(label). min/max/count are exact; the norm
     // SUM accumulates in engine-specific order → avg snapped at 1e-6
     // (QueryDef determinism rules).
+    // ------------------------------------------------------------------
+    // Class centroids (Similarity.labelCentroids): per-label mean vector in
+    // the Ivf.train flat-aggregate shape — dims parallel avgs, map-side
+    // combine, one row per label on the wire; long-format output joins
+    // broadcast-sized into nearest-centroid/drift consumers. Averages
+    // snapped to 1e-6 on both sides (the avg_norm rounding rule: engines
+    // sum in different orders).
+    QueryDef(
+      "q_embed_centroids",
+      Some("""SELECT label, CAST(i - 1 AS INT) AS dim,
+             |  FLOOR(AVG(CAST(embedding[i] AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS centroid
+             |FROM embeddings, range(1, 65) t(i)
+             |GROUP BY label, i""".stripMargin),
+      (s, dir) => Similarity.labelCentroids(
+          emb(s, dir), "label", "embedding", SimParams.dims)
+        .select(col("label"), col("dim"),
+          (floor(col("centroid") * lit(1000000) + lit(0.5)) / lit(1000000))
+            .as("centroid"))),
+
     QueryDef(
       "q_embed_stats",
       Some("""WITH n AS (

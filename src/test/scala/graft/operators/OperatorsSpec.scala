@@ -364,6 +364,20 @@ class OperatorsSpec extends SparkSpec {
       "host <IP> port 8080, version 1.2.3 stays, price 10.99 stays", got)
   }
 
+  test("labelCentroids: exact means per (label, dim), malformed short " +
+    "vectors only skip their missing dims") {
+    val e = Seq(
+      (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 6.0f)),
+      (1, Seq(10.0f, 20.0f)),
+      (1, Seq(30.0f))) // short: votes on dim 0 only
+      .toDF("label", "embedding")
+    val got = Similarity.labelCentroids(e, "label", "embedding", dims = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got == Map(
+      (0, 0) -> 2.0, (0, 1) -> 4.0,
+      (1, 0) -> 20.0, (1, 1) -> 20.0))
+  }
+
   test("stripMarkup: block elements dropped, tags spaced, entities decoded " +
     "once, whitespace collapsed") {
     def strip(s: String): String =
