@@ -48,6 +48,15 @@ object Ivf {
     * convention as [[graft.functions.expr.GraftLshBucket]] — instead of
     * silently landing in cluster 0 through the all-NULL-score tie-break.
     */
+  /** Public face of [[assignExpr]] for non-IVF nearest-centroid consumers
+    * (nearest-centroid classification, drift assignment): the same
+    * map-only, fully-codegen'd argmin — returns the INDEX into `centroids`
+    * (NULL for malformed vectors), so callers keep their own index→label
+    * mapping.
+    */
+  def nearestCentroidExpr(vec: Column, centroids: Array[Array[Float]]): Column =
+    assignExpr(vec, centroids)
+
   private def assignExpr(vec: Column, centroids: Array[Array[Float]]): Column = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       val halfNormSq = c.map(x => x.toDouble * x.toDouble).sum / 2.0

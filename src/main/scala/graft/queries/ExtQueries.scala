@@ -484,6 +484,24 @@ object ExtQueries {
     // the clusters SCALE FORM (LSH-bucketed pairs → Components loop — the
     // declared q_sim_clusters pays crossJoin truth instead) at ×1 and ×4,
     // so the growth ratio compares like with like
+    // map-only codegen'd nearest-centroid assignment (Ivf.nearestCentroidExpr
+    // over float centroids) — the production path the relational
+    // certification form in the declared q_centroid_assign stands in for
+    "q_centroid_assign" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val rows = Similarity.labelCentroids(e, "label", "embedding",
+        SimParams.dims).collect() // labels × dims rows — bounded, Ivf pattern
+      val labels = rows.map(_.getInt(0)).distinct.sorted
+      val byLabel = rows.groupBy(_.getInt(0)).map { case (l, rs) =>
+        l -> rs.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+      }
+      val cents = labels.map(l => byLabel(l))
+      e.select(col("vec_id"), col("label"),
+          Ivf.nearestCentroidExpr(col("embedding"), cents).as("__idx"))
+        .select(col("vec_id"), col("label"),
+          try_element_at(array(labels.map(lit(_)): _*), col("__idx") + 1)
+            .as("assigned_label"))
+    }),
     "q_sim_clusters_x1" -> ((s, dir) => simClustersScale(embTimes(s, dir, 1), 1)),
     "q_sim_clusters_x4" -> ((s, dir) => simClustersScale(embTimes(s, dir, 4), 4)))
 
@@ -1825,6 +1843,68 @@ object ExtQueries {
         .select(col("label"), col("dim"),
           (floor(col("centroid") * lit(1000000) + lit(0.5)) / lit(1000000))
             .as("centroid"))),
+
+    // ------------------------------------------------------------------
+    // Nearest-centroid classification (1-NN against class centroids): each
+    // vector assigned to the label whose centroid is L2-nearest, scored
+    // against its true label — the standard embedding-space sanity eval.
+    // CERTIFICATION form: both engines recompute the rounded long-format
+    // centroids (the q_embed_centroids CTE), fan each vector's dims across
+    // the k=10 centroids via a broadcast join, and round distances to 1e-6
+    // before the argmin window (ties → smallest label, identical in both).
+    // Linear shape — rows × (dims × k) with dims × k a 640-row broadcast
+    // constant, the shingle-explosion class, NOT a pair join — though the
+    // production path is the map-only codegen'd Ivf.nearestCentroidExpr
+    // (the q_centroid_assign BENCH twin; zero explosion, zero shuffles
+    // beyond the centroid agg).
+    QueryDef(
+      "q_centroid_assign",
+      Some("""WITH c AS (
+             |  SELECT label AS c_label, CAST(i - 1 AS INT) AS dim,
+             |    FLOOR(AVG(CAST(embedding[i] AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS c
+             |  FROM embeddings, range(1, 65) t(i)
+             |  GROUP BY label, i),
+             |x AS (
+             |  SELECT vec_id, label, CAST(i - 1 AS INT) AS dim,
+             |    CAST(embedding[i] AS DOUBLE) AS x
+             |  FROM embeddings, range(1, 65) t(i)),
+             |d AS (
+             |  SELECT x.vec_id, x.label, c.c_label,
+             |    FLOOR(SUM((x.x - c.c) * (x.x - c.c)) * 1000000 + 0.5) / 1000000 AS dist
+             |  FROM x JOIN c USING (dim)
+             |  GROUP BY 1, 2, 3),
+             |r AS (
+             |  SELECT vec_id, label, c_label, dist,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+             |  FROM d)
+             |SELECT vec_id, label, c_label AS assigned_label,
+             |  (label = c_label) AS correct
+             |FROM r WHERE rn = 1""".stripMargin),
+      (s, dir) => {
+        val snap = (x: org.apache.spark.sql.Column) =>
+          floor(x * lit(1000000) + lit(0.5)) / lit(1000000)
+        val cents = Similarity.labelCentroids(
+            emb(s, dir), "label", "embedding", SimParams.dims)
+          .select(col("label").as("c_label"), col("dim"),
+            snap(col("centroid")).as("c"))
+        val x = emb(s, dir)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("dim", "xf")))
+          .select(col("vec_id"), col("label"), col("dim"),
+            col("xf").cast("double").as("x"))
+        val d = x.join(broadcast(cents), Seq("dim"))
+          .groupBy(col("vec_id"), col("label"), col("c_label"))
+          .agg(snap(sum((col("x") - col("c")) * (col("x") - col("c"))))
+            .as("dist"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"))
+          .orderBy(col("dist"), col("c_label"))
+        d.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("label"),
+            col("c_label").as("assigned_label"),
+            (col("label") === col("c_label")).as("correct"))
+      }),
 
     QueryDef(
       "q_embed_stats",

@@ -378,6 +378,21 @@ class OperatorsSpec extends SparkSpec {
       (1, 0) -> 20.0, (1, 1) -> 20.0))
   }
 
+  test("nearest-centroid assignment: the codegen'd operator form agrees " +
+    "with the relational certification form") {
+    val dir = "/root/testdata/sf0.001"
+    val declared = graft.SparkEntry.queries("q_centroid_assign")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val op = graft.queries.ExtQueries.operatorOnly("q_centroid_assign")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(declared.keySet == op.keySet)
+    // float-centroid vs rounded-double-centroid scoring can flip only a
+    // genuine near-tie; on the fixture they should agree (near-)everywhere
+    val agree = declared.count { case (id, l) => op(id) == l }
+    assert(agree >= math.ceil(declared.size * 0.98),
+      s"operator/certification assignment divergence: $agree/${declared.size}")
+  }
+
   test("stripMarkup: block elements dropped, tags spaced, entities decoded " +
     "once, whitespace collapsed") {
     def strip(s: String): String =
