@@ -1845,6 +1845,53 @@ object ExtQueries {
             .as("centroid"))),
 
     // ------------------------------------------------------------------
+    // Embedding covariance, upper triangle (the PCA / whitening /
+    // Mahalanobis input). CERTIFICATION form: both engines explode to
+    // (vec_id, dim, x), self-join on vec_id with dim_j >= dim_i, and
+    // aggregate (x_i − μ_i)(x_j − μ_j)/(n−1) with means and covariances
+    // snapped to 1e-6 (sum orders differ across engines). The production
+    // path is Similarity.covarianceMatrix — ONE mapPartitions pass over a
+    // dims·(dims+3)/2-double accumulator + treeReduce, no explosion, no
+    // shuffle — spec-gated to 1e-6 agreement against this form.
+    QueryDef(
+      "q_embed_cov",
+      Some("""WITH x AS (
+             |  SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+             |    CAST(embedding[i] AS DOUBLE) AS x
+             |  FROM embeddings, range(1, 65) t(i)),
+             |m AS (
+             |  SELECT dim, FLOOR(AVG(x) * 1000000 + 0.5) / 1000000 AS mu
+             |  FROM x GROUP BY dim)
+             |SELECT a.dim AS dim_i, b.dim AS dim_j,
+             |  FLOOR(SUM((a.x - ma.mu) * (b.x - mb.mu)) / (COUNT(*) - 1) * 1000000 + 0.5) / 1000000 AS cov
+             |FROM x a
+             |JOIN x b ON a.vec_id = b.vec_id AND b.dim >= a.dim
+             |JOIN m ma ON ma.dim = a.dim
+             |JOIN m mb ON mb.dim = b.dim
+             |GROUP BY a.dim, b.dim""".stripMargin),
+      (s, dir) => {
+        val snap = (x: org.apache.spark.sql.Column) =>
+          floor(x * lit(1000000) + lit(0.5)) / lit(1000000)
+        def xRel = emb(s, dir)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+          .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
+        val m = xRel.groupBy(col("dim")).agg(snap(avg(col("x"))).as("mu"))
+        val a = xRel.select(col("vec_id"), col("dim").as("dim_i"), col("x").as("xa"))
+        val b = xRel.select(col("vec_id"), col("dim").as("dim_j"), col("x").as("xb"))
+        // every (dim_i, dim_j) group holds exactly one row per vector, so
+        // n is just the group count — no scalar cross join needed
+        a.join(b, Seq("vec_id")).where(col("dim_j") >= col("dim_i"))
+          .join(broadcast(m.select(col("dim").as("dim_i"), col("mu").as("mu_i"))),
+            Seq("dim_i"))
+          .join(broadcast(m.select(col("dim").as("dim_j"), col("mu").as("mu_j"))),
+            Seq("dim_j"))
+          .groupBy(col("dim_i"), col("dim_j"))
+          .agg(snap(sum((col("xa") - col("mu_i")) * (col("xb") - col("mu_j")))
+            / (count(lit(1)) - 1)).as("cov"))
+          .select(col("dim_i"), col("dim_j"), col("cov"))
+      }),
+
+    // ------------------------------------------------------------------
     // Nearest-centroid classification (1-NN against class centroids): each
     // vector assigned to the label whose centroid is L2-nearest, scored
     // against its true label — the standard embedding-space sanity eval.

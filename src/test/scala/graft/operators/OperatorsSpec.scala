@@ -393,6 +393,68 @@ class OperatorsSpec extends SparkSpec {
       s"operator/certification assignment divergence: $agree/${declared.size}")
   }
 
+  test("covarianceMatrix: one-pass treeReduce matches the relational " +
+    "certification form and is repartition-stable") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables.load(spark, dir, "embeddings")
+    val (n, mean, cov) = Similarity.covarianceMatrix(e, "embedding", 64)
+    assert(n == e.count())
+    assert(mean.length == 64 && cov.length == 64)
+    val rel = graft.SparkEntry.queries("q_embed_cov")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(rel.size == 64 * 65 / 2)
+    // the certification form snaps to 1e-6; one-pass float sums can land a
+    // hair on the other side of a snap boundary → 2e-6 envelope
+    rel.foreach { case ((i, j), c) =>
+      assert(math.abs(cov(i)(j) - c) <= 2e-6,
+        s"cov($i,$j): one-pass ${cov(i)(j)} vs relational $c")
+    }
+    // partition-order float-sum drift is real but tiny at this scale
+    val (n2, _, cov2) = Similarity.covarianceMatrix(
+      e.repartition(7), "embedding", 64)
+    assert(n2 == n)
+    val maxDrift = (for (i <- 0 until 64; j <- 0 until 64)
+      yield math.abs(cov(i)(j) - cov2(i)(j))).max
+    assert(maxDrift < 1e-8, s"repartitioning moved covariance by $maxDrift")
+  }
+
+  test("pcaTopK: descending eigenvalues, orthonormal components, small " +
+    "eigen-residual, and projected variance matches the spectrum") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables.load(spark, dir, "embeddings")
+    val (_, mean, cov) = Similarity.covarianceMatrix(e, "embedding", 64)
+    val k = 4
+    val (vals, vecs) = Similarity.pcaTopK(cov, k)
+    assert(vals.toSeq.sliding(2).forall(p => p(0) >= p(1) - 1e-9),
+      s"eigenvalues not descending: ${vals.toSeq}")
+    for (i <- 0 until k; j <- i until k) {
+      val d = (0 until 64).map(t => vecs(i)(t) * vecs(j)(t)).sum
+      val want = if (i == j) 1.0 else 0.0
+      // per-step Gram–Schmidt in the iteration pins these to machine eps
+      assert(math.abs(d - want) < 1e-9, s"<v$i,v$j> = $d")
+    }
+    // eigen-equation residual, relative to the top eigenvalue
+    for (c <- 0 until k) {
+      val cv = (0 until 64).map(i =>
+        (0 until 64).map(j => cov(i)(j) * vecs(c)(j)).sum)
+      val res = math.sqrt((0 until 64)
+        .map(i => math.pow(cv(i) - vals(c) * vecs(c)(i), 2)).sum)
+      assert(res < 0.01 * math.max(vals(0), 1e-9),
+        s"component $c residual $res vs spectrum ${vals.toSeq}")
+    }
+    // the variance of the data projected on component c IS λ_c (that's the
+    // definition PCA maximizes) — gates project()'s mean-shift bias too
+    val proj = Similarity.project(e, "vec_id", "embedding", mean, vecs)
+    val vars = proj.select((0 until k).map(c =>
+        var_samp(element_at($"projection", c + 1)).as(s"v$c")): _*)
+      .head()
+    for (c <- 0 until k) {
+      val v = vars.getDouble(c)
+      assert(math.abs(v - vals(c)) <= 0.01 * math.max(vals(c), 1e-9),
+        s"projected variance $v vs eigenvalue ${vals(c)} (component $c)")
+    }
+  }
+
   test("stripMarkup: block elements dropped, tags spaced, entities decoded " +
     "once, whitespace collapsed") {
     def strip(s: String): String =
