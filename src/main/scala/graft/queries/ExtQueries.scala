@@ -1845,6 +1845,47 @@ object ExtQueries {
             .as("centroid"))),
 
     // ------------------------------------------------------------------
+    // Embedding outlier scores: per-vector diagonal Mahalanobis (Σ z_i²)
+    // and worst single-dim |z| against per-dim mean/stddev — the cheap
+    // anomaly gate an embedding pipeline runs before indexing (corrupted
+    // encodes and mis-scaled batches light up here first). Both engines
+    // snap mean/sd to 1e-6 FIRST, so every downstream arithmetic step is
+    // IEEE-identical; sums snap at the end (order differs). sd floors at
+    // 1e-12 so a degenerate constant dim scores 0/0-free in both engines.
+    // Map-only after the broadcast of the 64-row moments table.
+    QueryDef(
+      "q_embed_outliers",
+      Some("""WITH x AS (
+             |  SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+             |    CAST(embedding[i] AS DOUBLE) AS x
+             |  FROM embeddings, range(1, 65) t(i)),
+             |m AS (
+             |  SELECT dim,
+             |    FLOOR(AVG(x) * 1000000 + 0.5) / 1000000 AS mu,
+             |    GREATEST(FLOOR(STDDEV_SAMP(x) * 1000000 + 0.5) / 1000000, 1e-12) AS sd
+             |  FROM x GROUP BY dim)
+             |SELECT vec_id,
+             |  FLOOR(SUM(((x.x - m.mu) / m.sd) * ((x.x - m.mu) / m.sd)) * 1000000 + 0.5) / 1000000 AS z2_sum,
+             |  FLOOR(MAX(ABS((x.x - m.mu) / m.sd)) * 1000000 + 0.5) / 1000000 AS z_max
+             |FROM x JOIN m USING (dim)
+             |GROUP BY vec_id""".stripMargin),
+      (s, dir) => {
+        val snap = (x: org.apache.spark.sql.Column) =>
+          floor(x * lit(1000000) + lit(0.5)) / lit(1000000)
+        val x = emb(s, dir)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+          .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
+        val m = x.groupBy(col("dim")).agg(
+          snap(avg(col("x"))).as("mu"),
+          greatest(snap(stddev_samp(col("x"))), lit(1e-12)).as("sd"))
+        val z = (col("x") - col("mu")) / col("sd")
+        x.join(broadcast(m), Seq("dim"))
+          .groupBy(col("vec_id"))
+          .agg(snap(sum(z * z)).as("z2_sum"),
+            snap(max(abs(z))).as("z_max"))
+      }),
+
+    // ------------------------------------------------------------------
     // Embedding covariance, upper triangle (the PCA / whitening /
     // Mahalanobis input). CERTIFICATION form: both engines explode to
     // (vec_id, dim, x), self-join on vec_id with dim_j >= dim_i, and
