@@ -1102,6 +1102,44 @@ object ExtQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Per-source curation rollup: the dashboard a corpus curator reads
+    // before touching mixture rates — doc count, mean quality (snapped:
+    // double sums order-differ), pass count at the funnel's 0.3 gate, mean
+    // words (int sums are exact in double; snap is belt-and-braces), and
+    // language spread. One partial-agg shuffle keyed on source.
+    QueryDef(
+      "q_source_quality",
+      Some(s"""WITH q AS (
+             |  SELECT source, lang,
+             |    $qualityScoreSql
+             |      AS qs,
+             |    CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) AS nw
+             |  FROM documents)
+             |SELECT source,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  FLOOR(SUM(qs) / COUNT(*) * 1000000 + 0.5) / 1000000 AS avg_quality,
+             |  CAST(COUNT(CASE WHEN qs >= 0.3 THEN 1 END) AS BIGINT) AS n_pass,
+             |  FLOOR(SUM(nw) / COUNT(*) * 1000000 + 0.5) / 1000000 AS avg_words,
+             |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+             |FROM q GROUP BY source""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val snap = (x: org.apache.spark.sql.Column) =>
+          floor(x * lit(1000000) + lit(0.5)) / lit(1000000)
+        docs(s, dir)
+          .select($"source", $"lang",
+            TextFunctions.qualityScore($"text").as("qs"),
+            TextFunctions.wordCount($"text").cast("double").as("nw"))
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            snap(sum($"qs") / count(lit(1))).as("avg_quality"),
+            count(when($"qs" >= 0.3, 1)).as("n_pass"),
+            snap(sum($"nw") / count(lit(1))).as("avg_words"),
+            countDistinct($"lang").as("n_langs"))
+      }),
+
+    // ------------------------------------------------------------------
     // Per-language quality-quantile gate (the CCNet/RedPajama-style "keep
     // the top fraction per language" filter — an absolute threshold would
     // silently starve languages whose score distribution sits lower).
