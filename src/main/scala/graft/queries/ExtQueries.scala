@@ -1140,6 +1140,39 @@ object ExtQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Duplication provenance summary: how much exact duplication exists
+    // and whether it CROSSES sources — same text syndicated under several
+    // sources is the provenance-leakage signal that decides whether dedup
+    // must run globally or can shard per source (a cross_source_groups of
+    // zero licenses the much cheaper per-source-sharded dedup). One
+    // content-hash shuffle then a scalar fold; all-integer outputs, no
+    // float drift possible.
+    QueryDef(
+      "q_dup_provenance",
+      Some("""WITH g AS (
+             |  SELECT md5(text) AS h, COUNT(*) AS n, COUNT(DISTINCT source) AS ns
+             |  FROM documents GROUP BY 1)
+             |SELECT
+             |  CAST(COUNT(CASE WHEN n > 1 THEN 1 END) AS BIGINT) AS dup_groups,
+             |  CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0) AS BIGINT) AS docs_in_dup_groups,
+             |  CAST(COUNT(CASE WHEN ns > 1 THEN 1 END) AS BIGINT) AS cross_source_groups,
+             |  CAST(MAX(n) AS BIGINT) AS max_group,
+             |  CAST(MAX(ns) AS BIGINT) AS max_sources
+             |FROM g""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .groupBy(md5($"text").as("h"))
+          .agg(count(lit(1)).as("n"), countDistinct($"source").as("ns"))
+          .agg(
+            count(when($"n" > 1, 1)).as("dup_groups"),
+            coalesce(sum(when($"n" > 1, $"n")), lit(0L)).as("docs_in_dup_groups"),
+            count(when($"ns" > 1, 1)).as("cross_source_groups"),
+            max($"n").as("max_group"),
+            max($"ns").as("max_sources"))
+      }),
+
+    // ------------------------------------------------------------------
     // Per-language quality-quantile gate (the CCNet/RedPajama-style "keep
     // the top fraction per language" filter — an absolute threshold would
     // silently starve languages whose score distribution sits lower).
