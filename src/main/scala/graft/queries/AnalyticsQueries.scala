@@ -73,6 +73,36 @@ object AnalyticsQueries {
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
+    // Per-user behavioral feature rollup — the feature-engineering pass a
+    // model-input pipeline runs over an event log: activity volume, event-
+    // type breadth, distinct active days (calendar dates in the UTC session
+    // — the q_calendar convention), value total (snapped: double sums
+    // order-differ), and first/last activity as exact µs instants. ONE
+    // partial-agg shuffle keyed on user_id; at 100 TB this is the cheapest
+    // possible per-entity featurization shape.
+    QueryDef(
+      "q_user_features",
+      Some("""SELECT user_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+             |  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+             |  FLOOR(SUM(value) * 1000000 + 0.5) / 1000000 AS total_value,
+             |  epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS first_us,
+             |  epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS last_us
+             |FROM events GROUP BY user_id""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events").groupBy($"user_id").agg(
+          count(lit(1)).as("n_events"),
+          countDistinct($"event_type").as("n_types"),
+          countDistinct(to_date($"ts")).as("n_days"),
+          (floor(sum($"value") * lit(1000000) + lit(0.5)) / lit(1000000))
+            .as("total_value"),
+          unix_micros(min($"ts")).as("first_us"),
+          unix_micros(max($"ts")).as("last_us"))
+      }),
+
+    // ------------------------------------------------------------------
     // As-of join: each click joined to the user's most recent purchase at or
     // before it (attribution lookup). Spark side is AsOf.joinAsOf (union +
     // one-shuffle window carry-forward); DuckDB's native ASOF LEFT JOIN is
