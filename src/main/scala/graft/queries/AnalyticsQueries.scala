@@ -103,6 +103,40 @@ object AnalyticsQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Cohort retention matrix: users grouped by first-activity ISO week,
+    // counted in each later week they reappear — the standard retention
+    // triangle. Both engines truncate to Monday (ISO) in the UTC session;
+    // week offsets are exact integer day-diffs / 7 (Monday-to-Monday is
+    // always divisible). Two shuffles: the per-user first-week agg and the
+    // cohort×offset count — both partial-agg friendly. All-integer/date
+    // outputs, no float drift.
+    QueryDef(
+      "q_retention_cohorts",
+      Some("""WITH e AS (
+             |  SELECT DISTINCT user_id,
+             |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+             |  FROM events),
+             |f AS (
+             |  SELECT user_id, MIN(wk) AS cohort_week FROM e GROUP BY 1)
+             |SELECT f.cohort_week,
+             |  CAST(datediff('day', f.cohort_week, e.wk) / 7 AS INT) AS week_offset,
+             |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+             |FROM e JOIN f USING (user_id)
+             |GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "events")
+          .select($"user_id",
+            date_trunc("week", $"ts").cast("date").as("wk"))
+          .distinct()
+        val f = e.groupBy($"user_id").agg(min($"wk").as("cohort_week"))
+        e.join(f, Seq("user_id"))
+          .groupBy($"cohort_week",
+            (datediff($"wk", $"cohort_week") / 7).cast("int").as("week_offset"))
+          .agg(countDistinct($"user_id").as("n_users"))
+      }),
+
+    // ------------------------------------------------------------------
     // As-of join: each click joined to the user's most recent purchase at or
     // before it (attribution lookup). Spark side is AsOf.joinAsOf (union +
     // one-shuffle window carry-forward); DuckDB's native ASOF LEFT JOIN is
