@@ -137,6 +137,37 @@ object AnalyticsQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Event-type transition matrix: per-user time-ordered lag pairs
+    // counted into (prev, next) cells — the first-order Markov features of
+    // behavioral modeling and the input to anomaly rules ("checkout with
+    // no cart"). Order is total (µs instant + event_id tie-break, the
+    // repo-wide window convention) so the lag relation is deterministic in
+    // both engines. One user-keyed window shuffle + one partial-agg count;
+    // all-integer outputs.
+    QueryDef(
+      "q_event_transitions",
+      Some("""WITH o AS (
+             |  SELECT user_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev_type
+             |  FROM events)
+             |SELECT prev_type, event_type AS next_type,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM o WHERE prev_type IS NOT NULL
+             |GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+          .orderBy(unix_micros($"ts"), $"event_id")
+        t(s, dir, "events")
+          .select($"user_id", $"event_type",
+            lag($"event_type", 1).over(w).as("prev_type"))
+          .where($"prev_type".isNotNull)
+          .groupBy($"prev_type", $"event_type".as("next_type"))
+          .agg(count(lit(1)).as("n"))
+      }),
+
+    // ------------------------------------------------------------------
     // As-of join: each click joined to the user's most recent purchase at or
     // before it (attribution lookup). Spark side is AsOf.joinAsOf (union +
     // one-shuffle window carry-forward); DuckDB's native ASOF LEFT JOIN is
