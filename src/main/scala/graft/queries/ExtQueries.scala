@@ -1069,6 +1069,31 @@ object ExtQueries {
       (s, dir) => Lm.bigramScore(docs(s, dir), "doc_id", "text")),
 
     // ------------------------------------------------------------------
+    // Language-ID confusion matrix: labeled lang × predicted lang with
+    // cell counts — the eval every classifier heuristic owes its users
+    // (which languages the marker argmax actually confuses, and how
+    // often). Single-sourced with q_lang_id's SQL twin, so a marker tweak
+    // moves the confusion matrix and the per-doc query in lockstep. One
+    // map pass + one partial-agg shuffle; all-integer outputs.
+    QueryDef(
+      "q_lang_confusion",
+      Some(s"""WITH h AS (
+              |  SELECT doc_id, lang,
+              |    $langHitsSql
+              |  FROM documents)
+              |SELECT lang,
+              |  $langArgmaxSql AS predicted_lang,
+              |  CAST(COUNT(*) AS BIGINT) AS n
+              |FROM h GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .groupBy($"lang",
+            TextFunctions.predictedLang($"text").as("predicted_lang"))
+          .agg(count(lit(1)).as("n"))
+      }),
+
+    // ------------------------------------------------------------------
     // Language-ID heuristic: stopword-marker argmax with fixed tie order.
     QueryDef(
       "q_lang_id",
