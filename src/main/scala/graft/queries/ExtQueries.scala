@@ -1069,6 +1069,45 @@ object ExtQueries {
       (s, dir) => Lm.bigramScore(docs(s, dir), "doc_id", "text")),
 
     // ------------------------------------------------------------------
+    // Per-source doc-length quantiles (p25/p50/p90 word counts) — what a
+    // curator reads to set chunk sizes and length-filter bounds per
+    // source. EXACT order statistics via deterministic window selection
+    // (rank ceil(n·q) under total (nw, doc_id) order) — no engine-specific
+    // percentile interpolation; the ceil(n·q) double is the same IEEE
+    // product in both engines, so even the inexact 0.9 multiplier picks
+    // the same rank. One window shuffle keyed on source.
+    QueryDef(
+      "q_length_quantiles",
+      Some("""WITH w AS (
+             |  SELECT source, doc_id,
+             |    CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS nw
+             |  FROM documents),
+             |r AS (
+             |  SELECT source, nw,
+             |    row_number() OVER (PARTITION BY source ORDER BY nw, doc_id) AS rn,
+             |    COUNT(*) OVER (PARTITION BY source) AS n
+             |  FROM w)
+             |SELECT source,
+             |  MAX(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT) THEN nw END) AS p25_words,
+             |  MAX(CASE WHEN rn = CAST(ceil(n * 0.50) AS BIGINT) THEN nw END) AS p50_words,
+             |  MAX(CASE WHEN rn = CAST(ceil(n * 0.90) AS BIGINT) THEN nw END) AS p90_words
+             |FROM r GROUP BY source""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val w = docs(s, dir).select($"source", $"doc_id",
+          TextFunctions.wordCount($"text").as("nw"))
+        val rnW = Window.partitionBy($"source").orderBy($"nw", $"doc_id")
+        val nW = Window.partitionBy($"source")
+        def at(q: Double) = max(when(
+          $"rn" === ceil($"n" * lit(q)).cast("long"), $"nw"))
+        w.withColumn("rn", row_number().over(rnW))
+          .withColumn("n", count(lit(1)).over(nW))
+          .groupBy($"source")
+          .agg(at(0.25).as("p25_words"), at(0.50).as("p50_words"),
+            at(0.90).as("p90_words"))
+      }),
+
+    // ------------------------------------------------------------------
     // Language-ID confusion matrix: labeled lang × predicted lang with
     // cell counts — the eval every classifier heuristic owes its users
     // (which languages the marker argmax actually confuses, and how
