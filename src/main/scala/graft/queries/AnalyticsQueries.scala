@@ -103,6 +103,38 @@ object AnalyticsQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Daily-active-users timeseries with a trailing 7-day rolling DAU —
+    // the ops heartbeat of any event pipeline. Calendar dates in the UTC
+    // session (the q_calendar convention); the rolling window is a RANGE
+    // frame over epoch days, so gap days correctly shrink the trailing
+    // count instead of the frame silently sliding over them. One date agg
+    // shuffle + one unpartitioned-but-tiny window (one row per calendar
+    // day, bounded by the horizon, never by event volume).
+    QueryDef(
+      "q_daily_active",
+      Some("""WITH d AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau,
+             |    CAST(COUNT(*) AS BIGINT) AS n_events
+             |  FROM events GROUP BY 1)
+             |SELECT day, dau, n_events,
+             |  CAST(SUM(dau) OVER (ORDER BY CAST(epoch(CAST(day AS TIMESTAMP)) AS BIGINT) / 86400
+             |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS dau_7d_sum
+             |FROM d""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "events")
+          .groupBy(to_date($"ts").as("day"))
+          .agg(countDistinct($"user_id").as("dau"),
+            count(lit(1)).as("n_events"))
+        val w = Window
+          .orderBy(unix_date($"day"))
+          .rangeBetween(-6, Window.currentRow)
+        d.select($"day", $"dau", $"n_events",
+          sum($"dau").over(w).as("dau_7d_sum"))
+      }),
+
+    // ------------------------------------------------------------------
     // Cohort retention matrix: users grouped by first-activity ISO week,
     // counted in each later week they reappear — the standard retention
     // triangle. Both engines truncate to Monday (ISO) in the UTC session;
