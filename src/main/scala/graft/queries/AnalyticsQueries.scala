@@ -135,6 +135,39 @@ object AnalyticsQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Metric anomaly detection: events whose value sits more than 3σ from
+    // their type's mean — the scalar sibling of q_embed_outliers and the
+    // first alert rule an ops pipeline wires. Same determinism recipe:
+    // per-type moments snap to 1e-6 FIRST so the z arithmetic is
+    // IEEE-identical cross-engine (the 3σ comparison then agrees
+    // everywhere), sd floors at 1e-12 against constant-valued types.
+    // One partial-agg moments pass broadcast back over a map-only filter.
+    QueryDef(
+      "q_value_anomaly",
+      Some("""WITH m AS (
+             |  SELECT event_type,
+             |    FLOOR(AVG(value) * 1000000 + 0.5) / 1000000 AS mu,
+             |    GREATEST(FLOOR(STDDEV_SAMP(value) * 1000000 + 0.5) / 1000000, 1e-12) AS sd
+             |  FROM events GROUP BY 1)
+             |SELECT e.event_id, e.event_type, e.value,
+             |  FLOOR(ABS((e.value - m.mu) / m.sd) * 1000000 + 0.5) / 1000000 AS z
+             |FROM events e JOIN m USING (event_type)
+             |WHERE ABS((e.value - m.mu) / m.sd) > 3.0""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val snap = (x: org.apache.spark.sql.Column) =>
+          floor(x * lit(1000000) + lit(0.5)) / lit(1000000)
+        val m = t(s, dir, "events").groupBy($"event_type").agg(
+          snap(avg($"value")).as("mu"),
+          greatest(snap(stddev_samp($"value")), lit(1e-12)).as("sd"))
+        val z = abs(($"value" - $"mu") / $"sd")
+        t(s, dir, "events")
+          .join(broadcast(m), Seq("event_type"))
+          .where(z > 3.0)
+          .select($"event_id", $"event_type", $"value", snap(z).as("z"))
+      }),
+
+    // ------------------------------------------------------------------
     // Cohort retention matrix: users grouped by first-activity ISO week,
     // counted in each later week they reappear — the standard retention
     // triangle. Both engines truncate to Monday (ISO) in the UTC session;
