@@ -135,6 +135,28 @@ object AnalyticsQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Hour-of-day seasonality profile per event type — the load-shape
+    // feature behind capacity planning and the seasonal baseline anomaly
+    // rules compare against. UTC-session hours (the q_calendar
+    // convention); counts exact, the one double mean snapped. One
+    // partial-agg shuffle over a 24 × types result.
+    QueryDef(
+      "q_hourly_profile",
+      Some("""SELECT CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS INT) AS hour_of_day,
+             |  event_type,
+             |  CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  FLOOR(SUM(value) / COUNT(*) * 1000000 + 0.5) / 1000000 AS avg_value
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy(hour($"ts").as("hour_of_day"), $"event_type")
+          .agg(count(lit(1)).as("n_events"),
+            (floor(sum($"value") / count(lit(1)) * lit(1000000) + lit(0.5))
+              / lit(1000000)).as("avg_value"))
+      }),
+
+    // ------------------------------------------------------------------
     // Metric anomaly detection: events whose value sits more than 3σ from
     // their type's mean — the scalar sibling of q_embed_outliers and the
     // first alert rule an ops pipeline wires. Same determinism recipe:
