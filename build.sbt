@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// No `[success] Total time: …` trailer: the bench driver records only the
+// LAST 2000 chars of `sbt "runMain graft.Bench"` stdout and parses the
+// final line as JSON — Bench prints its tail-safe headline last, and this
+// keeps sbt from printing its own banner after it (the reason every
+// BENCH_r{1..8}.json came back `parsed: null`). Success is still signalled
+// by the exit code; failures still print `[error]`.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — lint can't
+// see that and would warn "unused" on every invocation
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,0 +1,105 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates the Bench driver contract's one fragile surface: the driver
+  * records only the LAST 2000 characters of Bench stdout and parses the
+  * final line as JSON. These tests replay that capture exactly — the
+  * compact headline must be the last line, complete, parsable, and bounded
+  * even in a mass-failure round — and pin the regression-tripwire rules
+  * and the committed median snapshot's integrity.
+  */
+class BenchHeadlineSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+
+  private def mkResults(n: Int, t: Double): Seq[(String, Double)] =
+    (0 until n).map(i => f"q_some_long_query_name_$i%03d" -> t)
+
+  private val subtimings = Bench.operatorSubs.values.toSeq.sorted.map(_ -> 1.25)
+
+  private def headline(results: Seq[(String, Double)],
+      regressions: Seq[(String, Double, Double)] = Nil): String =
+    Bench.compactLine(results, subtimings, Seq(98.0, 99.5, 101.0), 1.03,
+      "clean", regressions, "sf0.1", "/root/testdata/sf0.1")
+
+  test("worst-case compact headline stays inside the driver tail window") {
+    // every declared query failed AND every regression slot used — the
+    // exact round where the tail window matters most must still hold one
+    // complete JSON object with room to spare
+    val allFailed = mkResults(200, -1.0)
+    val regs = (0 until 50).map(i => (f"q_regressed_query_$i%03d", 9.876, 1.234))
+    val line = headline(allFailed, regs)
+    assert(line.length <= 1900, s"compact line is ${line.length} chars")
+    val node = mapper.readTree(line)
+    assert(node.get("n_failed").asInt() === 200)
+    assert(node.get("failed").size() === 20)     // capped, count complete
+    assert(node.get("n_regressions").asInt() === 50)
+    assert(node.get("regressions").size() === 8) // capped, count complete
+  }
+
+  test("driver tail capture: last line of the final 2000 chars parses") {
+    val results = mkResults(135, 0.73)
+    val compact = headline(results)
+    // the big line is ~25 KB; any prefix junk must not matter
+    val stdout = ("x" * 25000) + "\n" + compact + "\n"
+    val tail = stdout.takeRight(2000)
+    val last = tail.split("\n").last
+    val node = mapper.readTree(last)
+    assert(node.get("metric").asText() === "total")
+    assert(node.get("value").asDouble() > 0)
+    assert(node.get("value_operator_graded").asDouble() > 0)
+    assert(node.get("bench_validity").asText() === "clean")
+  }
+
+  test("operator-graded total substitutes the scale twins") {
+    val results = Seq("q_sim_neardup" -> 8.0, "q_sim_clusters" -> 4.0,
+      "q_other" -> 1.0)
+    val subs = Seq("q_sim_neardup_operator" -> 1.0,
+      "q_sim_clusters_x1_operator" -> 3.0)
+    // 8→1, 4→3, 1 stays: 5.0
+    assert(Bench.operatorGradedTotal(results, subs) === 5.0)
+    // a FAILED twin must not substitute (nor subtract): declared time kept
+    assert(Bench.operatorGradedTotal(results,
+      Seq("q_sim_neardup_operator" -> -1.0)) === 13.0)
+  }
+
+  test("every operator-graded substitution key is a live subtiming name") {
+    val spark = SparkSpec.session
+    val declared = SparkEntry.orderedQueryNames.toSet
+    val twins = graft.queries.ExtQueries.operatorOnly.keySet.map(_ + "_operator")
+    Bench.operatorSubs.foreach { case (q, twin) =>
+      assert(declared.contains(q), s"substituted query $q is not declared")
+      assert(twins.contains(twin), s"twin $twin has no operatorOnly builder")
+    }
+    assert(spark != null) // touch the lazy session so the suite shape is uniform
+  }
+
+  test("regression tripwire: ratio, spread, and floor rules") {
+    val committed = Map("q_real" -> 1.0, "q_noisy" -> 3.5, "q_small" -> 0.1,
+      "q_ok" -> 2.0)
+    val results = Seq(
+      "q_real" -> 2.0,   // 2.0× with tight spread → flagged
+      "q_noisy" -> 5.1,  // r8's q_dedup_canonical shape: move 1.6 < spread 7.3
+      "q_small" -> 0.25, // 2.5× but move 0.15 under the 0.3 s floor
+      "q_ok" -> 2.4,     // 1.2× → under the ratio gate
+      "q_new" -> 9.0)    // no baseline → never flagged
+    val spreads = Seq("q_real" -> 0.2, "q_noisy" -> 7.3, "q_small" -> 0.01,
+      "q_ok" -> 0.3, "q_new" -> 0.1)
+    val found = Bench.findRegressions(results, spreads, committed)
+    assert(found === Seq(("q_real", 2.0, 1.0)))
+  }
+
+  test("committed median snapshot loads and matches the declared inventory") {
+    val (sf, medians) = Bench.loadCommittedMedians()
+      .getOrElse(fail("bench_medians.tsv resource missing"))
+    assert(sf === "sf0.1")
+    assert(medians.nonEmpty)
+    val declared = SparkEntry.orderedQueryNames.toSet
+    val stale = medians.keySet.diff(declared)
+    assert(stale.isEmpty,
+      s"snapshot has medians for undeclared queries (regen it): $stale")
+    medians.values.foreach(v => assert(v > 0))
+  }
+}
