@@ -637,6 +637,25 @@ object Corpus {
     * NULL ids have no stable coordinate — rejected up front (fail closed)
     * rather than silently lumped into one shard.
     */
+  def shardAssign(docs: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be positive, got $nShards")
+    val hex = md5(col(idCol).cast("string").cast("binary"))
+    val shard = (conv(substring(hex, 1, 8), 16, 10).cast("long") % nShards)
+      .cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      // full-hex order with id tie-break: u32 prefix collisions are common
+      // at corpus scale, full-128-bit ones are not, and the id makes the
+      // order total either way
+      .orderBy(col("__shuffle_hex"), col(idCol))
+    docs
+      .withColumn("__shuffle_hex",
+        coalesce(hex, raise_error(lit(s"shardAssign: NULL $idCol"))))
+      .withColumn("shard", shard)
+      .withColumn("shard_pos", row_number().over(w) - 1)
+      .drop("__shuffle_hex")
+  }
+
   /** Deterministic train/val/test split assignment — every pipeline's
     * first partitioning decision, made the reproducible way: each doc's
     * bucket comes from the first 8 md5 hex digits of `"split:" || id`
@@ -671,24 +690,5 @@ object Corpus {
           when(u < lit(thresholdHex(c)), lit(name)).otherwise(acc)
       }
     docs.withColumn("split", assigned)
-  }
-
-  def shardAssign(docs: DataFrame, idCol: String, nShards: Int): DataFrame = {
-    require(nShards >= 1, s"nShards must be positive, got $nShards")
-    val hex = md5(col(idCol).cast("string").cast("binary"))
-    val shard = (conv(substring(hex, 1, 8), 16, 10).cast("long") % nShards)
-      .cast("int")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard"))
-      // full-hex order with id tie-break: u32 prefix collisions are common
-      // at corpus scale, full-128-bit ones are not, and the id makes the
-      // order total either way
-      .orderBy(col("__shuffle_hex"), col(idCol))
-    docs
-      .withColumn("__shuffle_hex",
-        coalesce(hex, raise_error(lit(s"shardAssign: NULL $idCol"))))
-      .withColumn("shard", shard)
-      .withColumn("shard_pos", row_number().over(w) - 1)
-      .drop("__shuffle_hex")
   }
 }

@@ -48,15 +48,6 @@ object Ivf {
     * convention as [[graft.functions.expr.GraftLshBucket]] — instead of
     * silently landing in cluster 0 through the all-NULL-score tie-break.
     */
-  /** Public face of [[assignExpr]] for non-IVF nearest-centroid consumers
-    * (nearest-centroid classification, drift assignment): the same
-    * map-only, fully-codegen'd argmin — returns the INDEX into `centroids`
-    * (NULL for malformed vectors), so callers keep their own index→label
-    * mapping.
-    */
-  def nearestCentroidExpr(vec: Column, centroids: Array[Array[Float]]): Column =
-    assignExpr(vec, centroids)
-
   private def assignExpr(vec: Column, centroids: Array[Array[Float]]): Column = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       val halfNormSq = c.map(x => x.toDouble * x.toDouble).sum / 2.0
@@ -68,6 +59,15 @@ object Ivf {
     // alike, so checking the first suffices)
     when(dot(vec, vecLit(centroids.head.toSeq)).isNotNull, arg)
   }
+
+  /** Public face of [[assignExpr]] for non-IVF nearest-centroid consumers
+    * (nearest-centroid classification, drift assignment): the same
+    * map-only, fully-codegen'd argmin — returns the INDEX into `centroids`
+    * (NULL for malformed vectors), so callers keep their own index→label
+    * mapping.
+    */
+  def nearestCentroidExpr(vec: Column, centroids: Array[Array[Float]]): Column =
+    assignExpr(vec, centroids)
 
   private[operators] def l2sq(a: Array[Float], b: Array[Float]): Double = {
     // min length: distance to a malformed short vector is undefined anyway —

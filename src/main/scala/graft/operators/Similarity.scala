@@ -189,6 +189,17 @@ object Similarity {
       dims: Int): (Long, Array[Double], Array[Array[Double]]) = {
     require(dims >= 1, s"dims must be positive, got $dims")
     val tri = dims * (dims + 1) / 2
+    // merge folds the right accumulator into the left in place — safe under
+    // treeAggregate, which deserializes a fresh zero per partition
+    val merge = (a: (Long, Array[Double], Array[Double]),
+        b: (Long, Array[Double], Array[Double])) => {
+      val (na, sa, pa) = a; val (nb, sb, pb) = b
+      var i = 0
+      while (i < dims) { sa(i) += sb(i); i += 1 }
+      var t = 0
+      while (t < tri) { pa(t) += pb(t); t += 1 }
+      (na + nb, sa, pa)
+    }
     val acc = embeddings
       .where(col(vecCol).isNotNull && !exists(col(vecCol), _.isNull) &&
         size(col(vecCol)) === dims)
@@ -211,13 +222,11 @@ object Similarity {
         }
         Iterator.single((n, sums, prods))
       }
-      .treeReduce { case ((na, sa, pa), (nb, sb, pb)) =>
-        var i = 0
-        while (i < dims) { sa(i) += sb(i); i += 1 }
-        var t = 0
-        while (t < tri) { pa(t) += pb(t); t += 1 }
-        (na + nb, sa, pa)
-      }
+      // treeAggregate with a zero accumulator, not treeReduce: an input with
+      // zero well-formed vectors must fall through to the require below with
+      // its named message, not die in treeReduce's opaque "empty collection"
+      .treeAggregate((0L, new Array[Double](dims), new Array[Double](tri)))(
+        merge, merge)
     val (n, sums, prods) = acc
     require(n >= 2, s"covariance needs >= 2 well-formed vectors, got $n")
     val mean = sums.map(_ / n)

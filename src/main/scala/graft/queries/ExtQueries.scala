@@ -491,6 +491,13 @@ object ExtQueries {
       val e = emb(s, dir)
       val rows = Similarity.labelCentroids(e, "label", "embedding",
         SimParams.dims).collect() // labels × dims rows — bounded, Ivf pattern
+      // fail loudly, not NPE: a NULL label or an all-malformed dim (avg over
+      // zero members = NULL) has no meaningful centroid coordinate
+      rows.foreach { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(2),
+          s"centroid assign: NULL label or centroid coordinate in $r — " +
+            "label column has NULLs or a dim had no well-formed members")
+      }
       val labels = rows.map(_.getInt(0)).distinct.sorted
       val byLabel = rows.groupBy(_.getInt(0)).map { case (l, rs) =>
         l -> rs.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
