@@ -1,6 +1,6 @@
 package graft.extensions
 
-import graft.functions.expr.{GraftCosine, GraftDot, GraftLshBucket, GraftNorm2, GraftWinnow}
+import graft.functions.expr.{GraftCosine, GraftDot, GraftLshBucket, GraftNfc, GraftNorm2, GraftWinnow}
 import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -26,6 +26,7 @@ import org.apache.spark.sql.types.IntegerType
   *   - `graft_cosine(array<float>, array<float>) -> double`
   *   - `graft_lsh_bucket(array<float>, dims INT, n_planes INT[, family INT]) -> bigint`
   *   - `graft_winnow(text STRING, k INT, w INT) -> array<bigint>`
+  *   - `graft_nfc(text STRING) -> string`
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
@@ -81,7 +82,11 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity("graft_winnow", args, 3)
         GraftWinnow(args.head, intLit(args(1), "k"), intLit(args(2), "w"))
-      }))
+      }),
+    ("graft_nfc",
+      info("graft_nfc",
+        "graft_nfc(text) - Unicode NFC (canonical composition) normalization."),
+      (args: Seq[Expression]) => { arity("graft_nfc", args, 1); GraftNfc(args.head) }))
 
   /** Imperative registration on an already-built session. */
   def register(spark: SparkSession): Unit =

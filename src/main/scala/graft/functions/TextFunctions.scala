@@ -242,4 +242,59 @@ object TextFunctions {
     }
     trim(regexp_replace(decoded, wsRunRe, " "))
   }
+
+  /** Unicode normalization ahead of dedup/fingerprinting — three stages,
+    * each with identical semantics in this engine and the DuckDB oracle:
+    *
+    *   1. strip zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) and C0/DEL
+    *      controls except `\t\r\n` — the invisible bytes that make two
+    *      renderings of one document hash apart (and a classic dedup-evasion
+    *      vector); whitespace controls survive because they carry layout
+    *      that later stages (wsRunRe, tokenizers) own;
+    *   2. NFC canonical composition ([[graft.functions.expr.GraftNfc]] —
+    *      native codegen; DuckDB: `nfc_normalize`), so decomposed accents
+    *      compose and stacked combining marks canonically reorder;
+    *   3. full Unicode lowercase (`lower` is the same simple-mapping fold in
+    *      both engines for everything but the locale-contextual characters —
+    *      İ and final sigma — which the gate fixture deliberately avoids;
+    *      a corpus needing Turkic case rules needs a locale-aware fold
+    *      upstream).
+    *
+    * Strip BEFORE composing: a zero-width joiner lodged between a base and
+    * its combining mark would otherwise block the composition it sits in
+    * the middle of. The class is `\x{...}`-escape syntax only — identical
+    * membership in Java regex and RE2, the stripMarkup portability rule.
+    */
+  val zeroWidthCtlRe: String =
+    "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}" +
+      "\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]"
+
+  def nfc(text: Column): Column = {
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    B.column(graft.functions.expr.GraftNfc(B.expression(text)))
+  }
+
+  def normalizeText(text: Column): Column =
+    lower(nfc(regexp_replace(text, zeroWidthCtlRe, "")))
+
+  /** Render a Scala string as a DuckDB SQL expression that reconstructs it
+    * byte-for-byte: printable-ASCII runs stay literal, everything else
+    * (controls, zero-width, any non-ASCII) becomes `chr(codepoint)` — so an
+    * oracle fixture salted with exotic codepoints ships as plain-ASCII SQL
+    * with zero quoting/encoding ambiguity on the wire.
+    */
+  def sqlStringLit(s: String): String = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val buf = new StringBuilder
+    def flush(): Unit =
+      if (buf.nonEmpty) { out += s"'${buf.toString}'"; buf.clear() }
+    // by CODE POINT, not char: an astral char is a surrogate pair in Scala
+    // strings, and chr(surrogate-half) is not a valid DuckDB code point
+    s.codePoints().forEach { cp =>
+      if (cp >= ' ' && cp < 0x7f && cp != '\'') buf.append(cp.toChar)
+      else { flush(); out += s"chr($cp)" }
+    }
+    flush()
+    if (out.isEmpty) "''" else out.mkString(" || ")
+  }
 }

@@ -520,6 +520,26 @@ object ExtQueries {
       pairs, "id_a", "id_b")
   }
 
+  /** q_normalize_text's per-row salt — one constant, both engines (the
+    * Spark side takes it as a literal, the oracle via
+    * [[TextFunctions.sqlStringLit]]), chosen so every normalizeText rule
+    * demonstrably fires on every row: NFD accents, zero-widths, C0/DEL
+    * controls (no NUL — DuckDB strings cannot hold one), non-ASCII uppers
+    * in three scripts, fullwidth letters (an NFC no-op that still folds),
+    * and a stacked-combining-mark cluster whose marks NFC must reorder.
+    * Locale-contextual case characters (İ, Σ) are deliberately absent —
+    * their folds are the one place Java and utf8proc legitimately differ.
+    */
+  private val normSalt: String =
+    " Cafe\u0301 A\u030Angstro\u0308m" +            // NFD accents -> compose
+      " zero\u200Bwidth\u200C\u200D\uFEFFjoin" +     // zero-widths strip
+      " ctl\u0001\u0002\u001F\u007Fx" +             // C0/DEL controls strip
+      " \u00C9\u00D0\u00C6\u00D8\u00C7\u00D1\u00DC" + // Latin-1 uppers fold
+      " \u041F\u0420\u0418\u0412\u0415\u0422" +     // Cyrillic uppers fold
+      " \u0391\u0392\u0393\u0394" +                 // Greek uppers (no sigma)
+      " \uFF21\uFF22\uFF23\uFF44\uFF45" +           // fullwidth lowers fold
+      " E\u0304\u0323F\u0307\u0323 end"             // marks NFC must reorder
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -641,6 +661,31 @@ object ExtQueries {
             lit(";</script><style>.a{color:red}</style><p>A &amp;amp; B " +
               "&lt;i&gt;ok&lt;/i&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>")))
             .as("clean_text"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Unicode normalization (TextFunctions.normalizeText): zero-width/
+    // control strip → NFC canonical composition (native GraftNfc; DuckDB
+    // nfc_normalize — both implement the same Unicode algorithm) → full
+    // Unicode lowercase. The fixture corpus is ASCII, so every row is
+    // salted with a constant that makes each rule fire: NFD accents that
+    // must compose, stacked combining marks that must canonically REORDER
+    // (dot-below before dot-above), zero-widths and C0/DEL controls that
+    // must vanish, and Latin-1/Cyrillic/Greek/fullwidth uppers that must
+    // fold. Oracle SQL is GENERATED from the same salt constant and strip
+    // class the Spark side uses (sqlStringLit renders the salt as chr()
+    // calls, so the exotic codepoints ship as plain-ASCII SQL).
+    QueryDef(
+      "q_normalize_text",
+      Some("SELECT doc_id, lower(nfc_normalize(regexp_replace(" +
+        s"text || ${TextFunctions.sqlStringLit(normSalt)}, " +
+        s"'${TextFunctions.zeroWidthCtlRe}', '', 'g'))) AS norm_text " +
+        "FROM documents"),
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir).select($"doc_id",
+          TextFunctions.normalizeText(concat($"text", lit(normSalt)))
+            .as("norm_text"))
       }),
 
     // ------------------------------------------------------------------
