@@ -291,6 +291,54 @@ object Ivf {
       .limit(k)
   }
 
+  /** Two-phase QUANTIZED probe of a written index whose data partitions
+    * carry an int8 column (`qCol`, built with
+    * [[graft.functions.VectorFunctions.quantizeInt8]]) alongside the float
+    * vectors — the standard serving layout at 100 TB:
+    *
+    *   - '''phase 1''' scans ONLY the `nProbe` pruned cluster partitions and
+    *     scores the int8 vectors against the int8-quantized query
+    *     (`cosineInt` — exact integer dot/norms, one double divide), keeping
+    *     the top `rerank` candidates via TakeOrderedAndProject. Per-vector
+    *     scales cancel in cosine, so int8 ranks track float ranks to ~0.4%
+    *     relative error — and the scan reads 1/4 the vector bytes;
+    *   - '''phase 2''' broadcasts the tiny candidate id list back into a
+    *     second pruned scan, fetches ONLY those rows' float vectors, and
+    *     exact-reranks to the final top `k`.
+    *
+    * `rerank ≥ 3k` makes a quantization-induced rank error at the k-boundary
+    * need ~rerank−k near-ties to survive into the output; RecallSpec gates
+    * the declared config against the unquantized probe and pins the
+    * structural identity `rerank ≥ cluster content ⇒ ≡ probeClustered`.
+    */
+  def probeClusteredQuantized(spark: SparkSession, path: String, idCol: String,
+      vecCol: String, qCol: String, query: Seq[Float], nProbe: Int, k: Int,
+      rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val probes = loadModel(spark, path).nearestClusters(query, nProbe)
+    // driver-side quantization of the probe, same scheme as quantizeInt8:
+    // scale = max|x|/127, q = floor(x/scale + 0.5)
+    val qscale =
+      if (query.isEmpty) 0.0
+      else query.map(x => math.abs(x.toDouble)).max / 127.0
+    val pq = query.map(x =>
+      if (qscale == 0.0) 0 else math.floor(x.toDouble / qscale + 0.5).toInt)
+    val pqLit = array(pq.map(lit(_)): _*)
+    val data = spark.read.parquet(s"$path/data")
+      .where(col("cluster").isin(probes: _*))
+    val cand = data
+      .select(col(idCol),
+        graft.functions.VectorFunctions.cosineInt(col(qCol), pqLit).as("qcos"))
+      .orderBy(col("qcos").desc_nulls_last, col(idCol))
+      .limit(rerank)
+    data
+      .join(broadcast(cand.select(col(idCol))), Seq(idCol), "left_semi")
+      .select(col(idCol), col("cluster"),
+        cosine(col(vecCol), vecLit(query)).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF top-k: cosine-rank only the `nProbe` clusters nearest the query.
     * Recall < 1 by construction (like every IVF); nProbe/k is the knob.
     * The final orderBy+limit plans as TakeOrderedAndProject (per-partition

@@ -2641,6 +2641,44 @@ object ExtQueries {
           Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 20),
           Ivf.probeClustered(s, path, "vec_id", "embedding", q, nProbe = 4, k = 20),
           Seq("vec_id"), gate = 0.5, boundedTruth = true) // truth = k rows
+      }),
+
+    // ------------------------------------------------------------------
+    // QUANTIZED two-phase IVF probe over the SAME at-rest index (the data
+    // partitions carry int8 q8/scale columns since r9): phase 1 scores the
+    // int8 vectors inside the nProbe partition-pruned clusters (1/4 the
+    // vector bytes per probe — the composition of q_sim_quantized's scoring
+    // and q_sim_ivf's pruning, i.e. the standard ANN serving layout), keeps
+    // the top-60 candidates; phase 2 exact-reranks just those rows' float
+    // vectors to the final top-20. PROPERTY oracle (q_sim_ivf shape): rows
+    // are the exact brute-force top-20; the flag asserts the quantized
+    // pipeline's recall@20 ≥ 0.5 (measures identical to the unquantized
+    // probe — RecallSpec gates no-degradation vs probeClustered and the
+    // structural rerank≥content ⇒ ≡ probeClustered identity).
+    QueryDef(
+      "q_sim_ivf_quantized",
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |c AS (
+             |  SELECT vec_id,
+             |    list_sum(list_transform(range(1, len(embedding)+1),
+             |             i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS d,
+             |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+             |      * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nn
+             |  FROM embeddings, q)
+             |SELECT vec_id, CASE WHEN nn > 0 THEN d / nn END AS cosine_sim,
+             |       true AS recall_ok
+             |FROM c
+             |ORDER BY cosine_sim DESC NULLS LAST, vec_id
+             |LIMIT 20""".stripMargin),
+      (s, dir) => {
+        val path = IvfIndex.ensure(s, dir)
+        val e = emb(s, dir)
+        val q = Similarity.vectorOf(s, e, "vec_id", "embedding", 0L)
+        withRecallFlag(
+          Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 20),
+          Ivf.probeClusteredQuantized(s, path, "vec_id", "embedding", "q8", q,
+            nProbe = 4, k = 20, rerank = 60),
+          Seq("vec_id"), gate = 0.5, boundedTruth = true) // truth = k rows
       })
   )
 
@@ -2662,7 +2700,9 @@ object ExtQueries {
 
     def ensure(s: SparkSession, dir: String): String = synchronized {
       val src = new java.io.File(dir, "embeddings.parquet")
-      val key = s"${src.getAbsolutePath}:${src.length}:${src.lastModified}:k$K:i2"
+      // :q8 — the layout also carries per-vector int8 quantized columns
+      // (scale, q8) since r9, the 4×-smaller scan the quantized probe reads
+      val key = s"${src.getAbsolutePath}:${src.length}:${src.lastModified}:k$K:i2:q8"
       val path = new java.io.File(
         sys.props.getOrElse("java.io.tmpdir", "/tmp"),
         "graft_ivf_" + java.lang.Long.toHexString(
@@ -2673,7 +2713,15 @@ object ExtQueries {
         if (!marker.exists()) {
           val e = emb(s, dir)
           val model = Ivf.train(e, "vec_id", "embedding", k = K, iters = 2)
-          Ivf.writeClustered(e, "vec_id", "embedding", model, path)
+          // enrich the at-rest rows with the int8 twin BEFORE clustering:
+          // writeClustered persists every corpus column, so the same
+          // partition-pruned layout serves both the float probe (q_sim_ivf)
+          // and the quantized two-phase probe (q_sim_ivf_quantized)
+          val withQ = e
+            .withColumn("scale", VectorFunctions.int8Scale(col("embedding")))
+            .withColumn("q8",
+              VectorFunctions.quantizeInt8(col("embedding"), col("scale")))
+          Ivf.writeClustered(withQ, "vec_id", "embedding", model, path)
           marker.createNewFile()
         }
         built += path

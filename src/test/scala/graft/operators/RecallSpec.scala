@@ -125,6 +125,50 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.3, s"co-cluster recall = $recall (expected >= 0.3)")
   }
 
+  test("quantized two-phase IVF probe: no recall degradation vs the float " +
+    "probe at the declared config, exact at full width + full rerank, and " +
+    "both phases stay partition-pruned") {
+    import graft.functions.VectorFunctions
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_q8_").toString
+    // the r9 at-rest layout: data partitions carry the int8 twin columns
+    val withQ = emb
+      .withColumn("scale", VectorFunctions.int8Scale(col("embedding")))
+      .withColumn("q8",
+        VectorFunctions.quantizeInt8(col("embedding"), col("scale")))
+    val model = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    Ivf.writeClustered(withQ, "vec_id", "embedding", model, path)
+
+    // declared q_sim_ivf_quantized config: int8 phase-1 scoring must not
+    // cost recall vs the float probe over the same pruned clusters — a
+    // quantization-induced loss would need a true top-20 member to fall
+    // below int8 rank 60 inside its own cluster (int8 relative error ~0.4%)
+    val plain = ids(Ivf.probeClustered(spark, path, "vec_id", "embedding", q,
+      nProbe = 4, k = 20))
+    val quant = ids(Ivf.probeClusteredQuantized(spark, path, "vec_id",
+      "embedding", "q8", q, nProbe = 4, k = 20, rerank = 60))
+    val recallPlain = (plain & bruteTop20).size / 20.0
+    val recallQuant = (quant & bruteTop20).size / 20.0
+    assert(recallQuant >= recallPlain,
+      s"quantized probe recall $recallQuant < float probe $recallPlain")
+    assert(recallQuant >= 0.5, s"quantized recall@20 = $recallQuant")
+
+    // STRUCTURAL (fixture-regen-proof): rerank ≥ probed content makes
+    // phase 1 a pass-through, so full-width probe + full rerank IS the
+    // exact scan — quantization must vanish from the result entirely
+    val full = ids(Ivf.probeClusteredQuantized(spark, path, "vec_id",
+      "embedding", "q8", q, nProbe = 8, k = 20, rerank = 1000000))
+    assert(full == bruteTop20,
+      "full-width quantized probe + full rerank must equal brute force")
+
+    // both scans of the two-phase plan are partition-pruned — the whole
+    // point of composing quantization INSIDE the IVF layout
+    val plan = Ivf.probeClusteredQuantized(spark, path, "vec_id", "embedding",
+      "q8", q, nProbe = 4, k = 20, rerank = 60)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"quantized probe not partition-pruned:\n$plan")
+  }
+
   test("IVF refresh folds a 20% corpus append without rebuild and holds " +
     "recall@20") {
     import java.nio.file.{Files, Paths}
