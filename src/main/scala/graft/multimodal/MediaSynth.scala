@@ -50,6 +50,45 @@ object MediaSynth {
     out.toByteArray
   }
 
+  /** Per-pixel 24bpp bottom-up BMP — [[bmp]]'s layout with an arbitrary
+    * pixel function `pix(x, y) = (r, g, b)`, y = 0 at the TOP (the writer
+    * handles the BMP bottom-up row order). The q_media_dedup fixture paints
+    * an 8×8 bit pattern with it: pixel (x, y) is white iff bit (y·8 + x) of
+    * a doc-derived 62-bit key is set, so the REAL decode → area-average →
+    * threshold pipeline must reproduce the key exactly ([[Phash.aHash]]
+    * with strict > recovers any key with popcount < 64 — bright cells sit
+    * above the mean, dark cells at-or-below).
+    */
+  def bmpPixels(width: Int, height: Int,
+      pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val stride = bmpRowStride(width)
+    val total = bmpBytes(width, height)
+    val out = new java.io.ByteArrayOutputStream(total)
+    out.write('B'); out.write('M')
+    out.write(le32(total)); out.write(le32(0)); out.write(le32(54))
+    out.write(le32(40))
+    out.write(le32(width)); out.write(le32(height))
+    out.write(le16(1)); out.write(le16(24))
+    out.write(le32(0))
+    out.write(le32(height * stride))
+    out.write(le32(2835)); out.write(le32(2835))
+    out.write(le32(0)); out.write(le32(0))
+    val row = new Array[Byte](stride)
+    var fileRow = 0
+    while (fileRow < height) {
+      val y = height - 1 - fileRow // bottom-up: first stored row is the last
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = pix(x, y)
+        row(x * 3) = b.toByte; row(x * 3 + 1) = g.toByte; row(x * 3 + 2) = r.toByte
+        x += 1
+      }
+      out.write(row)
+      fileRow += 1
+    }
+    out.toByteArray
+  }
+
   /** Solid-color GIF87a. Layout written forward, independent of both
     * [[Codecs.imageMeta]] (reader) and ImageIO (pixel decoder), so the
     * round-trip tests are genuine differentials:

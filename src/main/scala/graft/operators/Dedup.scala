@@ -391,29 +391,46 @@ object Dedup {
     sums.select(col("doc_id"), hash.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
-    * chunks (any pair within Hamming distance 3 must agree on ≥1 chunk —
-    * pigeonhole), join per chunk, verify with bit_count(xor) ≤ maxHamming.
+  /** Hamming-banded near-dup pairs over ANY precomputed 64-bit hash column
+    * (SimHash, perceptual image hashes — any fingerprint whose similarity
+    * IS Hamming distance): band into 4×16-bit chunks, join per chunk,
+    * verify candidates with `bit_count(xor) ≤ maxHamming`. Pigeonhole: a
+    * pair within distance 3 flips at most 3 chunks, so it ALWAYS shares
+    * one — at radii ≤ 3 the banding has exact recall and the verify makes
+    * precision exact too, so the output equals brute-force truth without
+    * an all-pairs plan (one banding shuffle, bounded buckets). Emits
+    * `(doc_a, doc_b, hamming)` with `doc_a < doc_b`.
     */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+  def hammingPairs(hashed: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val sh = simhash(docs, idCol, textCol)
-    val chunks = sh.select(col("doc_id"), col("simhash"),
+    // every reference below uses the ORIGINAL column, never a same-select
+    // alias: a lateral alias reference inside the Generate trips the
+    // analyzer ("Resolved plan should not contain any
+    // LateralColumnAliasReference")
+    val chunks = hashed.select(col(idCol).as("doc_id"), col(hashCol).as("__h"),
       explode(array((0 until 4).map { c =>
-        // mask, not % 65536: signed % would give negative simhashes a
+        // mask, not % 65536: signed % would give negative hashes a
         // different chunk-0 key than positive ones with identical low bits,
         // silently breaking the pigeonhole guarantee for half the corpus
         struct(lit(c).as("chunk"),
-          shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("key"))
+          shiftrightunsigned(col(hashCol), c * 16).bitwiseAND(0xFFFFL).as("key"))
       }: _*)).as("ck"))
       .select(col("ck.chunk"), col("ck.key"),
-        struct(col("doc_id"), col("simhash")).as("ds"))
+        struct(col("doc_id"), col("__h")).as("ds"))
     groupPairs(chunks, Seq("chunk", "key"), col("ds"), maxBucket)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        bit_count(col("a.__h").bitwiseXOR(col("b.__h"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** SimHash near-dup pairs: [[simhash]] fingerprints through the shared
+    * [[hammingPairs]] banding.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    hammingPairs(simhash(docs, idCol, textCol), "doc_id", "simhash",
+      maxHamming, maxBucket)
 
   /** Winnowing near-dup pairs: documents sharing ≥ `minShared` winnow
     * fingerprints (any common substring of length ≥ w+k−1 guarantees a

@@ -1,8 +1,9 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.multimodal.{Codecs, MediaSynth, Multimodal}
+import graft.multimodal.{Codecs, MediaSynth, Multimodal, Phash}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal decode queries — the differential gate for the REAL pure-JVM
@@ -36,6 +37,34 @@ object MediaQueries {
   private def wavRate(docId: Long): Int = 8000 + 1000 * (docId % 8).toInt
   private def wavChannels(docId: Long): Int = 1 + ((docId / 2) % 2).toInt
   private def wavFrames(nChars: Long): Int = 10 + (nChars % 100).toInt
+
+  /** q_media_dedup's doc-derived 62-bit image key: docs in one group of 4
+    * share a base pattern; members differ from it by 0 / 1 / 2 / 8 flipped
+    * bits, so Hamming radius 2 clusters exactly three of each four. The
+    * base is two 31-bit affine draws packed below bit 62 (no BIGINT
+    * overflow in either engine, no sign bit), XORed with the member's
+    * noise mask — every step plain integer arithmetic the DuckDB oracle
+    * replays verbatim.
+    */
+  private val keyP1 = 2654435761L
+  private val keyP2 = 1779033703L
+  private val noise1 = 1L << 5
+  private val noise2 = (1L << 11) | (1L << 40)
+  private val noise3 = Seq(1, 7, 19, 23, 37, 41, 53, 59)
+    .map(1L << _).reduce(_ | _)
+
+  private def dedupKey(docId: Long): Long = {
+    val g = docId / 4
+    val base = (g * keyP1) % 2147483648L +
+      ((g * keyP2) % 2147483648L) * 2147483648L
+    val noise = (docId % 4) match {
+      case 0 => 0L
+      case 1 => noise1
+      case 2 => noise2
+      case _ => noise3
+    }
+    base ^ noise
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -140,6 +169,99 @@ object MediaQueries {
           .map(f => (f.media_id, f.frame_idx,
             (f.frame(0) & 0xff) | ((f.frame(1) & 0xff) << 8)))
           .toDF("media_id", "frame_idx", "sample0")
+      }),
+
+    // ------------------------------------------------------------------
+    // Perceptual-hash image near-dup: each doc paints an 8x8 bit-pattern
+    // BMP from its dedupKey, pushes it through the REAL pipeline (ImageIO
+    // decode -> area-average grayscale -> mean threshold = Phash.aHash,
+    // which provably recovers the key), then Hamming-banded buckets (the
+    // SimHash 4x16-bit chunk machinery — pigeonhole gives EXACT recall at
+    // radius <= 2, so banding vs the oracle's brute-force truth is a
+    // genuine differential, not a property gate) nominate candidates and
+    // bit_count verifies them. n_near counts neighbours within Hamming 2:
+    // group members at noise distance 0/1/2 cluster, the 8-bit outlier and
+    // cross-group pairs don't. One banding shuffle, never all-pairs — the
+    // text near-dup scale shape applied to media.
+    QueryDef(
+      "q_media_dedup",
+      Some(s"""WITH k AS (
+             |  SELECT doc_id AS media_id,
+             |    xor(((doc_id // 4) * $keyP1) % 2147483648
+             |          + (((doc_id // 4) * $keyP2) % 2147483648) * 2147483648,
+             |        CASE CAST(doc_id % 4 AS INT)
+             |          WHEN 0 THEN 0
+             |          WHEN 1 THEN $noise1
+             |          WHEN 2 THEN $noise2
+             |          ELSE $noise3 END) AS phash
+             |  FROM documents)
+             |SELECT a.media_id, a.phash,
+             |  CAST((SELECT count(*) FROM k b WHERE b.media_id != a.media_id
+             |        AND bit_count(xor(a.phash, b.phash)) <= 2) AS BIGINT) AS n_near
+             |FROM k a""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val hashed = docs(s, dir)
+          .select($"doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val k = dedupKey(id)
+            val bytes = MediaSynth.bmpPixels(8, 8, (x, y) =>
+              if (((k >> (y * 8 + x)) & 1L) == 1L) (255, 255, 255)
+              else (0, 0, 0))
+            (id, Phash.aHashBytes(bytes).getOrElse(
+              sys.error(s"q_media_dedup: BMP decode failed for doc $id")))
+          })
+          .toDF("media_id", "phash")
+        val pairs = graft.operators.Dedup
+          .hammingPairs(hashed, "media_id", "phash", maxHamming = 2)
+        val neigh = pairs.select(col("doc_a").as("media_id"))
+          .unionAll(pairs.select(col("doc_b").as("media_id")))
+          .groupBy(col("media_id")).agg(count(lit(1)).as("n_near"))
+        hashed.join(neigh, Seq("media_id"), "left")
+          .select($"media_id", $"phash",
+            coalesce($"n_near", lit(0L)).as("n_near"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Exact audio dedup via PCM content hash: odd docs synthesize WAVs
+    // whose DATA chunk depends only on (channels, nFrames) — the sample
+    // ramp ignores sample_rate — so docs sharing those parameters are
+    // byte-identical PCM under different headers. The Spark side locates
+    // the data chunk with the REAL RIFF walk (Codecs.wavMeta), md5s
+    // exactly those bytes, and counts copies per hash (one content-hash
+    // shuffle, the exact-dedup scale shape); the oracle re-derives the
+    // same group sizes from the parameters alone. Equality proves the
+    // chunk walk is offset-exact and the hash covers data and only data —
+    // a header byte leaking into the hash splits every rate-variant group.
+    QueryDef(
+      "q_media_pcm_dup",
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    1 + (doc_id // 2) % 2 AS ch, 10 + n_chars % 100 AS nf
+             |  FROM documents WHERE doc_id % 2 = 1)
+             |SELECT doc_id AS media_id,
+             |  CAST(COUNT(*) OVER (PARTITION BY ch, nf) AS BIGINT) AS n_copies
+             |FROM w""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val hashed = docs(s, dir)
+          .select($"doc_id", $"n_chars").as[(Long, Long)]
+          .filter(_._1 % 2 == 1)
+          .mapPartitions(_.map { case (id, nc) =>
+            val bytes =
+              MediaSynth.wav(wavRate(id), wavChannels(id), wavFrames(nc))
+            val m = Codecs.wavMeta(bytes).getOrElse(
+              sys.error(s"q_media_pcm_dup: WAV parse failed for doc $id"))
+            val pcm = java.util.Arrays.copyOfRange(bytes, m.dataOffset,
+              m.dataOffset + m.nSampleFrames * m.blockAlign)
+            val md = java.security.MessageDigest.getInstance("MD5")
+            (id, java.util.HexFormat.of().formatHex(md.digest(pcm)))
+          })
+          .toDF("media_id", "pcm_hash")
+        hashed
+          .withColumn("n_copies", count(lit(1)).over(
+            Window.partitionBy(col("pcm_hash"))))
+          .select($"media_id", $"n_copies")
       })
   )
 }
