@@ -510,7 +510,35 @@ object ExtQueries {
             .as("assigned_label"))
     }),
     "q_sim_clusters_x1" -> ((s, dir) => simClustersScale(embTimes(s, dir, 1), 1)),
-    "q_sim_clusters_x4" -> ((s, dir) => simClustersScale(embTimes(s, dir, 4), 4)))
+    "q_sim_clusters_x4" -> ((s, dir) => simClustersScale(embTimes(s, dir, 4), 4)),
+    // the streaming near-dup gate's verification knob, timed at both ends
+    // (VERDICT r8 #7): gate=1 is the classic any-collision LSH drop (a
+    // keeper-join per bucket), 6-of-8 verifies candidates by distinct-band
+    // agreement (≈ MinHash-estimated Jaccard ≳ 0.9) at the cost of a
+    // per-pair band count — both run the LITERAL streaming-gate code
+    // (Streaming.gateBands + batchCollisions via nearDupGateBatch) on the
+    // same dup-salted corpus, so the knob's price is a recorded per-round
+    // artifact like the ×4 twins
+    "q_stream_gate1" -> ((s, dir) =>
+      graft.streaming.Streaming.nearDupGateBatch(
+        gateFixture(s, dir), "doc_id", "text", minBandsGate = 1)),
+    "q_stream_gate6of8" -> ((s, dir) =>
+      graft.streaming.Streaming.nearDupGateBatch(
+        gateFixture(s, dir), "doc_id", "text", minBandsGate = 6)))
+
+  /** Dup-salted corpus for the gate sub-timings: the base docs plus 20%
+    * exact copies (collide on every band — dropped at any gate) and ~14%
+    * one-token-appended near-copies (high but sub-1 Jaccard — the rows the
+    * verification knob actually adjudicates).
+    */
+  private def gateFixture(s: SparkSession, dir: String): DataFrame = {
+    val b = docs(s, dir).select(col("doc_id"), col("text"))
+    b.unionByName(b.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(b.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" zyx")).as("text")))
+  }
 
   private def simClustersScale(e: DataFrame, m: Int): DataFrame = {
     val pairs = Similarity.cosineNearDupPairs(e, "vec_id", "embedding",

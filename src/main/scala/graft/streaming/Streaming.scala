@@ -444,20 +444,7 @@ object Streaming {
     try {
       val toked = b.select(col("__doc_id").as("doc_id"),
         tokens(col(textCol)).as("toks"))
-      // SHORT-DOC fallback rows: a doc under the shingle horizon produces no
-      // signature and would sail through every collision check — even as an
-      // exact copy. Synthetic `band = -1` rows keyed on the exact token-
-      // normalized content hash ride the SAME relation (probe, keeper,
-      // index) so short exact dups dedup across batches like everything
-      // else. Zero-token docs still pass (nothing to dedup on — empty-doc
-      // policy belongs to the upstream quality gate).
-      val shortRows = toked
-        .where(size(col("toks")) > 0 && size(col("toks")) < shingleN)
-        .select(col("doc_id"), lit(-1).as("band"),
-          xxhash64(concat_ws(" ", col("toks"))).as("bucket"))
-      val bands = graft.operators.Dedup.minhashBandBuckets(
-        toked, shingleN, nPerms, nBands)
-        .unionByName(shortRows).persist()
+      val bands = gateBands(toked, shingleN, nPerms, nBands).persist()
       try {
         val index: DataFrame =
           if (graft.etl.Maintenance.manifestVersion(spark, indexDir) > 0L)
@@ -521,23 +508,7 @@ object Streaming {
                 max((col("band") === -1).cast("int")).as("__exact"))
               .where(col("__nb") >= minBandsGate || col("__exact") === 1)
               .select(col("doc_id")).distinct()
-        val hitBatch =
-          if (minBandsGate == 1) {
-            // the smallest doc id in each bucket is the keeper
-            val keeper = bands.groupBy(col("band"), col("bucket"))
-              .agg(min(col("doc_id")).as("keep_id"))
-            bands.join(keeper, Seq("band", "bucket"))
-              .where(col("doc_id") > col("keep_id"))
-              .select(col("doc_id")).distinct()
-          } else
-            bands.join(bands.select(col("band"), col("bucket"),
-                col("doc_id").as("__other")), Seq("band", "bucket"))
-              .where(col("__other") < col("doc_id"))
-              .groupBy(col("doc_id"), col("__other"))
-              .agg(count(lit(1)).as("__nb"),
-                max((col("band") === -1).cast("int")).as("__exact"))
-              .where(col("__nb") >= minBandsGate || col("__exact") === 1)
-              .select(col("doc_id")).distinct()
+        val hitBatch = batchCollisions(bands, minBandsGate)
         val dropped = hitIndex.unionByName(hitBatch).distinct()
         // EAGER localCheckpoint, not persist: `passing`'s lineage reads the
         // index, and the index commit below would otherwise be visible to
@@ -567,6 +538,77 @@ object Streaming {
         }.foreach(_.unpersist(blocking = false))
       } finally bands.unpersist(blocking = false)
     } finally b.unpersist(blocking = false)
+  }
+
+  /** The gate's banding relation over a tokenized batch — MinHash band
+    * buckets plus SHORT-DOC fallback rows: a doc under the shingle horizon
+    * produces no signature and would sail through every collision check —
+    * even as an exact copy. Synthetic `band = -1` rows keyed on the exact
+    * token-normalized content hash ride the SAME relation (probe, keeper,
+    * index) so short exact dups dedup across batches like everything else.
+    * Zero-token docs still pass (nothing to dedup on — empty-doc policy
+    * belongs to the upstream quality gate). Shared by the streaming gate
+    * and [[nearDupGateBatch]] so the two can never drift.
+    */
+  private[graft] def gateBands(toked: DataFrame, shingleN: Int,
+      nPerms: Int, nBands: Int): DataFrame = {
+    val shortRows = toked
+      .where(size(col("toks")) > 0 && size(col("toks")) < shingleN)
+      .select(col("doc_id"), lit(-1).as("band"),
+        xxhash64(concat_ws(" ", col("toks"))).as("bucket"))
+    graft.operators.Dedup.minhashBandBuckets(
+      toked, shingleN, nPerms, nBands)
+      .unionByName(shortRows)
+  }
+
+  /** Within-batch collision (drop) set of the near-dup gate over a
+    * [[gateBands]] relation: at `minBandsGate = 1` the smallest doc id per
+    * bucket keeps and everything above it drops; at k > 1 a pair must agree
+    * on ≥ k distinct bands (the MinHash-estimated-Jaccard verification) —
+    * except a band −1 (short-doc exact-hash) collision, which IS Jaccard 1
+    * and always drops. Shared by [[applyNearDedupBatch]] and the bench
+    * twin, so the knob Bench times is literally the streaming gate's code.
+    */
+  private[graft] def batchCollisions(bands: DataFrame,
+      minBandsGate: Int): DataFrame =
+    if (minBandsGate == 1) {
+      // the smallest doc id in each bucket is the keeper
+      val keeper = bands.groupBy(col("band"), col("bucket"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      bands.join(keeper, Seq("band", "bucket"))
+        .where(col("doc_id") > col("keep_id"))
+        .select(col("doc_id")).distinct()
+    } else
+      bands.join(bands.select(col("band"), col("bucket"),
+          col("doc_id").as("__other")), Seq("band", "bucket"))
+        .where(col("__other") < col("doc_id"))
+        .groupBy(col("doc_id"), col("__other"))
+        .agg(count(lit(1)).as("__nb"),
+          max((col("band") === -1).cast("int")).as("__exact"))
+        .where(col("__nb") >= minBandsGate || col("__exact") === 1)
+        .select(col("doc_id")).distinct()
+
+  /** One-batch form of the near-dup gate's admission decision (no index, no
+    * side effects): returns the kept rows of `batch` under the given
+    * verification knob. This is the benchable face of `minBandsGate` — the
+    * `q_stream_gate_*` sub-timings run it at gate=1 vs 6-of-8 on the same
+    * dup-salted corpus each round, so the knob's cost (the k>1 arm trades
+    * the keeper-join for a per-pair band count) is a recorded artifact
+    * alongside the ×1/×4 scale twins, computed by the SAME [[gateBands]] +
+    * [[batchCollisions]] code the stream runs.
+    */
+  def nearDupGateBatch(batch: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, nPerms: Int = 32, nBands: Int = 8,
+      minBandsGate: Int = 1): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    require(minBandsGate >= 1 && minBandsGate <= nBands,
+      s"minBandsGate ($minBandsGate) must be in [1, nBands=$nBands]")
+    val toked = batch.select(col(idCol).cast("long").as("doc_id"),
+      tokens(col(textCol)).as("toks"))
+    val dropped = batchCollisions(
+      gateBands(toked, shingleN, nPerms, nBands), minBandsGate)
+    batch.join(dropped.withColumnRenamed("doc_id", idCol), Seq(idCol),
+      "left_anti")
   }
 
   /** Maintenance for [[dedupNearStream]]'s at-rest LSH index: every

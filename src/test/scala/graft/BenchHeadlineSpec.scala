@@ -76,6 +76,16 @@ class BenchHeadlineSpec extends AnyFunSuite {
     assert(spark != null) // touch the lazy session so the suite shape is uniform
   }
 
+  test("every operatorOnly sub-timing builder executes (a broken twin " +
+    "would otherwise report -1 silently every round)") {
+    val spark = SparkSpec.session
+    val dir = "/root/testdata/sf0.001"
+    graft.queries.ExtQueries.operatorOnly.foreach { case (name, fn) =>
+      val n = fn(spark, dir).count()
+      assert(n >= 0, s"$name returned a negative count")
+    }
+  }
+
   test("regression tripwire: ratio, spread, and floor rules") {
     val committed = Map("q_real" -> 1.0, "q_noisy" -> 3.5, "q_small" -> 0.1,
       "q_ok" -> 2.0)
