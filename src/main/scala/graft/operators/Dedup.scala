@@ -77,6 +77,60 @@ object Dedup {
         col("n_hits").isNotNull.as("contaminated"))
   }
 
+  /** [[decontaminate]] for when the benchmark outgrows `broadcast()` —
+    * bit-identical output, Bloom-pre-filtered shuffle shape.
+    *
+    * The broadcast in [[decontaminate]] assumes the eval-suite shingle set
+    * fits in every executor; a full eval COLLECTION's distinct n-grams can
+    * run to GBs, past any sane `autoBroadcastJoinThreshold`. The naive
+    * fallback is a sort-merge join that shuffles EVERY corpus shingle —
+    * at 100 TB that is the single largest exchange in the pipeline. This
+    * variant restores a map-only corpus side: the benchmark shingles
+    * aggregate into a Bloom filter (Spark's native `bloom_filter_agg`,
+    * ~20 bits/key ≈ 6e-5 fpp — MBs where the raw set is GBs), the blob is
+    * collected once and embedded as a literal, and the corpus probes it
+    * INSIDE whole-stage codegen at the scan, so only true hits plus the
+    * fpp-sliver of false positives reach the exact-confirm join. Bloom
+    * filters admit no false negatives and the confirm join removes the
+    * false positives, so the result is exactly [[decontaminate]]'s — the
+    * oracle is shared. The confirm join is deliberately shuffle-hash (the
+    * premise is that the bench side can't broadcast); its input is hits
+    * + fpp-sliver, not the corpus.
+    */
+  def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, shingleN: Int = 3,
+      bitsPerKeyOverride: Option[Long] = None): DataFrame = {
+    import graft.functions.BloomSketch._
+    def distinctShingles(df: DataFrame, c: String) =
+      df.select(tokens(col(c)).as("toks"))
+        .select(explode(
+          arrayBarrier(array_distinct(shinglesFromTokens(col("toks"), shingleN))))
+          .as("shingle"))
+    val benchShingles = distinctShingles(benchmark, benchTextCol).distinct()
+    // two actions on the SMALL side only: size, then build. The blob is the
+    // only driver traffic; the corpus side below runs zero driver actions.
+    val nBench = math.max(benchShingles.count(), 1L)
+    val bits = bitsPerKeyOverride.map(b => math.max(b * nBench, 64L))
+      .getOrElse(sizeBits(nBench))
+    val blob = benchShingles
+      .select(bloomAgg(col("shingle"), nBench, bits))
+      .head().getAs[Array[Byte]](0)
+    val hits = docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(
+        arrayBarrier(array_distinct(shinglesFromTokens(col("toks"), shingleN))))
+        .as("shingle"))
+      .where(bloomMightContain(blob, col("shingle")))
+      .join(benchShingles.hint("shuffle_hash"), "shingle")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+    docs.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_hits").isNotNull.as("contaminated"))
+  }
+
   /** FUZZY benchmark decontamination — [[decontaminate]] catches exact
     * n-gram leaks; this catches the near-verbatim ones (light paraphrase,
     * token-level noise) that share ≥1 MinHash band with an eval doc.

@@ -568,6 +568,31 @@ object ExtQueries {
       " \uFF21\uFF22\uFF23\uFF44\uFF45" +           // fullwidth lowers fold
       " E\u0304\u0323F\u0307\u0323 end"             // marks NFC must reorder
 
+  /** Shared by q_decontaminate and q_decontaminate_bloom — the Bloom
+    * variant is an execution-strategy twin with identical declared
+    * semantics (pre-filter admits no false negatives; the confirm join
+    * removes false positives), so one oracle certifies both.
+    */
+  private val decontaminateOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+      |      ELSE [] END) AS shs
+      |  FROM t),
+      |bench AS (SELECT DISTINCT unnest(shs) AS shingle FROM sh WHERE doc_id % 20 = 0),
+      |ex AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+      |hits AS (SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS nh
+      |         FROM ex JOIN bench USING (shingle) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(h.nh, 0) AS n_hits,
+      |  h.nh IS NOT NULL AS contaminated
+      |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -590,28 +615,29 @@ object ExtQueries {
     // Dedup.decontaminate. Same 3-gram tokenization as the jaccard CTE.
     QueryDef(
       "q_decontaminate",
-      Some("""WITH t AS (
-             |  SELECT doc_id,
-             |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
-             |  FROM documents),
-             |sh AS (
-             |  SELECT doc_id,
-             |    list_distinct(CASE WHEN len(t) >= 3
-             |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-             |      ELSE [] END) AS shs
-             |  FROM t),
-             |bench AS (SELECT DISTINCT unnest(shs) AS shingle FROM sh WHERE doc_id % 20 = 0),
-             |ex AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
-             |hits AS (SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS nh
-             |         FROM ex JOIN bench USING (shingle) GROUP BY 1)
-             |SELECT d.doc_id,
-             |  COALESCE(h.nh, 0) AS n_hits,
-             |  h.nh IS NOT NULL AS contaminated
-             |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin),
+      Some(decontaminateOracle),
       (s, dir) => {
         import s.implicits._
         val d = docs(s, dir)
         Dedup.decontaminate(d, "doc_id", "text",
+          d.where($"doc_id" % 20 === 0), "text")
+      }),
+
+    // ------------------------------------------------------------------
+    // The SAME gate for when the benchmark outgrows broadcast: benchmark
+    // shingles aggregate into Spark's native Bloom filter (bloom_filter_agg
+    // → blob literal → codegen'd might_contain at the corpus scan), corpus
+    // survivors exact-confirm in a shuffle-hash join. No false negatives +
+    // exact confirm ⇒ bit-identical to q_decontaminate, so the oracle SQL
+    // is shared verbatim; the DuckDB side needs no Bloom notion at all.
+    // See Dedup.decontaminateBloom for the 100 TB shape argument.
+    QueryDef(
+      "q_decontaminate_bloom",
+      Some(decontaminateOracle),
+      (s, dir) => {
+        import s.implicits._
+        val d = docs(s, dir)
+        Dedup.decontaminateBloom(d, "doc_id", "text",
           d.where($"doc_id" % 20 === 0), "text")
       }),
 

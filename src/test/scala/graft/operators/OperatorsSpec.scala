@@ -491,6 +491,37 @@ class OperatorsSpec extends SparkSpec {
       3L -> ((1L, true)), 4L -> ((0L, false))), got.toString)
   }
 
+  test("decontaminateBloom is bit-identical to decontaminate even under a " +
+    "deliberately undersized Bloom filter (false positives exact-confirmed " +
+    "away), and the plan probes might_contain without broadcasting the " +
+    "confirm join") {
+    // a wider fixture than the exact-decontaminate one so an undersized
+    // bitmap actually collides: 40 corpus docs with distinct vocab, a
+    // benchmark sharing 3-grams with a handful of them
+    val docs = (1L to 40L).map { i =>
+      (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e")
+    }.toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "w3a w3b w3c w3d zzz"),  // doc 3 shares two 3-grams
+      (101L, "w7c w7d w7e tail"))     // doc 7 shares one
+      .toDF("bid", "btext")
+    val exact = Dedup.decontaminate(docs, "doc_id", "text", bench, "btext")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // 2 bits/key over ~14 bench shingles: the probe WILL fire spuriously on
+    // clean corpus shingles; equality below proves the confirm join is load-
+    // bearing, not decorative
+    val bloomed = Dedup.decontaminateBloom(docs, "doc_id", "text",
+      bench, "btext", bitsPerKeyOverride = Some(2L))
+    assert(bloomed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet == exact)
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "Bloom probe missing from the physical plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      "confirm join should be shuffle-hash (bench side presumed " +
+        s"unbroadcastable at scale): $plan")
+  }
+
   test("bigramScore matches the hand-computed add-one bigram model and " +
     "reuses the bigram exchange between count agg and join") {
     // corpus: unigrams a=4 b=3, V=2; bigrams "a b"=2, "b a"=2
