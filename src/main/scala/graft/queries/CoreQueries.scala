@@ -772,6 +772,53 @@ object CoreQueries {
       }),
 
     // ------------------------------------------------------------------
+    // A8-ext — ONE-PASS approx quantiles (Greenwald-Khanna sketch via
+    // percentile_approx). q_percentile's exact interpolation needs the full
+    // per-group value multiset in one place; the GK sketch is the shape
+    // that survives 100 TB — bounded-size mergeable state, map-side
+    // partials, one shuffle keyed on the group. Sketch outputs aren't
+    // engine-portable, so like q_approx_distinct this carries a PROPERTY
+    // oracle: the declared rows are the exact per-type value counts plus
+    // rank_ok flags — each approx quantile's EXACT rank interval
+    // [count(<v), count(<=v)] must sit within ±(2ε·n + 1) of q·n, the GK
+    // guarantee (ε = 1/accuracy) with engine-convention margin. A broken
+    // sketch (collapsed to min/max, off-by-octile) lands tens of rows
+    // outside the band at sf0.01 and fails the driver's hash gate; the
+    // exact-rank verification arm is one broadcast join + re-agg.
+    QueryDef(
+      "q_quantile_sketch",
+      Some("""WITH n AS (SELECT event_type, CAST(count(value) AS BIGINT) AS n_values
+             |          FROM events GROUP BY 1),
+             |qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q)
+             |SELECT event_type, q, n_values, true AS rank_ok
+             |FROM n CROSS JOIN qs""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val acc = 10000 // ε = 1e-4 of rank; ~KBs of sketch state per group
+        val qsList = Seq(0.25, 0.5, 0.75, 0.95)
+        val ev = t(s, dir, "events")
+          .select($"event_type", $"value").where($"value".isNotNull)
+        val sk = ev.groupBy($"event_type").agg(
+          expr(s"percentile_approx(value, array(${qsList.mkString("D, ")}D), $acc)")
+            .as("vs"),
+          count($"value").as("n_values"))
+        val qv = sk.select($"event_type", $"n_values",
+            posexplode($"vs").as(Seq("i", "v")))
+          .select($"event_type", $"n_values",
+            element_at(array(qsList.map(lit): _*), $"i" + 1).as("q"), $"v")
+        val slack = lit(2.0 / acc) * $"n_values".cast("double") + lit(1.0)
+        ev.join(broadcast(qv), "event_type")
+          .groupBy($"event_type", $"q", $"n_values", $"v")
+          .agg(
+            sum(when($"value" <= $"v", 1L).otherwise(0L)).as("cnt_le"),
+            sum(when($"value" < $"v", 1L).otherwise(0L)).as("cnt_lt"))
+          .select($"event_type", $"q", $"n_values",
+            ($"cnt_le".cast("double") >= $"q" * $"n_values".cast("double") - slack &&
+              $"cnt_lt".cast("double") <= $"q" * $"n_values".cast("double") + slack)
+              .as("rank_ok"))
+      }),
+
+    // ------------------------------------------------------------------
     // §7.3 — approx distinct (HLL++). The raw estimates differ across
     // engines by construction, so the query carries a PROPERTY oracle:
     // it emits the exact counts (recomputable in ANSI SQL) plus

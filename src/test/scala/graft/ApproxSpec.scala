@@ -53,6 +53,38 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("q_quantile_sketch flags hold on real data and the rank gate is " +
+    "tight enough to catch a collapsed sketch") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_quantile_sketch")(
+      spark, "/root/testdata/sf0.001").collect()
+    // 4 quantiles per event type, every flag true, non-degenerate counts
+    assert(rows.length % 4 == 0 && rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0, s"degenerate n for ${r.getString(0)}")
+      assert(r.getBoolean(3), s"rank flag false at q=${r.getDouble(1)} " +
+        s"for ${r.getString(0)}")
+    }
+    // negative control: a sketch collapsed to the per-type MINIMUM value
+    // must fail the same gate at every q (proves the flag is load-bearing,
+    // not vacuously true at this data size)
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select($"event_type", $"value").where($"value".isNotNull)
+    val broken = ev.groupBy($"event_type")
+      .agg(min($"value").as("v"), count($"value").as("n_values"))
+    val acc = 10000
+    val checked = ev.join(broadcast(broken), "event_type")
+      .groupBy($"event_type", $"n_values", $"v")
+      .agg(sum(when($"value" <= $"v", 1L).otherwise(0L)).as("cnt_le"))
+      .select(($"cnt_le".cast("double") >=
+        lit(0.25) * $"n_values".cast("double")
+          - (lit(2.0 / acc) * $"n_values".cast("double") + lit(1.0)))
+        .as("rank_ok"))
+      .collect()
+    assert(checked.nonEmpty && checked.forall(!_.getBoolean(0)),
+      "min-collapsed sketch passed the q=0.25 rank gate — gate too loose")
+  }
+
   test("rollup emits per-month rows, per-year subtotals, and a grand total") {
     val df = SparkEntry.queries("q_rollup")(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
