@@ -277,6 +277,55 @@ object TextFunctions {
   def normalizeText(text: Column): Column =
     lower(nfc(regexp_replace(text, zeroWidthCtlRe, "")))
 
+  /** Tracking query parameters a crawl canonicalizer strips before URL
+    * dedup — `key=` prefixes, anchored; shared with the oracle so the list
+    * edits in one place (cf. the reference's parse-then-normalize field
+    * hygiene, transform/transformations.py:1-40, applied to URLs).
+    */
+  val trackingParamRe = "^(utm_[^=]*|fbclid|gclid|ref)="
+
+  /** Crawl-grade URL canonicalization — the key-maker for URL-level dedup,
+    * the FIRST and cheapest dedup stage of every web pipeline (two fetches
+    * of one page must collapse before any content hashing spends cycles).
+    *
+    * Rules (Nutch-basic family; deliberately byte-deterministic and
+    * engine-portable rather than exhaustively RFC 3986):
+    *   1. fragment dropped; 2. scheme + host lowercased (path/query case
+    *   kept — case-significant on most origin servers); 3. default port
+    *   stripped scheme-aware (`:80` http, `:443` https — a NON-default
+    *   port is meaning-bearing and survives); 4. leading `www.` stripped;
+    *   5. duplicate slashes collapsed, trailing slash trimmed, empty path
+    *   → `/`; 6. tracking params ([[trackingParamRe]]) and empty params
+    *   dropped; 7. surviving params sorted (param ORDER is almost never
+    *   semantic; byte order makes equal queries equal strings); 8. empty
+    *   query drops its `?`.
+    *
+    * Percent-encoding normalization and IDN are out of scope (both need a
+    * full RFC parser; at dedup-key power the rules above capture the
+    * overwhelming duplicate mass). Pure builtin composition — map-only,
+    * whole-stage-codegen'd, zero shuffles at any scale.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([^:/?#]+)://", 1))
+    val hostRaw = lower(regexp_extract(noFrag, "^[^:/?#]+://([^/?#]*)", 1))
+    val hostNoPort = when(scheme === "http", regexp_replace(hostRaw, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostRaw, ":443$", ""))
+      .otherwise(hostRaw)
+    val host = regexp_replace(hostNoPort, "^www\\.", "")
+    val pathRaw = regexp_extract(noFrag, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    val pathTrim =
+      regexp_replace(regexp_replace(pathRaw, "/{2,}", "/"), "/+$", "")
+    val path = when(pathTrim === "", lit("/")).otherwise(pathTrim)
+    val qRaw = regexp_extract(noFrag, "^[^?#]*\\?([^#]*)", 1)
+    val params = filter(split(qRaw, "&"),
+      p => p =!= "" && !p.rlike(trackingParamRe))
+    concat(scheme, lit("://"), host, path,
+      when(size(params) > 0,
+        concat(lit("?"), array_join(array_sort(params), "&")))
+        .otherwise(lit("")))
+  }
+
   /** Render a Scala string as a DuckDB SQL expression that reconstructs it
     * byte-for-byte: printable-ASCII runs stay literal, everything else
     * (controls, zero-width, any non-ASCII) becomes `chr(codepoint)` — so an

@@ -743,6 +743,77 @@ object ExtQueries {
       }),
 
     // ------------------------------------------------------------------
+    // URL canonicalization + URL-level dup counts — the FIRST dedup stage
+    // of a crawl pipeline (two fetches of one page collapse on the
+    // canonical URL before any content hashing runs). The fixture corpus
+    // has no URL column, so each doc gets a deterministic doc_id-derived
+    // URL built identically in both engines (the q_pii_scrub salting
+    // recipe), varied so every rule demonstrably fires AND every guard is
+    // exercised: mixed-case scheme/host, www., default port on the
+    // matching scheme (:80/http, :443/https) but a MEANING-BEARING :8080
+    // on doc_id % 11 that must survive, duplicate+trailing slashes,
+    // unsorted params with tracking keys and a trailing empty param, and a
+    // fragment. The oracle mirrors the rule chain step for step; the
+    // tracking-param class interpolates TextFunctions.trackingParamRe
+    // (single-source rule). See TextFunctions.canonicalizeUrl.
+    QueryDef(
+      "q_url_canonical",
+      Some(s"""WITH u AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END ||
+             |    'WWW.Site' || (doc_id % 7) || '.Example.COM' ||
+             |    CASE WHEN doc_id % 11 = 0 THEN ':8080'
+             |         WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END ||
+             |    '/Dir' || (doc_id % 5) || '/b//' ||
+             |    '?b=2&utm_source=news&a=' || (doc_id % 3) || '&fbclid=x&' ||
+             |    '#sec' || doc_id AS url
+             |  FROM documents),
+             |parts AS (
+             |  SELECT doc_id,
+             |    lower(regexp_extract(nf, '^([^:/?#]+)://', 1)) AS scheme,
+             |    lower(regexp_extract(nf, '^[^:/?#]+://([^/?#]*)', 1)) AS hostraw,
+             |    regexp_extract(nf, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS pathraw,
+             |    regexp_extract(nf, '^[^?#]*\\?([^#]*)', 1) AS qraw
+             |  FROM (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nf FROM u)),
+             |canon AS (
+             |  SELECT doc_id,
+             |    scheme || '://' ||
+             |    regexp_replace(
+             |      CASE WHEN scheme = 'http' THEN regexp_replace(hostraw, ':80$$', '')
+             |           WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$$', '')
+             |           ELSE hostraw END,
+             |      '^www\\.', '') ||
+             |    CASE WHEN pth = '' THEN '/' ELSE pth END ||
+             |    CASE WHEN len(prms) > 0
+             |         THEN '?' || array_to_string(list_sort(prms), '&') ELSE '' END
+             |      AS url_canonical
+             |  FROM (
+             |    SELECT doc_id, scheme, hostraw,
+             |      regexp_replace(regexp_replace(pathraw, '/{2,}', '/'), '/+$$', '') AS pth,
+             |      list_filter(string_split(qraw, '&'),
+             |        x -> x <> '' AND NOT regexp_matches(x, '${TextFunctions.trackingParamRe}')) AS prms
+             |    FROM parts))
+             |SELECT doc_id, url_canonical,
+             |  CAST(count(*) OVER (PARTITION BY url_canonical) AS BIGINT) AS n_url_dups
+             |FROM canon""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val url = concat(
+          when($"doc_id" % 2 === 0, "HTTP://").otherwise("https://"),
+          lit("WWW.Site"), $"doc_id" % 7, lit(".Example.COM"),
+          when($"doc_id" % 11 === 0, ":8080")
+            .when($"doc_id" % 2 === 0, ":80").otherwise(":443"),
+          lit("/Dir"), $"doc_id" % 5, lit("/b//"),
+          lit("?b=2&utm_source=news&a="), $"doc_id" % 3, lit("&fbclid=x&"),
+          lit("#sec"), $"doc_id")
+        docs(s, dir)
+          .select($"doc_id",
+            TextFunctions.canonicalizeUrl(url).as("url_canonical"))
+          .withColumn("n_url_dups",
+            count(lit(1)).over(Window.partitionBy($"url_canonical")))
+      }),
+
+    // ------------------------------------------------------------------
     // Mixture sampling: down-sample sources to target keep rates with a
     // seedless md5-uniform (Corpus.mixtureSample) — reproducible row-level
     // keep set on any partitioning, which is exactly what the full-row

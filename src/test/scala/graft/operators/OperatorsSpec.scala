@@ -475,6 +475,26 @@ class OperatorsSpec extends SparkSpec {
     assert(strip("  a\t\t b\n\n<p>\n</p> c  ") == "a b c")
   }
 
+  test("canonicalizeUrl applies each rule and none it shouldn't") {
+    def canon(u: String): String =
+      Seq(u).toDF("u").select(TextFunctions.canonicalizeUrl($"u"))
+        .head().getString(0)
+    // case, www, default port, dup/trailing slashes, tracking params,
+    // param sort, empty param, fragment — all in one URL
+    assert(canon("HTTPS://WWW.Ex.COM:443/A//b/?b=2&utm_source=n&a=1&&fbclid=z#f")
+      == "https://ex.com/A/b?a=1&b=2")
+    // non-default port is meaning-bearing and survives; :80 is only
+    // default for http, not https
+    assert(canon("http://ex.com:8080/x") == "http://ex.com:8080/x")
+    assert(canon("https://ex.com:80/x") == "https://ex.com:80/x")
+    assert(canon("http://ex.com:80/x") == "http://ex.com/x")
+    // empty path -> '/', empty query drops its '?', path case preserved
+    assert(canon("http://Ex.com") == "http://ex.com/")
+    assert(canon("http://ex.com/Path?") == "http://ex.com/Path")
+    // ref is a tracking key; pref is not (anchored class)
+    assert(canon("http://ex.com/?ref=x&pref=y") == "http://ex.com/?pref=y")
+  }
+
   test("decontaminate flags exactly the docs sharing a 3-gram with the " +
     "benchmark, with distinct-shingle hit counts") {
     val docs = Seq(
