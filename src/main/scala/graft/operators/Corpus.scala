@@ -228,6 +228,62 @@ object Corpus {
           .cast("int").as("n_tokens"))
   }
 
+  /** Content-defined chunking — boundaries placed where a rolling hash of
+    * the last `window` terms hits `0 mod divisor`, not at fixed offsets.
+    *
+    * Why a pipeline wants this next to [[chunk]]: fixed-size chunking is
+    * EDIT-FRAGILE — insert one sentence near the top of a re-crawled page
+    * and every downstream chunk shifts, so chunk-level dedup sees an
+    * entirely "new" document. Content-defined boundaries depend only on a
+    * `window`-term neighborhood, so an edit disturbs at most the chunks
+    * overlapping it and every other chunk re-emerges byte-identical,
+    * ready to dedup against the previous crawl (the FastCDC/LBFS argument,
+    * minus the min/max chunk bounds — those need sequential state; the
+    * pure predicate keeps the operator embarrassingly parallel).
+    * Expected chunk length ≈ `divisor` terms. The boundary hash is the
+    * repo's ONE portable md5-prefix idiom, so the operator is fully
+    * DuckDB-oracled.
+    *
+    * Shape: map-only boundary/slice work (the barrier pattern of [[chunk]]:
+    * term array and boundary array each materialize ONCE behind a
+    * nondeterministic barrier, or CollapseProject would re-run the
+    * per-position md5 chain per consumer) + ONE shuffle keyed on the chunk
+    * content hash for the cross-corpus dup counts — the exact-dedup shape
+    * at chunk grain. Output: (id, chunk_id, chunk_text, n_tokens,
+    * n_chunk_dups).
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 3, divisor: Int = 8): DataFrame = {
+    require(window >= 1, s"window ($window) must be >= 1")
+    require(divisor >= 2, s"divisor ($divisor) must be >= 2")
+    val toks = col("toks")
+    // candidate positions stop at n−1: the doc end is a forced boundary
+    // already, so a hash-boundary ON the last term would only mint an
+    // empty trailing chunk
+    val cand = when(size(toks) <= window, array().cast("array<int>"))
+      .otherwise(sequence(lit(window), size(toks) - 1))
+    val bnds = filter(cand, i =>
+      TextFunctions.md5PrefixLong(
+        array_join(slice(toks, i - (window - 1), lit(window)), " "), 8)
+        % divisor === 0).cast("array<bigint>")
+    val start = when(col("chunk_id") === 0, lit(1L))
+      .otherwise(element_at(col("bnds"), col("chunk_id")) + 1L)
+    val end = when(col("chunk_id") === size(col("bnds")), size(toks).cast("long"))
+      .otherwise(element_at(col("bnds"), col("chunk_id") + 1))
+    docs
+      .select(col(idCol),
+        TextFunctions.arrayBarrier(TextFunctions.termsAlnum(col(textCol))).as("toks"))
+      .where(size(toks) > 0)
+      .select(col(idCol), toks, TextFunctions.longArrayBarrier(bnds).as("bnds"))
+      .select(col(idCol), toks, col("bnds"),
+        explode(sequence(lit(0), size(col("bnds")))).as("chunk_id"))
+      .select(col(idCol), col("chunk_id").cast("int").as("chunk_id"),
+        array_join(slice(toks, start, end - start + 1L), " ").as("chunk_text"),
+        (end - start + 1L).cast("int").as("n_tokens"))
+      .withColumn("n_chunk_dups", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("chunk_text")))))
+  }
+
   /** Sequence packing: assign [[chunk]] outputs to fixed-`capacity` training
     * sequences, greedy first-fit in (doc, chunk) order — the step that turns
     * ragged chunks into dense fixed-length model batches (padding waste =

@@ -1009,6 +1009,43 @@ object ExtQueries {
         chunkSize = 32, stride = 16)),
 
     // ------------------------------------------------------------------
+    // Content-defined chunking (Corpus.cdcChunks): boundaries where the
+    // rolling 3-term md5-prefix hash hits 0 mod 8, so an edit disturbs
+    // only the chunks overlapping it and everything else re-emerges
+    // byte-identical for chunk-level dedup against a previous crawl —
+    // the edit-robustness fixed-size q_chunk_docs cannot have
+    // (PropertySpec pins the contrast). Boundary hash = the repo's one
+    // portable md5-prefix idiom ⇒ fully DuckDB-oracled; dup counts are
+    // one shuffle on the chunk content hash.
+    QueryDef(
+      "q_chunk_cdc",
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             |  FROM documents),
+             |nz AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+             |b AS (
+             |  SELECT doc_id, toks,
+             |    list_filter(range(3, len(toks)),
+             |      i -> CAST('0x' || substr(md5(array_to_string(toks[i-2:i], ' ')), 1, 8) AS BIGINT) % 8 = 0) AS bnds
+             |  FROM nz),
+             |c AS (
+             |  SELECT doc_id, toks, bnds, unnest(range(0, len(bnds) + 1)) AS k
+             |  FROM b),
+             |s AS (
+             |  SELECT doc_id, CAST(k AS INT) AS chunk_id,
+             |    array_to_string(toks[
+             |      (CASE WHEN k = 0 THEN 1 ELSE bnds[k] + 1 END) :
+             |      (CASE WHEN k = len(bnds) THEN len(toks) ELSE bnds[k + 1] END)], ' ') AS chunk_text,
+             |    CAST((CASE WHEN k = len(bnds) THEN len(toks) ELSE bnds[k + 1] END)
+             |      - (CASE WHEN k = 0 THEN 1 ELSE bnds[k] + 1 END) + 1 AS INT) AS n_tokens
+             |  FROM c)
+             |SELECT doc_id, chunk_id, chunk_text, n_tokens,
+             |  CAST(count(*) OVER (PARTITION BY md5(chunk_text)) AS BIGINT) AS n_chunk_dups
+             |FROM s""".stripMargin),
+      (s, dir) => Corpus.cdcChunks(docs(s, dir), "doc_id", "text",
+        window = 3, divisor = 8)),
+
+    // ------------------------------------------------------------------
     // Count-min-sketch heavy hitters — the third member of the sketch
     // family (HLL distinct ✓, approx_percentile ✓): ONE mergeable-aggregate
     // pass ships a fixed (depth × width) counter array per partition

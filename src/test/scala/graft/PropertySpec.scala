@@ -165,6 +165,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("CDC chunking is lossless AND edit-robust where fixed chunking is " +
+    "fragile: one inserted token invalidates O(1) CDC chunks but O(n/size) " +
+    "fixed chunks") {
+    import spark.implicits._
+    // a long pseudo-random (deterministic) token stream; insert one token
+    // near the front and compare surviving chunk text multisets
+    val toks = (0 until 400).map(i =>
+      "tok" + ((i * 2654435761L) % 9973)).toList
+    val edited = toks.take(7) ::: List("inserted") ::: toks.drop(7)
+    val d = Seq((1L, toks.mkString(" ")), (2L, edited.mkString(" ")))
+      .toDF("doc_id", "text")
+
+    def chunkTexts(df: org.apache.spark.sql.DataFrame, id: Long): Seq[String] =
+      df.where(col("doc_id") === id).select(col("chunk_text"))
+        .collect().map(_.getString(0)).toSeq
+
+    val cdc = graft.operators.Corpus.cdcChunks(d, "doc_id", "text",
+      window = 3, divisor = 8)
+    // lossless: chunks reassemble the term stream for both docs
+    val reassembled = cdc.groupBy(col("doc_id"))
+      .agg(concat_ws(" ",
+        array_sort(collect_list(struct(col("chunk_id"), col("chunk_text"))))
+          .getField("chunk_text")).as("joined"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reassembled(1L) == toks.mkString(" "))
+    assert(reassembled(2L) == edited.mkString(" "))
+
+    def changed(texts: (Seq[String], Seq[String])): Int = {
+      val (a, b) = texts
+      val common = a.groupBy(identity).map { case (t, g) =>
+        t -> math.min(g.size, b.count(_ == t)) }.values.sum
+      math.max(a.size, b.size) - common
+    }
+    val cdcChanged = changed((chunkTexts(cdc, 1L), chunkTexts(cdc, 2L)))
+    val fixed = graft.operators.Corpus.chunk(d, "doc_id", "text", chunkSize = 8)
+    val fixedChanged = changed((chunkTexts(fixed, 1L), chunkTexts(fixed, 2L)))
+    // CDC: only chunks overlapping the edit window differ — a handful.
+    // Fixed: every chunk from the insertion point on shifts — ~50 of them.
+    assert(cdcChanged <= 4, s"CDC changed $cdcChanged chunks")
+    assert(fixedChanged >= 40, s"fixed chunking changed only $fixedChanged")
+    assert(cdcChanged * 10 < fixedChanged,
+      s"CDC ($cdcChanged) not an order of magnitude more edit-robust " +
+        s"than fixed ($fixedChanged)")
+  }
+
   test("overlapping chunks: ceil(n/stride) windows, full coverage, shared context") {
     import spark.implicits._
     val genText = Gen.listOf(Gen.oneOf("ab", "cd", "ef", "gh", "x1", "9z"))
