@@ -1,7 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lag, lead, lit, row_number}
+import org.apache.spark.sql.functions.{coalesce, col, concat_ws, lag, lead, lit, md5, row_number, when}
 
 /** Table-maintenance operations a long-lived 100 TB deployment needs around
   * the query engine itself: small-file compaction and schema-evolving reads.
@@ -617,6 +617,47 @@ object Maintenance {
     * of a star by construction, so the key window is never the job's
     * bottleneck; history length per key only grows the partition linearly.
     */
+  /** Keyed diff between two corpus snapshots: per key, is the row `added`,
+    * `removed`, `changed`, or `unchanged` from `prev` to `next`?
+    *
+    * This is the refresh driver for everything incremental downstream — a
+    * re-crawl lands, and only the `added`/`changed` keys need to re-enter
+    * the prep pipeline (dedup, quality, chunking) while `removed` keys are
+    * retracted; re-processing the unchanged bulk is the cost this op
+    * exists to avoid (the Delta-less snapshot diff; cf. the reference's
+    * full-reload pattern, load/__init__.py:96-118, which this replaces at
+    * scale). Content identity is md5 over PER-COLUMN md5s: hashing each
+    * column first makes every fragment fixed-width hex, so no value can
+    * imitate a separator or shift a boundary — `("ab","")` ≠ `("a","b")`,
+    * and a value CONTAINING the separator char cannot collide (the
+    * separator-in-value ambiguity every sentinel-concat scheme carries;
+    * spec-pinned). NULL hashes to a literal `null` fragment, distinct
+    * from `md5('')`, so `("a", NULL)` ≠ `("a", "")`.
+    *
+    * Shape at 100 TB: each side reduces to (key, 16-byte fingerprint)
+    * AT THE SCAN — column pruning keeps payloads out of the exchange —
+    * then ONE sort-merge full-outer join on the key. If both snapshots are
+    * bucketed by the key ([[graft.etl.Load]]'s bucketed sink), the
+    * exchange disappears entirely.
+    */
+  def snapshotDiff(prev: DataFrame, next: DataFrame, keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && compareCols.nonEmpty,
+      "need key and compare columns")
+    def fp(df: DataFrame, alias: String) = df.select(
+      keyCols.map(col) :+
+        md5(concat_ws("|",
+          compareCols.map(c =>
+            coalesce(md5(col(c).cast("string")), lit("null"))): _*))
+          .as(alias): _*)
+    fp(prev, "fp_prev").join(fp(next, "fp_next"), keyCols, "full_outer")
+      .select(keyCols.map(col) :+
+        when(col("fp_prev").isNull, "added")
+          .when(col("fp_next").isNull, "removed")
+          .when(col("fp_prev") =!= col("fp_next"), "changed")
+          .otherwise("unchanged").as("status"): _*)
+  }
+
   def scdMerge(current: DataFrame, updates: DataFrame, keyCols: Seq[String],
       attrCols: Seq[String], effTsCol: String,
       validFromCol: String = "valid_from", validToCol: String = "valid_to",

@@ -1179,6 +1179,52 @@ object ExtQueries {
       (s, dir) => Corpus.contentChecksum(docs(s, dir), "text")),
 
     // ------------------------------------------------------------------
+    // Snapshot diff (Maintenance.snapshotDiff): per-key added / removed /
+    // changed / unchanged between two corpus versions — the refresh driver
+    // that lets everything downstream run incrementally (only added+changed
+    // re-enter prep; removed retract). The "next" snapshot derives from
+    // documents deterministically in BOTH engines: doc_id % 17 == 0 rows
+    // dropped, % 13 == 0 rows get ' v2' appended, % 19 == 0 rows re-appear
+    // under doc_id + 1000000 — every status is exercised, including the
+    // removed-wins-over-changed overlap (13·17 | doc_id). Fingerprints are
+    // md5 over per-column md5s (fixed-width hex fragments — no value can
+    // imitate the separator or shift a boundary; NULL ≠ '').
+    QueryDef(
+      "q_corpus_diff",
+      Some("""WITH v2 AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text,
+             |    lang
+             |  FROM documents WHERE doc_id % 17 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000 AS doc_id, text, lang
+             |  FROM documents WHERE doc_id % 19 = 0),
+             |a AS (SELECT doc_id,
+             |        md5(coalesce(md5(text), 'null') || '|' || coalesce(md5(lang), 'null')) AS fp
+             |      FROM documents),
+             |b AS (SELECT doc_id,
+             |        md5(coalesce(md5(text), 'null') || '|' || coalesce(md5(lang), 'null')) AS fp
+             |      FROM v2)
+             |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             |  CASE WHEN a.fp IS NULL THEN 'added'
+             |       WHEN b.fp IS NULL THEN 'removed'
+             |       WHEN a.fp <> b.fp THEN 'changed'
+             |       ELSE 'unchanged' END AS status
+             |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val v1 = docs(s, dir)
+        val v2 = v1.where($"doc_id" % 17 =!= 0)
+          .withColumn("text",
+            when($"doc_id" % 13 === 0, concat($"text", lit(" v2")))
+              .otherwise($"text"))
+          .unionByName(v1.where($"doc_id" % 19 === 0)
+            .withColumn("doc_id", $"doc_id" + 1000000L))
+        graft.etl.Maintenance.snapshotDiff(v1, v2,
+          Seq("doc_id"), Seq("text", "lang"))
+      }),
+
+    // ------------------------------------------------------------------
     // Repetition-ratio quality signal (the Gopher-style repetition gate):
     // 1 − distinct/total terms per doc. Map-only — array_distinct runs
     // inside the scan's codegen; the ratio is one IEEE divide + subtract,

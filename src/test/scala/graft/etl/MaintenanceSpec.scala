@@ -469,4 +469,30 @@ class MaintenanceSpec extends SparkSpec {
       (2L, Some("b"), "2024-01-01", Some("2024-02-01"), false), // closed kept despite NULL flag
       (2L, Some("c"), "2024-02-01", None, true)))
   }
+
+  test("snapshotDiff classifies every status and its fingerprint separates " +
+    "NULL, empty, and separator-adjacent values") {
+    import spark.implicits._
+    val prev = Seq(
+      (1L, Option("a"), Option("x")),   // unchanged
+      (2L, Option("b"), Option("x")),   // changed (value edit)
+      (3L, Option("c"), Option("x")),   // removed
+      (4L, Option("a"), Option.empty[String]),  // NULL vs '' must be CHANGED
+      (5L, Option("a|"), Option("")),   // value containing the separator
+      (7L, Option("ab"), Option("")))   // boundary-shift trap
+      .toDF("k", "v1", "v2")
+    val next = Seq(
+      (1L, Option("a"), Option("x")),
+      (2L, Option("B"), Option("x")),
+      (4L, Option("a"), Option("")),
+      (5L, Option("a"), Option("|")),  // sentinel-concat schemes see 'a|'+''
+                                       // == 'a'+'|' -- per-column md5 cannot
+      (7L, Option("a"), Option("b")),  // 'ab'+'' == 'a'+'b' under bare concat
+      (6L, Option("new"), Option("x")))    // added
+      .toDF("k", "v1", "v2")
+    val got = Maintenance.snapshotDiff(prev, next, Seq("k"), Seq("v1", "v2"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "changed", 5L -> "changed", 6L -> "added", 7L -> "changed"))
+  }
 }
