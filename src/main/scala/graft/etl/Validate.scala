@@ -172,6 +172,39 @@ object Validate {
     CheckResult(errors.isEmpty, errors)
   }
 
+  /** Per-column table profile — the "dataset card" a pipeline publishes
+    * with every corpus drop and the first read before writing any range
+    * rule: row count, NULL count, exact distinct count, lexicographic
+    * min/max, one row per column. Values profile through their STRING
+    * rendering (one schema for every column type; min/max are therefore
+    * byte-order, documented — numeric range rules live in
+    * [[checkValueRanges]]).
+    *
+    * Shape at 100 TB: the table stacks to (col_name, value) pairs in the
+    * scan projection — ONE pass over the data — then aggregates in TWO
+    * hash stages: first keyed on (col_name, value), which distributes by
+    * value content (no hot keys, map-side combine collapses repeats),
+    * then keyed on col_name over the already-distinct remainder. The
+    * two-stage form exists to avoid the single-stage alternative's
+    * count_distinct Expand (×columns row blow-up) AND its |columns|-key
+    * shuffle skew.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val pairs = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
+    pairs.groupBy(col("col_name"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("col_name"))
+      .agg(
+        sum(col("cnt")).as("n_rows"),
+        sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("n_nulls"),
+        count(col("v")).as("n_distinct"),
+        min(col("v")).as("min_str"),
+        max(col("v")).as("max_str"))
+  }
+
   /** All four checks → report (reference: validate/__init__.py:232-296). */
   def validateAll(spark: SparkSession, schema: Map[String, DataFrame]): ValidationReport = {
     val checks = Map(

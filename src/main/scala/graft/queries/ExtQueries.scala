@@ -1225,6 +1225,33 @@ object ExtQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Per-column table profile (Validate.profile): the dataset card a
+    // corpus drop ships with — rows / nulls / exact distincts /
+    // lexicographic min-max per column, through one string-rendered stack
+    // of the table. Two-stage aggregation: (col, value) first (map-side
+    // combine, no Expand, no |cols|-key skew), then per column. documents
+    // has no float columns, so the string rendering is engine-exact.
+    QueryDef(
+      "q_profile_table",
+      Some("""WITH p AS (
+             |  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS v FROM documents
+             |  UNION ALL SELECT 'text', text FROM documents
+             |  UNION ALL SELECT 'lang', lang FROM documents
+             |  UNION ALL SELECT 'source', source FROM documents
+             |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents),
+             |g AS (SELECT col_name, v, CAST(count(*) AS BIGINT) AS cnt
+             |      FROM p GROUP BY 1, 2)
+             |SELECT col_name,
+             |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+             |  CAST(sum(CASE WHEN v IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_nulls,
+             |  CAST(count(v) AS BIGINT) AS n_distinct,
+             |  min(v) AS min_str,
+             |  max(v) AS max_str
+             |FROM g GROUP BY col_name""".stripMargin),
+      (s, dir) => graft.etl.Validate.profile(docs(s, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
+
+    // ------------------------------------------------------------------
     // Repetition-ratio quality signal (the Gopher-style repetition gate):
     // 1 − distinct/total terms per doc. Map-only — array_distinct runs
     // inside the scan's codegen; the ratio is one IEEE divide + subtract,

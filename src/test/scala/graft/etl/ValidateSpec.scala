@@ -86,4 +86,27 @@ class ValidateSpec extends SparkSpec {
     val r = Validate.checkSchema(buildSchema() - "fact_weather")
     assert(!r.valid && r.errors.contains("missing table: fact_weather"))
   }
+
+  test("profile counts rows/nulls/distincts per column and plans without " +
+    "an Expand") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("a"), Option(10)),
+      (2L, Option("a"), Option.empty[Int]),
+      (3L, Option.empty[String], Option(10)),
+      (4L, Option("b"), Option(20)))
+      .toDF("id", "s", "n")
+    val prof = Validate.profile(df, Seq("id", "s", "n"))
+    val got = prof.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getString(4)), Option(r.getString(5))))).toMap
+    assert(got === Map(
+      "id" -> ((4L, 0L, 4L, Some("1"), Some("4"))),
+      "s" -> ((4L, 1L, 2L, Some("a"), Some("b"))),
+      // distincts exclude NULL; min/max string-rendered ("10" < "20")
+      "n" -> ((4L, 1L, 2L, Some("10"), Some("20")))))
+    // the two-stage shape exists to avoid count_distinct's Expand blow-up
+    assert(!prof.queryExecution.executedPlan.toString.contains("Expand"),
+      "profile should not plan an Expand")
+  }
 }
