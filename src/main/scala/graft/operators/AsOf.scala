@@ -90,4 +90,52 @@ object AsOf {
     carried.select((Seq(key, ts) ++ payload).map(col) ++
       (tsRight +: carryCols).map(c => col(s"__carry.$c").as(c)): _*)
   }
+
+  /** Bucketized interval join: points matched into `[start, end)` ranges,
+    * optionally under equi-keys — the second temporal-join primitive next
+    * to [[joinAsOf]].
+    *
+    * Spark plans a bare range predicate between two relations as a
+    * broadcast-nested-loop (or cartesian) — O(|points|·|intervals|)
+    * comparisons regardless of how few pairs match. The standard scalable
+    * rewrite: quantize the range axis into width-`bucketWidth` buckets,
+    * explode each interval over the buckets it touches
+    * (span/bucketWidth + 1 copies — pick the width near the typical span
+    * so amplification stays ~2×), hash-join points to interval-buckets on
+    * (keys, bucket), then apply the EXACT range predicate to the bucket-
+    * collision survivors. Same result, but now it is one equi-shuffle
+    * whose output is |true matches| + the boundary slop, never a loop
+    * join. When the two sides share one relation and an ordering, a RANGE
+    * window frame is the cheaper form (q_range_window); this operator is
+    * for the cross-relation case where no shared scan exists.
+    *
+    * Bucket ids use exact integer floor-division (`(c − pmod(c, w)) / w`,
+    * products stay under 2^53 so the arithmetic is exact in the double
+    * lane; correct for negative values too via pmod's floor semantics) —
+    * a naive `floor(c / w)` in doubles can mis-bucket boundary values at
+    * µs-epoch magnitudes. Empty intervals (`end <= start`) are dropped
+    * (they can match nothing, and their bucket sequence would descend).
+    *
+    * @return inner-join rows: interval columns + point columns (equi-keys
+    *         merged); caller aggregates / re-joins for outer semantics.
+    */
+  def intervalJoin(points: DataFrame, intervals: DataFrame,
+      pointCol: String, startCol: String, endCol: String,
+      bucketWidth: Long, keyCols: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth ($bucketWidth) must be positive")
+    val collisions = points.columns.toSet.intersect(intervals.columns.toSet)
+      .diff(keyCols.toSet)
+    require(collisions.isEmpty,
+      s"non-key columns collide across sides: ${collisions.mkString(", ")}")
+    def fdiv(c: Column): Column =
+      ((c - pmod(c, lit(bucketWidth))) / bucketWidth).cast("long")
+    val pb = points.withColumn("__bucket", fdiv(col(pointCol)))
+    val ib = intervals
+      .where(col(endCol) > col(startCol))
+      .withColumn("__bucket",
+        explode(sequence(fdiv(col(startCol)), fdiv(col(endCol) - 1))))
+    ib.join(pb, keyCols :+ "__bucket")
+      .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bucket")
+  }
 }

@@ -702,6 +702,51 @@ object AnalyticsQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Bucketized interval join (AsOf.intervalJoin): per purchase, the
+    // user's clicks inside its preceding-hour attribution window. A bare
+    // range predicate between two relations plans as a nested-loop; the
+    // operator quantizes time into 1-hour buckets, explodes each interval
+    // over the ≤2 buckets it touches, equi-joins on (user, bucket), and
+    // exact-filters the survivors — output |true matches| + boundary slop,
+    // never O(|points|·|intervals|). The oracle says what it means (the
+    // plain range join DuckDB's IEJoin handles); AsOfSpec pins the no-
+    // nested-loop plan and brute-force equality. Left semantics restored
+    // by re-joining the purchase set; window is [ts−1h, ts) exclusive so
+    // the purchase itself never self-counts.
+    QueryDef(
+      "q_interval_join",
+      Some("""WITH p AS (
+             |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+             |  FROM events WHERE event_type = 'purchase'),
+             |c AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+             |  FROM events WHERE event_type = 'click')
+             |SELECT p.event_id, p.user_id,
+             |  CAST(count(c.ts_us) AS BIGINT) AS n_clicks_1h
+             |FROM p LEFT JOIN c ON c.user_id = p.user_id
+             |  AND c.ts_us >= p.ts_us - 3600000000 AND c.ts_us < p.ts_us
+             |GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+          .select($"event_id", $"user_id", $"event_type",
+            unix_micros($"ts").as("ts_us"))
+        val p = ev.where($"event_type" === "purchase")
+          .select($"event_id", $"user_id",
+            ($"ts_us" - 3600000000L).as("start_us"), $"ts_us".as("end_us"))
+        val c = ev.where($"event_type" === "click")
+          .select($"user_id", $"ts_us".as("click_us"))
+        val hits = AsOf.intervalJoin(c, p, "click_us", "start_us", "end_us",
+            bucketWidth = 3600000000L, keyCols = Seq("user_id"))
+          .groupBy($"event_id", $"user_id")
+          .agg(count(lit(1)).as("n_clicks_1h"))
+        p.select($"event_id", $"user_id")
+          .join(hits, Seq("event_id", "user_id"), "left")
+          .select($"event_id", $"user_id",
+            coalesce($"n_clicks_1h", lit(0L)).as("n_clicks_1h"))
+      }),
+
+    // ------------------------------------------------------------------
     // Full outer join — both-sided preservation: customers with only urgent
     // orders, only low-priority orders, or both (the two pre-aggregations
     // make each side unique on the key, so the join is 1:1 and both NULL

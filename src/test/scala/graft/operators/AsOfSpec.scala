@@ -69,6 +69,41 @@ class AsOfSpec extends SparkSpec {
     assert(ex.getMessage.contains("lbl"))
   }
 
+  test("intervalJoin matches the brute-force range join exactly and never " +
+    "plans a loop join") {
+    import org.apache.spark.sql.functions._
+    // intervals spanning 0-3 buckets (width 10), half-open boundaries,
+    // an empty interval, and a cross-key decoy at matching times
+    val points = Seq(
+      (1L, 0L), (1L, 9L), (1L, 10L), (1L, 19L), (1L, 20L), (1L, 35L),
+      (2L, 10L))
+      .toDF("k", "pt")
+    val intervals = Seq(
+      (1L, 100L, 0L, 10L),   // [0,10): catches 0,9 — not 10
+      (1L, 101L, 5L, 32L),   // spans 3 buckets: 5..31
+      (1L, 102L, 35L, 35L),  // empty: drops
+      (1L, 103L, 30L, 40L),  // catches 35
+      (2L, 200L, 0L, 40L))   // key 2 only sees its own point
+      .toDF("k", "iid", "s", "e")
+    val got = AsOf.intervalJoin(points, intervals, "pt", "s", "e",
+      bucketWidth = 10L, keyCols = Seq("k"))
+    val gotSet = got.select("iid", "pt").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = intervals.as("i").join(points.as("p"),
+        col("i.k") === col("p.k") &&
+          col("p.pt") >= col("i.s") && col("p.pt") < col("i.e"))
+      .select(col("i.iid"), col("p.pt")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotSet === brute)
+    assert(gotSet === Set((100L, 0L), (100L, 9L),
+      (101L, 9L), (101L, 10L), (101L, 19L), (101L, 20L),
+      (103L, 35L), (200L, 10L)))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"interval join must stay an equi-join:\n$plan")
+  }
+
   test("plan: exactly one shuffle, no join operator, no row amplification") {
     val df = AsOf.joinAsOf(left, right, "k", "t", Seq("px"))
     df.collect()   // drive AQE to its final plan
