@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.operators.{Bpe, Components, Corpus, Dedup, Ivf, Lm, Similarity}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -593,6 +593,63 @@ object ExtQueries {
       |  h.nh IS NOT NULL AS contaminated
       |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin
 
+  /** The doc_id-derived URL salt + canonicalization rule chain, shared by
+    * q_url_canonical and q_domain_stats (single-source rule: the fixture
+    * and the mirrored rules edit in one place for every consumer).
+    */
+  private val urlSaltSql: String =
+    """CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END ||
+      |    'WWW.Site' || (doc_id % 7) || '.Example.COM' ||
+      |    CASE WHEN doc_id % 11 = 0 THEN ':8080'
+      |         WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END ||
+      |    '/Dir' || (doc_id % 5) || '/b//' ||
+      |    '?b=2&utm_source=news&a=' || (doc_id % 3) || '&fbclid=x&' ||
+      |    '#sec' || doc_id""".stripMargin
+
+  /** CTE chain `u` → `parts` → `canon(doc_id, url_canonical)` mirroring
+    * [[TextFunctions.canonicalizeUrl]] step for step over [[urlSaltSql]].
+    */
+  private val urlCanonCte: String =
+    s"""u AS (SELECT doc_id, $urlSaltSql AS url FROM documents),
+       |parts AS (
+       |  SELECT doc_id,
+       |    lower(regexp_extract(nf, '^([^:/?#]+)://', 1)) AS scheme,
+       |    lower(regexp_extract(nf, '^[^:/?#]+://([^/?#]*)', 1)) AS hostraw,
+       |    regexp_extract(nf, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS pathraw,
+       |    regexp_extract(nf, '^[^?#]*\\?([^#]*)', 1) AS qraw
+       |  FROM (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nf FROM u)),
+       |canon AS (
+       |  SELECT doc_id,
+       |    scheme || '://' ||
+       |    regexp_replace(
+       |      CASE WHEN scheme = 'http' THEN regexp_replace(hostraw, ':80$$', '')
+       |           WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$$', '')
+       |           ELSE hostraw END,
+       |      '^www\\.', '') ||
+       |    CASE WHEN pth = '' THEN '/' ELSE pth END ||
+       |    CASE WHEN len(prms) > 0
+       |         THEN '?' || array_to_string(list_sort(prms), '&') ELSE '' END
+       |      AS url_canonical
+       |  FROM (
+       |    SELECT doc_id, scheme, hostraw,
+       |      regexp_replace(regexp_replace(pathraw, '/{2,}', '/'), '/+$$', '') AS pth,
+       |      list_filter(string_split(qraw, '&'),
+       |        x -> x <> '' AND NOT regexp_matches(x, '${TextFunctions.trackingParamRe}')) AS prms
+       |    FROM parts))""".stripMargin
+
+  /** Spark twin of [[urlSaltSql]]. */
+  private def urlSaltCol: Column = {
+    val id = col("doc_id")
+    concat(
+      when(id % 2 === 0, "HTTP://").otherwise("https://"),
+      lit("WWW.Site"), id % 7, lit(".Example.COM"),
+      when(id % 11 === 0, ":8080")
+        .when(id % 2 === 0, ":80").otherwise(":443"),
+      lit("/Dir"), id % 5, lit("/b//"),
+      lit("?b=2&utm_source=news&a="), id % 3, lit("&fbclid=x&"),
+      lit("#sec"), id)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -758,59 +815,106 @@ object ExtQueries {
     // (single-source rule). See TextFunctions.canonicalizeUrl.
     QueryDef(
       "q_url_canonical",
-      Some(s"""WITH u AS (
-             |  SELECT doc_id,
-             |    CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END ||
-             |    'WWW.Site' || (doc_id % 7) || '.Example.COM' ||
-             |    CASE WHEN doc_id % 11 = 0 THEN ':8080'
-             |         WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END ||
-             |    '/Dir' || (doc_id % 5) || '/b//' ||
-             |    '?b=2&utm_source=news&a=' || (doc_id % 3) || '&fbclid=x&' ||
-             |    '#sec' || doc_id AS url
-             |  FROM documents),
-             |parts AS (
-             |  SELECT doc_id,
-             |    lower(regexp_extract(nf, '^([^:/?#]+)://', 1)) AS scheme,
-             |    lower(regexp_extract(nf, '^[^:/?#]+://([^/?#]*)', 1)) AS hostraw,
-             |    regexp_extract(nf, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS pathraw,
-             |    regexp_extract(nf, '^[^?#]*\\?([^#]*)', 1) AS qraw
-             |  FROM (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nf FROM u)),
-             |canon AS (
-             |  SELECT doc_id,
-             |    scheme || '://' ||
-             |    regexp_replace(
-             |      CASE WHEN scheme = 'http' THEN regexp_replace(hostraw, ':80$$', '')
-             |           WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$$', '')
-             |           ELSE hostraw END,
-             |      '^www\\.', '') ||
-             |    CASE WHEN pth = '' THEN '/' ELSE pth END ||
-             |    CASE WHEN len(prms) > 0
-             |         THEN '?' || array_to_string(list_sort(prms), '&') ELSE '' END
-             |      AS url_canonical
-             |  FROM (
-             |    SELECT doc_id, scheme, hostraw,
-             |      regexp_replace(regexp_replace(pathraw, '/{2,}', '/'), '/+$$', '') AS pth,
-             |      list_filter(string_split(qraw, '&'),
-             |        x -> x <> '' AND NOT regexp_matches(x, '${TextFunctions.trackingParamRe}')) AS prms
-             |    FROM parts))
+      Some(s"""WITH $urlCanonCte
              |SELECT doc_id, url_canonical,
              |  CAST(count(*) OVER (PARTITION BY url_canonical) AS BIGINT) AS n_url_dups
              |FROM canon""".stripMargin),
       (s, dir) => {
         import s.implicits._
-        val url = concat(
-          when($"doc_id" % 2 === 0, "HTTP://").otherwise("https://"),
-          lit("WWW.Site"), $"doc_id" % 7, lit(".Example.COM"),
-          when($"doc_id" % 11 === 0, ":8080")
-            .when($"doc_id" % 2 === 0, ":80").otherwise(":443"),
-          lit("/Dir"), $"doc_id" % 5, lit("/b//"),
-          lit("?b=2&utm_source=news&a="), $"doc_id" % 3, lit("&fbclid=x&"),
-          lit("#sec"), $"doc_id")
         docs(s, dir)
           .select($"doc_id",
-            TextFunctions.canonicalizeUrl(url).as("url_canonical"))
+            TextFunctions.canonicalizeUrl(urlSaltCol).as("url_canonical"))
           .withColumn("n_url_dups",
             count(lit(1)).over(Window.partitionBy($"url_canonical")))
+      }),
+
+    // ------------------------------------------------------------------
+    // Host-level curation rollup — the domain-blocklist read: per canonical
+    // host (port stripped), doc count, distinct canonical URLs, URL-dup
+    // ratio, and mean quality (single-sourced qualityScoreSql). Domain
+    // decisions (UT1-style blocklists, domain quality priors) are the
+    // coarsest and cheapest curation lever a crawl pipeline pulls, and
+    // they key on exactly this table. One partial-agg shuffle on host
+    // (the countDistinct is per-host two-phase, no corpus-wide distinct).
+    QueryDef(
+      "q_domain_stats",
+      Some(s"""WITH $urlCanonCte,
+             |h AS (
+             |  SELECT doc_id, url_canonical,
+             |    regexp_replace(regexp_extract(url_canonical, '^[a-z]+://([^/]*)', 1),
+             |      ':[0-9]+$$', '') AS host
+             |  FROM canon),
+             |q AS (SELECT doc_id, $qualityScoreSql AS qs FROM documents)
+             |SELECT h.host,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(DISTINCT h.url_canonical) AS BIGINT) AS n_urls,
+             |  FLOOR((1.0 - CAST(count(DISTINCT h.url_canonical) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS url_dup_ratio,
+             |  FLOOR(SUM(q.qs) / COUNT(*) * 1000000 + 0.5) / 1000000 AS avg_quality
+             |FROM h JOIN q ON h.doc_id = q.doc_id
+             |GROUP BY 1""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val snap = (x: Column) => floor(x * 1000000.0 + 0.5) / 1000000.0
+        val canon = TextFunctions.canonicalizeUrl(urlSaltCol)
+        docs(s, dir)
+          .select(
+            regexp_replace(regexp_extract(canon, "^[a-z]+://([^/]*)", 1),
+              ":[0-9]+$", "").as("host"),
+            canon.as("url_canonical"),
+            TextFunctions.qualityScore($"text").as("qs"))
+          .groupBy($"host")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct($"url_canonical").as("n_urls"),
+            snap(lit(1.0) - countDistinct($"url_canonical").cast("double")
+              / count(lit(1))).as("url_dup_ratio"),
+            snap(sum($"qs") / count(lit(1))).as("avg_quality"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Zipf slope: OLS fit of ln(freq) on ln(rank) over the top-100 tokens.
+    // Natural corpora sit near −1; template/boilerplate floods flatten the
+    // head, synthetic or truncated text steepens it — a one-number corpus-
+    // health signal next to q_ngram_topk's raw list. Scale shape: one
+    // token-count shuffle, then TakeOrderedAndProject for the top-100 (the
+    // vocabulary never funnels through a global sort or a one-partition
+    // window — ranking happens AFTER the 100-row cut, where a single
+    // partition is the point, not a trap). ln() differs ≤ ulp across
+    // engines and the 100-term sums reorder → slope snapped 1e-4.
+    QueryDef(
+      "q_zipf_slope",
+      Some("""WITH tok AS (
+             |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+             |  FROM documents),
+             |cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+             |top AS (SELECT token, cnt FROM cnt ORDER BY cnt DESC, token LIMIT 100),
+             |xy AS (
+             |  SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, token) AS DOUBLE)) AS x,
+             |         ln(CAST(cnt AS DOUBLE)) AS y
+             |  FROM top)
+             |SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+             |  FLOOR((count(*) * sum(x*y) - sum(x) * sum(y))
+             |    / (count(*) * sum(x*x) - sum(x) * sum(x)) * 10000 + 0.5) / 10000 AS zipf_slope
+             |FROM xy""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val top = docs(s, dir)
+          .select(explode(TextFunctions.arrayBarrier(
+            TextFunctions.termsAlnum($"text"))).as("token"))
+          .groupBy($"token").agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc, $"token").limit(100)
+        val xy = top
+          .withColumn("rnk",
+            row_number().over(Window.orderBy($"cnt".desc, $"token")))
+          .select(log($"rnk".cast("double")).as("x"),
+            log($"cnt".cast("double")).as("y"))
+        xy.agg(count(lit(1)).as("n"), sum($"x" * $"y").as("sxy"),
+            sum($"x").as("sx"), sum($"y").as("sy"),
+            sum($"x" * $"x").as("sxx"))
+          .select($"n".as("n_ranks"),
+            (floor(($"n" * $"sxy" - $"sx" * $"sy")
+              / ($"n" * $"sxx" - $"sx" * $"sx") * 10000.0 + 0.5) / 10000.0)
+              .as("zipf_slope"))
       }),
 
     // ------------------------------------------------------------------
