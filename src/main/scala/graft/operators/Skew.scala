@@ -52,6 +52,47 @@ object Skew {
     saltedBig.join(saltedSmall, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Hybrid hot-key join — the third skew tool beside [[saltedJoin]] and
+    * AQE's runtime split: broadcast ONLY the hot keys' slice of the right
+    * side, shuffle the rest.
+    *
+    * When to reach for it: `broadcast(small)` needs the WHOLE right side in
+    * every executor; [[saltedJoin]] replicates the whole right side
+    * `nSalts`×. When the right side is too big for either but the skew
+    * lives in a handful of keys (the usual case — power-law key
+    * distributions), the right side's HOT-KEY SLICE is tiny by definition:
+    * broadcast just that, route the left side's hot rows through the
+    * broadcast join (no shuffle for exactly the rows that would have
+    * melted a reducer), and let the cold remainder take the ordinary
+    * equi-shuffle whose partitions are now skew-free. Output ≡ the plain
+    * join (each left row takes exactly one path; the hot slice carries
+    * ALL right rows for its keys — SkewSpec asserts equality and both
+    * plan branches).
+    *
+    * Hot keys come from an exact count over the left side at
+    * `hotThreshold` — one extra aggregation pass (with table/column stats
+    * or a sketch a production caller can skip it; the operator keeps the
+    * exact form so the split is deterministic). The hot-key relation
+    * itself is broadcast for the semi/anti routing, so the left side is
+    * never shuffled for routing — both routing joins are map-only.
+    */
+  def hybridJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      hotThreshold: Long, joinType: String = "inner"): DataFrame = {
+    require(hotThreshold > 0, "hotThreshold must be positive")
+    require(joinType == "inner" || joinType == "left",
+      s"hybridJoin supports inner/left, got $joinType")
+    val keyCols = keys.map(col)
+    val hotKeys = big.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= hotThreshold)
+      .select(keyCols: _*)
+    val bigHot = big.join(broadcast(hotKeys), keys, "left_semi")
+    val bigCold = big.join(broadcast(hotKeys), keys, "left_anti")
+    val smallHot = small.join(broadcast(hotKeys), keys, "left_semi")
+    bigHot.join(broadcast(smallHot), keys, joinType)
+      .unionByName(bigCold.join(small, keys, joinType))
+  }
+
   /** Two-phase skewed aggregation: partial-aggregate on (keys, salt), then
     * final-aggregate on keys — a hot group's rows combine across `nSalts`
     * reducers before the (tiny) per-group merge. Only sound for algebraic

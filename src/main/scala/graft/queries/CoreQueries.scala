@@ -887,6 +887,33 @@ object CoreQueries {
         graft.operators.Skew.saltedJoin(
           ev.select($"event_id", $"event_type", $"value"),
           typeTotals.hint("shuffle_hash"), Seq("event_type"), nSalts = 8)
+      }),
+
+    // ------------------------------------------------------------------
+    // Hybrid hot-key join (Skew.hybridJoin): per-event user enrichment
+    // where users above the activity threshold route through a broadcast
+    // of JUST their slice of the right side and everyone else takes the
+    // ordinary equi-shuffle — the skew tool for a right side too big to
+    // broadcast whole and too big to replicate nSalts× (saltedJoin). The
+    // 67 threshold sits at the fixture's median activity so BOTH paths
+    // carry real rows (SkewSpec pins the two plan branches + equality
+    // with the plain join). Oracle says the plain join.
+    QueryDef(
+      "q_join_skew_hybrid",
+      Some("""SELECT e.event_id, e.user_id, u.user_total
+             |FROM events e
+             |JOIN (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS user_total
+             |      FROM events GROUP BY user_id) u
+             |ON e.user_id = u.user_id""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val userTotals = ev.groupBy($"user_id")
+          .agg(count(lit(1)).as("user_total"))
+        graft.operators.Skew.hybridJoin(
+          ev.select($"event_id", $"user_id"),
+          userTotals.hint("shuffle_hash"), Seq("user_id"),
+          hotThreshold = 67L)
       })
   )
 }

@@ -63,4 +63,30 @@ class SkewSpec extends SparkSpec {
     val plain = big.join(small, Seq("k"))
     assertSameRows(Skew.saltedJoin(big, small, Seq("k"), nSalts = 1), plain)
   }
+
+  test("hybridJoin(inner/left) == plain join, with a broadcast branch AND " +
+    "a shuffle branch in the plan") {
+    import spark.implicits._
+    // threshold 100: key 7 (1800 rows) is hot; the 50 cold keys are not
+    val plainInner = big.join(small, Seq("k"))
+    val hybridInner = Skew.hybridJoin(big,
+      small.hint("shuffle_hash"), Seq("k"), hotThreshold = 100L)
+    assertSameRows(hybridInner, plainInner)
+    val plan = hybridInner.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hot path should broadcast:\n$plan")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"cold path should shuffle:\n$plan")
+
+    // left join: unmatched big rows (keys absent from small) survive on
+    // the cold path with NULL payload
+    val bigExtra = big.union(Seq((99L, 9999L, 0.0)).toDF("k", "row_id", "v"))
+    assertSameRows(
+      Skew.hybridJoin(bigExtra, small, Seq("k"), 100L, joinType = "left"),
+      bigExtra.join(small, Seq("k"), "left"))
+
+    // degenerate thresholds: everything hot / nothing hot still equal
+    assertSameRows(Skew.hybridJoin(big, small, Seq("k"), 1L), plainInner)
+    assertSameRows(Skew.hybridJoin(big, small, Seq("k"), 100000L), plainInner)
+  }
 }
