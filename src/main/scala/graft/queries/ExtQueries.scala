@@ -637,6 +637,45 @@ object ExtQueries {
        |        x -> x <> '' AND NOT regexp_matches(x, '${TextFunctions.trackingParamRe}')) AS prms
        |    FROM parts))""".stripMargin
 
+  /** Snapped per-(vector, centroid) L2 distance relation `c` → `x` → `d`,
+    * shared by q_centroid_assign and q_centroid_margin (single-source
+    * rule). Distances round to 1e-6 BEFORE any argmin/margin arithmetic
+    * so downstream comparisons are IEEE-identical cross-engine.
+    */
+  private val centroidDistCte: String =
+    """c AS (
+      |  SELECT label AS c_label, CAST(i - 1 AS INT) AS dim,
+      |    FLOOR(AVG(CAST(embedding[i] AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS c
+      |  FROM embeddings, range(1, 65) t(i)
+      |  GROUP BY label, i),
+      |x AS (
+      |  SELECT vec_id, label, CAST(i - 1 AS INT) AS dim,
+      |    CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings, range(1, 65) t(i)),
+      |d AS (
+      |  SELECT x.vec_id, x.label, c.c_label,
+      |    FLOOR(SUM((x.x - c.c) * (x.x - c.c)) * 1000000 + 0.5) / 1000000 AS dist
+      |  FROM x JOIN c USING (dim)
+      |  GROUP BY 1, 2, 3)""".stripMargin
+
+  /** Spark twin of [[centroidDistCte]]: (vec_id, label, c_label, dist). */
+  private def centroidDistances(s: SparkSession, dir: String): DataFrame = {
+    val snap = (x: Column) => floor(x * lit(1000000) + lit(0.5)) / lit(1000000)
+    val cents = Similarity.labelCentroids(
+        emb(s, dir), "label", "embedding", SimParams.dims)
+      .select(col("label").as("c_label"), col("dim"),
+        snap(col("centroid")).as("c"))
+    val x = emb(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        col("xf").cast("double").as("x"))
+    x.join(broadcast(cents), Seq("dim"))
+      .groupBy(col("vec_id"), col("label"), col("c_label"))
+      .agg(snap(sum((col("x") - col("c")) * (col("x") - col("c"))))
+        .as("dist"))
+  }
+
   /** Spark twin of [[urlSaltSql]]. */
   private def urlSaltCol: Column = {
     val id = col("doc_id")
@@ -2473,20 +2512,7 @@ object ExtQueries {
     // beyond the centroid agg).
     QueryDef(
       "q_centroid_assign",
-      Some("""WITH c AS (
-             |  SELECT label AS c_label, CAST(i - 1 AS INT) AS dim,
-             |    FLOOR(AVG(CAST(embedding[i] AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS c
-             |  FROM embeddings, range(1, 65) t(i)
-             |  GROUP BY label, i),
-             |x AS (
-             |  SELECT vec_id, label, CAST(i - 1 AS INT) AS dim,
-             |    CAST(embedding[i] AS DOUBLE) AS x
-             |  FROM embeddings, range(1, 65) t(i)),
-             |d AS (
-             |  SELECT x.vec_id, x.label, c.c_label,
-             |    FLOOR(SUM((x.x - c.c) * (x.x - c.c)) * 1000000 + 0.5) / 1000000 AS dist
-             |  FROM x JOIN c USING (dim)
-             |  GROUP BY 1, 2, 3),
+      Some(s"""WITH $centroidDistCte,
              |r AS (
              |  SELECT vec_id, label, c_label, dist,
              |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn
@@ -2495,29 +2521,53 @@ object ExtQueries {
              |  (label = c_label) AS correct
              |FROM r WHERE rn = 1""".stripMargin),
       (s, dir) => {
-        val snap = (x: org.apache.spark.sql.Column) =>
-          floor(x * lit(1000000) + lit(0.5)) / lit(1000000)
-        val cents = Similarity.labelCentroids(
-            emb(s, dir), "label", "embedding", SimParams.dims)
-          .select(col("label").as("c_label"), col("dim"),
-            snap(col("centroid")).as("c"))
-        val x = emb(s, dir)
-          .select(col("vec_id"), col("label"),
-            posexplode(col("embedding")).as(Seq("dim", "xf")))
-          .select(col("vec_id"), col("label"), col("dim"),
-            col("xf").cast("double").as("x"))
-        val d = x.join(broadcast(cents), Seq("dim"))
-          .groupBy(col("vec_id"), col("label"), col("c_label"))
-          .agg(snap(sum((col("x") - col("c")) * (col("x") - col("c"))))
-            .as("dist"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("vec_id"))
           .orderBy(col("dist"), col("c_label"))
-        d.withColumn("rn", row_number().over(w))
+        centroidDistances(s, dir)
+          .withColumn("rn", row_number().over(w))
           .where(col("rn") === 1)
           .select(col("vec_id"), col("label"),
             col("c_label").as("assigned_label"),
             (col("label") === col("c_label")).as("correct"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Per-sample margin mining over the same distance relation: for every
+    // vector, d(own-class centroid) minus d(nearest OTHER-class centroid),
+    // plus that hard-negative label — the contrastive-training signal
+    // (which classes crowd each other, which samples sit past the
+    // boundary: margin > 0 = misclassified by 1-NN centroids). Distances
+    // are snapped BEFORE the subtraction, so the margin arithmetic is
+    // IEEE-exact cross-engine — no second snap. Same linear broadcast-fan
+    // shape as q_centroid_assign; the window ranks k-1 rows per vector.
+    QueryDef(
+      "q_centroid_margin",
+      Some(s"""WITH $centroidDistCte,
+             |own AS (SELECT vec_id, label, dist AS d_own FROM d WHERE c_label = label),
+             |o AS (
+             |  SELECT vec_id, c_label, dist,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+             |  FROM d WHERE c_label <> label)
+             |SELECT own.vec_id, own.label,
+             |  o.c_label AS hard_negative_label,
+             |  own.d_own - o.dist AS margin
+             |FROM own JOIN o ON own.vec_id = o.vec_id AND o.rn = 1""".stripMargin),
+      (s, dir) => {
+        val d = centroidDistances(s, dir)
+        val own = d.where(col("c_label") === col("label"))
+          .select(col("vec_id"), col("label"), col("dist").as("d_own"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"))
+          .orderBy(col("dist"), col("c_label"))
+        val hardNeg = d.where(col("c_label") =!= col("label"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("c_label").as("hard_negative_label"),
+            col("dist").as("d_neg"))
+        own.join(hardNeg, Seq("vec_id"))
+          .select(col("vec_id"), col("label"), col("hard_negative_label"),
+            (col("d_own") - col("d_neg")).as("margin"))
       }),
 
     QueryDef(

@@ -112,4 +112,29 @@ class AnalyticsSpec extends SparkSpec {
       Seq((0L, gapUs, 1L), (gapUs + 1, 2L * gapUs + 1, 1L)),
       "events one microsecond past the gap must split")
   }
+
+  test("q_centroid_margin is sign-consistent with q_centroid_assign: " +
+    "positive margin == 1-NN misclassification") {
+    val dir = "/root/testdata/sf0.001"
+    val assign = graft.SparkEntry.queries("q_centroid_assign")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val margins = graft.SparkEntry.queries("q_centroid_margin")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getDouble(3)))
+    assert(margins.nonEmpty && margins.length === assign.size)
+    margins.foreach { case (vid, label, hardLabel, margin) =>
+      assert(hardLabel != label, s"vec $vid: hard negative is own class")
+      // strictly positive margin: another centroid is strictly closer ->
+      // the assign query must have marked the vector incorrect; strictly
+      // negative: own centroid strictly closest -> correct. (margin == 0
+      // resolves by label tie-break; absent from this fixture.)
+      if (margin > 0) assert(!assign(vid),
+        s"vec $vid: margin $margin > 0 but assign says correct")
+      else if (margin < 0) assert(assign(vid),
+        s"vec $vid: margin $margin < 0 but assign says incorrect")
+    }
+    // the fixture must exercise both sides of the boundary
+    assert(margins.exists(_._4 > 0) && margins.exists(_._4 < 0),
+      "fixture degenerate: all margins on one side")
+  }
 }
