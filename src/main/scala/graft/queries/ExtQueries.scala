@@ -957,6 +957,43 @@ object ExtQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Inverted-index build: token → document frequency + capped posting
+    // list (first 20 doc ids) — the search/lookup index a corpus toolchain
+    // materializes beside the parquet. The cap is applied BEFORE any list
+    // is collected: a row_number over (token, doc_id) keeps 20 rows per
+    // token while a same-partition count window carries the FULL df, so a
+    // stopword's million-doc posting list never exists in memory — both
+    // windows share one token-keyed shuffle and the groupBy reuses its
+    // partitioning. Postings ship as a comma-joined sorted string (the
+    // q_array_agg convention for array outputs under the hash gate).
+    QueryDef(
+      "q_inverted_index",
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
+             |  FROM documents),
+             |e AS (SELECT doc_id, unnest(toks) AS token FROM t)
+             |SELECT token, CAST(count(*) AS BIGINT) AS df,
+             |  array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
+             |FROM e GROUP BY token""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val e = docs(s, dir)
+          .select($"doc_id", explode(TextFunctions.arrayBarrier(
+            array_distinct(TextFunctions.termsAlnum($"text")))).as("token"))
+        val wOrd = Window.partitionBy($"token").orderBy($"doc_id")
+        val wAll = Window.partitionBy($"token")
+        e.withColumn("rn", row_number().over(wOrd))
+          .withColumn("full_df", count(lit(1)).over(wAll))
+          .where($"rn" <= 20)
+          .groupBy($"token")
+          .agg(max($"full_df").as("df"),
+            array_join(
+              transform(array_sort(collect_list($"doc_id")),
+                x => x.cast("string")), ",").as("postings"))
+      }),
+
+    // ------------------------------------------------------------------
     // Mixture sampling: down-sample sources to target keep rates with a
     // seedless md5-uniform (Corpus.mixtureSample) — reproducible row-level
     // keep set on any partitioning, which is exactly what the full-row
