@@ -163,6 +163,25 @@ object ExtQueries {
     * q_corpus_funnel_exact, so a blend/stopword fix lands in both oracles
     * at once instead of silently diverging.
     */
+  /** Connected components over the 0.3-Jaccard pair graph — edges →
+    * undirected closure → `comp(doc_id, component)` — shared verbatim by
+    * q_dedup_clusters / q_dedup_canonical / q_dedup_weights (single-source
+    * rule; callers prepend `WITH RECURSIVE $jaccardPairsCte,`).
+    */
+  private val componentsCte: String =
+    """edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.3
+      |), und AS (
+      |  SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
+      |), reach(n, m) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT u.b, r.m FROM reach r JOIN und u ON u.a = r.n
+      |), comp AS (
+      |  SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
+      |)""".stripMargin
+
   private val qualityScoreSql: String =
     """CASE WHEN CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) > 0.0
       |         THEN CAST(length(regexp_extract_all(lower(text), '\b(the|and|is|of|to|a|in)\b')) AS DOUBLE)
@@ -2315,18 +2334,9 @@ object ExtQueries {
     // label propagation.
     QueryDef(
       "q_dedup_clusters",
-      Some(s"""WITH RECURSIVE $jaccardPairsCte, edges AS (
-             |  SELECT doc_a AS a, doc_b AS b FROM pairs
-             |  WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.3
-             |), und AS (
-             |  SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
-             |), reach(n, m) AS (
-             |  SELECT doc_id, doc_id FROM documents
-             |  UNION
-             |  SELECT u.b, r.m FROM reach r JOIN und u ON u.a = r.n
-             |)
-             |SELECT n AS doc_id, min(m) AS component, min(m) = n AS is_canonical
-             |FROM reach GROUP BY n""".stripMargin),
+      Some(s"""WITH RECURSIVE $jaccardPairsCte, $componentsCte
+             |SELECT doc_id, component, component = doc_id AS is_canonical
+             |FROM comp""".stripMargin),
       (s, dir) => {
         val d = docs(s, dir)
         val pairs = Dedup.jaccardPairs(d, "doc_id", "text")
@@ -2334,6 +2344,34 @@ object ExtQueries {
           .connectedComponents(d.select("doc_id"), "doc_id",
             pairs, "doc_a", "doc_b")
           .withColumn("is_canonical", col("component") === col("doc_id"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Soft-dedup sampling weights: 1/|cluster| per document over the same
+    // component relation — the modern alternative to hard removal
+    // (SoftDeDup-family): training keeps every copy but downweights it so
+    // a 40x-duplicated page contributes one page of gradient mass. The
+    // weight divide is a single IEEE operation on exact integers —
+    // identical in both engines, no snap. One size aggregation + one join
+    // back, both on the component key, on top of the shared CC machinery.
+    QueryDef(
+      "q_dedup_weights",
+      Some(s"""WITH RECURSIVE $jaccardPairsCte, $componentsCte,
+             |sizes AS (
+             |  SELECT component, CAST(count(*) AS BIGINT) AS n_members
+             |  FROM comp GROUP BY 1)
+             |SELECT c.doc_id, c.component, s.n_members,
+             |  1.0 / s.n_members AS weight
+             |FROM comp c JOIN sizes s USING (component)""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val comp = Components.connectedComponents(d.select("doc_id"), "doc_id",
+          Dedup.jaccardPairs(d, "doc_id", "text"), "doc_a", "doc_b")
+        val sizes = comp.groupBy(col("component"))
+          .agg(count(lit(1)).as("n_members"))
+        comp.join(sizes, Seq("component"))
+          .select(col("doc_id"), col("component"), col("n_members"),
+            (lit(1.0) / col("n_members")).as("weight"))
       }),
 
     // ------------------------------------------------------------------
@@ -2350,18 +2388,7 @@ object ExtQueries {
     // component derivation.
     QueryDef(
       "q_dedup_canonical",
-      Some(s"""WITH RECURSIVE $jaccardPairsCte, edges AS (
-             |  SELECT doc_a AS a, doc_b AS b FROM pairs
-             |  WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.3
-             |), und AS (
-             |  SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
-             |), reach(n, m) AS (
-             |  SELECT doc_id, doc_id FROM documents
-             |  UNION
-             |  SELECT u.b, r.m FROM reach r JOIN und u ON u.a = r.n
-             |), comp AS (
-             |  SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
-             |), scored AS (
+      Some(s"""WITH RECURSIVE $jaccardPairsCte, $componentsCte, scored AS (
              |  SELECT doc_id,
              |  $qualityScoreSql
              |    AS quality
