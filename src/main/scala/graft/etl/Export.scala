@@ -385,4 +385,28 @@ object Export {
     }
     errors.toSeq
   }
+
+  /** JSON-Lines corpus sink — the training-data interchange format (one
+    * JSON object per line; every tokenizer/loader stack reads it).
+    * `gzip = true` writes .json.gz shards, the on-the-wire norm for text
+    * corpora (JSONL compresses 5-10×; Spark reads the shards back with
+    * codec auto-detection, splittability traded away per shard — size
+    * shards via upstream repartition, not file splits). Column order in
+    * each object follows the DataFrame schema, so a stable `select`
+    * upstream gives byte-stable lines for downstream checksumming.
+    */
+  def writeJsonl(df: DataFrame, outDir: String, gzip: Boolean = false): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (gzip) w.option("compression", "gzip") else w).json(outDir)
+  }
+
+  /** Read a JSONL directory under an EXPLICIT schema. Schema-on-read
+    * inference is a full extra pass over 100 TB and quietly widens types
+    * (ints→bigints, mixed→string); the declared-schema contract matches
+    * the engine's CSV stance (Extract's FAILFAST reader). Fields absent
+    * from a line surface as NULLs; extra fields are ignored.
+    */
+  def readJsonl(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(dir)
 }

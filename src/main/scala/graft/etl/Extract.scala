@@ -300,4 +300,40 @@ object Extract {
         .select(($"run_id" +: metaSchema.fieldNames.map(f => col(s"m.$f"))): _*)
     })
   }
+
+  /** PERMISSIVE CSV reader with a quarantine lane — the production
+    * complement to the FAILFAST readers above. FAILFAST is right when a
+    * corrupt file should fail its RUN (the <50% run-tolerance contract);
+    * at fleet scale a single mangled row must NOT kill a 100 TB job — it
+    * routes to quarantine with its raw text intact for triage, and the
+    * clean rows flow on. Returns (good, quarantined): `good` carries the
+    * declared schema; `quarantined` carries the verbatim offending line.
+    *
+    * The raw read is cached before splitting: Spark disallows filtering a
+    * lazy CSV relation on ONLY the internal corrupt-record column
+    * (SPARK-38523 family — the column is populated during parsing of the
+    * OTHER columns, so a corrupt-only projection would read nothing); the
+    * cache also makes the two lanes consistent — one parse feeds both,
+    * so a row can never appear in neither or both.
+    */
+  def readCsvQuarantine(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType)
+      : (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "schema must not already declare _corrupt_record")
+    val withCorrupt = schema.add("_corrupt_record",
+      org.apache.spark.sql.types.StringType, nullable = true)
+    val raw = spark.read
+      .schema(withCorrupt)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+      .cache()
+    val good = raw.where(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val bad = raw.where(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (good, bad)
+  }
 }

@@ -110,4 +110,29 @@ class ExtractSpec extends SparkSpec {
     assert(members("zones").schema("air_temp_C").dataType ==
       org.apache.spark.sql.types.DoubleType)
   }
+
+  test("quarantine CSV reader: clean rows parse under the schema, mangled " +
+    "rows land verbatim in the quarantine lane, nothing lost or doubled") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_quarantine_")
+    Files.writeString(dir.resolve("data.csv"),
+      """id,name,score
+        |1,alice,0.5
+        |2,bob,not_a_number
+        |3,carol,0.75
+        |4,dave""".stripMargin + "\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val (good, bad) = Extract.readCsvQuarantine(spark, dir.toString, schema)
+    val goodRows = good.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(goodRows === Set((1L, "alice", 0.5), (3L, "carol", 0.75)))
+    assert(good.columns.toSeq === Seq("id", "name", "score"))
+    val badRows = bad.collect().map(_.getString(0)).toSet
+    // the verbatim offending lines, intact for triage
+    assert(badRows === Set("2,bob,not_a_number", "4,dave"))
+    assert(goodRows.size + badRows.size == 4, "a row vanished or doubled")
+  }
 }

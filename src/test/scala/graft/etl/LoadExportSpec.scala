@@ -188,4 +188,37 @@ class LoadExportSpec extends SparkSpec {
     assert(errs.exists(_.contains("annual.total_kwh")))
     assert(errs.exists(_.contains("monthly_breakdown")))
   }
+
+  test("JSONL sink round-trips unicode, nested structs, arrays, and NULLs; " +
+    "gzip shards read back identically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Option("café 日本語 \"quoted\"\nline2"), Seq(1, 2, 3)),
+      (2L, Option.empty[String], Seq.empty[Int]))
+      .toDF("id", "text", "nums")
+      .withColumn("meta", struct(col("id").as("inner_id"),
+        lit("x").as("tag")))
+    val schema = df.schema
+    for (gz <- Seq(false, true)) {
+      val out = Files.createTempDirectory(s"graft_jsonl_$gz").toString
+      Export.writeJsonl(df, out, gzip = gz)
+      if (gz) {
+        val files = new java.io.File(out).listFiles()
+          .filter(_.getName.endsWith(".json.gz"))
+        assert(files.nonEmpty, "gzip shards expected")
+      }
+      val back = Export.readJsonl(spark, out, schema)
+      assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty,
+        s"JSONL round-trip mismatch (gzip=$gz)")
+    }
+    // absent fields -> NULL; extra fields ignored (the schema-on-read
+    // contract stated in the scaladoc)
+    val loose = Files.createTempDirectory("graft_jsonl_loose")
+    Files.writeString(loose.resolve("part-0.json"),
+      """{"id": 7, "unexpected": true}""" + "\n")
+    val readBack = Export.readJsonl(spark, loose.toString, schema).collect()
+    assert(readBack.length == 1 && readBack(0).getLong(0) == 7L &&
+      readBack(0).isNullAt(schema.fieldIndex("text")))
+  }
 }
