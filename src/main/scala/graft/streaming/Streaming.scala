@@ -714,6 +714,69 @@ object Streaming {
       shingleN, nPerms, nBands, minBandsGate, trigger)
   }
 
+  final case class HhInput(shard: Int, item: String, w: Long)
+  final case class HhEntry(item: String, count: Long, err: Long)
+  final case class HhState(entries: List[HhEntry], n: Long)
+  final case class HhOutput(shard: Int, item: String, count: Long, err: Long,
+      shard_total: Long)
+
+  /** Streaming heavy hitters with HARD-BOUNDED state — Space-Saving
+    * (Metwally et al.) inside flatMapGroupsWithState.
+    *
+    * Every other stateful operator here bounds its state by key horizon
+    * (watermarks) or by entity count (per-user). A "top tokens on the
+    * stream" ask has NEITHER bound: the key domain is the vocabulary, and
+    * keying state by token would grow the store with every novel token
+    * forever — the classic unbounded-state leak. Space-Saving caps it by
+    * construction: each shard keeps exactly `capacity` (item, count, err)
+    * entries; a novel item past capacity evicts the minimum-count entry
+    * and inherits its count as its error bound. Guarantees per shard:
+    * true_freq ≤ count, count − err ≤ true_freq, and every item with
+    * true_freq > n/capacity is IN the summary — the same one-sided
+    * contract as the batch CMS query, state = O(nShards·capacity)
+    * regardless of vocabulary or stream length.
+    *
+    * Sharding is the parallelism axis (hash(token) % nShards upstream,
+    * one summary per shard across the cluster); a reader merges shard
+    * summaries by summing per-item counts/errs — item→shard is
+    * many-to-one, so cross-shard merge stays guarantee-preserving. Each
+    * batch emits the shard's CURRENT summary (Update mode); the latest
+    * emission per (shard, item) is the live view. Batch-fold order inside
+    * a group is Spark-iterator order (not guaranteed stable), so WHICH
+    * tail item holds a summary slot can vary run to run — the guarantees
+    * above hold for every order, and the spec asserts exactly those, not
+    * slot identity.
+    */
+  def heavyHittersStream(tokens: Dataset[HhInput],
+      capacity: Int): Dataset[HhOutput] = {
+    import tokens.sparkSession.implicits._
+    require(capacity >= 1, "capacity must be >= 1")
+    tokens.groupByKey(_.shard)
+      .flatMapGroupsWithState[HhState, HhOutput](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[HhInput], state: GroupState[HhState]) =>
+          val st = state.getOption.getOrElse(HhState(Nil, 0L))
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+          st.entries.foreach(e => m(e.item) = (e.count, e.err))
+          var n = st.n
+          rows.foreach { r =>
+            n += r.w
+            m.get(r.item) match {
+              case Some((c, e)) => m(r.item) = (c + r.w, e)
+              case None if m.size < capacity => m(r.item) = (r.w, 0L)
+              case None =>
+                // evict the min-count victim (count, then item — total order)
+                val (victim, (vc, _)) = m.minBy { case (it, (c, _)) => (c, it) }
+                m.remove(victim)
+                m(r.item) = (vc + r.w, vc)
+            }
+          }
+          state.update(HhState(
+            m.iterator.map { case (it, (c, e)) => HhEntry(it, c, e) }.toList, n))
+          m.iterator.map { case (it, (c, e)) => HhOutput(shard, it, c, e, n) }
+      }
+  }
+
   /** Runs a streaming aggregation to a named in-memory sink with an
     * AvailableNow trigger (process everything currently on disk, then
     * terminate). Callers should `awaitTermination()`, NOT

@@ -953,4 +953,56 @@ class StreamingSpec extends SparkSpec {
         abs(col("total_value") - col("t")) > 1e-9)
     assert(joined.count() == 0)
   }
+
+  test("streaming heavy hitters: state hard-bounded at capacity, counts " +
+    "one-sided, every above-threshold item present, batches accumulate") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // shard 0: 3 heavy items + a long unique tail; true frequencies known
+    val heavy = Seq("h1" -> 50L, "h2" -> 30L, "h3" -> 20L)
+    val tail1 = (0 until 40).map(i => Streaming.HhInput(0, s"t$i", 1L))
+    val batch1 = heavy.flatMap { case (it, c) =>
+      Seq.fill(c.toInt / 2)(Streaming.HhInput(0, it, 1L)) } ++ tail1 ++
+      Seq(Streaming.HhInput(1, "other_shard", 5L))
+    val batch2 = heavy.flatMap { case (it, c) =>
+      Seq.fill(c.toInt - c.toInt / 2)(Streaming.HhInput(0, it, 1L)) } ++
+      (40 until 80).map(i => Streaming.HhInput(0, s"t$i", 1L))
+
+    val capacity = 10
+    val mem = MemoryStream[Streaming.HhInput]
+    mem.addData(batch1: _*)
+    mem.addData(batch2: _*)
+    val q = Streaming.runToMemory(
+      Streaming.heavyHittersStream(mem.toDS(), capacity).toDF(), "hh",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    q.awaitTermination(120000); q.stop()
+
+    val out = spark.table("hh").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // latest emission per (shard, item) = the live summary rows; the final
+    // shard-0 summary is the rows carrying the final shard_total
+    val n0 = (batch1 ++ batch2).filter(_.shard == 0).map(_.w).sum
+    val finalS0 = out.filter(r => r._1 == 0 && r._5 == n0)
+    assert(finalS0.nonEmpty && finalS0.size <= capacity,
+      s"summary must be bounded at $capacity: ${finalS0.size}")
+    val trueFreq = ((0 until 80).map(i => s"t$i" -> 1L) ++ heavy).toMap
+    finalS0.foreach { case (_, item, count, err, _) =>
+      val t = trueFreq(item)
+      assert(count >= t, s"$item: count $count underestimates true $t")
+      assert(count - err <= t, s"$item: count-err ${count - err} exceeds $t")
+    }
+    // Space-Saving guarantee: true_freq > n/capacity => in the summary
+    val threshold = n0.toDouble / capacity
+    heavy.filter(_._2 > threshold).foreach { case (it, c) =>
+      assert(finalS0.exists(_._2 == it),
+        s"heavy item $it (freq $c > $threshold) missing from summary")
+    }
+    // counts accumulated across the two batches (not reset per batch)
+    assert(finalS0.find(_._2 == "h1").get._3 >= 50L)
+    // the other shard kept its own independent summary
+    assert(out.exists(r => r._1 == 1 && r._2 == "other_shard" && r._3 == 5L))
+  }
 }
