@@ -1,6 +1,6 @@
 package graft.extensions
 
-import graft.functions.expr.{GraftCosine, GraftDot, GraftLshBucket, GraftNfc, GraftNorm2, GraftWinnow}
+import graft.functions.expr.{GraftCosine, GraftDeflateLen, GraftDot, GraftLshBucket, GraftNfc, GraftNorm2, GraftWinnow}
 import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -86,7 +86,13 @@ object GraftExtensions {
     ("graft_nfc",
       info("graft_nfc",
         "graft_nfc(text) - Unicode NFC (canonical composition) normalization."),
-      (args: Seq[Expression]) => { arity("graft_nfc", args, 1); GraftNfc(args.head) }))
+      (args: Seq[Expression]) => { arity("graft_nfc", args, 1); GraftNfc(args.head) }),
+    ("graft_deflate_len",
+      info("graft_deflate_len",
+        "graft_deflate_len(text) - zlib-deflated byte length (compression-" +
+          "ratio quality filter primitive)."),
+      (args: Seq[Expression]) => {
+        arity("graft_deflate_len", args, 1); GraftDeflateLen(args.head) }))
 
   /** Imperative registration on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -277,6 +277,22 @@ object TextFunctions {
   def normalizeText(text: Column): Column =
     lower(nfc(regexp_replace(text, zeroWidthCtlRe, "")))
 
+  /** zlib-deflated byte length (native [[graft.functions.expr.GraftDeflateLen]]). */
+  def deflateLen(text: Column): Column = {
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    B.column(graft.functions.expr.GraftDeflateLen(B.expression(text)))
+  }
+
+  /** Compression-ratio quality signal: deflated bytes / raw UTF-8 bytes —
+    * the RefinedWeb-family filter. LOW ratio = repetitive boilerplate
+    * (keyword stuffing, templates); a ratio NEAR/OVER a natural-language
+    * baseline (~0.4-0.6 English prose) flags noise/binary junk. NULL on
+    * empty text (a 0/0 lane is a classification no-op, not a 0).
+    */
+  def compressRatio(text: Column): Column =
+    when(octet_length(text) > 0,
+      deflateLen(text).cast("double") / octet_length(text).cast("double"))
+
   /** Tracking query parameters a crawl canonicalizer strips before URL
     * dedup — `key=` prefixes, anchored; shared with the oracle so the list
     * edits in one place (cf. the reference's parse-then-normalize field

@@ -930,6 +930,34 @@ object ExtQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Compression-ratio quality filter (TextFunctions.compressRatio over
+    // the native graft_deflate_len): deflated/raw bytes — the RefinedWeb-
+    // family gate that catches keyword-stuffing boilerplate (ratio craters)
+    // and binary junk (ratio ~1) with zero linguistics. zlib output is a
+    // JVM property, not ANSI — so like q_approx_distinct this is PROPERTY-
+    // oracled: each doc gets two equal-length salted variants (225 chars of
+    // repeated phrase vs 7 chained md5s = 224 pseudorandom hex chars) and
+    // the declared flags assert the ORDER the filter relies on — the
+    // repetitive variant must compress strictly better — plus sane bounds.
+    // A broken deflate (constant length, identity) flips every row's flag.
+    QueryDef(
+      "q_compress_ratio",
+      Some("""SELECT doc_id, true AS rep_lt_rnd, true AS ratio_sane
+             |FROM documents""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val repSalt = concat($"text", lit(" "),
+          repeat(lit("spam ham "), 25))
+        val rndSalt = concat(($"text" +: lit(" ") +:
+          (1 to 7).map(k => md5(concat($"doc_id", lit(s"#$k"))))): _*)
+        val rRep = TextFunctions.compressRatio(repSalt)
+        val rRnd = TextFunctions.compressRatio(rndSalt)
+        docs(s, dir).select($"doc_id",
+          (rRep < rRnd).as("rep_lt_rnd"),
+          (rRep > 0.0 && rRnd <= 1.2).as("ratio_sane"))
+      }),
+
+    // ------------------------------------------------------------------
     // Zipf slope: OLS fit of ln(freq) on ln(rank) over the top-100 tokens.
     // Natural corpora sit near −1; template/boilerplate floods flatten the
     // head, synthetic or truncated text steepens it — a one-number corpus-
