@@ -454,6 +454,20 @@ object ExtQueries {
     }.reduce(_ unionByName _)
   }
 
+  /** ×`m` corpus growth for TEXT operators (the [[embTimes]] sibling):
+    * copies carry offset ids and a copy-distinct perturbation token so the
+    * multiplied corpus behaves like a larger crawl (boundaries and hashes
+    * shift) rather than m exact replicas.
+    */
+  private def docsTimes(s: SparkSession, dir: String, m: Int): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    (0 until m).map { c =>
+      if (c == 0) d
+      else d.select((col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+        concat(col("text"), lit(s" c$c v"), col("doc_id") % 97).as("text"))
+    }.reduce(_ unionByName _)
+  }
+
   /** The at-scale hyperplane count for an ×`m` corpus: production LSH holds
     * BUCKET OCCUPANCY constant by adding a plane per corpus doubling
     * (buckets ∝ 2^nPlanes), so growth measurements exercise the knob a real
@@ -530,6 +544,12 @@ object ExtQueries {
     }),
     "q_sim_clusters_x1" -> ((s, dir) => simClustersScale(embTimes(s, dir, 1), 1)),
     "q_sim_clusters_x4" -> ((s, dir) => simClustersScale(embTimes(s, dir, 4), 4)),
+    // CDC chunking growth: map-only boundaries + ONE content-hash shuffle
+    // claims LINEAR growth — the ×1/×4 pair makes that a measured artifact
+    "q_chunk_cdc_x1" -> ((s, dir) =>
+      Corpus.cdcChunks(docsTimes(s, dir, 1), "doc_id", "text", 3, 8)),
+    "q_chunk_cdc_x4" -> ((s, dir) =>
+      Corpus.cdcChunks(docsTimes(s, dir, 4), "doc_id", "text", 3, 8)),
     // the streaming near-dup gate's verification knob, timed at both ends
     // (VERDICT r8 #7): gate=1 is the classic any-collision LSH drop (a
     // keeper-join per bucket), 6-of-8 verifies candidates by distinct-band
@@ -1913,6 +1933,61 @@ object ExtQueries {
       (s, dir) => Corpus.splitAssign(
         docs(s, dir).select(col("doc_id"), col("source")),
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
+
+    // ------------------------------------------------------------------
+    // Cross-split leakage audit: q_decontaminate guards against an
+    // EXTERNAL benchmark; this closes the internal hole — a val/test doc
+    // whose ≥0.9-Jaccard near-dup landed in train makes the eval split
+    // lie, and a hash split assigns copies independently so it WILL
+    // happen. Composes the two single-sourced relations (split CASE +
+    // jaccardPairsCte) into: per eval doc, the count of its train-side
+    // near-dup partners + the leak flag. The split criterion and pair
+    // truth are the exact forms their own gates certify, so this query is
+    // fully hash-oracled. Scale shape: splitAssign is map-only, pairs are
+    // the bucketed candidate machinery, and the membership probe is one
+    // doc-keyed join.
+    QueryDef(
+      "q_split_leakage",
+      Some(s"""WITH $jaccardPairsCte, sp AS (
+             |  SELECT doc_id,
+             |    CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+             |         WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM documents),
+             |und AS (
+             |  SELECT doc_a AS a, doc_b AS b FROM pairs
+             |  WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.9
+             |  UNION ALL
+             |  SELECT doc_b, doc_a FROM pairs
+             |  WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.9),
+             |l AS (
+             |  SELECT u.a AS doc_id, CAST(count(*) AS BIGINT) AS n
+             |  FROM und u JOIN sp pt ON pt.doc_id = u.b AND pt.split = 'train'
+             |  GROUP BY 1)
+             |SELECT e.doc_id, e.split,
+             |  COALESCE(l.n, 0) AS n_train_dups,
+             |  l.n IS NOT NULL AS leaked
+             |FROM (SELECT doc_id, split FROM sp WHERE split <> 'train') e
+             |LEFT JOIN l ON e.doc_id = l.doc_id""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val d = docs(s, dir)
+        val sp = Corpus.splitAssign(d.select($"doc_id"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        val p = Dedup.jaccardPairs(d, "doc_id", "text")
+          .where($"n_inter".cast("double")
+            / ($"n_a" + $"n_b" - $"n_inter").cast("double") >= 0.9)
+        val und = p.select($"doc_a".as("a"), $"doc_b".as("b"))
+          .unionByName(p.select($"doc_b".as("a"), $"doc_a".as("b")))
+        val leaks = und
+          .join(sp.where($"split" === "train").select($"doc_id".as("b")), "b")
+          .groupBy($"a").agg(count(lit(1)).as("n"))
+        sp.where($"split" =!= "train")
+          .join(leaks, sp("doc_id") === leaks("a"), "left")
+          .select($"doc_id", $"split",
+            coalesce($"n", lit(0L)).as("n_train_dups"),
+            $"n".isNotNull.as("leaked"))
+      }),
 
     // ------------------------------------------------------------------
     // Document fingerprinting. FULLY oracled since r8 via the portable
