@@ -747,6 +747,49 @@ object AnalyticsQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Privacy prep for training on behavioral logs: q_pii_scrub cleans
+    // free text; this anonymizes the STRUCTURED side. Keyed
+    // pseudonymization (md5 over a pepper — a literal here, a secret in
+    // production — same id ⇒ same pseudonym, so per-user sequence
+    // structure survives for modeling while raw ids never leave),
+    // timestamp generalized to the hour, and k-anonymity suppression on
+    // the (event_type, hour) quasi-identifier: any row in a group
+    // smaller than k=5 gets its type masked, because a lone "purchase at
+    // 3am on the 14th" re-identifies regardless of the pseudonym. One
+    // window shuffle on the quasi-identifier; everything else map-only.
+    QueryDef(
+      "q_pseudonymize",
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, event_type,
+             |    epoch_us(CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)) AS hour_us
+             |  FROM events),
+             |g AS (
+             |  SELECT event_id, user_id, event_type, hour_us,
+             |    CAST(count(*) OVER (PARTITION BY event_type, hour_us) AS BIGINT) AS n
+             |  FROM e)
+             |SELECT event_id,
+             |  'u_' || substr(md5('pepper:' || CAST(user_id AS VARCHAR)), 1, 12) AS pseudonym,
+             |  CASE WHEN n < 5 THEN '*' ELSE event_type END AS event_type_anon,
+             |  hour_us,
+             |  n < 5 AS suppressed
+             |FROM g""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "events")
+          .select($"event_id", $"user_id", $"event_type",
+            unix_micros(date_trunc("hour", $"ts")).as("hour_us"))
+        val n = count(lit(1)).over(
+          Window.partitionBy($"event_type", $"hour_us"))
+        e.withColumn("n", n)
+          .select($"event_id",
+            concat(lit("u_"), substring(
+              md5(concat(lit("pepper:"), $"user_id")), 1, 12)).as("pseudonym"),
+            when($"n" < 5, "*").otherwise($"event_type").as("event_type_anon"),
+            $"hour_us",
+            ($"n" < 5).as("suppressed"))
+      }),
+
+    // ------------------------------------------------------------------
     // Full outer join — both-sided preservation: customers with only urgent
     // orders, only low-priority orders, or both (the two pre-aggregations
     // make each side unique on the key, so the join is 1:1 and both NULL
