@@ -609,6 +609,50 @@ object Dedup {
           .otherwise(lit(0.0)).as("dup_span_ratio"))
   }
 
+  /** Per-document n-gram NOVELTY against everything crawled before it —
+    * the diminishing-returns curve of a growing corpus: a doc's novelty is
+    * the fraction of its distinct `shingleN`-grams whose FIRST appearance
+    * (minimum doc id, ingest order) is this doc. Fresh crawl slices score
+    * high; recrawls and template farms trend toward 0 — the read that
+    * tells a pipeline when a source has stopped paying for its ingest.
+    *
+    * Same shape and sharing discipline as [[dupSpanStats]]: one explicit
+    * shingle repartition consumed by BOTH the first-seen aggregation
+    * (min doc id per shingle) and the join back (ReusedExchange — the
+    * [[pruneGuard]] keeps the two exchange copies canonically equal, else
+    * the tokenize→shingle explode runs twice), then one doc-keyed re-agg.
+    * A shingle seen in a million docs costs one first-seen row, never a
+    * pair explosion. All-integer counts + one IEEE divide: fully
+    * hash-oracled with no snapping.
+    */
+  def noveltyStats(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val byDoc = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .where(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        arrayBarrier(array_distinct(shinglesFromTokens(col("toks"), shingleN)))
+          .as("shs"))
+      .select(col("doc_id"), size(col("shs")).as("n_shingles"),
+        explode(col("shs")).as("shingle"))
+      .repartition(col("shingle"))
+    val firstSeen = byDoc.groupBy(col("shingle"))
+      .agg((min(col("doc_id")) +
+        Dedup.pruneGuard(struct(col("doc_id"), col("n_shingles")))).as("first_doc"))
+    val perDoc = byDoc.join(firstSeen, "shingle")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+        .as("n_novel"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_shingles") > 0,
+          col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+  }
+
   /** The most-copied passages themselves — the diagnostic that tells a
     * pipeline operator WHAT the boilerplate is before deciding what
     * [[dupSpanStats]]/[[dupRunStats]] should excise: every distinct

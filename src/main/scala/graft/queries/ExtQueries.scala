@@ -2239,6 +2239,38 @@ object ExtQueries {
       (s, dir) => Dedup.jaccardPairs(docs(s, dir), "doc_id", "text")),
 
     // ------------------------------------------------------------------
+    // N-gram novelty vs everything crawled before (Dedup.noveltyStats):
+    // per doc, the fraction of its distinct 3-grams FIRST seen (min doc
+    // id, ingest order) in this doc — the diminishing-returns curve that
+    // tells a pipeline when a source stopped paying for its ingest. Same
+    // shared-exchange shape as q_dedup_spans (first-seen agg + join back
+    // reuse one shingle exchange); all-int counts + one IEEE divide, NULL
+    // novelty for shingle-less docs; fully hash-oracled.
+    QueryDef(
+      "q_ngram_novelty",
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct(
+             |    CASE WHEN len(t) >= 3
+             |         THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+             |         ELSE [] END) AS shs
+             |  FROM (SELECT doc_id,
+             |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+             |        FROM documents)),
+             |ex AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS shingle FROM sh),
+             |fs AS (SELECT shingle, min(doc_id) AS first_doc FROM ex GROUP BY 1),
+             |p AS (
+             |  SELECT ex.doc_id, ex.n,
+             |    CAST(sum(CASE WHEN fs.first_doc = ex.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS nn
+             |  FROM ex JOIN fs USING (shingle)
+             |  GROUP BY 1, 2)
+             |SELECT d.doc_id,
+             |  CAST(COALESCE(p.n, 0) AS INT) AS n_shingles,
+             |  COALESCE(p.nn, 0) AS n_novel,
+             |  CASE WHEN p.n > 0 THEN CAST(p.nn AS DOUBLE) / CAST(p.n AS DOUBLE) END AS novelty
+             |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id""".stripMargin),
+      (s, dir) => Dedup.noveltyStats(docs(s, dir), "doc_id", "text")),
+
+    // ------------------------------------------------------------------
     // Span-level dedup signal (Dedup.dupSpanStats): per-doc count/fraction
     // of distinct 8-token spans shared with ≥1 other document. Fully
     // ANSI-expressible (exact string spans, int counts, one IEEE division)

@@ -475,6 +475,24 @@ class OperatorsSpec extends SparkSpec {
     assert(strip("  a\t\t b\n\n<p>\n</p> c  ") == "a b c")
   }
 
+  test("noveltyStats: first doc owns its shingles, an exact recrawl scores " +
+    "0, partial overlap scores the un-seen fraction, short docs are NULL") {
+    val d = Seq(
+      (1L, "a b c d e"),        // 3 shingles, all first-seen here
+      (2L, "a b c d e"),        // exact copy -> novelty 0
+      (3L, "c d e f g"),        // shares "c d e"; "d e f","e f g" novel
+      (4L, "x y"))              // < 3 tokens -> no shingles
+      .toDF("doc_id", "text")
+    val got = Dedup.noveltyStats(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got(1L) == ((3, 3L, Some(1.0))))
+    assert(got(2L) == ((3, 0L, Some(0.0))))
+    assert(got(3L) == ((3, 2L, Some(2.0 / 3.0))))
+    assert(got(4L) == ((0, 0L, None)))
+  }
+
   test("canonicalizeUrl applies each rule and none it shouldn't") {
     def canon(u: String): String =
       Seq(u).toDF("u").select(TextFunctions.canonicalizeUrl($"u"))
