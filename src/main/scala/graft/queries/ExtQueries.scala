@@ -3267,6 +3267,136 @@ object ExtQueries {
           Ivf.probeClusteredQuantized(s, path, "vec_id", "embedding", "q8", q,
             nProbe = 4, k = 20, rerank = 60),
           Seq("vec_id"), gate = 0.5, boundedTruth = true) // truth = k rows
+      }),
+
+    // ------------------------------------------------------------------
+    // Per-document token entropy: Shannon entropy (nats) of the alnum-token
+    // distribution, plus its normalization by ln(n_distinct) — the
+    // information-density axis of the quality panel, orthogonal to
+    // q_repetition_ratio (which sees only distinct/total, blind to a
+    // SKEWED-but-distinct vocabulary) and to q_compress_ratio (byte-level).
+    // Low raw entropy = tiny vocabulary; low NORMALIZED entropy with a
+    // large vocabulary = boilerplate flooding a natural tail. Scale shape:
+    // the same two-level (doc, token) → doc aggregation as q_inverted_index
+    // — partial map-side combine collapses repeated tokens before either
+    // exchange, per-doc state is one (n, nd, Σ c·ln c) triple, and the
+    // left join back to `documents` (total function: token-less docs emit
+    // n_tokens=0, NULL entropy) is doc-keyed. H = ln(n) − Σ c·ln(c)/n is
+    // algebraically −Σ p·ln p but needs ONE pass and no per-row division;
+    // double sums reorder across engines → snapped 1e-6 AFTER all
+    // arithmetic, and norm_entropy divides the RAW h (mirrored verbatim in
+    // the oracle) so no snapped intermediate feeds later math.
+    QueryDef(
+      "q_token_entropy",
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+             |  FROM documents),
+             |c AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+             |      FROM t GROUP BY 1, 2),
+             |e AS (
+             |  SELECT doc_id,
+             |    CAST(sum(c) AS BIGINT) AS n_tokens,
+             |    CAST(count(*) AS INT) AS n_distinct,
+             |    ln(CAST(sum(c) AS DOUBLE))
+             |      - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+             |        / CAST(sum(c) AS DOUBLE) AS h
+             |  FROM c GROUP BY 1)
+             |SELECT d.doc_id,
+             |  COALESCE(e.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+             |  COALESCE(e.n_distinct, 0) AS n_distinct,
+             |  FLOOR(e.h * 1000000 + 0.5) / 1000000 AS entropy,
+             |  CASE WHEN e.n_distinct > 1
+             |       THEN FLOOR(e.h / ln(CAST(e.n_distinct AS DOUBLE))
+             |                  * 1000000 + 0.5) / 1000000
+             |  END AS norm_entropy
+             |FROM documents d LEFT JOIN e USING (doc_id)""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val snap = (x: Column) => floor(x * lit(1000000) + lit(0.5)) / lit(1000000)
+        val cnt = docs(s, dir)
+          .select($"doc_id", explode(TextFunctions.arrayBarrier(
+            TextFunctions.termsAlnum($"text"))).as("token"))
+          .groupBy($"doc_id", $"token").agg(count(lit(1)).as("c"))
+        val h = log($"n".cast("double")) - $"clc" / $"n".cast("double")
+        val per = cnt.groupBy($"doc_id").agg(
+            sum($"c").as("n"),
+            count(lit(1)).cast("int").as("n_distinct"),
+            sum($"c".cast("double") * log($"c".cast("double"))).as("clc"))
+          .select($"doc_id", $"n".as("n_tokens"), $"n_distinct",
+            snap(h).as("entropy"),
+            when($"n_distinct" > 1,
+              snap(h / log($"n_distinct".cast("double")))).as("norm_entropy"))
+        docs(s, dir).select($"doc_id").join(per, Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+            coalesce($"n_distinct", lit(0)).as("n_distinct"),
+            $"entropy", $"norm_entropy")
+      }),
+
+    // ------------------------------------------------------------------
+    // Per-source token-distribution divergence: KL(P_source ‖ P_corpus) in
+    // nats — the mixture-drift gauge. A source whose unigram distribution
+    // sits far from the blend (machine text, non-prose boilerplate, a
+    // wrongly-bucketed language) scores high; a recrawl of the mainstream
+    // scores ≈ 0 — the one-number ranking that says which source to AUDIT
+    // before q_mixture_temperature reweights it. Every source token is by
+    // construction a corpus token, so the KL is finite without smoothing.
+    // Scale shape: ONE (source, token) aggregation (map-side combine does
+    // the heavy lifting — input tokens collapse to vocab-sized state), a
+    // token-keyed re-agg for corpus counts joined back on the token key,
+    // source totals and the corpus total as broadcast one-row/few-row
+    // sides; nothing funnels through a single partition. Double sums over
+    // the vocabulary reorder → final KL snapped 1e-6.
+    QueryDef(
+      "q_source_divergence",
+      Some("""WITH t AS (
+             |  SELECT source,
+             |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+             |  FROM documents WHERE source IS NOT NULL),
+             |sc AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+             |       FROM t GROUP BY 1, 2),
+             |tc AS (SELECT token, CAST(sum(c) AS BIGINT) AS ct FROM sc GROUP BY 1),
+             |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM sc GROUP BY 1),
+             |n AS (SELECT CAST(sum(ct) AS BIGINT) AS nn FROM tc)
+             |SELECT source, ns AS n_tokens,
+             |  FLOOR(sum((CAST(c AS DOUBLE) / CAST(ns AS DOUBLE))
+             |        * ln((CAST(c AS DOUBLE) / CAST(ns AS DOUBLE))
+             |              / (CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))))
+             |    * 1000000 + 0.5) / 1000000 AS kl_vs_corpus
+             |FROM sc JOIN tc USING (token) JOIN st USING (source) CROSS JOIN n
+             |GROUP BY source, ns""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val snap = (x: Column) => floor(x * lit(1000000) + lit(0.5)) / lit(1000000)
+        // the explicit repartition(token) is the branch point every leg
+        // (count join, corpus re-agg, source totals, grand total) hangs
+        // off — ReusedExchange runs the scan+explode+agg subtree ONCE,
+        // where branching on the bare agg re-executed it per leg (measured
+        // 4 file scans, 0 reuse before this shape). The EXPLICIT isNotNull
+        // filters pre-empt the per-leg inferred ones (each join infers a
+        // different isnotnull set into its own copy, de-canonicalizing the
+        // subtrees — the same 4-scan plan by another road); the oracle
+        // carries the same source filter, and the semantics ("the blend is
+        // over attributed sources") match its NULL-never-equi-joins anyway.
+        val sc = docs(s, dir)
+          .where($"source".isNotNull)
+          .select($"source", explode(TextFunctions.arrayBarrier(
+            TextFunctions.termsAlnum($"text"))).as("token"))
+          .where($"token".isNotNull)
+          .groupBy($"source", $"token").agg(count(lit(1)).as("c"))
+          .repartition($"token")
+        val tc = sc.groupBy($"token").agg(sum($"c").as("ct"))
+        val st = sc.groupBy($"source").agg(sum($"c").as("ns"))
+        val n = tc.agg(sum($"ct").as("nn"))
+        val ps = $"c".cast("double") / $"ns".cast("double")
+        val pc = $"ct".cast("double") / $"nn".cast("double")
+        sc.join(tc, Seq("token"))
+          .join(broadcast(st), Seq("source"))
+          .crossJoin(broadcast(n))
+          .groupBy($"source", $"ns")
+          .agg(snap(sum(ps * log(ps / pc))).as("kl_vs_corpus"))
+          .select($"source", $"ns".as("n_tokens"), $"kl_vs_corpus")
       })
   )
 
