@@ -715,6 +715,21 @@ object ExtQueries {
         .as("dist"))
   }
 
+  /** Hex→uniform digit parse for the DP-noise draw (q_dp_counts): DuckDB
+    * has no base-conversion `conv`, so the oracle parses the first 6 hex
+    * digits of a CTE column `h` = md5(group key) positionally into
+    * [0, 2^24) — the Spark twin spells the same value as
+    * `conv(substring(h,1,6),16,10)`. Generated here so the digit count and
+    * the 2^24 denominator live in one place.
+    */
+  private val dpUniformSql: String = {
+    val terms = (1 to 6).map { i =>
+      val f = 1L << (4 * (6 - i))
+      s"(CAST(strpos('0123456789abcdef', substr(h, $i, 1)) AS DOUBLE) - 1.0) * $f.0"
+    }
+    s"(${terms.mkString("\n        + ")}\n        + 0.5) / 16777216.0"
+  }
+
   /** Spark twin of [[urlSaltSql]]. */
   private def urlSaltCol: Column = {
     val id = col("doc_id")
@@ -3397,6 +3412,105 @@ object ExtQueries {
           .groupBy($"source", $"ns")
           .agg(snap(sum(ps * log(ps / pc))).as("kl_vs_corpus"))
           .select($"source", $"ns".as("n_tokens"), $"kl_vs_corpus")
+      }),
+
+    // ------------------------------------------------------------------
+    // Differentially-private release counts: per-(source, lang) document
+    // counts with Laplace(1/ε) noise — the aggregate-release counterpart
+    // to q_pseudonymize's row-level anonymization (suppression hides rare
+    // groups; DP noise protects EVERY group's exact count against
+    // differencing attacks across releases). The noise is the standard
+    // inverse-CDF draw, but the uniform comes from md5 of the GROUP KEY
+    // (the q_mixture_sample discipline), not a session RNG — so a rerun,
+    // a retry, or the DuckDB oracle regenerates the same release
+    // bit-for-bit (a production release would swap the literal pepper for
+    // a secret draw; the mechanism is identical). (u+0.5)/2^24 keeps u
+    // strictly inside (0,1): noise is bounded by ~16.6/ε, never ±inf.
+    // Scale shape: ONE count aggregation with map-side combine; the hash,
+    // inverse CDF, and snap are per-GROUP literals in codegen — the noise
+    // adds zero distributed work at any corpus size. n_true rides along as
+    // the utility-audit arm (a real release ships only dp_count). ln
+    // ulp-drift across engines → snapped 1e-6.
+    QueryDef(
+      "q_dp_counts",
+      Some(s"""WITH g AS (
+             |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_true
+             |  FROM documents GROUP BY 1, 2),
+             |hx AS (SELECT source, lang, n_true,
+             |       md5(source || '|' || lang) AS h FROM g),
+             |u AS (SELECT source, lang, n_true, $dpUniformSql AS u FROM hx)
+             |SELECT source, lang, n_true,
+             |  FLOOR((n_true + (-1.0)
+             |         * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
+             |         * ln(1.0 - 2.0 * abs(u - 0.5)))
+             |    * 1000000 + 0.5) / 1000000 AS dp_count
+             |FROM u""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val snap = (x: Column) => floor(x * lit(1000000) + lit(0.5)) / lit(1000000)
+        val eps = 1.0
+        val h = md5(concat($"source", lit("|"), $"lang").cast("binary"))
+        val u = (conv(substring(h, 1, 6), 16, 10).cast("long").cast("double")
+          + lit(0.5)) / lit(16777216.0)
+        // CASE, not signum: both engines then share one spelling (at
+        // u = 0.5 exactly the ln(1) factor zeroes the noise either way)
+        val sgn = when(u >= 0.5, lit(1.0)).otherwise(lit(-1.0))
+        val noise = lit(-1.0 / eps) * sgn *
+          log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+        docs(s, dir)
+          .groupBy($"source", $"lang").agg(count(lit(1)).as("n_true"))
+          .select($"source", $"lang", $"n_true",
+            snap($"n_true" + noise).as("dp_count"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Winsorized per-source length stats: clip n_chars at the source's own
+    // [p05, p95], then mean — the robust location estimate that a handful
+    // of megabyte outlier docs cannot drag (plain AVG moves arbitrarily;
+    // the winsorized mean moves by at most the clip bounds), plus the clip
+    // counts themselves as the tail-mass report. Two passes by nature
+    // (the clip depends on the quantiles): pass 1 is the exact per-source
+    // percentile agg (a FEW-ROW result — one row per source), pass 2
+    // re-scans (source, n_chars) only — both columns pruned at the scan —
+    // with the bounds BROADCAST back; no window ever sorts the corpus.
+    // Bounds are snapped 1e-6 BEFORE clipping (quantile_cont/percentile
+    // interpolate in engine-specific double order) so both engines clip
+    // against identical constants; the clipped mean reorders → snapped.
+    QueryDef(
+      "q_winsorize",
+      Some("""WITH p AS (
+             |  SELECT source,
+             |    FLOOR(quantile_cont(n_chars, 0.05) * 1000000 + 0.5) / 1000000 AS p05,
+             |    FLOOR(quantile_cont(n_chars, 0.95) * 1000000 + 0.5) / 1000000 AS p95
+             |  FROM documents GROUP BY 1)
+             |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(CASE WHEN n_chars < p05 THEN 1 END) AS BIGINT) AS n_clipped_lo,
+             |  CAST(count(CASE WHEN n_chars > p95 THEN 1 END) AS BIGINT) AS n_clipped_hi,
+             |  p05, p95,
+             |  FLOOR(avg(CASE WHEN n_chars < p05 THEN p05
+             |                 WHEN n_chars > p95 THEN p95
+             |                 ELSE CAST(n_chars AS DOUBLE) END)
+             |    * 1000000 + 0.5) / 1000000 AS winsor_mean
+             |FROM documents d JOIN p USING (source)
+             |GROUP BY d.source, p05, p95""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val snap = (x: Column) => floor(x * lit(1000000) + lit(0.5)) / lit(1000000)
+        val pct = docs(s, dir).groupBy($"source").agg(
+          snap(expr("percentile(n_chars, 0.05)")).as("p05"),
+          snap(expr("percentile(n_chars, 0.95)")).as("p95"))
+        val w = when($"n_chars" < $"p05", $"p05")
+          .when($"n_chars" > $"p95", $"p95")
+          .otherwise($"n_chars".cast("double"))
+        docs(s, dir).select($"source", $"n_chars")
+          .join(broadcast(pct), Seq("source"))
+          .groupBy($"source", $"p05", $"p95")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when($"n_chars" < $"p05", lit(1))).as("n_clipped_lo"),
+            count(when($"n_chars" > $"p95", lit(1))).as("n_clipped_hi"),
+            snap(avg(w)).as("winsor_mean"))
+          .select($"source", $"n_docs", $"n_clipped_lo", $"n_clipped_hi",
+            $"p05", $"p95", $"winsor_mean")
       })
   )
 
