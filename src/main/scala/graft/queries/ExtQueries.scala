@@ -168,13 +168,21 @@ object ExtQueries {
     * q_dedup_clusters / q_dedup_canonical / q_dedup_weights (single-source
     * rule; callers prepend `WITH RECURSIVE $jaccardPairsCte,`).
     */
-  private val componentsCte: String =
+  /** Undirected ≥0.3-Jaccard edge relation `edges` → `und` over a `pairs`
+    * CTE (callers prepend [[jaccardPairsCte]]) — the shared base of
+    * [[componentsCte]] and q_graph_degree (single-source rule: the
+    * threshold and the symmetrization live in one place).
+    */
+  private val edgesCte: String =
     """edges AS (
       |  SELECT doc_a AS a, doc_b AS b FROM pairs
       |  WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.3
       |), und AS (
       |  SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
-      |), reach(n, m) AS (
+      |)""".stripMargin
+
+  private val componentsCte: String =
+    s"""$edgesCte, reach(n, m) AS (
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
       |  SELECT u.b, r.m FROM reach r JOIN und u ON u.a = r.n
@@ -3511,6 +3519,122 @@ object ExtQueries {
             snap(avg(w)).as("winsor_mean"))
           .select($"source", $"n_docs", $"n_clipped_lo", $"n_clipped_hi",
             $"p05", $"p95", $"winsor_mean")
+      }),
+
+    // ------------------------------------------------------------------
+    // Bigram PMI collocations: pointwise mutual information of ADJACENT
+    // token pairs with a min-count floor — the collocation miner ("new
+    // york", "machine learning") that turns a raw corpus into a phrase
+    // vocabulary for tokenizer pre-training and boilerplate discovery
+    // (template phrases surface as high-count, low-PMI rows). Adjacency
+    // bounds the pair space to n−1 per doc — no pair explosion ever. Scale
+    // shape: one unigram and one bigram count aggregation (map-side
+    // combine), each with an explicit repartition branch point so its two
+    // consumers (the joins + the grand totals) hit ONE ReusedExchange
+    // instead of re-tokenizing the corpus per leg (the q_source_divergence
+    // lesson); the min-count filter prunes the bigram side BEFORE the two
+    // token-keyed joins against the unigram counts. Totals are computed
+    // from the count relations (vocabulary-sized), never by re-scanning.
+    // PMI = ln((c_xy/N_bi) / ((c_x/N_uni)·(c_y/N_uni))) mirrored verbatim;
+    // ln ulp-drift → snapped 1e-6.
+    QueryDef(
+      "q_pmi_bigrams",
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             |  FROM documents),
+             |uni AS (SELECT unnest(toks) AS tk FROM t),
+             |uc AS (SELECT tk, CAST(count(*) AS BIGINT) AS c FROM uni
+             |       WHERE tk IS NOT NULL GROUP BY 1),
+             |bg AS (
+             |  SELECT unnest(CASE WHEN len(toks) >= 2
+             |    THEN list_transform(range(1, len(toks)),
+             |                        i -> toks[i] || ' ' || toks[i+1])
+             |    ELSE [] END) AS bg
+             |  FROM t),
+             |bc0 AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM bg
+             |        WHERE bg IS NOT NULL GROUP BY 1),
+             |nu AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM uc),
+             |nb AS (SELECT CAST(sum(cb) AS BIGINT) AS nb FROM bc0)
+             |SELECT bg AS bigram, cb AS n_pair, x.c AS n_x, y.c AS n_y,
+             |  FLOOR(ln((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+             |           / ((CAST(x.c AS DOUBLE) / CAST(nu AS DOUBLE))
+             |              * (CAST(y.c AS DOUBLE) / CAST(nu AS DOUBLE))))
+             |    * 1000000 + 0.5) / 1000000 AS pmi
+             |FROM bc0
+             |JOIN uc x ON string_split(bg, ' ')[1] = x.tk
+             |JOIN uc y ON string_split(bg, ' ')[2] = y.tk
+             |CROSS JOIN nu CROSS JOIN nb
+             |WHERE cb >= 5""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val snap = (x: Column) => floor(x * lit(1000000) + lit(0.5)) / lit(1000000)
+        val tok = docs(s, dir).select(
+          TextFunctions.arrayBarrier(TextFunctions.termsAlnum($"text"))
+            .as("toks"))
+        val uc = tok.select(explode($"toks").as("tk"))
+          .where($"tk".isNotNull)
+          .groupBy($"tk").agg(count(lit(1)).as("c"))
+        // the split-part isNotNull filters are vacuously true (every bigram
+        // is "x y") but EXPLICIT: the x/y joins would otherwise infer them
+        // into their leg only, de-canonicalizing it against the nb leg and
+        // re-running the scan+shingle subtree (the q_source_divergence
+        // lesson — both count aggs here branch-point at their own agg
+        // exchange, one ReusedExchange per extra consumer)
+        val bc0 = tok.select(explode(TextFunctions.arrayBarrier(
+            TextFunctions.shinglesFromTokens($"toks", 2))).as("bg"))
+          .where($"bg".isNotNull &&
+            split($"bg", " ").getItem(0).isNotNull &&
+            split($"bg", " ").getItem(1).isNotNull)
+          .groupBy($"bg").agg(count(lit(1)).as("cb"))
+        val nu = uc.agg(sum($"c").as("nu"))
+        val nb = bc0.agg(sum($"cb").as("nb"))
+        val bc = bc0.where($"cb" >= 5)
+          .withColumn("x", split($"bg", " ").getItem(0))
+          .withColumn("y", split($"bg", " ").getItem(1))
+        val pmi = log(($"cb".cast("double") / $"nb".cast("double"))
+          / (($"n_x".cast("double") / $"nu".cast("double"))
+             * ($"n_y".cast("double") / $"nu".cast("double"))))
+        bc.join(uc.select($"tk".as("x"), $"c".as("n_x")), Seq("x"))
+          .join(uc.select($"tk".as("y"), $"c".as("n_y")), Seq("y"))
+          .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+          .select($"bg".as("bigram"), $"cb".as("n_pair"), $"n_x", $"n_y",
+            snap(pmi).as("pmi"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Near-dup graph degree distribution: how many ≥0.3-Jaccard partners
+    // each doc has, histogrammed — the one-glance shape of the duplication
+    // problem that the component views can't show (q_dedup_clusters says
+    // HOW MANY groups; the degree histogram says whether they are chains
+    // of pairwise recrawls, degree ≈ 1–2, or template stars, one hub with
+    // thousands of spokes — which decides minhash banding and skew
+    // handling before running the expensive pipeline). Reuses the
+    // certified pair machinery (rare-shingle candidates, no pair
+    // explosion); on top of it: one symmetrize-union, a doc-keyed count,
+    // a LEFT join from the doc spine (degree-0 docs are the answer's
+    // baseline, not droppable), and a tiny degree histogram agg.
+    QueryDef(
+      "q_graph_degree",
+      Some(s"""WITH $jaccardPairsCte, $edgesCte,
+             |deg AS (
+             |  SELECT d.doc_id, CAST(COALESCE(u.cnt, 0) AS INT) AS degree
+             |  FROM documents d LEFT JOIN (
+             |    SELECT a, CAST(count(*) AS BIGINT) AS cnt FROM und GROUP BY 1
+             |  ) u ON d.doc_id = u.a)
+             |SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+             |FROM deg GROUP BY 1""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val d = docs(s, dir)
+        val pairs = Dedup.jaccardPairs(d, "doc_id", "text")
+        val und = pairs.select($"doc_a".as("id"))
+          .union(pairs.select($"doc_b".as("id")))
+        d.select($"doc_id")
+          .join(und.groupBy($"id").agg(count(lit(1)).as("cnt")),
+            $"doc_id" === $"id", "left")
+          .select(coalesce($"cnt", lit(0L)).cast("int").as("degree"))
+          .groupBy($"degree").agg(count(lit(1)).as("n_docs"))
       })
   )
 
