@@ -190,6 +190,58 @@ object AnalyticsQueries {
       }),
 
     // ------------------------------------------------------------------
+    // MAD-based robust outliers — q_value_anomaly's necessary counterpart:
+    // the z-score's own μ/σ are dragged by the very outliers it hunts
+    // (masking — one 1e9 reading inflates σ until nothing is 3σ out),
+    // while median/MAD have a 50% breakdown point. Modified z =
+    // 0.6745·(x − med)/MAD, flag |Mz| > 3.5 (the Iglewicz–Hoaglin
+    // convention). Two exact-percentile passes by nature (the deviation
+    // needs the median first): each is a per-type agg to a FEW-ROW
+    // relation broadcast back over a map-only pruned re-scan — no window
+    // ever sorts the event stream. med and MAD snap 1e-6 FIRST (the
+    // q_value_anomaly discipline) so all downstream arithmetic is
+    // IEEE-identical cross-engine; MAD floors at 1e-12 against
+    // constant-valued types.
+    QueryDef(
+      "q_robust_zscore",
+      Some("""WITH m AS (
+             |  SELECT event_type,
+             |    FLOOR(quantile_cont(value, 0.5) * 1000000 + 0.5) / 1000000 AS med
+             |  FROM events GROUP BY 1),
+             |d AS (
+             |  SELECT e.event_id, e.event_type, e.value, m.med,
+             |    ABS(e.value - m.med) AS ad
+             |  FROM events e JOIN m USING (event_type)),
+             |md AS (
+             |  SELECT event_type,
+             |    GREATEST(FLOOR(quantile_cont(ad, 0.5) * 1000000 + 0.5) / 1000000,
+             |             1e-12) AS mad
+             |  FROM d GROUP BY 1)
+             |SELECT d.event_id, d.event_type, d.value,
+             |  FLOOR(ABS(0.6745 * (d.value - d.med) / md.mad) * 1000000 + 0.5)
+             |    / 1000000 AS mz
+             |FROM d JOIN md USING (event_type)
+             |WHERE ABS(0.6745 * (d.value - d.med) / md.mad) > 3.5""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val snap = (x: org.apache.spark.sql.Column) =>
+          floor(x * lit(1000000) + lit(0.5)) / lit(1000000)
+        val m = t(s, dir, "events").groupBy($"event_type")
+          .agg(snap(expr("percentile(value, 0.5)")).as("med"))
+        val d = t(s, dir, "events")
+          .join(broadcast(m), Seq("event_type"))
+          .select($"event_id", $"event_type", $"value", $"med",
+            abs($"value" - $"med").as("ad"))
+        val md = d.groupBy($"event_type")
+          .agg(greatest(snap(expr("percentile(ad, 0.5)")), lit(1e-12))
+            .as("mad"))
+        val mz = abs(lit(0.6745) * ($"value" - $"med") / $"mad")
+        d.join(broadcast(md), Seq("event_type"))
+          .where(mz > 3.5)
+          .select($"event_id", $"event_type", $"value", snap(mz).as("mz"))
+      }),
+
+    // ------------------------------------------------------------------
     // Cohort retention matrix: users grouped by first-activity ISO week,
     // counted in each later week they reappear — the standard retention
     // triangle. Both engines truncate to Monday (ISO) in the UTC session;

@@ -3635,6 +3635,81 @@ object ExtQueries {
             $"doc_id" === $"id", "left")
           .select(coalesce($"cnt", lit(0L)).cast("int").as("degree"))
           .groupBy($"degree").agg(count(lit(1)).as("n_docs"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Chi-square independence audit of the source × lang contingency —
+    // the dataset-card statistic that says whether language mix depends on
+    // source (it always does; the question is HOW MUCH, because a strongly
+    // dependent mix means per-source filtering reshapes the language
+    // balance as a side effect — Cramér's V names that strength on [0,1]).
+    // The textbook sum ranges over ALL R×C cells including zero-observed
+    // ones — a cross join of the margins; this query needs no such thing:
+    // a zero cell contributes exactly e, so Σ_all = Σ_obs((n−e)²/e − e)
+    // + N — the identity turns the cross join into one constant. Scale
+    // shape: ONE (source,lang) count agg (map-side combine) whose agg
+    // exchange is the branch point for all four legs (row margins, column
+    // margins, total, the cell sum — explicit isNotNull filters keep the
+    // join-inferred predicates from de-canonicalizing it); margins are
+    // category-sized broadcasts. Term-sum reorder → chi2 snapped 1e-4,
+    // V derived from the snapped chi2 → 1e-6.
+    QueryDef(
+      "q_chi2_independence",
+      Some("""WITH o AS (
+             |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+             |  FROM documents
+             |  WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+             |rs AS (SELECT source, CAST(sum(n) AS BIGINT) AS nr FROM o GROUP BY 1),
+             |cs AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nc FROM o GROUP BY 1),
+             |tt AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+             |              CAST(count(*) AS BIGINT) AS n_cells FROM o),
+             |terms AS (
+             |  SELECT o.source, o.lang, o.n,
+             |    CAST(rs.nr AS DOUBLE) * CAST(cs.nc AS DOUBLE)
+             |      / CAST(tt.nt AS DOUBLE) AS e, tt.nt, tt.n_cells
+             |  FROM o JOIN rs USING (source) JOIN cs USING (lang) CROSS JOIN tt),
+             |agg AS (
+             |  SELECT max(n_cells) AS n_cells, max(nt) AS n_total,
+             |    CAST(count(DISTINCT source) AS BIGINT) AS r,
+             |    CAST(count(DISTINCT lang) AS BIGINT) AS c,
+             |    FLOOR((sum((CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e - e)
+             |           + max(nt)) * 10000 + 0.5) / 10000 AS chi2
+             |  FROM terms)
+             |SELECT n_cells, n_total, r, c,
+             |  (r - 1) * (c - 1) AS dof, chi2,
+             |  FLOOR(sqrt(chi2 / (CAST(n_total AS DOUBLE)
+             |        * CAST(LEAST(r - 1, c - 1) AS DOUBLE)))
+             |    * 1000000 + 0.5) / 1000000 AS cramers_v
+             |FROM agg""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val snap4 = (x: Column) => floor(x * lit(10000) + lit(0.5)) / lit(10000)
+        val snap6 = (x: Column) => floor(x * lit(1000000) + lit(0.5)) / lit(1000000)
+        val o = docs(s, dir)
+          .where($"source".isNotNull && $"lang".isNotNull)
+          .groupBy($"source", $"lang").agg(count(lit(1)).as("n"))
+        val rs = o.groupBy($"source").agg(sum($"n").as("nr"))
+        val cs = o.groupBy($"lang").agg(sum($"n").as("nc"))
+        val tt = o.agg(sum($"n").as("nt"), count(lit(1)).as("n_cells"))
+        val e = $"nr".cast("double") * $"nc".cast("double") / $"nt".cast("double")
+        // r and c fold into the main agg as count-distincts over the
+        // CELL relation (category-sized — the Expand is free here),
+        // rather than re-aggregating rs/cs: a separate dims leg gets its
+        // columns pruned, de-canonicalizes against the join legs, and
+        // re-materializes the whole o subtree (measured 3 scans → 1)
+        val agg = o.join(broadcast(rs), Seq("source"))
+          .join(broadcast(cs), Seq("lang"))
+          .crossJoin(broadcast(tt))
+          .select($"source", $"lang", $"n", e.as("e"), $"nt", $"n_cells")
+          .agg(max($"n_cells").as("n_cells"), max($"nt").as("n_total"),
+            countDistinct($"source").as("r"), countDistinct($"lang").as("c"),
+            snap4(sum(($"n".cast("double") - $"e") * ($"n".cast("double") - $"e")
+              / $"e" - $"e") + max($"nt")).as("chi2"))
+        agg
+          .select($"n_cells", $"n_total", $"r", $"c",
+            (($"r" - 1) * ($"c" - 1)).as("dof"), $"chi2",
+            snap6(sqrt($"chi2" / ($"n_total".cast("double")
+              * least($"r" - 1, $"c" - 1).cast("double")))).as("cramers_v"))
       })
   )
 
