@@ -156,4 +156,55 @@ object Components {
         coalesce(col("pcomp"), col("n")).as("component"))
     (labels, round)
   }
+
+  /** Fixed-iteration simplified PageRank over a directed edge list (pass an
+    * undirected graph as both edge directions) — the centrality read on the
+    * near-dup graph that the degree histogram can't give: a template hub
+    * whose spokes are THEMSELVES well-connected outranks an equal-degree
+    * hub of leaf recrawls, which is the difference between "one boilerplate
+    * family" and "a copy-farm mesh" when choosing what to canonicalize
+    * first. Simplified = the standard r ← (1−d)/n + d·Σ_in r/outdeg update
+    * WITHOUT dangling-mass redistribution (isolated docs keep the teleport
+    * floor; rank mass is not conserved — fine for RANKING, not for
+    * probability semantics), with `teleport` passed as its own literal
+    * rather than computed 1−damping (1.0−0.85 in IEEE is not the double
+    * nearest 0.15 — a cross-engine differential would chase that phantom).
+    *
+    * Scale shape: the (src, dst, outdeg) relation is `localCheckpoint`ed
+    * ONCE — the edge list is usually the output of the whole near-dup
+    * candidate pipeline, and `iters` lazy re-executions of it is the plan
+    * this method exists to avoid (the [[connectedComponents]] trade) — then
+    * each iteration is one src-keyed join of the node-sized rank relation
+    * and one dst-keyed partial-agg sum; the node spine and the scalar n
+    * ride as a crossJoin'd one-row broadcast. Ranks snap to 1e-9 per
+    * iteration so both engines iterate on IDENTICAL values (contribution
+    * sums reorder across partitionings; unsnapped drift would compound
+    * geometrically through the iterations).
+    */
+  def pageRank(nodes: DataFrame, idCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String, iters: Int,
+      damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    val snap9 = (x: org.apache.spark.sql.Column) =>
+      floor(x * lit(1000000000) + lit(0.5)) / lit(1000000000)
+    val deg = edges.groupBy(col(srcCol).as("src"))
+      .agg(count(lit(1)).as("deg"))
+    val ed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .join(deg, Seq("src"))
+      .localCheckpoint(false)
+    val ids = nodes.select(col(idCol).as("id"))
+    val nn = ids.agg(count(lit(1)).as("n"))
+    var pr = ids.crossJoin(broadcast(nn))
+      .select(col("id"), snap9(lit(1.0) / col("n").cast("double")).as("r"))
+    for (_ <- 1 to iters) {
+      val c = ed.join(pr, ed("src") === pr("id"))
+        .groupBy(col("dst")).agg(sum(col("r") / col("deg")).as("s"))
+      pr = ids.crossJoin(broadcast(nn))
+        .join(c, col("id") === col("dst"), "left")
+        .select(col("id"),
+          snap9(lit(teleport) / col("n").cast("double")
+            + lit(damping) * coalesce(col("s"), lit(0.0))).as("r"))
+    }
+    pr.select(col("id"), col("r").as("pagerank"))
+  }
 }

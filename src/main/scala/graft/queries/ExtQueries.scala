@@ -723,20 +723,26 @@ object ExtQueries {
         .as("dist"))
   }
 
-  /** Hex→uniform digit parse for the DP-noise draw (q_dp_counts): DuckDB
-    * has no base-conversion `conv`, so the oracle parses the first 6 hex
-    * digits of a CTE column `h` = md5(group key) positionally into
-    * [0, 2^24) — the Spark twin spells the same value as
-    * `conv(substring(h,1,6),16,10)`. Generated here so the digit count and
-    * the 2^24 denominator live in one place.
+  /** Hex→uniform digit parse shared by q_dp_counts (the Laplace draw) and
+    * q_sample_importance (the Efraimidis–Spirakis key): DuckDB has no
+    * base-conversion `conv`, so the oracle parses the first 6 hex digits
+    * of a CTE column `h` = md5(key) positionally into a (0,1) uniform —
+    * the Spark twin spells the same value as
+    * `(conv(substring(h,1,6),16,10) + 0.5) / 2^24`. Generated here so the
+    * digit count and the denominator live in one place.
     */
-  private val dpUniformSql: String = {
+  private val hexUniformSql: String = {
     val terms = (1 to 6).map { i =>
       val f = 1L << (4 * (6 - i))
       s"(CAST(strpos('0123456789abcdef', substr(h, $i, 1)) AS DOUBLE) - 1.0) * $f.0"
     }
     s"(${terms.mkString("\n        + ")}\n        + 0.5) / 16777216.0"
   }
+
+  /** Spark twin of [[hexUniformSql]] over an md5-hex column. */
+  private def hexUniformCol(h: Column): Column =
+    (conv(substring(h, 1, 6), 16, 10).cast("long").cast("double")
+      + lit(0.5)) / lit(16777216.0)
 
   /** Spark twin of [[urlSaltSql]]. */
   private def urlSaltCol: Column = {
@@ -3446,7 +3452,7 @@ object ExtQueries {
              |  FROM documents GROUP BY 1, 2),
              |hx AS (SELECT source, lang, n_true,
              |       md5(source || '|' || lang) AS h FROM g),
-             |u AS (SELECT source, lang, n_true, $dpUniformSql AS u FROM hx)
+             |u AS (SELECT source, lang, n_true, $hexUniformSql AS u FROM hx)
              |SELECT source, lang, n_true,
              |  FLOOR((n_true + (-1.0)
              |         * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
@@ -3458,8 +3464,7 @@ object ExtQueries {
         val snap = (x: Column) => floor(x * lit(1000000) + lit(0.5)) / lit(1000000)
         val eps = 1.0
         val h = md5(concat($"source", lit("|"), $"lang").cast("binary"))
-        val u = (conv(substring(h, 1, 6), 16, 10).cast("long").cast("double")
-          + lit(0.5)) / lit(16777216.0)
+        val u = hexUniformCol(h)
         // CASE, not signum: both engines then share one spelling (at
         // u = 0.5 exactly the ln(1) factor zeroes the noise either way)
         val sgn = when(u >= 0.5, lit(1.0)).otherwise(lit(-1.0))
@@ -3710,6 +3715,104 @@ object ExtQueries {
             (($"r" - 1) * ($"c" - 1)).as("dof"), $"chi2",
             snap6(sqrt($"chi2" / ($"n_total".cast("double")
               * least($"r" - 1, $"c" - 1).cast("double")))).as("cramers_v"))
+      }),
+
+    // ------------------------------------------------------------------
+    // PageRank over the near-dup graph ([[Components.pageRank]], 3 fixed
+    // iterations): the centrality read q_graph_degree can't give — an
+    // equal-degree hub of leaf recrawls vs a hub inside a copy-farm MESH
+    // rank differently, which is the triage order for canonicalization.
+    // The oracle is GENERATED from the same iteration count: one CTE pair
+    // (contributions, ranks) per iteration, mirroring the operator's
+    // snap-per-iteration discipline so both engines iterate on identical
+    // 1e-9-snapped values. Per-iteration cost: one src-keyed join of the
+    // node-sized rank relation against the ONCE-materialized (src, dst,
+    // outdeg) list + one dst-keyed partial-agg sum.
+    QueryDef(
+      "q_pagerank",
+      Some {
+        val prCtes = (1 to 3).map { i =>
+          s"""c$i AS (
+             |  SELECT e.dst AS id, sum(p.r / e.deg) AS s
+             |  FROM ed e JOIN pr${i - 1} p ON e.src = p.id GROUP BY 1),
+             |pr$i AS (
+             |  SELECT nodes.id,
+             |    FLOOR((CAST(0.15 AS DOUBLE) / CAST(nn.n AS DOUBLE)
+             |           + CAST(0.85 AS DOUBLE) * COALESCE(c$i.s, 0.0))
+             |      * 1000000000 + 0.5) / 1000000000 AS r
+             |  FROM nodes CROSS JOIN nn LEFT JOIN c$i ON nodes.id = c$i.id)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH $jaccardPairsCte, $edgesCte,
+           |deg AS (SELECT a AS src, CAST(count(*) AS BIGINT) AS deg
+           |        FROM und GROUP BY 1),
+           |ed AS (SELECT u.a AS src, u.b AS dst, d.deg
+           |       FROM und u JOIN deg d ON u.a = d.src),
+           |nodes AS (SELECT doc_id AS id FROM documents),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+           |pr0 AS (
+           |  SELECT id, FLOOR(CAST(1.0 AS DOUBLE) / CAST(nn.n AS DOUBLE)
+           |    * 1000000000 + 0.5) / 1000000000 AS r
+           |  FROM nodes CROSS JOIN nn),
+           |$prCtes
+           |SELECT id AS doc_id, r AS pagerank FROM pr3""".stripMargin
+      },
+      (s, dir) => {
+        import s.implicits._
+        val d = docs(s, dir)
+        val pairs = Dedup.jaccardPairs(d, "doc_id", "text")
+        val und = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+          .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+        Components.pageRank(d.select($"doc_id"), "doc_id",
+            und, "src", "dst", iters = 3)
+          .select($"id".as("doc_id"), $"pagerank")
+      }),
+
+    // ------------------------------------------------------------------
+    // Quality-weighted importance sample (Efraimidis–Spirakis A-ES):
+    // weighted sampling WITHOUT replacement as one distributed top-k —
+    // key = ln(u)/w with u the per-doc md5 uniform (shared hexUniformSql
+    // machinery) and w the quality score; the k largest keys ARE a
+    // without-replacement draw ∝ w. This is the curation step between
+    // "filter by threshold" (q_corpus_clean — loses all sub-threshold
+    // mass) and "keep everything": a budgeted, quality-TILTED subset where
+    // a mediocre doc still has proportional odds. Deterministic by the
+    // seedless-uniform discipline — rerun, retry, or oracle regenerate the
+    // same sample. Scale shape: scoring is map-only codegen riding the
+    // scan; selection is TakeOrderedAndProject (per-partition heaps, never
+    // a global sort); the rank decorates the k-row result AFTER the cut.
+    // Zero-weight docs are excluded up front (their key is −∞ — both
+    // engines would agree, but the filter keeps infinity semantics out of
+    // the differential entirely).
+    QueryDef(
+      "q_sample_importance",
+      Some(s"""WITH q AS (
+             |  SELECT doc_id, $qualityScoreSql AS w,
+             |         md5(CAST(doc_id AS VARCHAR)) AS h
+             |  FROM documents),
+             |k AS (
+             |  SELECT doc_id, w, ln($hexUniformSql) / w AS key
+             |  FROM q WHERE w > 0),
+             |top AS (SELECT doc_id, w, key FROM k
+             |        ORDER BY key DESC, doc_id LIMIT 200)
+             |SELECT doc_id,
+             |  FLOOR(w * 1000000 + 0.5) / 1000000 AS quality,
+             |  FLOOR(key * 1000000 + 0.5) / 1000000 AS sample_key,
+             |  CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT) AS rn
+             |FROM top""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val snap = (x: Column) => floor(x * lit(1000000) + lit(0.5)) / lit(1000000)
+        val w = TextFunctions.qualityScore($"text")
+        val u = hexUniformCol(md5($"doc_id".cast("string").cast("binary")))
+        val top = docs(s, dir)
+          .select($"doc_id", w.as("w"), (log(u) / w).as("key"))
+          .where($"w" > 0)
+          .orderBy($"key".desc, $"doc_id").limit(200)
+        top.withColumn("rn",
+            row_number().over(Window.orderBy($"key".desc, $"doc_id")))
+          .select($"doc_id", snap($"w").as("quality"),
+            snap($"key").as("sample_key"), $"rn")
       })
   )
 

@@ -603,4 +603,31 @@ class OperatorsSpec extends SparkSpec {
         s"expected the bigram exchange to be reused:\n$p")
     } finally spark.conf.set(thresholdKey, prev)
   }
+
+  test("pageRank: hub outranks spokes, symmetry ties, isolated floor, " +
+    "repartition-invariant") {
+    // star 1-{2,3,4} plus isolated 5; undirected = both directions
+    val edges1 = Seq((1L, 2L), (1L, 3L), (1L, 4L))
+    val und = (edges1 ++ edges1.map(_.swap)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val pr = Components.pageRank(nodes, "id", und, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.size == 5)
+    // hub collects from three spokes; spokes only from the hub's split
+    assert(pr(1L) > pr(2L), pr.toString)
+    // symmetric spokes must tie EXACTLY (snapped per iteration)
+    assert(pr(2L) == pr(3L) && pr(3L) == pr(4L), pr.toString)
+    // the isolated node compounds only the teleport floor:
+    // r1 = 0.15/5, r2 = r3 = 0.15/5 (no in-edges ever)
+    assert(math.abs(pr(5L) - 0.03) < 1e-9, pr.toString)
+    // spokes strictly above the isolated floor (they do receive mass)
+    assert(pr(2L) > pr(5L), pr.toString)
+
+    // bit-identical under a different input partitioning (snap + seedless
+    // discipline): same map, not merely close
+    val pr2 = Components.pageRank(nodes.repartition(7), "id",
+        und.repartition(5), "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr2 == pr, s"$pr2 vs $pr")
+  }
 }
