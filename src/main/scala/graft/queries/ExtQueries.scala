@@ -744,6 +744,24 @@ object ExtQueries {
     (conv(substring(h, 1, 6), 16, 10).cast("long").cast("double")
       + lit(0.5)) / lit(16777216.0)
 
+  /** Cumulative Poisson(1) probabilities P(X ≤ k) for k = 0..7, computed
+    * once in Scala doubles and emitted as LITERALS into both the Spark
+    * plan and the DuckDB oracle (Double.toString round-trips, so both
+    * engines compare against bit-identical thresholds). The ≥8 tail mass
+    * is ~1e-6 — those draws clamp to weight 8; both engines clamp the
+    * same way, so the (negligible) bias is shared, not a divergence.
+    */
+  private val poissonCums: Seq[Double] = {
+    val e = math.exp(-1.0)
+    var fact = 1.0
+    var cum = 0.0
+    (0 to 7).map { k =>
+      if (k > 0) fact *= k
+      cum += e / fact
+      cum
+    }
+  }
+
   /** Spark twin of [[urlSaltSql]]. */
   private def urlSaltCol: Column = {
     val id = col("doc_id")
@@ -3813,6 +3831,75 @@ object ExtQueries {
             row_number().over(Window.orderBy($"key".desc, $"doc_id")))
           .select($"doc_id", snap($"w").as("quality"),
             snap($"key").as("sample_key"), $"rn")
+      }),
+
+    // ------------------------------------------------------------------
+    // Poisson-bootstrap confidence intervals for the per-source mean doc
+    // length — THE bootstrap that survives 100 TB: classical resampling
+    // draws n rows with replacement B times (B corpus shuffles); the
+    // Poisson approximation instead gives every (row, replicate) an
+    // independent Poisson(1) weight — ONE pass, no resampling shuffle,
+    // exact in the n→∞ limit (Chamandy et al., "Estimating Uncertainty
+    // for Massive Data Streams", Google 2012). Weights draw from the
+    // seedless md5 uniform per (doc, replicate) through the shared
+    // Poisson(1) inverse-CDF thresholds ([[poissonCums]] — Scala-computed
+    // literals in BOTH plans), so the whole CI is rerun- and
+    // engine-reproducible. Scale shape: a ×32 constant-side explode of
+    // the two-column (source, n_chars) projection (the centroidDistCte
+    // range-expansion convention, not a data×data cross join), collapsed
+    // by map-side partial aggs to 32·|sources| weighted-sum rows; the
+    // replicate means are EXACT integer-sum ratios (no snap until the
+    // end), and only the final quantile interpolation over 32 means per
+    // source snaps 1e-6.
+    QueryDef(
+      "q_bootstrap_ci",
+      Some {
+        val cases = poissonCums.zipWithIndex
+          .map { case (c, k) => s"WHEN u < $c THEN $k" }
+          .mkString("\n             ")
+        s"""WITH reps AS (SELECT unnest(range(0, 32)) AS b),
+           |x AS (
+           |  SELECT d.source, d.n_chars, r.b,
+           |    md5(CAST(d.doc_id AS VARCHAR) || '#' || CAST(r.b AS VARCHAR)) AS h
+           |  FROM documents d CROSS JOIN reps r),
+           |u AS (SELECT source, n_chars, b, $hexUniformSql AS u FROM x),
+           |w AS (
+           |  SELECT source, n_chars, b,
+           |    CASE $cases
+           |         ELSE 8 END AS w
+           |  FROM u),
+           |m AS (
+           |  SELECT source, b,
+           |    CAST(sum(w * n_chars) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS mb
+           |  FROM w GROUP BY 1, 2 HAVING sum(w) > 0)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_replicates,
+           |  FLOOR(quantile_cont(mb, 0.025) * 1000000 + 0.5) / 1000000 AS ci_lo,
+           |  FLOOR(quantile_cont(mb, 0.975) * 1000000 + 0.5) / 1000000 AS ci_hi
+           |FROM m GROUP BY 1""".stripMargin
+      },
+      (s, dir) => {
+        import s.implicits._
+        val snap = (x: Column) => floor(x * lit(1000000) + lit(0.5)) / lit(1000000)
+        val h = md5(concat($"doc_id".cast("string"), lit("#"),
+          $"b".cast("string")).cast("binary"))
+        val u = hexUniformCol(h)
+        val w = poissonCums.zipWithIndex.reverse
+          .foldLeft(lit(8)) { case (acc, (c, k)) =>
+            when(u < lit(c), lit(k)).otherwise(acc)
+          }
+        val m = docs(s, dir)
+          .select($"source", $"n_chars", $"doc_id",
+            explode(sequence(lit(0), lit(31))).as("b"))
+          .select($"source", $"n_chars", $"b", w.as("w"))
+          .groupBy($"source", $"b")
+          .agg(sum($"w" * $"n_chars").as("swx"), sum($"w").as("sw"))
+          .where($"sw" > 0)
+          .select($"source", $"b",
+            ($"swx".cast("double") / $"sw".cast("double")).as("mb"))
+        m.groupBy($"source").agg(
+          count(lit(1)).as("n_replicates"),
+          snap(expr("percentile(mb, 0.025)")).as("ci_lo"),
+          snap(expr("percentile(mb, 0.975)")).as("ci_hi"))
       })
   )
 
