@@ -3854,8 +3854,10 @@ object ExtQueries {
     QueryDef(
       "q_bootstrap_ci",
       Some {
+        // e0 suffix: lex as DOUBLE, never DECIMAL (the q_benford
+        // 17-digit double-rounding trap)
         val cases = poissonCums.zipWithIndex
-          .map { case (c, k) => s"WHEN u < $c THEN $k" }
+          .map { case (c, k) => s"WHEN u < ${c}e0 THEN $k" }
           .mkString("\n             ")
         s"""WITH reps AS (SELECT unnest(range(0, 32)) AS b),
            |x AS (
@@ -3900,6 +3902,118 @@ object ExtQueries {
           count(lit(1)).as("n_replicates"),
           snap(expr("percentile(mb, 0.025)")).as("ci_lo"),
           snap(expr("percentile(mb, 0.975)")).as("ci_hi"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Pairwise source vocabulary overlap: Jaccard of the DISTINCT-token
+    // sets for every source pair that shares at least one token — the
+    // source-taxonomy read (two crawls of the same site family overlap
+    // near 1; a code source against prose near 0) that tells a curator
+    // which "different" sources are really one source before mixture
+    // weights are chosen per source. NOT a doc-pair operator: the join
+    // key is the token and the pair space is bounded by the CATEGORY
+    // count squared per token (sources, not documents), so a trillion-doc
+    // corpus costs the same pair work as a thousand-doc one. One
+    // (source, token) distinct-agg is the branch point (explicit
+    // isNotNull, token repartition) shared by the self-join's two legs
+    // and the vocabulary sizes; sizes broadcast back. All-int counts +
+    // one IEEE divide — no snap anywhere.
+    QueryDef(
+      "q_source_overlap",
+      Some("""WITH sv AS (
+             |  SELECT DISTINCT source, token FROM (
+             |    SELECT source,
+             |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+             |    FROM documents WHERE source IS NOT NULL)),
+             |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS nv
+             |       FROM sv GROUP BY 1),
+             |ix AS (
+             |  SELECT a.source AS source_a, b.source AS source_b,
+             |         CAST(count(*) AS BIGINT) AS n_inter
+             |  FROM sv a JOIN sv b ON a.token = b.token AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT source_a, source_b, n_inter, x.nv AS n_a, y.nv AS n_b,
+             |  CAST(n_inter AS DOUBLE)
+             |    / CAST(x.nv + y.nv - n_inter AS DOUBLE) AS vocab_jaccard
+             |FROM ix JOIN sz x ON ix.source_a = x.source
+             |        JOIN sz y ON ix.source_b = y.source""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val sv = docs(s, dir)
+          .where($"source".isNotNull)
+          .select($"source", explode(TextFunctions.arrayBarrier(
+            TextFunctions.termsAlnum($"text"))).as("token"))
+          .where($"token".isNotNull)
+          .distinct()
+          .repartition($"token")
+        val sz = sv.groupBy($"source").agg(count(lit(1)).as("nv"))
+        val ix = sv.select($"source".as("source_a"), $"token")
+          .join(sv.select($"source".as("source_b"), $"token"), Seq("token"))
+          .where($"source_a" < $"source_b")
+          .groupBy($"source_a", $"source_b").agg(count(lit(1)).as("n_inter"))
+        ix.join(broadcast(sz.select($"source".as("source_a"), $"nv".as("n_a"))),
+            Seq("source_a"))
+          .join(broadcast(sz.select($"source".as("source_b"), $"nv".as("n_b"))),
+            Seq("source_b"))
+          .select($"source_a", $"source_b", $"n_inter", $"n_a", $"n_b",
+            ($"n_inter".cast("double")
+              / ($"n_a" + $"n_b" - $"n_inter").cast("double"))
+              .as("vocab_jaccard"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Benford first-digit audit of doc lengths: observed vs expected
+    // log10(1 + 1/d) frequency per leading digit — the classic
+    // fabricated-data tripwire (organically grown size distributions
+    // follow Benford closely; a synthetic-filler source or a
+    // truncation-at-N bug shows up as a spiked digit). The digit comes
+    // from the INTEGER's string rendering — identical across engines,
+    // where a log10/pow derivation can misbucket exactly at the power-of-
+    // ten boundaries (log10(1000.0) is not always 3.0 in IEEE). Expected
+    // probabilities are Scala-computed literals shared by both plans.
+    // Map-only digit extract + one 9-row agg; the total rides back as a
+    // one-row broadcast. obs_p is one IEEE divide of exact ints; the
+    // log10 literals round-trip — no snap anywhere.
+    QueryDef(
+      "q_benford",
+      Some {
+        // the e0 suffix makes DuckDB lex the literal as DOUBLE directly:
+        // a bare 17-significant-digit literal parses as DECIMAL whose
+        // int64 mantissa exceeds 2^53, and the DECIMAL→DOUBLE conversion
+        // double-rounds a ulp off the Java-parsed value (measured on
+        // log10(4/3))
+        val exps = (1 to 9)
+          .map(d => s"WHEN '$d' THEN ${math.log10(1.0 + 1.0 / d)}e0")
+          .mkString("\n             ")
+        s"""WITH d AS (
+           |  SELECT substr(CAST(n_chars AS VARCHAR), 1, 1) AS digit
+           |  FROM documents WHERE n_chars > 0),
+           |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_docs
+           |      FROM d GROUP BY 1),
+           |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c)
+           |SELECT digit, n_docs,
+           |  CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS obs_p,
+           |  CASE digit
+           |    $exps
+           |  END AS benford_p
+           |FROM c CROSS JOIN t""".stripMargin
+      },
+      (s, dir) => {
+        import s.implicits._
+        val c = docs(s, dir)
+          .where($"n_chars" > 0)
+          .select(substring($"n_chars".cast("string"), 1, 1).as("digit"))
+          .groupBy($"digit").agg(count(lit(1)).as("n_docs"))
+        val t = c.agg(sum($"n_docs").as("total"))
+        val benford = (1 to 9).reverse
+          .foldLeft(lit(null).cast("double")) { case (acc, d) =>
+            when($"digit" === d.toString, lit(math.log10(1.0 + 1.0 / d)))
+              .otherwise(acc)
+          }
+        c.crossJoin(broadcast(t))
+          .select($"digit", $"n_docs",
+            ($"n_docs".cast("double") / $"total".cast("double")).as("obs_p"),
+            benford.as("benford_p"))
       })
   )
 
