@@ -23,6 +23,21 @@ object Load {
       df.write.mode("overwrite").parquet(s"$outputDir/$name.parquet")
     }
 
+  /** ORC sink/source pair — the second columnar at-rest format, for
+    * interchange with Hive-lineage warehouses that mandate ORC. Spark's
+    * ORC support is native and columnar both ways (vectorized reader,
+    * predicate pushdown, column pruning — the same scan-level levers the
+    * parquet tiers rely on; StorageExtSpec pins the pushed filter), so a
+    * table can live in either format without changing a single query.
+    * Kept OUT of the oracle surface: DuckDB reads parquet, not ORC, so
+    * ORC round-trips are spec-gated rather than hash-oracled.
+    */
+  def writeOrc(df: DataFrame, outDir: String): Unit =
+    df.write.mode("overwrite").orc(outDir)
+
+  def readOrc(spark: SparkSession, dir: String): DataFrame =
+    spark.read.orc(dir)
+
   /** Partitioned parquet sink — the at-rest layout for 100 TB facts
     * (SURVEY §4.2 "partition pruning ✅ if we partition facts by e.g.
     * scenario_id"). Tables listed in `partitionCols` are written
