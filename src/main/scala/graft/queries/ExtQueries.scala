@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Bpe, Components, Corpus, Dedup, Ivf, Lm, Similarity}
+import graft.operators.{Bpe, Components, Corpus, Dedup, Ivf, Lm, Rank, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -4014,7 +4014,82 @@ object ExtQueries {
           .select($"digit", $"n_docs",
             ($"n_docs".cast("double") / $"total".cast("double")).as("obs_p"),
             benford.as("benford_p"))
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // Triangle count + global clustering coefficient of the near-dup
+    // graph — the third graph read: degree says how MANY partners,
+    // PageRank says how CENTRAL, the clustering coefficient says how
+    // CLOSED the neighborhoods are (near 1 = tight template families
+    // where transitive closure adds nothing; near 0 = chains/stars where
+    // connected components will merge far beyond what pairwise similarity
+    // suggests — the number that predicts how aggressive cluster-level
+    // dedup will be BEFORE running it). Triangles via the canonical
+    // a<b<c edge orientation (each triangle counted exactly once, the
+    // node-iterator join); wedges as Σ d(d−1)/2 from the degree relation.
+    // All three edge-join legs and the degree leg branch off the ONE
+    // certified pair relation (explicit isNotNull keeps them canonical);
+    // join keys differ per leg so the joins shuffle the EDGE relation
+    // (pair-sized, tiny vs corpus), never documents.
+    QueryDef(
+      "q_triangles",
+      Some(s"""WITH $jaccardPairsCte, $edgesCte,
+             |tri AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+             |  FROM edges e1 JOIN edges e2 ON e2.a = e1.b
+             |                JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |dg AS (SELECT a AS id, count(*) AS d FROM und GROUP BY 1),
+             |wed AS (
+             |  SELECT CAST(CAST(sum(d * (d - 1)) AS DOUBLE) / 2 AS BIGINT)
+             |    AS n_wedges
+             |  FROM dg)
+             |SELECT n_triangles, n_wedges,
+             |  CASE WHEN n_wedges > 0
+             |       THEN CAST(3 * n_triangles AS DOUBLE)
+             |            / CAST(n_wedges AS DOUBLE)
+             |  END AS clustering
+             |FROM tri CROSS JOIN wed""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val d = docs(s, dir)
+        val edges = Dedup.jaccardPairs(d, "doc_id", "text")
+          .select($"doc_a".as("a"), $"doc_b".as("b"))
+          .where($"a".isNotNull && $"b".isNotNull)
+        val tri = edges.select($"a".as("x"), $"b".as("y"))
+          .join(edges.select($"a".as("y"), $"b".as("z")), Seq("y"))
+          .join(edges.select($"a".as("x"), $"b".as("z")), Seq("x", "z"))
+          .agg(count(lit(1)).as("n_triangles"))
+        val wed = edges.select($"a".as("id")).union(edges.select($"b".as("id")))
+          .groupBy($"id").agg(count(lit(1)).as("d"))
+          .agg((sum($"d" * ($"d" - 1)) / lit(2)).cast("long").as("n_wedges"))
+        tri.crossJoin(broadcast(wed))
+          .select($"n_triangles", $"n_wedges",
+            when($"n_wedges" > 0,
+              (lit(3) * $"n_triangles").cast("double")
+                / $"n_wedges".cast("double")).as("clustering"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Distributed global row numbering ([[graft.operators.Rank]]): the
+    // scalable spelling of the bare `row_number() OVER (ORDER BY ...)` —
+    // Spark plans that as a ONE-partition window (the whole corpus through
+    // a single task; the declared inventory only ever does it on bounded
+    // domains), while this operator range-partitions on the order key,
+    // sorts within partitions, and zipWithIndex assigns contiguous global
+    // ordinals in range order for one extra metadata-sized count job.
+    // The oracle IS the one-partition spelling — bit-equal output, scale-
+    // opposite plan. Order key (n_chars, doc_id) is total and non-NULL
+    // per the operator contract.
+    QueryDef(
+      "q_global_rank",
+      Some("""SELECT doc_id, n_chars,
+             |  CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+             |    AS rn
+             |FROM documents""".stripMargin),
+      (s, dir) =>
+        Rank.globalRowNumber(
+          docs(s, dir).select(col("doc_id"), col("n_chars")),
+          Seq("n_chars", "doc_id")))
   )
 
   /** Build-once registry for the IVF at-rest index (train + writeClustered),

@@ -630,4 +630,39 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(pr2 == pr, s"$pr2 vs $pr")
   }
+
+  test("globalRowNumber equals the one-partition window and survives " +
+    "repartitioning, ties broken by the unique key") {
+    import org.apache.spark.sql.expressions.Window
+    // duplicate values force the tiebreak column to carry the total order
+    val df = Seq((5L, 30), (1L, 10), (3L, 20), (2L, 10), (4L, 20), (6L, 30))
+      .toDF("id", "v")
+    val want = df.withColumn("rn",
+        row_number().over(Window.orderBy($"v", $"id")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+
+    val got = Rank.globalRowNumber(df, Seq("v", "id"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == want, s"$got vs $want")
+
+    val got2 = Rank.globalRowNumber(df.repartition(5), Seq("v", "id"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got2 == want, s"$got2 vs $want")
+
+    // the scalable shape: a RANGE exchange at full parallelism, never the
+    // one-partition window (AQE may still coalesce at toy scale — the
+    // partitioning KIND is the contract, not the runtime partition count)
+    val big = spark.range(0, 1000).toDF("id").withColumn("v", $"id" % 97)
+    val ranked = Rank.globalRowNumber(big, Seq("v", "id"))
+    // the SQL plan is an RDD scan (zipWithIndex output); the range
+    // shuffle shows in the RDD lineage, and no Window node exists anywhere
+    val lineage = ranked.rdd.toDebugString.toLowerCase
+    assert(lineage.contains("zippedwithindex"), lineage)
+    assert(lineage.contains("shuffle"), lineage)
+    assert(!ranked.queryExecution.executedPlan.toString.toLowerCase
+      .contains("window"))
+    val rows = ranked.orderBy("rn").collect()
+    assert(rows.length == 1000 && rows.head.getLong(2) == 1L &&
+      rows.last.getLong(2) == 1000L)
+  }
 }
