@@ -558,6 +558,18 @@ object ExtQueries {
       Corpus.cdcChunks(docsTimes(s, dir, 1), "doc_id", "text", 3, 8)),
     "q_chunk_cdc_x4" -> ((s, dir) =>
       Corpus.cdcChunks(docsTimes(s, dir, 4), "doc_id", "text", 3, 8)),
+    // global row numbering growth twins: the range-shuffle + zipWithIndex
+    // path must grow ~linearly where the one-partition window it replaces
+    // concentrates ALL growth in a single task — the ×1/×4 pair records
+    // that as a measured artifact beside the other growth twins
+    "q_global_rank_x1" -> ((s, dir) =>
+      Rank.globalRowNumber(docsTimes(s, dir, 1)
+        .select(col("doc_id"), length(col("text")).as("n_chars")),
+        Seq("n_chars", "doc_id"))),
+    "q_global_rank_x4" -> ((s, dir) =>
+      Rank.globalRowNumber(docsTimes(s, dir, 4)
+        .select(col("doc_id"), length(col("text")).as("n_chars")),
+        Seq("n_chars", "doc_id"))),
     // the streaming near-dup gate's verification knob, timed at both ends
     // (VERDICT r8 #7): gate=1 is the classic any-collision LSH drop (a
     // keeper-join per bucket), 6-of-8 verifies candidates by distinct-band
@@ -4089,7 +4101,52 @@ object ExtQueries {
       (s, dir) =>
         Rank.globalRowNumber(
           docs(s, dir).select(col("doc_id"), col("n_chars")),
-          Seq("n_chars", "doc_id")))
+          Seq("n_chars", "doc_id"))),
+
+    // ------------------------------------------------------------------
+    // Flesch reading ease: 206.835 − 1.015·(words/sentences) −
+    // 84.6·(syllables/words) — the standard named readability score the
+    // quality panel lacks (qualityScore blends ratios into an opaque
+    // 0..1; Flesch lands on the interpretable published scale where ~90
+    // is grade-school prose and <30 is academic/legalese — the register
+    // signal for curriculum bucketing). Syllables approximate as vowel-
+    // group runs ([aeiouy]+, the standard heuristic); sentence/word
+    // counts reuse the q_sentence_stats conventions so the regex rules
+    // stay single-sourced in spirit and identical in both engines.
+    // Map-only codegen riding the scan — zero shuffles at any corpus
+    // size. Degenerate docs: no words → NULL score; no sentence marks →
+    // sentence count floors at 1 (the whole doc is one sentence). The
+    // formula is per-row IEEE arithmetic mirrored operation-for-
+    // operation; snapped 1e-6 as boundary insurance.
+    QueryDef(
+      "q_readability",
+      Some("""SELECT doc_id,
+             |  CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT)
+             |    AS n_words,
+             |  CAST(length(regexp_extract_all(lower(text), '[aeiouy]+')) AS INT)
+             |    AS n_syllables,
+             |  CASE WHEN length(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0
+             |       THEN FLOOR((206.835
+             |         - 1.015 * (CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE)
+             |                    / GREATEST(length(regexp_extract_all(text, '[.!?]+')), 1))
+             |         - 84.6 * (CAST(length(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+             |                   / CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE)))
+             |         * 1000000 + 0.5) / 1000000
+             |  END AS flesch
+             |FROM documents""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val snap = (x: Column) => floor(x * lit(1000000) + lit(0.5)) / lit(1000000)
+        val w = TextFunctions.wordCount($"text")
+        val syl = regexp_count(lower($"text"), lit("[aeiouy]+"))
+        val sent = greatest(TextFunctions.sentenceCount($"text"), lit(1))
+        val flesch = lit(206.835) -
+          lit(1.015) * (w.cast("double") / sent) -
+          lit(84.6) * (syl.cast("double") / w.cast("double"))
+        docs(s, dir).select($"doc_id",
+          w.as("n_words"), syl.as("n_syllables"),
+          when(w > 0, snap(flesch)).as("flesch"))
+      })
   )
 
   /** Build-once registry for the IVF at-rest index (train + writeClustered),
