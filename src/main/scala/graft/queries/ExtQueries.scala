@@ -2149,8 +2149,20 @@ object ExtQueries {
         val tok = d.select($"doc_id",
           explode(TextFunctions.arrayBarrier(
             TextFunctions.termsAlnum($"text"))).as("term"))
-        val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-        val dfRel = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        // explicit isNotNull (vacuous post-explode): the df join would
+        // otherwise infer it into its leg only, de-canonicalizing the two
+        // consumers of tf and re-running the tokenize subtree (the
+        // q_source_divergence lesson; measured 2 corpus scans → 1)
+        val tf = tok.where($"term".isNotNull)
+          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        // the zero-valued guard term forces this leg to read tf's count
+        // column (the Dedup.pruneGuard pattern): otherwise column pruning
+        // rewrites the upstream agg to keys-only, the partial-agg subtrees
+        // diverge, and the tokenize+exchange runs twice instead of once
+        val dfRel = tf.groupBy($"term").agg(
+          (count(lit(1)) +
+            coalesce(max(hash($"tf")).cast("long") * lit(0L), lit(0L)))
+            .as("df"))
         val n = d.agg(count(lit(1)).as("n"))
         val w = Window.partitionBy($"doc_id")
           .orderBy($"tf".desc, $"df".asc, $"term".asc)
