@@ -337,19 +337,4 @@ object Extract {
     (good, bad)
   }
 
-  /** Schema-evolution parquet read: union the schemas of every snapshot
-    * generation under one frame (`mergeSchema` — a footer-only pass, not a
-    * data pass), with columns absent from older files surfacing as NULLs.
-    * This is how a corpus that grew a `lang` column in month 3 reads as
-    * ONE table across all months without rewriting history. Plain
-    * `spark.read.parquet` instead takes an arbitrary file's schema and
-    * silently DROPS the new column when an old file wins — the failure
-    * mode this entry point exists to prevent. Incompatible evolutions
-    * (same column, different type) still fail loudly at read time —
-    * StorageExtSpec pins both behaviors plus pushdown on common columns.
-    */
-  def readParquetMerged(spark: SparkSession, paths: Seq[String]): DataFrame = {
-    require(paths.nonEmpty, "readParquetMerged needs at least one path")
-    spark.read.option("mergeSchema", "true").parquet(paths: _*)
-  }
 }

@@ -19,7 +19,20 @@ object Maintenance {
     * default on every read.
     */
   def readEvolved(spark: SparkSession, dir: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(dir)
+    readEvolved(spark, Seq(dir))
+
+  /** Multi-path form (r9): one merged frame across SEPARATE snapshot
+    * directories (month partitions, versioned drops) — the same footer
+    * union, so a corpus that grew a `lang` column in month 3 reads as one
+    * table across all months without rewriting history; incompatible
+    * evolutions (same column, different type) still fail loudly at read
+    * time (StorageExtSpec pins NULL surfacing, common-column pushdown,
+    * and the loud conflict).
+    */
+  def readEvolved(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "readEvolved needs at least one path")
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+  }
 
   /** Compact a parquet directory's small files toward `targetBytes` output
     * files (in-place: rewrite then atomically swap is the production

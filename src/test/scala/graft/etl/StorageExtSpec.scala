@@ -35,14 +35,14 @@ class StorageExtSpec extends SparkSpec {
     assert(q.collect().map(_.getString(0)).sorted.toSeq == Seq("beta", "gamma"))
   }
 
-  test("readParquetMerged unions generations; plain read can drop the " +
+  test("readEvolved (multi-path) unions generations; plain read can drop the " +
     "new column; type conflicts fail loudly") {
     val v1 = tmp() + "/v1"
     val v2 = tmp() + "/v2"
     Seq((1L, "a")).toDF("id", "txt").write.parquet(v1)
     Seq((2L, "b", "en")).toDF("id", "txt", "lang").write.parquet(v2)
 
-    val merged = Extract.readParquetMerged(spark, Seq(v1, v2))
+    val merged = Maintenance.readEvolved(spark, Seq(v1, v2))
     assert(merged.columns.toSet == Set("id", "txt", "lang"))
     val rows = merged.orderBy("id")
       .collect().map(r => (r.getLong(0), r.isNullAt(2))).toSeq
@@ -58,7 +58,7 @@ class StorageExtSpec extends SparkSpec {
     val v3 = tmp() + "/v3"
     Seq((3L, 42)).toDF("id", "txt").write.parquet(v3)
     val err = intercept[Exception] {
-      Extract.readParquetMerged(spark, Seq(v1, v3)).collect()
+      Maintenance.readEvolved(spark, Seq(v1, v3)).collect()
     }
     assert(err.getMessage != null)
   }
