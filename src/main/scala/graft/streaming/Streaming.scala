@@ -777,6 +777,63 @@ object Streaming {
       }
   }
 
+  final case class AnomalyInput(event_type: String, event_id: Long,
+      value: Double)
+  final case class WelfordState(n: Long, mean: Double, m2: Double)
+  final case class AnomalyFlag(event_type: String, event_id: Long,
+      value: Double, z: Double, n_seen: Long)
+
+  /** In-flight anomaly flagging with O(1) state per key — Welford's
+    * one-pass running (n, mean, M2) inside flatMapGroupsWithState: the
+    * streaming twin of the batch q_value_anomaly, for the case where
+    * "alert on a wild reading" cannot wait for the nightly scan. Each
+    * arriving value is scored against the statistics of everything BEFORE
+    * it (a spike must not dilute its own z-score by first joining the
+    * baseline), then folded in; Welford's update is the numerically
+    * stable formulation (naive Σx² cancellation loses all precision once
+    * mean² ≫ variance). No warmup, no alert: scores emit only after
+    * `minN` prior values, and a zero-variance baseline flags nothing
+    * (sd = 0 means the first deviating point has no scale yet).
+    *
+    * State is three numbers per event type — bounded by the TYPE domain,
+    * not stream length, so no watermark eviction is needed (contrast
+    * dedupStream, whose key domain is unbounded). Fold order within a
+    * batch is Spark-iterator order; the running moments are
+    * order-sensitive at the ulp level and early scores depend on what
+    * arrived before them — inherent to any online detector, and the spec
+    * asserts order-robust properties (extreme flagged, normals not,
+    * moments match the batch computation) rather than exact z values.
+    */
+  def anomalyStream(events: Dataset[AnomalyInput], minN: Long = 30L,
+      zThreshold: Double = 3.0): Dataset[AnomalyFlag] = {
+    import events.sparkSession.implicits._
+    require(minN >= 2, s"minN must be >= 2 (variance needs it), got $minN")
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[WelfordState, AnomalyFlag](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[AnomalyInput],
+            state: GroupState[WelfordState]) =>
+          var st = state.getOption.getOrElse(WelfordState(0L, 0.0, 0.0))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyFlag]
+          rows.foreach { r =>
+            if (st.n >= minN) {
+              val sd = math.sqrt(st.m2 / (st.n - 1).toDouble)
+              if (sd > 0.0) {
+                val z = math.abs((r.value - st.mean) / sd)
+                if (z > zThreshold)
+                  out += AnomalyFlag(key, r.event_id, r.value, z, st.n)
+              }
+            }
+            val n1 = st.n + 1
+            val d = r.value - st.mean
+            val mean1 = st.mean + d / n1.toDouble
+            st = WelfordState(n1, mean1, st.m2 + d * (r.value - mean1))
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Runs a streaming aggregation to a named in-memory sink with an
     * AvailableNow trigger (process everything currently on disk, then
     * terminate). Callers should `awaitTermination()`, NOT

@@ -1005,4 +1005,47 @@ class StreamingSpec extends SparkSpec {
     // the other shard kept its own independent summary
     assert(out.exists(r => r._1 == 1 && r._2 == "other_shard" && r._3 == 5L))
   }
+
+  test("streaming anomaly flags: extreme flagged after warmup, normals " +
+    "and pre-warmup spikes not, per-key isolation, state folds batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // type A: 40 baseline values around 10 (sd ~ alternating ±1), then a
+    // wild 100 and two normals in a later batch. Type B: a pre-warmup
+    // spike that must NOT flag (only 5 priors).
+    val base = (0 until 40).map(i =>
+      Streaming.AnomalyInput("A", i.toLong, 10.0 + (if (i % 2 == 0) 1.0 else -1.0)))
+    val batch2 = Seq(
+      Streaming.AnomalyInput("A", 100L, 100.0),
+      Streaming.AnomalyInput("A", 101L, 10.5),
+      Streaming.AnomalyInput("B", 200L, 1000.0))
+    val bSmall = (0 until 5).map(i =>
+      Streaming.AnomalyInput("B", 210L + i, 1.0 + i * 0.1))
+
+    val mem = MemoryStream[Streaming.AnomalyInput]
+    mem.addData(base ++ bSmall: _*)
+    mem.addData(batch2: _*)
+    val q = Streaming.runToMemory(
+      Streaming.anomalyStream(mem.toDS(), minN = 30L, zThreshold = 3.0).toDF(),
+      "anom", org.apache.spark.sql.streaming.OutputMode.Update())
+    q.awaitTermination(120000); q.stop()
+
+    val flags = spark.table("anom").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getLong(4)))
+      .toSeq
+    // the wild value flags, scored against 41 PRIOR A-values (the spike
+    // itself excluded from its own baseline), with a huge z
+    val hit = flags.filter(f => f._1 == "A" && f._2 == 100L)
+    assert(hit.size == 1, flags.toString)
+    // 40 or 41 priors depending on whether the batch-mate normal value
+    // folded in first (iterator order within a batch is not guaranteed)
+    assert(hit.head._3 > 3.0 && (hit.head._4 == 40L || hit.head._4 == 41L),
+      hit.toString)
+    // the adjacent normal value does not flag, and no baseline row flags
+    assert(!flags.exists(f => f._1 == "A" && f._2 != 100L), flags.toString)
+    // B's spike arrived with only 5 priors — below minN, silent by design
+    assert(!flags.exists(_._1 == "B"), flags.toString)
+  }
 }
