@@ -4158,6 +4158,126 @@ object ExtQueries {
         docs(s, dir).select($"doc_id",
           w.as("n_words"), syl.as("n_syllables"),
           when(w > 0, snap(flesch)).as("flesch"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Population Stability Index between two corpus slices (deciles of
+    // doc length) — the ML-ops drift gauge beside q_source_divergence's
+    // KL: PSI bins the REFERENCE slice into its own deciles and asks how
+    // much of the CURRENT slice's mass moved between bins (rule of thumb:
+    // <0.1 stable, >0.25 investigate). Slices derive as the doc_id parity
+    // halves (identically in both engines — the q_corpus_diff stand-in
+    // convention for two releases). Shape: one exact-percentile agg over
+    // the reference slice broadcasts 9 snapped cut points, then ONE
+    // binning pass over all docs (bin = count of cuts ≤ x, a 9-element
+    // filter in codegen) feeding a 10-row conditional-count agg; totals
+    // and the PSI sum ride windows over those 10 rows (the bounded
+    // single-partition case, q_zipf's discipline). Zero-count bins take
+    // the standard +0.5 floor so the log never sees 0; deciles collapsed
+    // by duplicate cut values simply don't appear — identically on both
+    // engines. Contributions snap 1e-6; the total sums RAW contributions
+    // then snaps, mirrored exactly.
+    QueryDef(
+      "q_drift_psi",
+      Some {
+        // quantile_cont demands CONSTANT fractions — generate the 9
+        // decile columns then unnest, instead of a range-join parameter
+        val cuts = (1 to 9).map(i =>
+          s"FLOOR(quantile_cont(n_chars, 0.${i}) * 1000000 + 0.5) / 1000000 AS v$i")
+          .mkString(",\n    ")
+        val list = (1 to 9).map(i => s"v$i").mkString("[", ", ", "]")
+        s"""WITH ref AS (
+           |  SELECT n_chars FROM documents WHERE doc_id % 2 = 0),
+           |thr AS (
+           |  SELECT $cuts
+           |  FROM ref),
+           |th AS (SELECT unnest($list) AS v FROM thr),
+           |d AS (SELECT n_chars, doc_id % 2 = 0 AS is_ref FROM documents),""".stripMargin + """
+             |b AS (
+             |  SELECT (SELECT CAST(count(*) AS INT) FROM th
+             |          WHERE CAST(d.n_chars AS DOUBLE) >= th.v) AS bin,
+             |         is_ref
+             |  FROM d),
+             |g AS (
+             |  SELECT bin,
+             |    CAST(count(CASE WHEN is_ref THEN 1 END) AS BIGINT) AS n_ref,
+             |    CAST(count(CASE WHEN NOT is_ref THEN 1 END) AS BIGINT) AS n_cur
+             |  FROM b GROUP BY 1),
+             |p AS (
+             |  SELECT bin, n_ref, n_cur,
+             |    ((CAST(n_cur AS DOUBLE) + 0.5)
+             |       / (CAST(sum(n_cur) OVER () AS DOUBLE) + 5.0)
+             |     - (CAST(n_ref AS DOUBLE) + 0.5)
+             |       / (CAST(sum(n_ref) OVER () AS DOUBLE) + 5.0))
+             |    * ln(((CAST(n_cur AS DOUBLE) + 0.5)
+             |          / (CAST(sum(n_cur) OVER () AS DOUBLE) + 5.0))
+             |         / ((CAST(n_ref AS DOUBLE) + 0.5)
+             |            / (CAST(sum(n_ref) OVER () AS DOUBLE) + 5.0))) AS c
+             |  FROM g)
+             |SELECT bin, n_ref, n_cur,
+             |  FLOOR(c * 1000000 + 0.5) / 1000000 AS psi_bin,
+             |  FLOOR(sum(c) OVER () * 1000000 + 0.5) / 1000000 AS psi_total
+             |FROM p""".stripMargin
+      },
+      (s, dir) => {
+        import s.implicits._
+        val snap = (x: Column) => floor(x * lit(1000000) + lit(0.5)) / lit(1000000)
+        val th = docs(s, dir).where($"doc_id" % 2 === 0)
+          .agg(expr("percentile(n_chars, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+            .as("vs"))
+          .select(transform($"vs", v => snap(v)).as("vs"))
+        val g = docs(s, dir)
+          .select($"n_chars", ($"doc_id" % 2 === 0).as("is_ref"))
+          .crossJoin(broadcast(th))
+          .select(size(filter($"vs",
+              v => $"n_chars".cast("double") >= v)).as("bin"), $"is_ref")
+          .groupBy($"bin").agg(
+            count(when($"is_ref", lit(1))).as("n_ref"),
+            count(when(!$"is_ref", lit(1))).as("n_cur"))
+        val wAll = Window.partitionBy()
+        val pc = ($"n_cur".cast("double") + lit(0.5)) /
+          (sum($"n_cur").over(wAll).cast("double") + lit(5.0))
+        val pr = ($"n_ref".cast("double") + lit(0.5)) /
+          (sum($"n_ref").over(wAll).cast("double") + lit(5.0))
+        g.select($"bin", $"n_ref", $"n_cur",
+            ((pc - pr) * log(pc / pr)).as("c"))
+          .select($"bin", $"n_ref", $"n_cur",
+            snap($"c").as("psi_bin"),
+            snap(sum($"c").over(wAll)).as("psi_total"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Dedup threshold calibration sweep: the certified candidate pairs
+    // with ≥0.5/0.7/0.9 flags decorating each row — ONE pair pass answers
+    // "how many pairs does each threshold drop?" across the whole tuning
+    // range, where running the pipeline per candidate threshold would
+    // re-pay the shingle machinery each time. The flags are raw IEEE
+    // comparisons on the exact-integer jaccard ratio — engine-identical,
+    // no snapping anywhere. (The jaccard is the rare-shingle LOWER BOUND,
+    // as documented on Dedup.jaccardPairs — the sweep calibrates the
+    // operator actually deployed, which is the point.)
+    QueryDef(
+      "q_dedup_threshold_sweep",
+      Some(s"""WITH $jaccardPairsCte
+             |SELECT doc_a, doc_b, n_inter,
+             |  CAST(n_inter AS DOUBLE)
+             |    / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard,
+             |  CAST(n_inter AS DOUBLE)
+             |    / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.5 AS ge_05,
+             |  CAST(n_inter AS DOUBLE)
+             |    / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.7 AS ge_07,
+             |  CAST(n_inter AS DOUBLE)
+             |    / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.9 AS ge_09
+             |FROM pairs
+             |WHERE CAST(n_inter AS DOUBLE)
+             |    / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.3""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        Dedup.jaccardPairs(docs(s, dir), "doc_id", "text")
+          .select($"doc_a", $"doc_b", $"n_inter", $"jaccard",
+            ($"jaccard" >= 0.5).as("ge_05"),
+            ($"jaccard" >= 0.7).as("ge_07"),
+            ($"jaccard" >= 0.9).as("ge_09"))
       })
   )
 
