@@ -265,4 +265,35 @@ class PropertySpec extends SparkSpec {
       assert(bad.count() === 0, s"shingle-count algebra broken at n=$n")
     }
   }
+
+  test("information-theory invariants on the declared fixture: 0 ≤ H ≤ " +
+    "ln(distinct), KL ≥ 0, PSI ≥ 0, χ² ≥ 0 with V ∈ [0,1], 3·triangles " +
+    "≤ wedges") {
+    val dir = "/root/testdata/sf0.001"
+    // entropy: bounded by the uniform-distribution maximum per doc
+    val ent = SparkEntry.queries("q_token_entropy")(spark, dir).collect()
+    assert(ent.nonEmpty)
+    ent.foreach { r =>
+      if (!r.isNullAt(3)) {
+        val h = r.getDouble(3); val nd = r.getInt(2)
+        assert(h >= -1e-9 && h <= math.log(math.max(nd, 1).toDouble) + 1e-6,
+          s"H=$h out of [0, ln($nd)]")
+      }
+    }
+    // Gibbs: KL of any source against the blend is non-negative
+    SparkEntry.queries("q_source_divergence")(spark, dir).collect()
+      .foreach(r => assert(r.getDouble(2) >= -1e-6, r.toString))
+    // PSI: each (p−q)·ln(p/q) term is non-negative, so the total is
+    SparkEntry.queries("q_drift_psi")(spark, dir).collect()
+      .foreach(r => assert(r.getDouble(4) >= -1e-6, r.toString))
+    // chi-square and its effect size
+    val chi = SparkEntry.queries("q_chi2_independence")(spark, dir).head()
+    assert(chi.getDouble(5) >= 0.0, chi.toString)
+    assert(chi.getDouble(6) >= 0.0 && chi.getDouble(6) <= 1.0 + 1e-9,
+      chi.toString)
+    // every triangle closes three wedges: clustering coefficient ≤ 1
+    val tri = SparkEntry.queries("q_triangles")(spark, dir).head()
+    assert(3 * tri.getLong(0) <= tri.getLong(1) || tri.getLong(1) == 0,
+      tri.toString)
+  }
 }
