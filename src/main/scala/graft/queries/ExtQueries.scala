@@ -4278,6 +4278,110 @@ object ExtQueries {
             ($"jaccard" >= 0.5).as("ge_05"),
             ($"jaccard" >= 0.7).as("ge_07"),
             ($"jaccard" >= 0.9).as("ge_09"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Tokenizer fertility by language: bytes per (BPE-ish) token — the
+    // standard tokenizer-evaluation read that decides whether a language
+    // is being token-taxed (a lang whose bytes/token is half the others'
+    // pays double the context budget per character; the number that
+    // triggers vocabulary rebalancing before training, and the aggregate
+    // face of q_token_count's per-doc estimates). One map-only pass
+    // (codegen regex count + octet length) into a lang-keyed partial agg;
+    // all-integer sums, one exact IEEE divide — no snap.
+    QueryDef(
+      "q_fertility",
+      Some("""SELECT lang,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(length(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS n_tokens,
+             |  CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+             |  CASE WHEN sum(length(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) > 0
+             |       THEN CAST(sum(strlen(text)) AS DOUBLE)
+             |            / CAST(sum(length(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS DOUBLE)
+             |  END AS bytes_per_token
+             |FROM documents GROUP BY lang""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .select($"lang",
+            TextFunctions.bpeishTokenCount($"text").as("t"),
+            octet_length($"text").as("b"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"t").as("n_tokens"), sum($"b").as("n_bytes"))
+          .select($"lang", $"n_docs", $"n_tokens", $"n_bytes",
+            when($"n_tokens" > 0,
+              $"n_bytes".cast("double") / $"n_tokens".cast("double"))
+              .as("bytes_per_token"))
+      }),
+
+    // ------------------------------------------------------------------
+    // kNN majority-vote classification over embeddings — the lazy-learner
+    // counterpart to q_centroid_assign's parametric classifier (a centroid
+    // blurs multi-modal classes; kNN follows the local structure): for a
+    // deterministic probe sample, the 10 nearest neighbors by the same
+    // bit-exact fixed-order cosine as q_sim_batch vote on the label,
+    // ties to the smaller label. The serving shape at scale: probes
+    // BROADCAST into the corpus scan (the corpus never shuffles on
+    // content), the per-probe cut is rank-over-partition planned as
+    // WindowGroupLimit (each corpus partition keeps 10 rows per probe
+    // before the exchange), and the vote is a probe-keyed count over
+    // 10·|probes| rows. Self-matches excluded (leave-one-out). Fully
+    // hash-oracled.
+    QueryDef(
+      "q_knn_vote",
+      Some("""WITH p AS (
+             |  SELECT vec_id AS probe_id, label AS true_label, embedding AS pv
+             |  FROM embeddings WHERE vec_id % 23 = 0),
+             |c AS (
+             |  SELECT p.probe_id, p.true_label, e.vec_id, e.label,
+             |    list_sum(list_transform(range(1, len(e.embedding)+1),
+             |             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.pv[i] AS DOUBLE))) AS d,
+             |    sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+             |      * sqrt(list_sum(list_transform(p.pv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nn
+             |  FROM embeddings e, p
+             |  WHERE e.vec_id != p.probe_id),
+             |r AS (
+             |  SELECT probe_id, true_label, label,
+             |    row_number() OVER (PARTITION BY probe_id
+             |      ORDER BY CASE WHEN nn > 0 THEN d / nn END DESC NULLS LAST,
+             |               vec_id) AS rnk
+             |  FROM c),
+             |v AS (
+             |  SELECT probe_id, true_label, label,
+             |    CAST(count(*) AS BIGINT) AS n_votes
+             |  FROM r WHERE rnk <= 10 GROUP BY 1, 2, 3)
+             |SELECT probe_id, true_label, label AS predicted_label, n_votes,
+             |  label = true_label AS correct
+             |FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY probe_id
+             |    ORDER BY n_votes DESC, label) AS vr
+             |  FROM v)
+             |WHERE vr = 1""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val e = emb(s, dir)
+        val probes = e.where($"vec_id" % 23 === 0)
+          .select($"vec_id".as("probe_id"), $"label".as("true_label"),
+            $"embedding".as("pv"))
+        val w = Window.partitionBy($"probe_id")
+          .orderBy($"cosine_sim".desc_nulls_last, $"vec_id")
+        val votes = e.crossJoin(broadcast(probes))
+          .where($"vec_id" =!= $"probe_id")
+          .select($"probe_id", $"true_label", $"vec_id", $"label",
+            graft.functions.VectorNative.cosine($"embedding", $"pv")
+              .as("cosine_sim"))
+          .withColumn("rnk", row_number().over(w))
+          .where($"rnk" <= 10)
+          .groupBy($"probe_id", $"true_label", $"label")
+          .agg(count(lit(1)).as("n_votes"))
+        val wv = Window.partitionBy($"probe_id")
+          .orderBy($"n_votes".desc, $"label")
+        votes.withColumn("vr", row_number().over(wv))
+          .where($"vr" === 1)
+          .select($"probe_id", $"true_label",
+            $"label".as("predicted_label"), $"n_votes",
+            ($"label" === $"true_label").as("correct"))
       })
   )
 
