@@ -4382,6 +4382,61 @@ object ExtQueries {
           .select($"probe_id", $"true_label",
             $"label".as("predicted_label"), $"n_votes",
             ($"label" === $"true_label").as("correct"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Out-of-vocabulary rate per language under a frozen top-1000 corpus
+    // vocabulary — the coverage read that q_fertility's byte ratio can't
+    // give: a language whose token mass falls mostly OUTSIDE the shared
+    // vocabulary head is the one a corpus-level tokenizer will shatter
+    // into bytes (OOV% is the classic early-warning before committing a
+    // vocab). ONE (lang, token) count aggregation is the branch point for
+    // everything: the vocabulary derives FROM it (token re-agg →
+    // TakeOrdered top-1000 — the vocabulary never meets a global sort),
+    // broadcasts back as a membership side, and the per-lang rollup is a
+    // conditional sum over the same relation — the corpus is tokenized
+    // exactly once (explicit isNotNull keeps the legs canonical).
+    // All-integer sums + one IEEE divide; top-1000 cut breaks count ties
+    // by token so both engines freeze the same vocabulary.
+    QueryDef(
+      "q_oov_rate",
+      Some("""WITH tc AS (
+             |  SELECT lang, token, CAST(count(*) AS BIGINT) AS c FROM (
+             |    SELECT lang,
+             |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+             |    FROM documents WHERE lang IS NOT NULL)
+             |  GROUP BY 1, 2),
+             |v AS (
+             |  SELECT token FROM (
+             |    SELECT token, sum(c) AS tot FROM tc GROUP BY 1)
+             |  ORDER BY tot DESC, token LIMIT 1000)
+             |SELECT lang,
+             |  CAST(sum(c) AS BIGINT) AS n_tokens,
+             |  CAST(sum(CASE WHEN v.token IS NULL THEN c ELSE 0 END) AS BIGINT)
+             |    AS n_oov,
+             |  CAST(sum(CASE WHEN v.token IS NULL THEN c ELSE 0 END) AS DOUBLE)
+             |    / CAST(sum(c) AS DOUBLE) AS oov_rate
+             |FROM tc LEFT JOIN v ON tc.token = v.token
+             |GROUP BY lang""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val tc = docs(s, dir)
+          .where($"lang".isNotNull)
+          .select($"lang", explode(TextFunctions.arrayBarrier(
+            TextFunctions.termsAlnum($"text"))).as("token"))
+          .where($"token".isNotNull)
+          .groupBy($"lang", $"token").agg(count(lit(1)).as("c"))
+        val v = tc.groupBy($"token").agg(sum($"c").as("tot"))
+          .orderBy($"tot".desc, $"token").limit(1000)
+          .select($"token", lit(1).as("__in_vocab"))
+        tc.join(broadcast(v), Seq("token"), "left")
+          .groupBy($"lang")
+          .agg(sum($"c").as("n_tokens"),
+            sum(when($"__in_vocab".isNull, $"c").otherwise(lit(0L)))
+              .as("n_oov"))
+          .select($"lang", $"n_tokens", $"n_oov",
+            ($"n_oov".cast("double") / $"n_tokens".cast("double"))
+              .as("oov_rate"))
       })
   )
 
