@@ -349,6 +349,28 @@ object Dedup {
     }: _*)).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.bucket"))
   }
 
+  /** The portable family's raw signature vector (doc_id, sig ARRAY<long>
+    * of length `nPerms`) — the estimator itself, for consumers that need
+    * the signatures rather than band buckets (estimator-calibration
+    * audits, cross-run signature diffs). Same shingle→base-hash→min-affine
+    * pipeline as [[portableBandBuckets]] with the SAME [[portableCoef]]
+    * coefficients, emitted as one array column so per-pair agreement is a
+    * zip_with away. Shingle-less docs produce no row (a MinHash over the
+    * empty set is undefined), matching the band-bucket behavior.
+    */
+  def portableSignatures(tokenized: DataFrame, shingleN: Int = 3,
+      nPerms: Int = 32): DataFrame = {
+    val sh = tokenized
+      .select(col("doc_id"),
+        explode(arrayBarrier(shinglesFromTokens(col("toks"), shingleN))).as("shingle"))
+      .select(col("doc_id"), portableBaseHash(col("shingle")).as("u"))
+    sh.groupBy(col("doc_id")).agg(
+      array((0 until nPerms).map { i =>
+        val (a, b) = portableCoef(i)
+        min((lit(a) * col("u") + lit(b)) % PortablePrime)
+      }: _*).as("sig"))
+  }
+
   /** [[minhashPairsFromTokens]] over the portable family — identical
     * candidate shape (count-first bucket capping, within-bucket pairs,
     * agreeing-band counts), different hash family. See

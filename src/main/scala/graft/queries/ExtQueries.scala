@@ -212,19 +212,17 @@ object ExtQueries {
     * engines), band buckets are the comma-joined signature slice, and the
     * capping rule replays PairGen's count-first `BETWEEN 2 AND maxBucket`.
     */
-  private def portableNearDropCte(shingleN: Int, nPerms: Int, nBands: Int,
-      minBands: Int, maxBucket: Int): String = {
+  /** DuckDB replica of [[Dedup.portableSignatures]]' pipeline, ending in a
+    * CTE `psig(doc_id, h0..h{nPerms-1})` — the shared base of
+    * [[portableNearDropCte]] and q_minhash_calibration (single-source
+    * rule: the base-hash parse and affine coefficients render once).
+    */
+  private def portableSigCte(shingleN: Int, nPerms: Int): String = {
     val p = graft.operators.Dedup.PortablePrime
-    val rowsPerBand = nPerms / nBands
     val sigExprs = (0 until nPerms).map { i =>
       val (a, b) = graft.operators.Dedup.portableCoef(i)
       s"min(($a*u + $b) % $p) AS h$i"
     }.mkString(",\n      ")
-    val bandSelects = (0 until nBands).map { b =>
-      val hs = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => s"h$i").mkString(", ")
-      s"SELECT doc_id, $b AS band, concat_ws(',', $hs) AS bucket FROM psig"
-    }.mkString("\n    UNION ALL ")
     s"""pt AS (
        |  SELECT doc_id,
        |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS t
@@ -244,7 +242,18 @@ object ExtQueries {
        |  SELECT doc_id,
        |      $sigExprs
        |  FROM puh GROUP BY doc_id
-       |), pbands AS (
+       |)""".stripMargin
+  }
+
+  private def portableNearDropCte(shingleN: Int, nPerms: Int, nBands: Int,
+      minBands: Int, maxBucket: Int): String = {
+    val rowsPerBand = nPerms / nBands
+    val bandSelects = (0 until nBands).map { b =>
+      val hs = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => s"h$i").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $hs) AS bucket FROM psig"
+    }.mkString("\n    UNION ALL ")
+    s"""${portableSigCte(shingleN, nPerms)}, pbands AS (
        |    $bandSelects
        |), pkeepb AS (
        |  SELECT band, bucket FROM pbands
@@ -4437,6 +4446,87 @@ object ExtQueries {
           .select($"lang", $"n_tokens", $"n_oov",
             ($"n_oov".cast("double") / $"n_tokens".cast("double"))
               .as("oov_rate"))
+      }),
+
+    // ------------------------------------------------------------------
+    // MinHash estimator calibration: per candidate pair, the 32-perm
+    // portable-signature agreement fraction NEXT TO the true shingle-set
+    // Jaccard — the audit that answers "are 32 permutations enough at our
+    // similarity band?" with measured per-pair error instead of the
+    // textbook 1/√k bound (and, as a side effect, shows how far the
+    // rare-shingle candidate jaccard's LOWER BOUND sits from truth). The
+    // true intersection is computed ONLY on candidate pairs (the
+    // broadcast pair list bounds the shingle re-join — never all-pairs);
+    // signatures come from [[Dedup.portableSignatures]] (the same
+    // portableCoef family the oracle interpolates), per-pair agreement is
+    // one zip_with. Every output is exact rational arithmetic: est = k/32,
+    // true = int ratio, err = their IEEE difference — no snap anywhere.
+    QueryDef(
+      "q_minhash_calibration",
+      Some {
+        val agree = (0 until 32)
+          .map(i => s"CASE WHEN x.h$i = y.h$i THEN 1 ELSE 0 END")
+          .mkString("\n      + ")
+        s"""WITH $jaccardPairsCte, $edgesCte,
+           |${portableSigCte(3, 32)},
+           |ti AS (
+           |  SELECT c.a AS doc_a, c.b AS doc_b, sa.n AS n_a, sb.n AS n_b,
+           |         CAST(count(*) AS BIGINT) AS n_true
+           |  FROM edges c
+           |  JOIN ex sa ON sa.doc_id = c.a
+           |  JOIN ex sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+           |  GROUP BY 1, 2, 3, 4),
+           |ag AS (
+           |  SELECT t.doc_a, t.doc_b, t.n_a, t.n_b, t.n_true,
+           |    CAST($agree AS BIGINT) AS n_agree
+           |  FROM ti t JOIN psig x ON x.doc_id = t.doc_a
+           |            JOIN psig y ON y.doc_id = t.doc_b)
+           |SELECT doc_a, doc_b, n_true,
+           |  CAST(n_true AS DOUBLE)
+           |    / CAST(n_a + n_b - n_true AS DOUBLE) AS true_jaccard,
+           |  CAST(n_agree AS DOUBLE) / 32.0 AS est_jaccard,
+           |  abs(CAST(n_agree AS DOUBLE) / 32.0
+           |      - CAST(n_true AS DOUBLE)
+           |        / CAST(n_a + n_b - n_true AS DOUBLE)) AS abs_err
+           |FROM ag""".stripMargin
+      },
+      (s, dir) => {
+        import s.implicits._
+        val d = docs(s, dir)
+        val cand = broadcast(
+          Dedup.jaccardPairs(d, "doc_id", "text").select($"doc_a", $"doc_b"))
+        val tok = d.select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+        val shd = tok.select($"doc_id", explode(TextFunctions.arrayBarrier(
+            array_distinct(TextFunctions.shinglesFromTokens($"toks", 3))))
+            .as("shingle"))
+        val sizes = shd.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val ti = cand
+          .join(shd.select($"doc_id".as("doc_a"), $"shingle"), Seq("doc_a"))
+          .join(shd.select($"doc_id".as("doc_b"), $"shingle"),
+            Seq("doc_b", "shingle"))
+          .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_true"))
+          // sizes/signatures are CORPUS-sized: join them plain (the
+          // bounded ti side is the broadcast candidate, AQE's call) —
+          // hinting broadcast on the corpus side would invert the shape
+          .join(sizes.select($"doc_id".as("doc_a"), $"n".as("n_a")),
+            Seq("doc_a"))
+          .join(sizes.select($"doc_id".as("doc_b"), $"n".as("n_b")),
+            Seq("doc_b"))
+        val sigs = Dedup.portableSignatures(tok)
+        val tj = $"n_true".cast("double") /
+          ($"n_a" + $"n_b" - $"n_true").cast("double")
+        val est = $"n_agree".cast("double") / lit(32.0)
+        ti.join(sigs.select($"doc_id".as("doc_a"), $"sig".as("sa")),
+            Seq("doc_a"))
+          .join(sigs.select($"doc_id".as("doc_b"), $"sig".as("sb")),
+            Seq("doc_b"))
+          .withColumn("n_agree",
+            aggregate(zip_with($"sa", $"sb",
+              (x, y) => when(x === y, 1L).otherwise(0L)),
+              lit(0L), (acc, v) => acc + v))
+          .select($"doc_a", $"doc_b", $"n_true",
+            tj.as("true_jaccard"), est.as("est_jaccard"),
+            abs(est - tj).as("abs_err"))
       })
   )
 
