@@ -18,6 +18,12 @@ run / fork := true
 // BENCH_r{1..8}.json came back `parsed: null`). Success is still signalled
 // by the exit code; failures still print `[error]`.
 Global / showSuccess := false
+// The second half of the tail fix (r10): even with the success banner gone,
+// sbt's logger wraps every forked-run stdout line with an `[info] ` prefix,
+// so the driver's last-line JSON parse failed for 9 straight rounds
+// (`[info] {"metric":…}` is not JSON). StdoutOutput routes the forked
+// process's stdout straight through, bypassing the logger and its prefix.
+run / outputStrategy := Some(StdoutOutput)
 // showSuccess is consumed by sbt's command engine, not a task — lint can't
 // see that and would warn "unused" on every invocation
 Global / excludeLintKeys += showSuccess

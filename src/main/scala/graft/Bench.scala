@@ -22,13 +22,18 @@ object Bench {
     "q_dedup_incremental" -> "q_dedup_incremental_operator")
 
   /** Declared total with each [[operatorSubs]] twin substituted (failures
-    * excluded on either side, like the plain total).
+    * excluded on either side, like the plain total). A FAILED declared
+    * query (-1) is never replaced by its healthy twin — the declared gate
+    * is the correctness surface, and a broken declared form must stay
+    * visibly excluded from the graded total, not laundered through the
+    * twin's timing.
     */
   private[graft] def operatorGradedTotal(results: Seq[(String, Double)],
       subtimings: Seq[(String, Double)]): Double = {
     val subs = subtimings.toMap
     results.map { case (name, t) =>
-      operatorSubs.get(name).flatMap(subs.get).filter(_ >= 0)
+      if (t < 0) t
+      else operatorSubs.get(name).flatMap(subs.get).filter(_ >= 0)
         .getOrElse(t)
     }.filter(_ >= 0).sum
   }

@@ -42,15 +42,35 @@ class BenchHeadlineSpec extends AnyFunSuite {
   test("driver tail capture: last line of the final 2000 chars parses") {
     val results = mkResults(135, 0.73)
     val compact = headline(results)
-    // the big line is ~25 KB; any prefix junk must not matter
-    val stdout = ("x" * 25000) + "\n" + compact + "\n"
+    // Model the REAL sbt invocation, not an idealized one: sbt's own lines
+    // carry the `[info] ` logger prefix, and for 9 rounds the forked run's
+    // stdout did too (the reason every BENCH_r{1..9}.json was
+    // `parsed: null`). With `run / outputStrategy := Some(StdoutOutput)`
+    // the run's lines pass through raw while sbt's own stay prefixed —
+    // this capture replays exactly that shape, so the spec fails by name
+    // if the prefix ever reattaches to the headline.
+    val stdout = "[info] running (fork) graft.Bench \n" +
+      "[info] " + ("x" * 25000) + "\n" + compact + "\n"
     val tail = stdout.takeRight(2000)
     val last = tail.split("\n").last
+    assert(!last.startsWith("[info]"),
+      "headline must reach the driver un-prefixed (StdoutOutput)")
     val node = mapper.readTree(last)
     assert(node.get("metric").asText() === "total")
     assert(node.get("value").asDouble() > 0)
     assert(node.get("value_operator_graded").asDouble() > 0)
     assert(node.get("bench_validity").asText() === "clean")
+  }
+
+  test("build.sbt pins the two tail-safety settings (showSuccess off, " +
+    "forked-run stdout unlogged)") {
+    // The settings live in build.sbt, outside compiled code — grep-gate
+    // them so a build refactor that drops either fails here by name
+    // instead of as a 10th consecutive `parsed: null` artifact.
+    val sbt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("build.sbt")), "UTF-8")
+    assert(sbt.contains("Global / showSuccess := false"))
+    assert(sbt.contains("run / outputStrategy := Some(StdoutOutput)"))
   }
 
   test("operator-graded total substitutes the scale twins") {
@@ -63,6 +83,11 @@ class BenchHeadlineSpec extends AnyFunSuite {
     // a FAILED twin must not substitute (nor subtract): declared time kept
     assert(Bench.operatorGradedTotal(results,
       Seq("q_sim_neardup_operator" -> -1.0)) === 13.0)
+    // a FAILED declared query must stay excluded, never replaced by its
+    // healthy twin: 8→1, q_sim_clusters failed and drops out, 1 stays
+    assert(Bench.operatorGradedTotal(
+      Seq("q_sim_neardup" -> 8.0, "q_sim_clusters" -> -1.0, "q_other" -> 1.0),
+      subs) === 2.0)
   }
 
   test("every operator-graded substitution key is a live subtiming name") {
