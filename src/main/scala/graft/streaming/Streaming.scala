@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -832,6 +832,91 @@ object Streaming {
           state.update(st)
           out.iterator
       }
+  }
+
+  /** A FROZEN reference distribution for streaming drift monitoring:
+    * `cuts` are the reference slice's decile cut points (snapped 1e-6, the
+    * q_drift_psi convention), `refCounts` the reference's own per-bin
+    * counts (`cuts.length + 1` bins; bin = number of cuts ≤ value).
+    * Computed batch-side ONCE via [[Streaming.freezeDriftRef]] and carried
+    * into the stream as plan literals — the stream never re-scans or
+    * re-joins the reference corpus.
+    */
+  final case class DriftRef(cuts: Seq[Double], refCounts: Seq[Long]) {
+    require(refCounts.length == cuts.length + 1,
+      s"need ${cuts.length + 1} bin counts for ${cuts.length} cuts, " +
+        s"got ${refCounts.length}")
+    def nBins: Int = refCounts.length
+    def refTotal: Long = refCounts.sum
+  }
+
+  /** Freeze a [[DriftRef]] from a BATCH reference slice: one exact-decile
+    * aggregation (9 cut points, snapped 1e-6 exactly like the batch
+    * q_drift_psi) + one binning count pass. Runs at reference-release
+    * time, never inside the stream.
+    */
+  def freezeDriftRef(ref: DataFrame, valueCol: String): DriftRef = {
+    val snap = (x: Column) => floor(x * lit(1000000) + lit(0.5)) / lit(1000000)
+    val fracs = (1 to 9).map(i => i / 10.0).mkString("array(", ",", ")")
+    val cuts = ref
+      .agg(expr(s"percentile($valueCol, $fracs)").as("vs"))
+      .select(transform(col("vs"), v => snap(v)).as("vs"))
+      .head().getSeq[Double](0)
+    val binExpr = size(filter(
+      lit(cuts.toArray),
+      c => col(valueCol).cast("double") >= c))
+    val counts = ref.groupBy(binExpr.as("bin")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    DriftRef(cuts, (0 to cuts.length).map(counts.getOrElse(_, 0L)))
+  }
+
+  /** Streaming Population Stability Index — the in-flight twin of the
+    * batch q_drift_psi, for "the doc-length mix of what we're ingesting
+    * RIGHT NOW has moved off the reference release" (rule of thumb:
+    * < 0.1 stable, > 0.25 investigate — the default `alertAt`).
+    *
+    * Everything about the reference is a broadcast-free PLAN LITERAL: the
+    * frozen cuts bin each event with a 9-element `size(filter(...))` in
+    * codegen, and the reference probabilities fold into the PSI expression
+    * as Scala-computed constants — the stream pays one windowed
+    * aggregation, no join, no second corpus scan. Per (window) the agg
+    * keeps `nBins` conditional counts in ONE state row (state bounded by
+    * live windows × a 10-wide row, watermark-evicted like every sibling);
+    * PSI is then a map-side expression over that single row — no
+    * bin-level shuffle, no window-over-bins, which is what makes the
+    * q_drift_psi shape (10-row window functions) streamable at all.
+    * Smoothing matches the batch query exactly: (n + 0.5) / (N + nBins/2)
+    * on BOTH sides, so zero-count bins never hit ln(0) and the streaming
+    * number is comparable to the batch dashboard's.
+    */
+  def driftStream(events: DataFrame, ref: DriftRef,
+      valueCol: String = "value", tsCol: String = "ts",
+      window_ : String = "1 hour", watermark: String = "2 hours",
+      alertAt: Double = 0.25): DataFrame = {
+    val binExpr = size(filter(
+      lit(ref.cuts.toArray),
+      c => col(valueCol).cast("double") >= c))
+    val nB = ref.nBins
+    val counts = (0 until nB).map(i =>
+      count(when(binExpr === i, 1)).as(s"__n$i"))
+    val agg = events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_))
+      .agg(counts.head, counts.tail: _*)
+    val total = (0 until nB).map(i => col(s"__n$i")).reduce(_ + _)
+    val curTotal = total.cast("double") + lit(nB * 0.5)
+    val psi = (0 until nB).map { i =>
+      // reference probability is a CONSTANT — frozen at release time
+      val pr = (ref.refCounts(i) + 0.5) / (ref.refTotal + nB * 0.5)
+      val pc = (col(s"__n$i").cast("double") + lit(0.5)) / curTotal
+      (pc - lit(pr)) * log(pc / lit(pr))
+    }.reduce(_ + _)
+    agg.select(
+      col("window.start").as("window_start"),
+      col("window.end").as("window_end"),
+      total.as("n_events"),
+      psi.as("psi"),
+      (psi > lit(alertAt)).as("alert"))
   }
 
   /** Runs a streaming aggregation to a named in-memory sink with an

@@ -1048,4 +1048,73 @@ class StreamingSpec extends SparkSpec {
     // B's spike arrived with only 5 priors — below minN, silent by design
     assert(!flags.exists(_._1 == "B"), flags.toString)
   }
+
+  test("streaming PSI drift monitor equals the batch PSI on the same " +
+    "slice, and a shifted mix trips the alert") {
+    val dir = stageEvents()
+    val batch = spark.read.parquet(dir)
+    // freeze the reference off the even event_ids — the q_drift_psi
+    // parity-slice convention for "the previous release"
+    val ref = Streaming.freezeDriftRef(
+      batch.where(col("event_id") % 2 === 0), "value")
+    assert(ref.cuts.length == 9 && ref.nBins == 10 && ref.refTotal > 0)
+
+    val stream = Streaming.readEventStream(spark, dir)
+    // Complete mode: the finite fixture's last windows are still open
+    val q = Streaming.runToMemory(
+      Streaming.driftStream(stream, ref, "value", "ts", "10 days", "2 hours"),
+      "drift", org.apache.spark.sql.streaming.OutputMode.Complete())
+    q.awaitTermination(120000); q.stop()
+    val got = spark.table("drift").collect()
+      .map(r => (r.getTimestamp(0), (r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(got.nonEmpty)
+
+    // batch truth: same frozen cuts, same windows, same smoothing — the
+    // PSI each window would get from the batch q_drift_psi formula
+    val binOf = (v: Double) => ref.cuts.count(v >= _)
+    val rows = batch.select(window(col("ts"), "10 days")("start"), col("value"))
+      .collect().map(r => (r.getTimestamp(0), binOf(r.getDouble(1))))
+    val expected = rows.groupBy(_._1).map { case (w, vs) =>
+      val n = (0 until 10).map(b => vs.count(_._2 == b).toLong)
+      val tot = n.sum
+      val psi = (0 until 10).map { i =>
+        val pr = (ref.refCounts(i) + 0.5) / (ref.refTotal + 5.0)
+        val pc = (n(i) + 0.5) / (tot + 5.0)
+        (pc - pr) * math.log(pc / pr)
+      }.sum
+      w -> (tot, psi)
+    }
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (w, (tot, psi)) =>
+      val (gn, gp, alert) = got(w)
+      assert(gn == tot, s"window $w count $gn != $tot")
+      assert(math.abs(gp - psi) < 1e-9, s"window $w psi $gp != $psi")
+      assert(alert == (gp > 0.25), s"window $w alert disagrees with psi=$gp")
+      // the stream IS half reference by construction — populated windows
+      // must read stable (sparse tail windows legitimately inflate PSI:
+      // 10-bin smoothing on a handful of events is not a drift signal)
+      if (tot >= 100)
+        assert(!alert && gp < 0.25, s"window $w ($tot events) false alarm psi=$gp")
+    }
+    assert(expected.exists(_._2._1 >= 100), "fixture must have populated windows")
+
+    // drifted ingest: feed only the TOP-decile values — the mix has
+    // collapsed into one reference bin, PSI must blow through 0.25
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_drift_").toString
+    batch.where(col("value").cast("double") >= ref.cuts.last)
+      .write.mode("overwrite").parquet(s"$dir2/drop1")
+    val q2 = Streaming.runToMemory(
+      Streaming.driftStream(
+        Streaming.readEventStream(spark, s"$dir2/drop1"), ref,
+        "value", "ts", "10 days", "2 hours"),
+      "drift2", org.apache.spark.sql.streaming.OutputMode.Complete())
+    q2.awaitTermination(120000); q2.stop()
+    val drifted = spark.table("drift2").collect()
+    assert(drifted.nonEmpty)
+    drifted.foreach { r =>
+      assert(r.getDouble(3) > 0.25 && r.getBoolean(4),
+        s"drifted window ${r.getTimestamp(0)} psi=${r.getDouble(3)} must alert")
+    }
+  }
 }
