@@ -207,4 +207,62 @@ object Components {
     }
     pr.select(col("id"), col("r").as("pagerank"))
   }
+
+  /** Undirected degree of every node touched by a pair list (each edge
+    * given once, either endpoint order). Node-sized output — the shared
+    * input to [[orientByDegree]] and the wedge count, so callers compute
+    * it once.
+    */
+  def degreeOf(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    pairs.select(col(aCol).as("id"))
+      .union(pairs.select(col(bCol).as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+
+  /** Degree-ordered acyclic orientation of an undirected pair list — the
+    * node-iterator preparation that makes triangle counting SKEW-PROOF
+    * (Schank & Wagner 2005; the "curse of the last reducer" fix of
+    * Suri & Vassilvitskii, WWW 2011): each edge points from its smaller
+    * (degree, id) endpoint to the larger, so a high-degree hub never
+    * appears as a join SOURCE. Under a raw id orientation a low-id hub of
+    * degree D sources all D edges and the `e2.src = e1.dst` self-join key
+    * concentrates O(D²) wedge candidates in one task — the template-star
+    * shape (one boilerplate page, 10⁵ near-copies) that melts a reducer at
+    * 100×. Under degree order every spoke (degree 1) points AT the hub and
+    * the hub sources only toward even-higher-degree nodes, of which a star
+    * has none — max out-degree is bounded by √(2·|E|) for ANY graph, the
+    * published guarantee. (deg, id) is a total order, hence acyclic, so
+    * each triangle keeps exactly ONE orientation and counts are invariant
+    * vs the id orientation — ComponentsSpec pins the equality on a
+    * star+triangles fixture. `degrees` is [[degreeOf]]'s output, passed in
+    * so the caller's wedge count shares the aggregation.
+    */
+  def orientByDegree(pairs: DataFrame, aCol: String, bCol: String,
+      degrees: DataFrame): DataFrame = {
+    val e = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    val withDeg = e
+      .join(degrees.select(col("id").as("a"), col("d").as("da")), Seq("a"))
+      .join(degrees.select(col("id").as("b"), col("d").as("db")), Seq("b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"))
+  }
+
+  /** Triangle count over an undirected pair list via the degree-ordered
+    * node-iterator join: orient with [[orientByDegree]], then close wedges
+    * `(x,y),(y,z)` with the third edge `(x,z)` — each triangle matched
+    * exactly once because the orientation is an acyclic total order. The
+    * oriented edge list is localCheckpointed once (three join legs — the
+    * q_pagerank lifecycle discipline); every shuffle is edge-relation-
+    * sized. Returns one row `(n_triangles)`.
+    */
+  def countTriangles(pairs: DataFrame, aCol: String, bCol: String,
+      degrees: DataFrame): DataFrame = {
+    val o = orientByDegree(pairs, aCol, bCol, degrees).localCheckpoint(false)
+    o.select(col("src").as("x"), col("dst").as("y"))
+      .join(o.select(col("src").as("y"), col("dst").as("z")), Seq("y"))
+      .join(o.select(col("src").as("x"), col("dst").as("z")), Seq("x", "z"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -371,6 +371,52 @@ object Dedup {
       }: _*).as("sig"))
   }
 
+  /** Analytic LSH S-curve (MMDS §3.4.2): the probability that a pair whose
+    * per-permutation agreement probability is `s` — by the MinHash
+    * identity, its true Jaccard — shares at least one of `nBands` bands of
+    * `rowsPerBand` consecutive signature rows: `1 − (1 − s^r)^b`. The
+    * premise (per-perm agreement ≡ Jaccard, independently across perms) is
+    * exactly what q_minhash_calibration measures on real candidate pairs;
+    * MinhashCalibrationSpec closes the loop by checking the measured band
+    * catch rate against this curve.
+    */
+  def lshCandidateProb(s: Double, nBands: Int, rowsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand.toDouble), nBands.toDouble)
+
+  /** The S-curve's threshold similarity `(1/b)^(1/r)` — where
+    * [[lshCandidateProb]] crosses ~0.63 and below which candidate
+    * probability collapses steeply. The deployed default (32 perms, 8
+    * bands of 4) sits at 0.595.
+    */
+  def lshThresholdSim(nBands: Int, rowsPerBand: Int): Double =
+    math.pow(1.0 / nBands, 1.0 / rowsPerBand)
+
+  /** Recommended band count for a deployed similarity threshold, derived
+    * from the (calibration-validated) S-curve: the FEWEST bands whose
+    * recall at `threshold` is ≥ `minRecall`. Candidate volume — the verify
+    * stage's cost — grows with band count (each extra band is another
+    * bucket join emitting false positives below the threshold), while
+    * recall at any fixed similarity is monotonically increasing in it, so
+    * the smallest feasible divisor is the operating point that meets the
+    * recall contract at least verify cost. None when even `nBands = nPerms`
+    * (1-row bands: candidate prob `1-(1-s)^n`) cannot reach the recall —
+    * the caller needs more permutations, not a different banding.
+    *
+    * Measured operating points at the deployed 32 perms (gated in
+    * MinhashCalibrationSpec, recorded in SCALE.md): contamination-level
+    * 0.9-Jaccard work is served by the deployed 8×4 (recall 0.99994 at
+    * 0.9); a 0.5-Jaccard near-dup contract needs 16×2 (recall 0.990 at
+    * 0.5 — the 8×4 curve catches only 0.404 there and survives in
+    * production because the exact-verify stage rides on top).
+    */
+  def recommendBanding(nPerms: Int, threshold: Double,
+      minRecall: Double = 0.9): Option[Int] = {
+    require(threshold > 0 && threshold < 1, s"threshold $threshold not in (0,1)")
+    require(minRecall > 0 && minRecall < 1, s"minRecall $minRecall not in (0,1)")
+    (1 to nPerms).filter(nPerms % _ == 0)
+      .find(b => lshCandidateProb(threshold, b, nPerms / b) >= minRecall)
+  }
+
   /** [[minhashPairsFromTokens]] over the portable family — identical
     * candidate shape (count-first bucket capping, within-bucket pairs,
     * agreeing-band counts), different hash family. See
@@ -479,6 +525,12 @@ object Dedup {
     */
   def hammingPairs(hashed: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    // enforce the scaladoc's pigeonhole contract: 4 chunks guarantee exact
+    // recall only up to distance 3; a larger radius would silently drop
+    // pairs that flip all 4 chunks while the output still LOOKS verified
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"hammingPairs: 4x16-bit banding has exact recall only for " +
+        s"maxHamming <= 3 (got $maxHamming); add chunks for larger radii")
     // every reference below uses the ORIGINAL column, never a same-select
     // alias: a lateral alias reference inside the Generate trips the
     // analyzer ("Resolved plan should not contain any

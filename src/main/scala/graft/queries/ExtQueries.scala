@@ -423,7 +423,28 @@ object ExtQueries {
     val nTables = 8
     val k = 20
     val minSim = 0.2
+    /** Above this corpus size the two declared crossJoin-truth queries
+      * (q_sim_neardup / q_sim_clusters) certify on the deterministic
+      * `vec_id % 20` slice instead of the full all-pairs relation
+      * (VERDICT r9 #7): every tested SF (≤ 2000 vectors at sf0.1) stays
+      * UNDER the cutoff, so the driver's oracle hash and the committed
+      * bench medians are byte-identical — only an sf≥1 run crosses it,
+      * where the slice caps certification at (n/20)²/2 pairs (400× less
+      * than full truth) while the `_operator` twins keep carrying the
+      * production-scale surface.
+      */
+    val maxFullTruthVectors = 10000L
   }
+
+  /** The certification-truth input: full corpus at test SFs, the
+    * `vec_id % 20 = 0` slice (the q_decontaminate benchmark-slice
+    * convention) once the corpus outgrows [[SimParams.maxFullTruthVectors]].
+    * The count is one metadata-sized job; the decision is
+    * deterministic in the data, so reruns and resumes agree.
+    */
+  private def certTruthSlice(e: DataFrame): DataFrame =
+    if (e.count() <= SimParams.maxFullTruthVectors) e
+    else e.where(col("vec_id") % 20 === 0)
 
   private def lshTopK0(e: DataFrame, q: Seq[Float]): DataFrame =
     Similarity.lshTopK(e, "vec_id", "embedding", q, dims = SimParams.dims,
@@ -3050,7 +3071,10 @@ object ExtQueries {
              |SELECT id_a, id_b, d / nn AS cosine_sim, true AS recall_ok
              |FROM c WHERE nn > 0 AND d / nn >= 0.2""".stripMargin),
       (s, dir) => {
-        val e = emb(s, dir)
+        // certTruthSlice: full corpus at every tested SF (output and
+        // oracle hash unchanged); the % 20 certification slice above
+        // 10k vectors so the truth side stays bounded at sf≥1
+        val e = certTruthSlice(emb(s, dir))
         val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
         val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
         val truth = a.crossJoin(b).where(col("id_a") < col("id_b"))
@@ -3100,7 +3124,13 @@ object ExtQueries {
              |SELECT n AS vec_id, min(m) AS component, min(m) = n AS is_canonical
              |FROM reach GROUP BY n""".stripMargin),
       (s, dir) => {
-        val e = emb(s, dir)
+        // certTruthSlice (the q_sim_neardup convention): full corpus at
+        // every tested SF — identical plan, oracle hash, bench medians —
+        // and the deterministic `% 20` vertex slice above 10k vectors, so
+        // sf≥1 certification clusters the sliced subgraph at (n/20)²/2
+        // truth pairs while the _x1/_x4 operator twins carry the
+        // LSH-bucketed production path over the full corpus
+        val e = certTruthSlice(emb(s, dir))
         val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
         val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
         val pairs = a.crossJoin(b).where(col("id_a") < col("id_b"))
@@ -3842,13 +3872,14 @@ object ExtQueries {
              |         md5(CAST(doc_id AS VARCHAR)) AS h
              |  FROM documents),
              |k AS (
-             |  SELECT doc_id, w, ln($hexUniformSql) / w AS key
+             |  SELECT doc_id, w,
+             |    FLOOR((ln($hexUniformSql) / w) * 1000000 + 0.5) / 1000000 AS key
              |  FROM q WHERE w > 0),
              |top AS (SELECT doc_id, w, key FROM k
              |        ORDER BY key DESC, doc_id LIMIT 200)
              |SELECT doc_id,
              |  FLOOR(w * 1000000 + 0.5) / 1000000 AS quality,
-             |  FLOOR(key * 1000000 + 0.5) / 1000000 AS sample_key,
+             |  key AS sample_key,
              |  CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT) AS rn
              |FROM top""".stripMargin),
       (s, dir) => {
@@ -3856,14 +3887,19 @@ object ExtQueries {
         val snap = (x: Column) => floor(x * lit(1000000) + lit(0.5)) / lit(1000000)
         val w = TextFunctions.qualityScore($"text")
         val u = hexUniformCol(md5($"doc_id".cast("string").cast("binary")))
+        // snap the key BEFORE the top-k cut (the centroidDistCte
+        // discipline): ln() is not bit-identical across JVM/DuckDB libm,
+        // so an unsnapped key could flip the 200/201 boundary selection —
+        // snapped keys tie instead, and the doc_id tiebreak makes both
+        // engines cut identically
         val top = docs(s, dir)
-          .select($"doc_id", w.as("w"), (log(u) / w).as("key"))
+          .select($"doc_id", w.as("w"), snap(log(u) / w).as("key"))
           .where($"w" > 0)
           .orderBy($"key".desc, $"doc_id").limit(200)
         top.withColumn("rn",
             row_number().over(Window.orderBy($"key".desc, $"doc_id")))
           .select($"doc_id", snap($"w").as("quality"),
-            snap($"key").as("sample_key"), $"rn")
+            $"key".as("sample_key"), $"rn")
       }),
 
     // ------------------------------------------------------------------
@@ -4088,12 +4124,16 @@ object ExtQueries {
         val edges = Dedup.jaccardPairs(d, "doc_id", "text")
           .select($"doc_a".as("a"), $"doc_b".as("b"))
           .where($"a".isNotNull && $"b".isNotNull)
-        val tri = edges.select($"a".as("x"), $"b".as("y"))
-          .join(edges.select($"a".as("y"), $"b".as("z")), Seq("y"))
-          .join(edges.select($"a".as("x"), $"b".as("z")), Seq("x", "z"))
-          .agg(count(lit(1)).as("n_triangles"))
-        val wed = edges.select($"a".as("id")).union(edges.select($"b".as("id")))
-          .groupBy($"id").agg(count(lit(1)).as("d"))
+        // degree-ordered node-iterator (r10): the oracle keeps the a<b id
+        // orientation — the COUNT is orientation-invariant under any
+        // acyclic total order — while the Spark plan orients by (deg, id)
+        // so a template-star hub never sources the wedge join
+        // (Components.orientByDegree scaladoc has the skew argument);
+        // the degree relation is computed once and feeds both the
+        // orientation and the wedge count
+        val dg = Components.degreeOf(edges, "a", "b")
+        val tri = Components.countTriangles(edges, "a", "b", dg)
+        val wed = dg
           .agg((sum($"d" * ($"d" - 1)) / lit(2)).cast("long").as("n_wedges"))
         tri.crossJoin(broadcast(wed))
           .select($"n_triangles", $"n_wedges",
@@ -4527,6 +4567,220 @@ object ExtQueries {
           .select($"doc_a", $"doc_b", $"n_true",
             tj.as("true_jaccard"), est.as("est_jaccard"),
             abs(est - tj).as("abs_err"))
+      }),
+
+    // ------------------------------------------------------------------
+    // MinHash banding operating-point audit (r10): for EVERY divisor
+    // banding of the 32-perm signature, the analytic S-curve numbers
+    // (threshold sim, recall at the deployed 0.5 / 0.9 thresholds —
+    // Scala-computed literals, identical in both plans) next to the
+    // EMPIRICAL catch fraction on the certified candidate pairs (a pair
+    // is caught iff some band of 32/b consecutive signature rows fully
+    // agrees — pure integer comparisons on portable signatures, bit-exact
+    // cross-engine), plus the recommendation flags Dedup.recommendBanding
+    // derives (fewest bands with ≥0.9 recall at the threshold). This puts
+    // the MinhashCalibrationSpec knob under the driver hash gate: a hash-
+    // family or banding change that moves measured catch rates flips this
+    // query's hash. ONE pass over the pair-signature join computes all 6
+    // bandings as conditional sums (a per-banding rerun would re-pay the
+    // signature agg 6×); the 6-row output explodes from a literal array.
+    // catch_rate is one IEEE divide of exact ints — no snap anywhere.
+    QueryDef(
+      "q_minhash_operating_points",
+      Some {
+        val bandings = Seq(1, 2, 4, 8, 16, 32)
+        // DuckDB-safe DOUBLE literal: the ${v}e0 convention guards plain
+        // decimals, but sub-1e-3 doubles (recall_at_05 at b=1 is 2.3e-10)
+        // already render in exponent form — which parses as DOUBLE as-is,
+        // and appending e0 to it would be a syntax error
+        def dlit(v: Double): String = {
+          val s = v.toString
+          if (s.contains('E') || s.contains('e')) s else s + "e0"
+        }
+        val caughtExprs = bandings.map { b =>
+          val r = 32 / b
+          val bands = (0 until b).map { band =>
+            (band * r until (band + 1) * r)
+              .map(i => s"x.h$i = y.h$i").mkString("(", " AND ", ")")
+          }.mkString("\n        OR ")
+          s"CAST(CASE WHEN $bands THEN 1 ELSE 0 END AS BIGINT) AS c$b"
+        }.mkString(",\n      ")
+        val rows = bandings.map { b =>
+          val r = 32 / b
+          val thr = Dedup.lshThresholdSim(b, r)
+          val r05 = Dedup.lshCandidateProb(0.5, b, r)
+          val r09 = Dedup.lshCandidateProb(0.9, b, r)
+          val rec05 = Dedup.recommendBanding(32, 0.5, 0.9).contains(b)
+          val rec09 = Dedup.recommendBanding(32, 0.9, 0.9).contains(b)
+          s"""SELECT $b AS n_bands, $r AS rows_per_band,
+             |  ${dlit(thr)} AS threshold_sim,
+             |  ${dlit(r05)} AS recall_at_05, ${dlit(r09)} AS recall_at_09,
+             |  $rec05 AS recommended_at_05, $rec09 AS recommended_at_09,
+             |  n_pairs, k$b AS n_caught,
+             |  CAST(k$b AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS catch_rate
+             |FROM tot""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $jaccardPairsCte, $edgesCte,
+           |${portableSigCte(3, 32)},
+           |ag AS (
+           |  SELECT
+           |      $caughtExprs
+           |  FROM edges c JOIN psig x ON x.doc_id = c.a
+           |               JOIN psig y ON y.doc_id = c.b),
+           |tot AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           |    ${bandings.map(b => s"CAST(sum(c$b) AS BIGINT) AS k$b").mkString(", ")}
+           |  FROM ag)
+           |$rows""".stripMargin
+      },
+      (s, dir) => {
+        import s.implicits._
+        val bandings = Seq(1, 2, 4, 8, 16, 32)
+        val d = docs(s, dir)
+        val cand = broadcast(
+          Dedup.jaccardPairs(d, "doc_id", "text").select($"doc_a", $"doc_b"))
+        val sigs = Dedup.portableSignatures(
+          d.select($"doc_id", TextFunctions.tokens($"text").as("toks")))
+        val joined = cand
+          .join(sigs.select($"doc_id".as("doc_a"), $"sig".as("sa")), Seq("doc_a"))
+          .join(sigs.select($"doc_id".as("doc_b"), $"sig".as("sb")), Seq("doc_b"))
+        def caught(b: Int): Column = {
+          val r = 32 / b
+          (0 until b).map { band =>
+            (band * r until (band + 1) * r)
+              .map(i => element_at($"sa", i + 1) === element_at($"sb", i + 1))
+              .reduce(_ && _)
+          }.reduce(_ || _)
+        }
+        val tot = joined.agg(
+          count(lit(1)).as("n_pairs"),
+          bandings.map(b =>
+            sum(when(caught(b), 1L).otherwise(0L)).as(s"k$b")): _*)
+        val rows = bandings.map { b =>
+          val r = 32 / b
+          struct(
+            lit(b).as("n_bands"), lit(r).as("rows_per_band"),
+            lit(Dedup.lshThresholdSim(b, r)).as("threshold_sim"),
+            lit(Dedup.lshCandidateProb(0.5, b, r)).as("recall_at_05"),
+            lit(Dedup.lshCandidateProb(0.9, b, r)).as("recall_at_09"),
+            lit(Dedup.recommendBanding(32, 0.5, 0.9).contains(b))
+              .as("recommended_at_05"),
+            lit(Dedup.recommendBanding(32, 0.9, 0.9).contains(b))
+              .as("recommended_at_09"),
+            col(s"k$b").as("n_caught"))
+        }
+        tot.select(col("n_pairs"), explode(array(rows: _*)).as("x"))
+          .select($"x.n_bands".as("n_bands"),
+            $"x.rows_per_band".as("rows_per_band"),
+            $"x.threshold_sim".as("threshold_sim"),
+            $"x.recall_at_05".as("recall_at_05"),
+            $"x.recall_at_09".as("recall_at_09"),
+            $"x.recommended_at_05".as("recommended_at_05"),
+            $"x.recommended_at_09".as("recommended_at_09"),
+            $"n_pairs", $"x.n_caught".as("n_caught"),
+            ($"x.n_caught".cast("double") / $"n_pairs".cast("double"))
+              .as("catch_rate"))
+      }),
+
+    // ------------------------------------------------------------------
+    // BM25 ranked retrieval (r10): Okapi BM25 (Robertson et al., TREC-3;
+    // the Lucene-default smoothed IDF) for a fixed 3-term query — the
+    // search-tier read the inverted index (q_inverted_index) and TF-IDF
+    // weights (q_tfidf) stop short of: an actual ranked top-k with length
+    // normalization, k1 = 1.2, b = 0.75. Scale shape: the corpus
+    // tokenizes ONCE into one doc-keyed aggregation producing (dl,
+    // per-term tf) — doc length needs every token anyway, so a term
+    // pre-filter would save nothing; N / avgdl / per-term df all derive
+    // FROM that per-doc relation (the count-relation discipline — never a
+    // second corpus scan) and broadcast back as ONE row; non-matching
+    // docs drop before any scoring math; the cut is TakeOrderedAndProject
+    // on the SNAPPED score (per-term IDF snaps 1e-6 right after ln — the
+    // only libm call — and the 3 term scores add in fixed alphabetical
+    // order, so both engines cut the identical top-20); rank decorates
+    // the 20-row result after the cut.
+    QueryDef(
+      "q_bm25_topk",
+      Some {
+        val terms = Seq("hash", "join", "scan")
+        val tfCols = terms.map(t =>
+          s"CAST(sum(CASE WHEN token = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS tf_$t")
+          .mkString(",\n      ")
+        val dfCols = terms.map(t =>
+          s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+          .mkString(",\n      ")
+        def idf(t: String) =
+          s"FLOOR(ln((CAST(n_docs - df_$t AS DOUBLE) + 0.5e0)" +
+            s" / (CAST(df_$t AS DOUBLE) + 0.5e0) + 1.0e0) * 1000000 + 0.5) / 1000000"
+        def term(t: String) =
+          s"""CASE WHEN tf_$t > 0 THEN ${idf(t)}
+             |      * (CAST(tf_$t AS DOUBLE) * 2.2e0)
+             |      / (CAST(tf_$t AS DOUBLE)
+             |         + 1.2e0 * (0.25e0 + 0.75e0
+             |            * (CAST(dl AS DOUBLE)
+             |               / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+             |    ELSE 0.0e0 END""".stripMargin
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |    unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+           |                       x -> len(x) > 0)) AS token
+           |  FROM documents),
+           |pd AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+           |      $tfCols
+           |  FROM t GROUP BY 1),
+           |st AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |      CAST(sum(dl) AS BIGINT) AS sum_dl,
+           |      $dfCols
+           |  FROM pd),
+           |sc AS (
+           |  SELECT doc_id, dl, tf_hash, tf_join, tf_scan,
+           |    FLOOR((${term("hash")}
+           |         + ${term("join")}
+           |         + ${term("scan")}) * 1000000 + 0.5) / 1000000 AS score
+           |  FROM pd, st
+           |  WHERE tf_hash + tf_join + tf_scan > 0),
+           |top AS (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 20)
+           |SELECT doc_id, dl, tf_hash, tf_join, tf_scan, score,
+           |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rn
+           |FROM top""".stripMargin
+      },
+      (s, dir) => {
+        import s.implicits._
+        val snap = (x: Column) => floor(x * lit(1000000) + lit(0.5)) / lit(1000000)
+        val terms = Seq("hash", "join", "scan")
+        val toks = docs(s, dir).select($"doc_id",
+          explode(TextFunctions.arrayBarrier(TextFunctions.tokens($"text")))
+            .as("token"))
+        val pd = toks.groupBy($"doc_id").agg(
+          count(lit(1)).as("dl"),
+          terms.map(t =>
+            sum(when($"token" === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
+        val st = pd.agg(
+          count(lit(1)).as("n_docs"),
+          sum($"dl").as("sum_dl") +: terms.map(t =>
+            sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+        def idf(t: String): Column = snap(log(
+          (($"n_docs" - col(s"df_$t")).cast("double") + lit(0.5)) /
+            (col(s"df_$t").cast("double") + lit(0.5)) + lit(1.0)))
+        def term(t: String): Column =
+          when(col(s"tf_$t") > 0,
+            idf(t) * (col(s"tf_$t").cast("double") * lit(2.2)) /
+              (col(s"tf_$t").cast("double") +
+                lit(1.2) * (lit(0.25) + lit(0.75) *
+                  ($"dl".cast("double") /
+                    ($"sum_dl".cast("double") / $"n_docs".cast("double"))))))
+            .otherwise(lit(0.0))
+        val sc = pd
+          .where($"tf_hash" + $"tf_join" + $"tf_scan" > 0)
+          .crossJoin(broadcast(st))
+          .select($"doc_id", $"dl", $"tf_hash", $"tf_join", $"tf_scan",
+            snap(term("hash") + term("join") + term("scan")).as("score"))
+        val top = sc.orderBy($"score".desc, $"doc_id").limit(20)
+        top.withColumn("rn",
+            row_number().over(Window.orderBy($"score".desc, $"doc_id")))
+          .select($"doc_id", $"dl", $"tf_hash", $"tf_join", $"tf_scan",
+            $"score", $"rn")
       })
   )
 

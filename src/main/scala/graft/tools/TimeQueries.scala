@@ -1,0 +1,39 @@
+package graft.tools
+
+import graft.{SparkEntry, Tables}
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: time the named declared queries N times each at a given
+  * SF (same noop-sink measurement as [[graft.Bench]]) and print per-run
+  * times + the median. For settling single-query tripwire flags without
+  * paying a full 3×178-query sweep.
+  *
+  * Usage: runMain graft.tools.TimeQueries <sfDir> <repeats> <q1> [q2 ...]
+  */
+object TimeQueries {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val repeats = args(1).toInt
+    val names = args.drop(2).toSeq
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.load(spark, sfDir, "lineitem").limit(1000)
+      .groupBy("l_returnflag").count().count() // warmup
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val ts = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val med = ts.sorted.apply(ts.size / 2)
+      println(f"[time] $name median $med%.3f s runs ${ts.map(t => f"$t%.3f").mkString(", ")}")
+    }
+  }
+}

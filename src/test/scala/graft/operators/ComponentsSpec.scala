@@ -82,4 +82,38 @@ class ComponentsSpec extends SparkSpec {
     assert(m.values.toSet == Set(0L), "path must collapse to one component")
     assert(rounds <= 7, s"expected O(log 14) ≈ ≤7 rounds, took $rounds")
   }
+
+  test("degree-ordered triangle count equals the id orientation, and the " +
+    "star hub sources no edges") {
+    import spark.implicits._
+    // hub 1 (low id, degree 12) with spokes 2..13, hub-closing edge (2,3),
+    // a spoke-external triangle leg (2,14),(3,14), and a detached triangle
+    // (15,16,17) → exactly {1,2,3}, {2,3,14}, {15,16,17} — a shape where
+    // the id orientation makes the hub source everything
+    val spokes = (2L to 13L).map(s => (1L, s))
+    val extra = Seq((2L, 3L), (2L, 14L), (3L, 14L),
+      (15L, 16L), (15L, 17L), (16L, 17L))
+    val pairs = (spokes ++ extra).toDF("a", "b")
+    val dg = Components.degreeOf(pairs, "a", "b")
+    val got = Components.countTriangles(pairs, "a", "b", dg)
+      .head().getLong(0)
+    // id-orientation truth (pairs are already a<b): the oracle's join
+    val e = pairs
+    val idTri = e.select($"a".as("x"), $"b".as("y"))
+      .join(e.select($"a".as("y"), $"b".as("z")), Seq("y"))
+      .join(e.select($"a".as("x"), $"b".as("z")), Seq("x", "z"))
+      .count()
+    assert(got == 3L && got == idTri,
+      s"degree-ordered $got vs id-ordered $idTri")
+    // the skew property itself: hub 1 has max degree, so it never
+    // appears as a source under (deg, id) orientation — no task ever
+    // builds the hub's wedge cross product
+    val srcs = Components.orientByDegree(pairs, "a", "b", dg)
+      .groupBy($"src").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!srcs.contains(1L), s"hub sourced edges: $srcs")
+    // and out-degrees stay within the sqrt(2|E|) node-iterator bound
+    val bound = math.sqrt(2.0 * pairs.count()).ceil.toLong
+    assert(srcs.values.forall(_ <= bound), s"out-degree bound broken: $srcs")
+  }
 }
