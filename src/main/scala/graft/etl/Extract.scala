@@ -315,10 +315,28 @@ object Extract {
     * OTHER columns, so a corrupt-only projection would read nothing); the
     * cache also makes the two lanes consistent — one parse feeds both,
     * so a row can never appear in neither or both.
+    *
+    * Cache lifecycle at scale: pinning a whole 100 TB input in executor
+    * memory is itself a hazard, so the materialization is
+    * MEMORY_AND_DISK-by-size (Spark spills oversized partitions rather
+    * than evict-and-reparse, which would break lane consistency) and the
+    * handle is RETURNED — call `release()` once both lanes are consumed.
     */
+  final case class QuarantineRead(good: DataFrame, quarantined: DataFrame,
+      private val raw: DataFrame) {
+    /** Drop the pinned one-parse materialization once both lanes are
+      * consumed (blocking=false: lazy executor-side eviction). Releasing
+      * ENDS the read: the lanes must not be re-executed afterwards —
+      * uncached, their plans re-hit Spark's corrupt-record-only-filter
+      * restriction (SPARK-38523 family), the very thing the
+      * materialization exists to avoid.
+      */
+    def release(): Unit = raw.unpersist(blocking = false)
+  }
+
   def readCsvQuarantine(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType)
-      : (DataFrame, DataFrame) = {
+      : QuarantineRead = {
     require(!schema.fieldNames.contains("_corrupt_record"),
       "schema must not already declare _corrupt_record")
     val withCorrupt = schema.add("_corrupt_record",
@@ -329,12 +347,12 @@ object Extract {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .csv(path)
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val good = raw.where(col("_corrupt_record").isNull)
       .drop("_corrupt_record")
     val bad = raw.where(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record").as("raw_line"))
-    (good, bad)
+    QuarantineRead(good, bad, raw)
   }
 
 }

@@ -125,7 +125,8 @@ class ExtractSpec extends SparkSpec {
       StructField("id", LongType),
       StructField("name", StringType),
       StructField("score", DoubleType)))
-    val (good, bad) = Extract.readCsvQuarantine(spark, dir.toString, schema)
+    val qr = Extract.readCsvQuarantine(spark, dir.toString, schema)
+    val (good, bad) = (qr.good, qr.quarantined)
     val goodRows = good.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
     assert(goodRows === Set((1L, "alice", 0.5), (3L, "carol", 0.75)))
@@ -134,5 +135,11 @@ class ExtractSpec extends SparkSpec {
     // the verbatim offending lines, intact for triage
     assert(badRows === Set("2,bob,not_a_number", "4,dave"))
     assert(goodRows.size + badRows.size == 4, "a row vanished or doubled")
+    // the one-parse materialization is caller-releasable (the 100 TB
+    // hazard fix). Releasing ENDS the read — the lanes must not be
+    // re-executed afterwards (the uncached plan would re-hit Spark's
+    // corrupt-record-only-filter restriction, the very thing the
+    // materialization exists to avoid) — so consume first, release last.
+    qr.release()
   }
 }
