@@ -592,7 +592,24 @@ object Dedup {
     * an exact-Jaccard threshold should know the bound direction.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, maxDf: Int = 20, minJaccard: Double = 0.3): DataFrame = {
+      shingleN: Int = 3, maxDf: Int = 20, minJaccard: Double = 0.3): DataFrame =
+    shinglePairs(docs, idCol, textCol, shingleN, maxDf)
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+
+  /** The shared rare-shingle pair base under [[jaccardPairs]] and
+    * [[containmentPairs]]: candidate pairs with both distinct-shingle set
+    * sizes and the (rare-shingle) intersection count —
+    * `(doc_a, doc_b, n_a, n_b, n_inter)`, every similarity still
+    * underivable. Split out so asymmetric measures (containment) ride the
+    * SAME certified machinery as Jaccard instead of forking the
+    * shingle→candidate pipeline.
+    */
+  def shinglePairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, maxDf: Int = 20): DataFrame = {
     // Per-doc shingle dedup is ROW-LOCAL (array_distinct) — no shuffle — and
     // the set size rides along with the doc id through candidate generation,
     // so Jaccard needs no join back to a sizes table. The explode sits ABOVE
@@ -619,11 +636,33 @@ object Dedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n").as("n_a"), col("b.n").as("n_b"))
       .agg(count(lit(1)).as("n_inter"))
-      .withColumn("jaccard",
+  }
+
+  /** Asymmetric near-dup pairs by shingle CONTAINMENT (Broder 1997's
+    * second resemblance measure): `n_inter / min(n_a, n_b)` — how much of
+    * the SMALLER document's shingle set lives inside the pair. Catches the
+    * partial-duplication shapes symmetric Jaccard structurally misses: a
+    * paragraph quoted whole inside a much longer page has containment ≈ 1
+    * while its Jaccard ≈ |small|/|large| sits far below any dedup
+    * threshold. The `asymmetric` flag marks exactly those pairs
+    * (containment-caught but under [[jaccardPairs]]' deployed 0.3 floor) —
+    * the incremental catch of adding a containment pass to a
+    * Jaccard-deduped corpus. Same certified rare-shingle machinery, same
+    * lower-bound caveat as [[jaccardPairs]]: `n_inter` counts only shared
+    * df ≤ `maxDf` shingles, so containment is a lower bound too.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, maxDf: Int = 20,
+      minContainment: Double = 0.5): DataFrame = {
+    val jac = col("n_inter").cast("double") /
+      (col("n_a") + col("n_b") - col("n_inter")).cast("double")
+    shinglePairs(docs, idCol, textCol, shingleN, maxDf)
+      .withColumn("jaccard", jac)
+      .withColumn("containment",
         col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
-      .where(col("jaccard") >= minJaccard)
-      .select("doc_a", "doc_b", "n_inter", "jaccard")
+          least(col("n_a"), col("n_b")).cast("double"))
+      .where(col("containment") >= minContainment)
+      .withColumn("asymmetric", col("jaccard") < 0.3)
   }
 
   /** Per-document duplicated-SPAN statistics — the span-level dedup signal

@@ -4700,89 +4700,354 @@ object ExtQueries {
     // the 20-row result after the cut.
     QueryDef(
       "q_bm25_topk",
-      Some {
-        val terms = Seq("hash", "join", "scan")
-        val tfCols = terms.map(t =>
-          s"CAST(sum(CASE WHEN token = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS tf_$t")
-          .mkString(",\n      ")
-        val dfCols = terms.map(t =>
-          s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
-          .mkString(",\n      ")
-        def idf(t: String) =
-          s"FLOOR(ln((CAST(n_docs - df_$t AS DOUBLE) + 0.5e0)" +
-            s" / (CAST(df_$t AS DOUBLE) + 0.5e0) + 1.0e0) * 1000000 + 0.5) / 1000000"
-        def term(t: String) =
-          s"""CASE WHEN tf_$t > 0 THEN ${idf(t)}
-             |      * (CAST(tf_$t AS DOUBLE) * 2.2e0)
-             |      / (CAST(tf_$t AS DOUBLE)
-             |         + 1.2e0 * (0.25e0 + 0.75e0
-             |            * (CAST(dl AS DOUBLE)
-             |               / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-             |    ELSE 0.0e0 END""".stripMargin
-        s"""WITH t AS (
-           |  SELECT doc_id,
-           |    unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-           |                       x -> len(x) > 0)) AS token
-           |  FROM documents),
-           |pd AS (
-           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
-           |      $tfCols
-           |  FROM t GROUP BY 1),
-           |st AS (
-           |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-           |      CAST(sum(dl) AS BIGINT) AS sum_dl,
-           |      $dfCols
-           |  FROM pd),
-           |sc AS (
-           |  SELECT doc_id, dl, tf_hash, tf_join, tf_scan,
-           |    FLOOR((${term("hash")}
-           |         + ${term("join")}
-           |         + ${term("scan")}) * 1000000 + 0.5) / 1000000 AS score
-           |  FROM pd, st
-           |  WHERE tf_hash + tf_join + tf_scan > 0),
-           |top AS (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 20)
-           |SELECT doc_id, dl, tf_hash, tf_join, tf_scan, score,
-           |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rn
-           |FROM top""".stripMargin
-      },
+      Some(s"""WITH $bm25TopCte
+             |SELECT doc_id, dl, tf_hash, tf_join, tf_scan, score,
+             |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rn
+             |FROM top""".stripMargin),
       (s, dir) => {
         import s.implicits._
-        val snap = (x: Column) => floor(x * lit(1000000) + lit(0.5)) / lit(1000000)
-        val terms = Seq("hash", "join", "scan")
-        val toks = docs(s, dir).select($"doc_id",
-          explode(TextFunctions.arrayBarrier(TextFunctions.tokens($"text")))
-            .as("token"))
-        val pd = toks.groupBy($"doc_id").agg(
-          count(lit(1)).as("dl"),
-          terms.map(t =>
-            sum(when($"token" === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
-        val st = pd.agg(
-          count(lit(1)).as("n_docs"),
-          sum($"dl").as("sum_dl") +: terms.map(t =>
-            sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
-        def idf(t: String): Column = snap(log(
-          (($"n_docs" - col(s"df_$t")).cast("double") + lit(0.5)) /
-            (col(s"df_$t").cast("double") + lit(0.5)) + lit(1.0)))
-        def term(t: String): Column =
-          when(col(s"tf_$t") > 0,
-            idf(t) * (col(s"tf_$t").cast("double") * lit(2.2)) /
-              (col(s"tf_$t").cast("double") +
-                lit(1.2) * (lit(0.25) + lit(0.75) *
-                  ($"dl".cast("double") /
-                    ($"sum_dl".cast("double") / $"n_docs".cast("double"))))))
-            .otherwise(lit(0.0))
-        val sc = pd
-          .where($"tf_hash" + $"tf_join" + $"tf_scan" > 0)
-          .crossJoin(broadcast(st))
-          .select($"doc_id", $"dl", $"tf_hash", $"tf_join", $"tf_scan",
-            snap(term("hash") + term("join") + term("scan")).as("score"))
-        val top = sc.orderBy($"score".desc, $"doc_id").limit(20)
-        top.withColumn("rn",
+        bm25Top(s, dir).withColumn("rn",
             row_number().over(Window.orderBy($"score".desc, $"doc_id")))
           .select($"doc_id", $"dl", $"tf_hash", $"tf_join", $"tf_scan",
             $"score", $"rn")
+      }),
+
+    // ------------------------------------------------------------------
+    // Hybrid retrieval by Reciprocal Rank Fusion (Cormack, Clarke &
+    // Büttcher, SIGIR 2009): the standard way production search fuses a
+    // LEXICAL ranking (BM25, exact term match) with a SEMANTIC one
+    // (embedding cosine) without score normalization — each list
+    // contributes 1/(60 + rank), so only RANKS cross the modality
+    // boundary and the incomparable score scales never meet. Scale shape:
+    // both inputs are already top-k cuts (BM25's snapped-score
+    // TakeOrdered; the bit-exact cosine top-k), so everything after the
+    // two retrievals — rank decoration, the full outer join on doc id,
+    // the fused re-sort — runs on 2×k rows. Determinism: ranks are ints
+    // from certified-deterministic cuts, each RRF term is one correctly-
+    // rounded IEEE divide of exact ints and the two-term sum is ordered
+    // (lexical + semantic), so fused scores are bit-identical
+    // cross-engine; ties broken by doc_id. doc_id ≡ vec_id by testdata
+    // construction (the q_sim_* convention).
+    QueryDef(
+      "q_hybrid_rrf",
+      Some(s"""WITH $bm25TopCte,
+             |br AS (
+             |  SELECT doc_id,
+             |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS b_rank
+             |  FROM top),
+             |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |c AS (
+             |  SELECT vec_id,
+             |    list_sum(list_transform(range(1, len(embedding)+1),
+             |             i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS d,
+             |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+             |      * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nn
+             |  FROM embeddings, q),
+             |ct AS (
+             |  SELECT vec_id, CASE WHEN nn > 0 THEN d / nn END AS cosine_sim
+             |  FROM c
+             |  ORDER BY cosine_sim DESC NULLS LAST, vec_id
+             |  LIMIT 20),
+             |cr AS (
+             |  SELECT vec_id AS doc_id,
+             |    CAST(row_number() OVER (ORDER BY cosine_sim DESC NULLS LAST, vec_id) AS INT) AS c_rank
+             |  FROM ct),
+             |f AS (
+             |  SELECT COALESCE(br.doc_id, cr.doc_id) AS doc_id, b_rank, c_rank,
+             |    COALESCE(1.0e0 / (60.0e0 + CAST(b_rank AS DOUBLE)), 0.0e0)
+             |      + COALESCE(1.0e0 / (60.0e0 + CAST(c_rank AS DOUBLE)), 0.0e0) AS rrf
+             |  FROM br FULL OUTER JOIN cr ON br.doc_id = cr.doc_id),
+             |t10 AS (SELECT * FROM f ORDER BY rrf DESC, doc_id LIMIT 10)
+             |SELECT doc_id, b_rank, c_rank, rrf AS rrf_score,
+             |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rn
+             |FROM t10""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val br = bm25Top(s, dir).select($"doc_id",
+          row_number().over(Window.orderBy($"score".desc, $"doc_id"))
+            .as("b_rank"))
+        val e = emb(s, dir)
+        val qv = Similarity.vectorOf(s, e, "vec_id", "embedding", 0L)
+        val cr = Similarity.bruteForceTopK(e, "vec_id", "embedding", qv, 20)
+          .select($"vec_id".as("doc_id"),
+            row_number().over(
+              Window.orderBy($"cosine_sim".desc_nulls_last, $"vec_id"))
+              .as("c_rank"))
+        val f = br.join(cr, Seq("doc_id"), "full_outer")
+          .select($"doc_id", $"b_rank", $"c_rank",
+            (coalesce(lit(1.0) / (lit(60.0) + $"b_rank".cast("double")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60.0) + $"c_rank".cast("double")), lit(0.0)))
+              .as("rrf_score"))
+        f.orderBy($"rrf_score".desc, $"doc_id").limit(10)
+          .withColumn("rn",
+            row_number().over(Window.orderBy($"rrf_score".desc, $"doc_id")))
+      }),
+
+    // ------------------------------------------------------------------
+    // Asymmetric shingle-containment pairs (Dedup.containmentPairs —
+    // Broder's second resemblance measure): n_inter / min(n_a, n_b)
+    // catches partial duplication that symmetric Jaccard structurally
+    // misses — a paragraph quoted whole inside a much longer page has
+    // containment ≈ 1 while its Jaccard ≈ |small|/|large| never crosses a
+    // dedup threshold. The `asymmetric` flag marks exactly those pairs
+    // (containment ≥ 0.5 but jaccard < the deployed 0.3 floor): the
+    // incremental catch of adding a containment pass on top of the
+    // Jaccard near-dup stage. Rides the SAME certified rare-shingle pair
+    // machinery (Dedup.shinglePairs / jaccardPairsCte, which carries
+    // n_a/n_b already — zero new shuffles vs q_dedup_jaccard); all three
+    // ratios are single IEEE divides of exact ints, no snapping anywhere.
+    QueryDef(
+      "q_containment",
+      Some(s"""WITH $jaccardPairsCte
+             |SELECT doc_a, doc_b, CAST(n_a AS INT) AS n_a, CAST(n_b AS INT) AS n_b,
+             |  n_inter,
+             |  CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard,
+             |  CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) AS containment,
+             |  CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) < 0.3 AS asymmetric
+             |FROM pairs
+             |WHERE CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) >= 0.5""".stripMargin),
+      (s, dir) => Dedup.containmentPairs(docs(s, dir), "doc_id", "text")),
+
+    // ------------------------------------------------------------------
+    // Two-sample Kolmogorov–Smirnov test on the doc-length distribution
+    // between the parity release slices (the q_drift_psi pairing): the
+    // distribution-shape gate that catches what binned PSI smooths over —
+    // D = max CDF gap is sensitive to ANY shift, not just decile mass
+    // moves. Shape: one corpus-sized agg down to the value-domain-sized
+    // length histogram (lenHistCte, shared with q_mannwhitney), then
+    // cumulative + global windows over that bounded relation (313 rows at
+    // sf0.01 — the q_zipf bounded-single-partition case). Determinism:
+    // cum/total counts are exact ints, each CDF is ONE correctly-rounded
+    // divide, gap/max/sqrt are IEEE-exact — bit-identical cross-engine,
+    // so nothing snaps. reject_05 compares D against the asymptotic
+    // two-sided 5% bound c(α)·√((n_a+n_b)/(n_a·n_b)), c(0.05) = 1.358.
+    QueryDef(
+      "q_ks_test",
+      Some(s"""WITH $lenHistCte,
+             |c AS (
+             |  SELECT v, c_a, c_b,
+             |    CAST(sum(c_a) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+             |    CAST(sum(c_b) OVER (ORDER BY v) AS BIGINT) AS cum_b,
+             |    CAST(sum(c_a) OVER () AS BIGINT) AS n_a,
+             |    CAST(sum(c_b) OVER () AS BIGINT) AS n_b
+             |  FROM h),
+             |g AS (
+             |  SELECT v, c_a, c_b, cum_a, cum_b, n_a, n_b,
+             |    abs(CAST(cum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             |        - CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS gap
+             |  FROM c)
+             |SELECT v AS n_chars, c_a, c_b, cum_a, cum_b, gap,
+             |  max(gap) OVER () AS d_stat,
+             |  max(gap) OVER () > 1.358e0
+             |    * sqrt(CAST(n_a + n_b AS DOUBLE)
+             |           / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS reject_05
+             |FROM g""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val wOrd = Window.orderBy($"v")
+        val wAll = Window.partitionBy()
+        val c = lenHist(s, dir).select($"v", $"c_a", $"c_b",
+          sum($"c_a").over(wOrd).as("cum_a"),
+          sum($"c_b").over(wOrd).as("cum_b"),
+          sum($"c_a").over(wAll).as("n_a"),
+          sum($"c_b").over(wAll).as("n_b"))
+        val g = c.withColumn("gap",
+          abs($"cum_a".cast("double") / $"n_a".cast("double")
+            - $"cum_b".cast("double") / $"n_b".cast("double")))
+        g.select($"v".as("n_chars"), $"c_a", $"c_b", $"cum_a", $"cum_b",
+          $"gap",
+          max($"gap").over(wAll).as("d_stat"),
+          (max($"gap").over(wAll) > lit(1.358)
+            * sqrt(($"n_a" + $"n_b").cast("double")
+              / ($"n_a".cast("double") * $"n_b".cast("double"))))
+            .as("reject_05"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Mann–Whitney U (Wilcoxon rank-sum) between the parity slices on doc
+    // length — the nonparametric LOCATION test beside q_ks_test's shape
+    // test and q_robust_zscore's outlier gauge: "is one release slice
+    // systematically longer?", assuming nothing about the distribution.
+    // Rank machinery rides the SAME value-domain histogram (lenHistCte):
+    // tied values take the midrank, computed per distinct value as
+    // cum_before + (t+1)/2 — kept EXACT by aggregating 2·rank-weighted
+    // counts as integers (r2; HUGEINT in DuckDB, long in Spark — overflow
+    // only beyond ~2^31 docs) and halving once at the end, so the rank
+    // sum is order-independent in both engines' partial aggs. z applies
+    // the standard tie-corrected normal approximation; it snaps 1e-6
+    // (divide+sqrt chain) and the 1.96 two-sided 5% gate compares the
+    // SNAPPED value, so the flag can't straddle a ulp.
+    QueryDef(
+      "q_mannwhitney",
+      Some(s"""WITH $lenHistCte,
+             |r AS (
+             |  SELECT v, c_a, c_b, c_a + c_b AS t,
+             |    CAST(sum(c_a + c_b) OVER (ORDER BY v) AS BIGINT) AS cum_all
+             |  FROM h),
+             |s AS (
+             |  SELECT
+             |    CAST(sum(c_a * (2 * (cum_all - t) + t + 1)) AS BIGINT) AS r2,
+             |    CAST(sum(c_a) AS BIGINT) AS n_a,
+             |    CAST(sum(c_b) AS BIGINT) AS n_b,
+             |    CAST(sum(t * t * t - t) AS BIGINT) AS tie_term
+             |  FROM r),
+             |z AS (
+             |  SELECT n_a, n_b,
+             |    CAST(r2 AS DOUBLE) / 2.0e0 AS r_a,
+             |    CAST(r2 AS DOUBLE) / 2.0e0
+             |      - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0e0) / 2.0e0 AS u_a,
+             |    CAST(tie_term AS DOUBLE) AS tiet
+             |  FROM s),
+             |zz AS (
+             |  SELECT n_a, n_b, r_a, u_a,
+             |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) - u_a AS u_b,
+             |    (u_a - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0e0)
+             |    / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0e0
+             |        * ((CAST(n_a + n_b AS DOUBLE) + 1.0e0)
+             |           - tiet / (CAST(n_a + n_b AS DOUBLE)
+             |                     * (CAST(n_a + n_b AS DOUBLE) - 1.0e0)))) AS z_raw
+             |  FROM z)
+             |SELECT n_a, n_b, r_a, u_a, u_b,
+             |  FLOOR(z_raw * 1000000 + 0.5) / 1000000 AS z_score,
+             |  abs(FLOOR(z_raw * 1000000 + 0.5) / 1000000) > 1.96e0 AS significant
+             |FROM zz""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val snap = (x: Column) => floor(x * lit(1000000) + lit(0.5)) / lit(1000000)
+        val wOrd = Window.orderBy($"v")
+        val r = lenHist(s, dir).select($"v", $"c_a", $"c_b",
+          ($"c_a" + $"c_b").as("t"),
+          sum($"c_a" + $"c_b").over(wOrd).as("cum_all"))
+        val agg = r.agg(
+          sum($"c_a" * (lit(2) * ($"cum_all" - $"t") + $"t" + lit(1))).as("r2"),
+          sum($"c_a").as("n_a"), sum($"c_b").as("n_b"),
+          sum($"t" * $"t" * $"t" - $"t").as("tie_term"))
+        val na = $"n_a".cast("double")
+        val nb = $"n_b".cast("double")
+        val nn = ($"n_a" + $"n_b").cast("double")
+        val rA = $"r2".cast("double") / lit(2.0)
+        val uA = rA - na * (na + lit(1.0)) / lit(2.0)
+        val zRaw = (uA - na * nb / lit(2.0)) /
+          sqrt(na * nb / lit(12.0) *
+            ((nn + lit(1.0))
+              - $"tie_term".cast("double") / (nn * (nn - lit(1.0)))))
+        agg.select($"n_a", $"n_b", rA.as("r_a"), uA.as("u_a"),
+          (na * nb - uA).as("u_b"),
+          snap(zRaw).as("z_score"),
+          (abs(snap(zRaw)) > lit(1.96)).as("significant"))
       })
   )
+
+  /** Okapi BM25 parameters and machinery shared by q_bm25_topk and
+    * q_hybrid_rrf (single-source rule: the scoring formula, the smoothed
+    * IDF, the snap discipline and the top-k tie-break render once; a k1/b
+    * retune lands in both engines and both consumers at once). The CTE
+    * chain ends in `top(doc_id, dl, tf_hash, tf_join, tf_scan, score)` —
+    * the snapped-score top-[[Bm25K]].
+    */
+  // defs, not vals: the `defs` Seq (declared above) initializes first and
+  // already calls bm25TopCte — a later val would still be null then
+  private def Bm25Terms = Seq("hash", "join", "scan")
+  private def Bm25K = 20
+
+  private def bm25TopCte: String = {
+    val terms = Bm25Terms
+    val tfCols = terms.map(t =>
+      s"CAST(sum(CASE WHEN token = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS tf_$t")
+      .mkString(",\n      ")
+    val dfCols = terms.map(t =>
+      s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+      .mkString(",\n      ")
+    def idf(t: String) =
+      s"FLOOR(ln((CAST(n_docs - df_$t AS DOUBLE) + 0.5e0)" +
+        s" / (CAST(df_$t AS DOUBLE) + 0.5e0) + 1.0e0) * 1000000 + 0.5) / 1000000"
+    def term(t: String) =
+      s"""CASE WHEN tf_$t > 0 THEN ${idf(t)}
+         |      * (CAST(tf_$t AS DOUBLE) * 2.2e0)
+         |      / (CAST(tf_$t AS DOUBLE)
+         |         + 1.2e0 * (0.25e0 + 0.75e0
+         |            * (CAST(dl AS DOUBLE)
+         |               / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+         |    ELSE 0.0e0 END""".stripMargin
+    s"""t AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |                       x -> len(x) > 0)) AS token
+       |  FROM documents),
+       |pd AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+       |      $tfCols
+       |  FROM t GROUP BY 1),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |      CAST(sum(dl) AS BIGINT) AS sum_dl,
+       |      $dfCols
+       |  FROM pd),
+       |sc AS (
+       |  SELECT doc_id, dl, tf_hash, tf_join, tf_scan,
+       |    FLOOR((${term("hash")}
+       |         + ${term("join")}
+       |         + ${term("scan")}) * 1000000 + 0.5) / 1000000 AS score
+       |  FROM pd, st
+       |  WHERE tf_hash + tf_join + tf_scan > 0),
+       |top AS (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT $Bm25K)""".stripMargin
+  }
+
+  private def bm25Top(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val snap = (x: Column) => floor(x * lit(1000000) + lit(0.5)) / lit(1000000)
+    val terms = Bm25Terms
+    val toks = docs(s, dir).select($"doc_id",
+      explode(TextFunctions.arrayBarrier(TextFunctions.tokens($"text")))
+        .as("token"))
+    val pd = toks.groupBy($"doc_id").agg(
+      count(lit(1)).as("dl"),
+      terms.map(t =>
+        sum(when($"token" === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
+    val st = pd.agg(
+      count(lit(1)).as("n_docs"),
+      sum($"dl").as("sum_dl") +: terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+    def idf(t: String): Column = snap(log(
+      (($"n_docs" - col(s"df_$t")).cast("double") + lit(0.5)) /
+        (col(s"df_$t").cast("double") + lit(0.5)) + lit(1.0)))
+    def term(t: String): Column =
+      when(col(s"tf_$t") > 0,
+        idf(t) * (col(s"tf_$t").cast("double") * lit(2.2)) /
+          (col(s"tf_$t").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) *
+              ($"dl".cast("double") /
+                ($"sum_dl".cast("double") / $"n_docs".cast("double"))))))
+        .otherwise(lit(0.0))
+    val sc = pd
+      .where($"tf_hash" + $"tf_join" + $"tf_scan" > 0)
+      .crossJoin(broadcast(st))
+      .select($"doc_id", $"dl", $"tf_hash", $"tf_join", $"tf_scan",
+        snap(term("hash") + term("join") + term("scan")).as("score"))
+    sc.orderBy($"score".desc, $"doc_id").limit(Bm25K)
+  }
+
+  /** Per-distinct-length two-group histogram shared by q_ks_test and
+    * q_mannwhitney: the two samples are the doc_id parity halves (the
+    * q_drift_psi / q_corpus_diff two-release stand-in convention) and the
+    * measured variable is `n_chars`. One corpus-sized aggregation down to
+    * a VALUE-DOMAIN-sized relation (`v, c_a, c_b` — bounded by distinct
+    * lengths, not by corpus rows), so both tests' downstream windows ride
+    * the bounded single-partition case (the q_zipf discipline).
+    */
+  private def lenHistCte: String =
+    """h AS (
+      |  SELECT n_chars AS v,
+      |    count(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS c_a,
+      |    count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS c_b
+      |  FROM documents GROUP BY 1)""".stripMargin
+
+  private def lenHist(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("n_chars").as("v"), col("doc_id"))
+      .groupBy("v")
+      .agg(count(when(col("doc_id") % 2 === 0, 1)).as("c_a"),
+        count(when(col("doc_id") % 2 === 1, 1)).as("c_b"))
 
   /** Build-once registry for the IVF at-rest index (train + writeClustered),
     * keyed by the source file's identity (path, size, mtime) and the index

@@ -129,6 +129,38 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(near._3 - 0.75) < 1e-12)
   }
 
+  test("containmentPairs catches a full-inclusion pair Jaccard misses, " +
+    "flags it asymmetric, and agrees with jaccardPairs on the jaccard") {
+    // doc 11's 8 tokens appear verbatim inside doc 10's much longer text:
+    // containment(small) = 1.0 while jaccard = |small| / |large| stays far
+    // under the 0.3 dedup floor — exactly the shape the operator exists for
+    val d = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta " +
+        "iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon " +
+        "phi chi psi omega one two three four five six seven eight"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (12L, "unrelated words about completely different topics entirely"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, "doc_id", "text",
+      shingleN = 3, maxDf = 10, minContainment = 0.5).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 11L)
+    // small doc: 8 tokens → 6 distinct 3-shingles, all inside the large doc
+    assert(r.getDouble(r.fieldIndex("containment")) == 1.0)
+    assert(r.getBoolean(r.fieldIndex("asymmetric")),
+      "full inclusion under the jaccard floor must flag asymmetric")
+    val jac = r.getDouble(r.fieldIndex("jaccard"))
+    assert(jac < 0.3, s"jaccard $jac should sit under the dedup floor")
+    // and the shared base reproduces jaccardPairs' numbers exactly: the
+    // refactor may not move the certified pair machinery
+    val viaJaccard = Dedup.jaccardPairs(d, "doc_id", "text",
+      shingleN = 3, maxDf = 10, minJaccard = 0.0)
+      .where($"doc_a" === 10L && $"doc_b" === 11L)
+      .head().getDouble(3)
+    assert(jac == viaJaccard)
+  }
+
   test("minhashPairsIncremental equals the full run filtered to " +
     "new-involving pairs, including under bucket capping") {
     val extra = Seq(
