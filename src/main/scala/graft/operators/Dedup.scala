@@ -24,7 +24,7 @@ object Dedup {
     * `e * 0` (NULL semantics), so the guard survives optimization; the cost
     * is one max accumulator. OperatorsSpec pins the resulting reuse.
     */
-  private[operators] def pruneGuard(c: Column): Column =
+  private[graft] def pruneGuard(c: Column): Column =
     coalesce(max(hash(c)).cast("long") * lit(0L), lit(0L))
 
   /** Exact dedup by content hash: groups identical texts, keeps the minimum

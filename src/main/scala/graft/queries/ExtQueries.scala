@@ -4935,6 +4935,238 @@ object ExtQueries {
           (na * nb - uA).as("u_b"),
           snap(zRaw).as("z_score"),
           (abs(snap(zRaw)) > lit(1.96)).as("significant"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Spearman rank correlation between doc length (chars) and word count
+    // — the nonparametric twin of q_corr_regr's Pearson (monotone
+    // association, immune to the heavy length tails that drag a Pearson
+    // coefficient around). Rank machinery never sorts the corpus: ONE
+    // corpus pass builds the JOINT (chars, words) histogram — bounded by
+    // the value-domain product, not corpus rows — marginals and midranks
+    // derive from it with bounded single-partition windows, ranks join
+    // back broadcast-sized, and Pearson-on-ranks is one weighted agg.
+    // Exactness: midranks are kept as DOUBLED integers (2·midrank is
+    // always integral, ties included), so every aggregated sum is an
+    // exact integer in both engines' partial aggs at any shuffle layout;
+    // the closed-form rho then divides/sqrts once and snaps 1e-6.
+    QueryDef(
+      "q_spearman",
+      Some("""WITH base AS (
+             |  SELECT n_chars AS x,
+             |    CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS y
+             |  FROM documents
+             |  WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+             |g AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
+             |hx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM g GROUP BY 1),
+             |hy AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM g GROUP BY 1),
+             |rx AS (
+             |  SELECT x,
+             |    2 * (CAST(sum(cx) OVER (ORDER BY x) AS BIGINT) - cx) + cx + 1 AS rx2
+             |  FROM hx),
+             |ry AS (
+             |  SELECT y,
+             |    2 * (CAST(sum(cy) OVER (ORDER BY y) AS BIGINT) - cy) + cy + 1 AS ry2
+             |  FROM hy),
+             |j AS (
+             |  SELECT g.c, rx.rx2, ry.ry2
+             |  FROM g JOIN rx ON g.x = rx.x JOIN ry ON g.y = ry.y),
+             |s AS (
+             |  SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+             |    CAST(sum(c * rx2) AS DOUBLE) AS sx,
+             |    CAST(sum(c * ry2) AS DOUBLE) AS sy,
+             |    CAST(sum(c * rx2 * ry2) AS DOUBLE) AS sxy,
+             |    CAST(sum(c * rx2 * rx2) AS DOUBLE) AS sxx,
+             |    CAST(sum(c * ry2 * ry2) AS DOUBLE) AS syy
+             |  FROM j)
+             |SELECT n_docs,
+             |  FLOOR((CAST(n_docs AS DOUBLE) * sxy - sx * sy)
+             |    / sqrt((CAST(n_docs AS DOUBLE) * sxx - sx * sx)
+             |           * (CAST(n_docs AS DOUBLE) * syy - sy * sy))
+             |    * 1000000 + 0.5) / 1000000 AS rho_spearman
+             |FROM s""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val snap = (x: Column) => floor(x * lit(1000000) + lit(0.5)) / lit(1000000)
+        val base = docs(s, dir)
+          .where($"n_chars".isNotNull && $"text".isNotNull)
+          .select($"n_chars".as("x"),
+            TextFunctions.wordCount($"text").cast("long").as("y"))
+        val g = base.groupBy($"x", $"y").agg(count(lit(1)).as("c"))
+        val wx = Window.orderBy($"x")
+        val wy = Window.orderBy($"y")
+        val rx = g.groupBy($"x").agg(sum($"c").as("cx"))
+          .select($"x",
+            (lit(2) * (sum($"cx").over(wx) - $"cx") + $"cx" + lit(1)).as("rx2"))
+        val ry = g.groupBy($"y").agg(sum($"c").as("cy"))
+          .select($"y",
+            (lit(2) * (sum($"cy").over(wy) - $"cy") + $"cy" + lit(1)).as("ry2"))
+        val agg = g.join(broadcast(rx), Seq("x")).join(broadcast(ry), Seq("y"))
+          .agg(sum($"c").as("n_docs"),
+            sum($"c" * $"rx2").as("sx"), sum($"c" * $"ry2").as("sy"),
+            sum($"c" * $"rx2" * $"ry2").as("sxy"),
+            sum($"c" * $"rx2" * $"rx2").as("sxx"),
+            sum($"c" * $"ry2" * $"ry2").as("syy"))
+        val nD = $"n_docs".cast("double")
+        agg.select($"n_docs",
+          snap((nD * $"sxy".cast("double")
+              - $"sx".cast("double") * $"sy".cast("double"))
+            / sqrt((nD * $"sxx".cast("double")
+                - $"sx".cast("double") * $"sx".cast("double"))
+              * (nD * $"syy".cast("double")
+                - $"sy".cast("double") * $"sy".cast("double"))))
+            .as("rho_spearman"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Heaps' law vocabulary-growth curve: cumulative distinct vocabulary
+    // vs cumulative token count over 10 doc-id-ordered corpus slices,
+    // with the log-log OLS slope (Heaps β — natural prose sits ~0.4-0.6;
+    // β drifting toward 0 means the crawl is re-reading the same
+    // material, toward 1 means junk/noise vocabulary) — the tokenizer-
+    // sizing read beside q_zipf_slope's head shape and q_oov_rate's
+    // frozen-vocab miss rate. Scale shape: corpus tokenizes ONCE into one
+    // (bucket, token) agg — the branch point both the per-bucket token
+    // totals and the per-token first-seen bucket derive from (the
+    // q_oov_rate discipline; identical subtree → one exchange, reused);
+    // everything downstream is vocab- or 10-row-sized. First-seen bucket
+    // IS the distinct-vocab increment: summing it cumulatively equals
+    // |vocab seen so far| with no distinct-per-prefix rescan. ln sums
+    // reorder across engines → the slope snaps 1e-4 (the q_zipf_slope
+    // convention); the 10 cum rows themselves are exact ints.
+    QueryDef(
+      "q_heaps_law",
+      Some("""WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+             |tok AS (
+             |  SELECT CAST(FLOOR(CAST(doc_id * 10 AS DOUBLE) / CAST(m AS DOUBLE)) AS INT) AS bucket,
+             |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+             |  FROM documents, mx),
+             |g AS (SELECT bucket, token, CAST(count(*) AS BIGINT) AS c
+             |      FROM tok GROUP BY 1, 2),
+             |tb AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS n_tokens
+             |       FROM g GROUP BY 1),
+             |fv AS (SELECT min(bucket) AS first_bucket FROM g GROUP BY token),
+             |vb AS (SELECT first_bucket AS bucket, CAST(count(*) AS BIGINT) AS n_new
+             |       FROM fv GROUP BY 1),
+             |cum AS (
+             |  SELECT t.bucket,
+             |    CAST(sum(t.n_tokens) OVER (ORDER BY t.bucket) AS BIGINT) AS cum_tokens,
+             |    CAST(sum(COALESCE(v.n_new, 0)) OVER (ORDER BY t.bucket) AS BIGINT) AS cum_vocab
+             |  FROM tb t LEFT JOIN vb v ON t.bucket = v.bucket),
+             |xy AS (
+             |  SELECT bucket, cum_tokens, cum_vocab,
+             |    ln(CAST(cum_tokens AS DOUBLE)) AS lx,
+             |    ln(CAST(cum_vocab AS DOUBLE)) AS ly
+             |  FROM cum)
+             |SELECT bucket, cum_tokens, cum_vocab,
+             |  FLOOR((count(*) OVER () * sum(lx*ly) OVER () - sum(lx) OVER () * sum(ly) OVER ())
+             |    / (count(*) OVER () * sum(lx*lx) OVER () - sum(lx) OVER () * sum(lx) OVER ())
+             |    * 10000 + 0.5) / 10000 AS heaps_beta
+             |FROM xy""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val mx = docs(s, dir).agg((max($"doc_id") + 1).as("m"))
+        val tok = docs(s, dir).crossJoin(broadcast(mx))
+          .select(
+            floor(($"doc_id" * 10).cast("double") / $"m".cast("double"))
+              .cast("int").as("bucket"),
+            explode(TextFunctions.arrayBarrier(
+              TextFunctions.termsAlnum($"text"))).as("token"))
+        val g = tok.groupBy($"bucket", $"token").agg(count(lit(1)).as("c"))
+        val tb = g.groupBy($"bucket").agg(sum($"c").as("n_tokens"))
+        // pruneGuard zero-term: without it column pruning rewrites this
+        // leg's copy of g keys-only (c unused by min), the two g subtrees
+        // stop being canonically equal, and the WHOLE tokenize→explode
+        // corpus scan executes twice (measured: 2 Generate nodes). The
+        // guard keeps both legs reading (bucket, token, c) → one exchange,
+        // ReusedExchange on the second consumer.
+        val vb = g.groupBy($"token")
+          .agg((min($"bucket") + Dedup.pruneGuard($"c").cast("int"))
+            .as("first_bucket"))
+          .groupBy($"first_bucket").agg(count(lit(1)).as("n_new"))
+          .withColumnRenamed("first_bucket", "bucket")
+        val wOrd = Window.orderBy($"bucket")
+        val wAll = Window.partitionBy()
+        val xy = tb.join(vb, Seq("bucket"), "left")
+          .select($"bucket",
+            sum($"n_tokens").over(wOrd).as("cum_tokens"),
+            sum(coalesce($"n_new", lit(0L))).over(wOrd).as("cum_vocab"))
+          .select($"bucket", $"cum_tokens", $"cum_vocab",
+            log($"cum_tokens".cast("double")).as("lx"),
+            log($"cum_vocab".cast("double")).as("ly"))
+        xy.select($"bucket", $"cum_tokens", $"cum_vocab",
+          (floor((count(lit(1)).over(wAll) * sum($"lx" * $"ly").over(wAll)
+              - sum($"lx").over(wAll) * sum($"ly").over(wAll))
+            / (count(lit(1)).over(wAll) * sum($"lx" * $"lx").over(wAll)
+              - sum($"lx").over(wAll) * sum($"lx").over(wAll))
+            * 10000.0 + 0.5) / 10000.0).as("heaps_beta"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Permutation test for the parity slices' mean-length difference —
+    // the exact-inference companion to q_mannwhitney (no normal
+    // approximation, no distributional assumption: "how often does a
+    // RANDOM re-labeling beat the observed gap"). 32 deterministic
+    // re-labelings draw each doc's side from one md5 hex digit per
+    // (doc, permutation) — the q_bootstrap_ci seedless-replicate
+    // convention — so the whole test is rerun- and engine-reproducible.
+    // Scale shape: a ×32 constant-side explode of the two-column
+    // projection collapsed by map-side partial aggs to 32 rows; the
+    // observed gap is ONE extra two-column agg broadcast back. Means are
+    // exact-integer-sum ratios, gaps single IEEE subtracts — every
+    // comparison is bit-deterministic with no snapping; p follows the
+    // add-one rule (observed counts as the 33rd permutation).
+    QueryDef(
+      "q_permutation_test",
+      Some("""WITH o AS (
+             |  SELECT abs(CAST(sum(CASE WHEN doc_id % 2 = 0 THEN n_chars END) AS DOUBLE)
+             |             / count(CASE WHEN doc_id % 2 = 0 THEN 1 END)
+             |           - CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS DOUBLE)
+             |             / count(CASE WHEN doc_id % 2 = 1 THEN 1 END)) AS diff_obs
+             |  FROM documents),
+             |reps AS (SELECT unnest(range(1, 33)) AS perm),
+             |x AS (
+             |  SELECT r.perm, d.n_chars,
+             |    substr(md5(CAST(d.doc_id AS VARCHAR) || '#' || CAST(r.perm AS VARCHAR)), 1, 1) < '8' AS flip
+             |  FROM documents d CROSS JOIN reps r),
+             |m AS (
+             |  SELECT CAST(perm AS INT) AS perm,
+             |    abs(CAST(sum(CASE WHEN flip THEN n_chars END) AS DOUBLE)
+             |          / count(CASE WHEN flip THEN 1 END)
+             |        - CAST(sum(CASE WHEN NOT flip THEN n_chars END) AS DOUBLE)
+             |          / count(CASE WHEN NOT flip THEN 1 END)) AS perm_diff
+             |  FROM x GROUP BY 1)
+             |SELECT perm, perm_diff, diff_obs,
+             |  perm_diff >= diff_obs AS ge_observed,
+             |  (CAST(sum(CASE WHEN perm_diff >= diff_obs THEN 1 ELSE 0 END) OVER () AS DOUBLE)
+             |     + 1.0e0) / 33.0e0 AS p_value
+             |FROM m, o""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val d = docs(s, dir).select($"doc_id", $"n_chars")
+        val o = d.agg(abs(
+          sum(when($"doc_id" % 2 === 0, $"n_chars")).cast("double")
+            / count(when($"doc_id" % 2 === 0, 1))
+          - sum(when($"doc_id" % 2 === 1, $"n_chars")).cast("double")
+            / count(when($"doc_id" % 2 === 1, 1))).as("diff_obs"))
+        val flip = substring(md5(concat($"doc_id".cast("string"), lit("#"),
+          $"perm".cast("string")).cast("binary")), 1, 1) < "8"
+        val m = d
+          .select($"doc_id", $"n_chars",
+            explode(sequence(lit(1), lit(32))).as("perm"))
+          .select($"perm", flip.as("flip"), $"n_chars")
+          .groupBy($"perm").agg(abs(
+            sum(when($"flip", $"n_chars")).cast("double")
+              / count(when($"flip", 1))
+            - sum(when(!$"flip", $"n_chars")).cast("double")
+              / count(when(!$"flip", 1))).as("perm_diff"))
+        val wAll = Window.partitionBy()
+        m.crossJoin(broadcast(o))
+          .select($"perm", $"perm_diff", $"diff_obs",
+            ($"perm_diff" >= $"diff_obs").as("ge_observed"))
+          .withColumn("p_value",
+            (sum(when($"ge_observed", 1).otherwise(0)).over(wAll)
+              .cast("double") + lit(1.0)) / lit(33.0))
       })
   )
 
