@@ -144,6 +144,31 @@ object MediaSynth {
   /** Total file size of a canonical 44-byte-header PCM WAV. */
   def wavBytes(nFrames: Int, channels: Int): Int = 44 + nFrames * 2 * channels
 
+  /** Mono PCM16 RIFF/WAVE carrying caller-provided samples — the shaped-
+    * payload writer behind q_media_audio_dedup (the WAV analogue of
+    * [[bmpPixels]]' bit-pattern images). Same canonical 44-byte forward
+    * layout as [[wav]]; the parser never shares this code.
+    */
+  def wavMono(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new java.io.ByteArrayOutputStream(44 + dataLen)
+    out.write('R'); out.write('I'); out.write('F'); out.write('F')
+    out.write(le32(36 + dataLen))
+    out.write('W'); out.write('A'); out.write('V'); out.write('E')
+    out.write('f'); out.write('m'); out.write('t'); out.write(' ')
+    out.write(le32(16))
+    out.write(le16(1))                  // PCM
+    out.write(le16(1))                  // mono
+    out.write(le32(sampleRate))
+    out.write(le32(sampleRate * 2))
+    out.write(le16(2)); out.write(le16(16))
+    out.write('d'); out.write('a'); out.write('t'); out.write('a')
+    out.write(le32(dataLen))
+    var s = 0
+    while (s < samples.length) { out.write(le16(samples(s) & 0xffff)); s += 1 }
+    out.toByteArray
+  }
+
   /** PCM16 RIFF/WAVE with the canonical fmt+data layout [[Codecs.wavMeta]]
     * walks. Sample s of channel c is the deterministic ramp
     * `(s * 31 + c * 7) mod 32768` — seekable ground truth for

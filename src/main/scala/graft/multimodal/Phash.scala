@@ -104,4 +104,46 @@ object Phash {
 
   def dHashBytes(bytes: Array[Byte]): Option[Long] =
     Codecs.decodeImage(bytes).map(dHash)
+
+  /** 64-bit band-energy audio fingerprint — the aHash idea applied to PCM
+    * (the chromaprint/echoprint family reduced to its loudness-envelope
+    * core): split the channel-0 stream into `nBands` contiguous windows,
+    * take each window's mean |amplitude|, set bit i iff band i is STRICTLY
+    * louder than the 64-band mean. The mean threshold makes the
+    * fingerprint VOLUME-INVARIANT — scaling every sample by c > 0 scales
+    * all band energies and their mean by the same c, so no bit moves — the
+    * property that catches re-encoded / re-normalized copies exact PCM
+    * hashing ([[graft.queries.MediaQueries]] q_media_pcm_dup) structurally
+    * cannot. Strict `>` keeps constant audio (incl. silence) at 0, the
+    * aHash convention. Real decode path end-to-end: RIFF chunk walk
+    * ([[Codecs.wavMeta]]) + block-aligned channel-0 seeks — a header or
+    * offset bug shifts a window boundary and flips bits. None for
+    * non-WAV / non-16-bit payloads or fewer frames than bands.
+    */
+  def audioBandFp(bytes: Array[Byte], nBands: Int = 64): Option[Long] = {
+    require(nBands >= 1 && nBands <= 64, s"nBands $nBands not in [1, 64]")
+    Codecs.wavMeta(bytes)
+      .filter(m => m.bitsPerSample == 16 && m.nSampleFrames >= nBands)
+      .flatMap { m =>
+        Codecs.wavSamples(bytes, 0, m.nSampleFrames).map { s =>
+          val n = s.length
+          val e = new Array[Double](nBands)
+          var i = 0
+          while (i < nBands) {
+            // window i covers [i*n/nBands, (i+1)*n/nBands) — exact integer
+            // boundaries, remainder frames spread deterministically
+            val from = (i.toLong * n / nBands).toInt
+            val until = ((i + 1).toLong * n / nBands).toInt
+            var sum = 0L; var j = from
+            while (j < until) { sum += math.abs(s(j).toLong); j += 1 }
+            e(i) = sum.toDouble / (until - from)
+            i += 1
+          }
+          val mean = e.sum / nBands
+          var h = 0L; var b = 0
+          while (b < nBands) { if (e(b) > mean) h |= 1L << b; b += 1 }
+          h
+        }
+      }
+  }
 }

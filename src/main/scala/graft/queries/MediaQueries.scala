@@ -262,6 +262,67 @@ object MediaQueries {
           .withColumn("n_copies", count(lit(1)).over(
             Window.partitionBy(col("pcm_hash"))))
           .select($"media_id", $"n_copies")
+      }),
+
+    // ------------------------------------------------------------------
+    // Perceptual AUDIO near-dup — the volume-invariant companion to
+    // q_media_pcm_dup's exact PCM hash (which a 2x-gain re-encode
+    // structurally defeats) and the audio twin of q_media_dedup: each doc
+    // synthesizes a mono WAV whose 64 per-band amplitudes encode its
+    // dedupKey bits (800 vs 50 base amplitude), multiplied by a
+    // doc-dependent volume 1 + doc_id % 3 — 3 and 4 are coprime, so every
+    // noise group of 4 spans different volumes and matching WITHIN a group
+    // proves gain invariance, not byte equality. The REAL decode path
+    // (RIFF chunk walk, block-aligned channel-0 seeks, band-energy mean
+    // threshold = Phash.audioBandFp) provably recovers the key: every
+    // 1-bit band is strictly louder than the 64-band mean and every 0-bit
+    // band strictly quieter (key bits 62-63 are always 0, so neither
+    // degenerate all-equal case can occur). Hamming-banded buckets (exact
+    // recall at radius <= 2 by pigeonhole) then count neighbours; the
+    // oracle recomputes n_near from the key arithmetic alone — identical
+    // first-principles truth as q_media_dedup, reached through an entirely
+    // different byte format and signal path.
+    QueryDef(
+      "q_media_audio_dedup",
+      Some(s"""WITH k AS (
+             |  SELECT doc_id AS media_id,
+             |    xor(((doc_id // 4) * $keyP1) % 2147483648
+             |          + (((doc_id // 4) * $keyP2) % 2147483648) * 2147483648,
+             |        CASE CAST(doc_id % 4 AS INT)
+             |          WHEN 0 THEN 0
+             |          WHEN 1 THEN $noise1
+             |          WHEN 2 THEN $noise2
+             |          ELSE $noise3 END) AS audio_fp
+             |  FROM documents)
+             |SELECT a.media_id, a.audio_fp,
+             |  CAST((SELECT count(*) FROM k b WHERE b.media_id != a.media_id
+             |        AND bit_count(xor(a.audio_fp, b.audio_fp)) <= 2) AS BIGINT) AS n_near
+             |FROM k a""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val hashed = docs(s, dir)
+          .select($"doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val k = dedupKey(id)
+            val vol = 1 + (id % 3).toInt
+            // 4 frames per band, constant amplitude within a band
+            val samples = Array.tabulate[Short](256) { i =>
+              val base = if (((k >> (i / 4)) & 1L) == 1L) 800 else 50
+              (base * vol).toShort
+            }
+            val bytes = MediaSynth.wavMono(wavRate(id), samples)
+            (id, Phash.audioBandFp(bytes).getOrElse(
+              sys.error(s"q_media_audio_dedup: WAV fp failed for doc $id")))
+          })
+          .toDF("media_id", "audio_fp")
+        val pairs = graft.operators.Dedup
+          .hammingPairs(hashed, "media_id", "audio_fp", maxHamming = 2)
+        val neigh = pairs.select(col("doc_a").as("media_id"))
+          .unionAll(pairs.select(col("doc_b").as("media_id")))
+          .groupBy(col("media_id")).agg(count(lit(1)).as("n_near"))
+        hashed.join(neigh, Seq("media_id"), "left")
+          .select($"media_id", $"audio_fp",
+            coalesce($"n_near", lit(0L)).as("n_near"))
       })
   )
 }

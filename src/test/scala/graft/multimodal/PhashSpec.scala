@@ -38,6 +38,43 @@ class PhashSpec extends SparkSpec {
     }
   }
 
+  private def patternWav(k: Long, vol: Int, framesPerBand: Int = 4): Array[Byte] =
+    MediaSynth.wavMono(8000, Array.tabulate[Short](64 * framesPerBand) { i =>
+      val base = if (((k >> (i / framesPerBand)) & 1L) == 1L) 800 else 50
+      (base * vol).toShort
+    })
+
+  test("audioBandFp recovers the painted band pattern through the real " +
+    "RIFF walk and block-aligned seeks") {
+    val keys = Seq(0L, 1L, 32L, (1L << 11) | (1L << 40), 0x3FFFFFFFFFFFFFFFL,
+      0x123456789ABCDEFL)
+    keys.foreach { k =>
+      assert(Phash.audioBandFp(patternWav(k, 1)) === Some(k), s"key $k")
+    }
+  }
+
+  test("audioBandFp is VOLUME-invariant (the property exact PCM hashing " +
+    "cannot have) and window boundaries survive longer payloads") {
+    val k = 0x123456789ABCDEFL
+    val ref = Phash.audioBandFp(patternWav(k, 1))
+    (2 to 5).foreach { vol =>
+      assert(Phash.audioBandFp(patternWav(k, vol)) === ref, s"volume $vol")
+    }
+    // 16 frames per band instead of 4: same envelope, same fingerprint
+    assert(Phash.audioBandFp(patternWav(k, 3, framesPerBand = 16)) === ref)
+    // but a different KEY is a different fingerprint
+    assert(Phash.audioBandFp(patternWav(k ^ 1L, 1)) !== ref)
+  }
+
+  test("audioBandFp refuses non-WAV payloads and too-short clips") {
+    assert(Phash.audioBandFp("not audio".getBytes) === None)
+    assert(Phash.audioBandFp(
+      MediaSynth.wavMono(8000, Array.fill[Short](10)(100))) === None)
+    // constant audio (all bands equal the mean) fingerprints to 0, not -1
+    assert(Phash.audioBandFp(
+      MediaSynth.wavMono(8000, Array.fill[Short](256)(500))) === Some(0L))
+  }
+
   test("dHash encodes left-to-right brightness steps from a known gradient") {
     // 9x8 image, column brightnesses chosen so row-y comparisons encode
     // alternating bits: columns 0..8 brightness = (x % 2) * 255 -> cell
