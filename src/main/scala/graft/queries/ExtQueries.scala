@@ -3380,6 +3380,51 @@ object ExtQueries {
       }),
 
     // ------------------------------------------------------------------
+    // IVF nProbe operating curve — the ANN serving knob audit beside
+    // q_minhash_operating_points' banding audit: recall@20 vs brute-force
+    // truth for nProbe ∈ {1, 2, 4, 8} over the SAME at-rest index the
+    // production probes read. The knob every IVF deployment tunes (probe
+    // fewer partitions = less I/O, monotonically less recall); putting the
+    // curve's invariants under the driver gate means a quantizer/assign
+    // regression that bends it fails by name. PROPERTY oracle (IVF probe
+    // contents aren't ANSI-expressible — the q_sim_lsh convention): the
+    // flags assert monotone hits in nProbe, the deployed nProbe=4 recall
+    // floor (RecallSpec's 0.5 gate; measured ~0.7+), and that the
+    // full-width probe (nProbe = K = all clusters, i.e. a full scan) is
+    // EXACTLY brute force. Scale shape: truth ids are ONE brute-force
+    // top-k collected at k=20 (bounded-collect policy) and folded into
+    // each probe as a literal isin filter — the corpus is never re-scanned
+    // per probe; each probe stays partition-pruned.
+    QueryDef(
+      "q_sim_ivf_sweep",
+      Some("""SELECT unnest([1, 2, 4, 8]) AS n_probe,
+             |  true AS hits_monotone_ok,
+             |  true AS deployed_floor_ok,
+             |  true AS full_width_exact_ok""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val path = IvfIndex.ensure(s, dir)
+        val e = emb(s, dir)
+        val q = Similarity.vectorOf(s, e, "vec_id", "embedding", 0L)
+        val truthIds = Similarity
+          .bruteForceTopK(e, "vec_id", "embedding", q, 20)
+          .select($"vec_id").as[Long].collect().toSeq // k-bounded collect
+        val hits = Seq(1, 2, 4, 8).map { np =>
+          Ivf.probeClustered(s, path, "vec_id", "embedding", q,
+              nProbe = np, k = 20)
+            .where($"vec_id".isin(truthIds: _*))
+            .agg(count(lit(1)).as("hits"))
+            .select(lit(np).as("n_probe"), $"hits")
+        }.reduce(_ unionAll _)
+        val w = Window.orderBy($"n_probe")
+        hits.select($"n_probe",
+          coalesce($"hits" >= lag($"hits", 1).over(w), lit(true))
+            .as("hits_monotone_ok"),
+          ($"n_probe" < 4 || $"hits" >= 10).as("deployed_floor_ok"),
+          ($"n_probe" < 8 || $"hits" === 20).as("full_width_exact_ok"))
+      }),
+
+    // ------------------------------------------------------------------
     // Per-document token entropy: Shannon entropy (nats) of the alnum-token
     // distribution, plus its normalization by ln(n_distinct) — the
     // information-density axis of the quality panel, orthogonal to
