@@ -4166,9 +4166,15 @@ object ExtQueries {
       (s, dir) => {
         import s.implicits._
         val d = docs(s, dir)
+        // the pair machinery is consumed by FOUR downstream references
+        // (degreeOf's two union legs, the orientation join, the wedge agg)
+        // — materialize the edge relation ONCE (pair-sized, the q_pagerank
+        // lifecycle) instead of re-running shingle→candidate→pair per
+        // consumer (measured 7.4 s → the shingle front half re-paid ~3×)
         val edges = Dedup.jaccardPairs(d, "doc_id", "text")
           .select($"doc_a".as("a"), $"doc_b".as("b"))
           .where($"a".isNotNull && $"b".isNotNull)
+          .localCheckpoint(false)
         // degree-ordered node-iterator (r10): the oracle keeps the a<b id
         // orientation — the COUNT is orientation-invariant under any
         // acyclic total order — while the Spark plan orients by (deg, id)
