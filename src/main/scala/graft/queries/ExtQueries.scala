@@ -5218,6 +5218,135 @@ object ExtQueries {
           .withColumn("p_value",
             (sum(when($"ge_observed", 1).otherwise(0)).over(wAll)
               .cast("double") + lit(1.0)) / lit(33.0))
+      }),
+
+    // ------------------------------------------------------------------
+    // Per-label embedding-centroid drift between the parity release
+    // slices — the EMBEDDING twin of q_drift_psi's length drift: after a
+    // re-encode / encoder upgrade / new crawl, did any class's centroid
+    // move? (The check that catches a silently retrained or mis-scaled
+    // encoder before an ANN index is rebuilt on mixed vintages.) Shape:
+    // ONE label-keyed agg computes both slices' centroids as 2×dims
+    // parallel avg columns (the Ivf.train flat-aggregate shape — map-side
+    // combine, one row per label on the wire, the corpus is never
+    // posexploded); the L2 distance then evaluates on that one row per
+    // label as a FIXED-ORDER expression over per-dim snapped averages
+    // (averages snap 1e-6 first — engine sum orders differ — and the
+    // 64-term sum is a left-to-right codegen expression, not a float agg,
+    // so it is bit-identical cross-engine); the final distance snaps too.
+    QueryDef(
+      "q_embed_drift",
+      Some {
+        val dims = SimParams.dims
+        val avgs = (0 until dims).map { j =>
+          s"""FLOOR(avg(CASE WHEN vec_id % 2 = 0
+             |  THEN CAST(embedding[${j + 1}] AS DOUBLE) END) * 1000000 + 0.5)
+             |  / 1000000 AS a$j,
+             |FLOOR(avg(CASE WHEN vec_id % 2 = 1
+             |  THEN CAST(embedding[${j + 1}] AS DOUBLE) END) * 1000000 + 0.5)
+             |  / 1000000 AS b$j""".stripMargin
+        }.mkString(",\n    ")
+        val dist2 = (0 until dims)
+          .map(j => s"(a$j - b$j) * (a$j - b$j)")
+          .mkString("\n      + ")
+        s"""WITH c AS (
+           |  SELECT label,
+           |    CAST(count(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_ref,
+           |    CAST(count(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_cur,
+           |    $avgs
+           |  FROM embeddings GROUP BY 1)
+           |SELECT label, n_ref, n_cur,
+           |  FLOOR(sqrt($dist2) * 1000000 + 0.5) / 1000000 AS centroid_drift
+           |FROM c""".stripMargin
+      },
+      (s, dir) => {
+        import s.implicits._
+        val snap = (x: Column) => floor(x * lit(1000000) + lit(0.5)) / lit(1000000)
+        val dims = SimParams.dims
+        val aggs =
+          count(when($"vec_id" % 2 === 0, 1)).as("n_ref") +:
+          count(when($"vec_id" % 2 === 1, 1)).as("n_cur") +:
+          (0 until dims).flatMap(j => Seq(
+            avg(when($"vec_id" % 2 === 0,
+              try_element_at($"embedding", lit(j + 1)).cast("double")))
+              .as(s"a$j"),
+            avg(when($"vec_id" % 2 === 1,
+              try_element_at($"embedding", lit(j + 1)).cast("double")))
+              .as(s"b$j")))
+        val c = emb(s, dir).groupBy($"label").agg(aggs.head, aggs.tail: _*)
+        val dist2 = (0 until dims).map { j =>
+          val dd = snap(col(s"a$j")) - snap(col(s"b$j"))
+          dd * dd
+        }.reduce(_ + _)
+        c.select($"label", $"n_ref", $"n_cur",
+          snap(sqrt(dist2)).as("centroid_drift"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Quality-score calibration against near-duplication: per quality
+    // decile, what fraction of documents sits inside a >1-member near-dup
+    // cluster — the audit that tells a curator whether the quality score
+    // actually separates boilerplate (which duplicates) from prose before
+    // it is used as a mixture/budget knob. Composes three certified
+    // machines: qualityScore (IEEE-exact cross-engine), the q_drift_psi
+    // decile-cut discipline (exact percentiles snapped 1e-6, broadcast, a
+    // 9-element codegen filter bins each doc), and the shared CC relation
+    // (componentsCte → member counts). One pair-machinery pass + one
+    // decile agg; dup_rate is a single IEEE divide of exact counts.
+    QueryDef(
+      "q_quality_vs_dup",
+      Some {
+        val cuts = (1 to 9).map(i =>
+          s"FLOOR(quantile_cont(q, 0.${i}) * 1000000 + 0.5) / 1000000 AS v$i")
+          .mkString(",\n    ")
+        val list = (1 to 9).map(i => s"v$i").mkString("[", ", ", "]")
+        s"""WITH RECURSIVE $jaccardPairsCte, $componentsCte,
+           |sizes AS (
+           |  SELECT component, CAST(count(*) AS BIGINT) AS n_members
+           |  FROM comp GROUP BY 1),
+           |sc AS (
+           |  SELECT doc_id,
+           |  $qualityScoreSql
+           |    AS q
+           |  FROM documents),
+           |thr AS (
+           |  SELECT $cuts
+           |  FROM sc),
+           |th AS (SELECT unnest($list) AS v FROM thr),
+           |b AS (
+           |  SELECT (SELECT CAST(count(*) AS INT) FROM th WHERE sc.q >= th.v) AS bin,
+           |         s.n_members > 1 AS is_dup
+           |  FROM sc JOIN comp c ON sc.doc_id = c.doc_id
+           |           JOIN sizes s USING (component))
+           |SELECT bin,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(count(CASE WHEN is_dup THEN 1 END) AS BIGINT) AS n_dup,
+           |  CAST(count(CASE WHEN is_dup THEN 1 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS dup_rate
+           |FROM b GROUP BY 1""".stripMargin
+      },
+      (s, dir) => {
+        import s.implicits._
+        val snap = (x: Column) => floor(x * lit(1000000) + lit(0.5)) / lit(1000000)
+        val d = docs(s, dir)
+        val comp = Components.connectedComponents(d.select("doc_id"), "doc_id",
+          Dedup.jaccardPairs(d, "doc_id", "text"), "doc_a", "doc_b")
+        val sizes = comp.groupBy($"component").agg(count(lit(1)).as("n_members"))
+        val dup = comp.join(sizes, Seq("component"))
+          .select($"doc_id", ($"n_members" > 1).as("is_dup"))
+        val sc = d.select($"doc_id", TextFunctions.qualityScore($"text").as("q"))
+        val th = sc
+          .agg(expr("percentile(q, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+            .as("vs"))
+          .select(transform($"vs", v => snap(v)).as("vs"))
+        sc.join(dup, Seq("doc_id"))
+          .crossJoin(broadcast(th))
+          .select(size(filter($"vs", v => $"q" >= v)).as("bin"), $"is_dup")
+          .groupBy($"bin").agg(
+            count(lit(1)).as("n_docs"),
+            count(when($"is_dup", 1)).as("n_dup"))
+          .select($"bin", $"n_docs", $"n_dup",
+            ($"n_dup".cast("double") / $"n_docs".cast("double")).as("dup_rate"))
       })
   )
 
