@@ -5347,6 +5347,59 @@ object ExtQueries {
             count(when($"is_dup", 1)).as("n_dup"))
           .select($"bin", $"n_docs", $"n_dup",
             ($"n_dup".cast("double") / $"n_docs".cast("double")).as("dup_rate"))
+      }),
+
+    // ------------------------------------------------------------------
+    // HLL sketch MERGEABILITY — the property that makes cardinality state
+    // maintainable at 100 TB across days: per-source Datasketches HLL
+    // sketches (binary, persistable — exactly what the OPERATIONS.md
+    // daily job would store beside each partition) union-merged must
+    // agree with the single-pass global sketch, because HLL union is a
+    // register-wise max and never re-reads data. q_approx_distinct gates
+    // one run's estimates; THIS gates the cross-run maintenance story:
+    // store per-day sketches, merge on read, never rescan history.
+    // PROPERTY oracle (sketch bytes aren't ANSI): per-source exact
+    // distinct counts are fully oracled; estimate_ok asserts each HLL
+    // estimate within 5% of exact (lgK=12 ⇒ ~1.6% rel err, and sparse
+    // mode is near-exact at these cardinalities); merge_consistent_ok
+    // asserts merged-vs-direct within 1% (tolerance, not equality: the
+    // union target HLL type can differ from the direct sketch's). The
+    // merged/direct scalars fold to plan literals via two BOUNDED driver
+    // jobs at build (the vectorOf/IvfIndex eager-build convention) —
+    // deterministic in the data, so reruns and both engines agree on the
+    // flag.
+    QueryDef(
+      "q_sketch_mergeability",
+      Some("""WITH e AS (
+             |  SELECT source, count(DISTINCT token) AS n_exact FROM (
+             |    SELECT source,
+             |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+             |    FROM documents WHERE source IS NOT NULL)
+             |  GROUP BY 1)
+             |SELECT source, CAST(n_exact AS BIGINT) AS n_exact,
+             |  true AS estimate_ok, true AS merge_consistent_ok
+             |FROM e""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val tok = docs(s, dir)
+          .where($"source".isNotNull)
+          .select($"source", explode(TextFunctions.arrayBarrier(
+            TextFunctions.termsAlnum($"text"))).as("token"))
+        val per = tok.groupBy($"source").agg(
+          expr("hll_sketch_agg(token, 12)").as("sk"),
+          countDistinct($"token").as("n_exact"))
+        val direct = tok
+          .agg(expr("hll_sketch_estimate(hll_sketch_agg(token, 12))"))
+          .head().getLong(0)
+        val merged = per
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))"))
+          .head().getLong(0)
+        val mergeOk =
+          math.abs(merged - direct).toDouble / math.max(direct, 1L) <= 0.01
+        per.select($"source", $"n_exact",
+          (abs(expr("hll_sketch_estimate(sk)") - $"n_exact")
+            <= $"n_exact".cast("double") * lit(0.05)).as("estimate_ok"),
+          lit(mergeOk).as("merge_consistent_ok"))
       })
   )
 
