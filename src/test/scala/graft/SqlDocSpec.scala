@@ -38,6 +38,16 @@ class SqlDocSpec extends SparkSpec {
     }
   }
 
+  test("every query count stated in the doc equals the declared surface " +
+    "(VERDICT r10 #3 — the CatalogSpec convention for count prose)") {
+    val counts = "(\\d+)(?=-query catalog| as of round)".r
+      .findAllIn(doc).map(_.toInt).toList
+    assert(counts.size >= 2, s"expected the two count-prose spots, found $counts")
+    counts.foreach(c => assert(c == SparkEntry.queries.size,
+      s"docs/SQL.md states $c queries; SparkEntry declares " +
+        s"${SparkEntry.queries.size}"))
+  }
+
   test("the function table lists exactly the registered graft_* functions") {
     val begin = doc.indexOf("<!-- functions:begin -->")
     val end = doc.indexOf("<!-- functions:end -->")
