@@ -213,13 +213,21 @@ object Bench {
     // (q_sim_neardup / q_sim_lsh): bench trends should track the OPERATOR,
     // not the correctness harness riding along in the declared entry.
     // Median-of-3 like the main sweep; keys are suffixed `_operator`.
-    val subtimings = graft.queries.ExtQueries.operatorOnly.toSeq
+    // Spreads are kept too: since r11 the sub-timings sit INSIDE the
+    // regression tripwire (VERDICT r10 #2 — the gate-twin ×6 jump went
+    // unflagged precisely because operator twins lived outside
+    // bench_medians.tsv and the tripwire's surface).
+    val subRuns = graft.queries.ExtQueries.operatorOnly.toSeq
       .sortBy(_._1)
       .map { case (name, fn) =>
-        val ts = Seq.fill(3)(runOne(fn, s"${name}_operator"))
-        s"${name}_operator" ->
-          (if (ts.exists(_ < 0)) -1.0 else median3(ts(0), ts(1), ts(2)))
+        s"${name}_operator" -> Seq.fill(3)(runOne(fn, s"${name}_operator"))
       }
+    val subtimings = subRuns.map { case (name, ts) =>
+      name -> (if (ts.exists(_ < 0)) -1.0 else median3(ts(0), ts(1), ts(2)))
+    }
+    val subSpreads = subRuns.map { case (name, ts) =>
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.max - ts.min)
+    }
 
     // Canonicalized physical-plan fingerprint per query (PlanHash): the
     // self-recorded half of the plan-drift tripwire (PlanHashSpec gates the
@@ -251,7 +259,11 @@ object Bench {
     val sfBase = new java.io.File(sfDir).getName
     val (regressionBaseline, regressions) = loadCommittedMedians() match {
       case Some((sf, base)) if sf == sfBase =>
-        (sf, findRegressions(results, spreads, base))
+        // declared queries AND operator sub-timings share one tripwire:
+        // the suffixed names never collide with declared names, and a
+        // snapshot that predates the sub-timing rows simply has no
+        // baseline for them yet (unbaselined names are fine)
+        (sf, findRegressions(results ++ subtimings, spreads ++ subSpreads, base))
       case Some((sf, _)) => (s"skipped:snapshot=$sf,run=$sfBase", Nil)
       case None => ("none", Nil)
     }
@@ -261,6 +273,7 @@ object Bench {
       s""","queries":${jmap(results.map { case (n, t) => (n, t: Any) })}""" +
       s""","spread":${jmap(spreads.map { case (n, t) => (n, t: Any) })}""" +
       s""","subtimings":${jmap(subtimings.map { case (n, t) => (n, t: Any) })}""" +
+      s""","subtiming_spread":${jmap(subSpreads.map { case (n, t) => (n, t: Any) })}""" +
       s""","plan_hashes":${jmap(planHashes.map { case (n, h) => (n, h: Any) })}""" +
       s""","regressions":${jmap(regressions.map { case (n, med, base) =>
         (n, s"$base->$med": Any) })}""" +

@@ -29,6 +29,11 @@ object Codecs {
     def blockAlign: Int = channels * math.max(bitsPerSample / 8, 1)
     def nSampleFrames: Int = if (blockAlign == 0) 0 else dataBytes / blockAlign
   }
+  final case class Mp4Meta(majorBrand: String, timescale: Int,
+      durationTicks: Long, nTracks: Int, width: Int, height: Int) {
+    def durationSeconds: Double =
+      if (timescale > 0) durationTicks.toDouble / timescale else 0.0
+  }
 
   // ---- little/big-endian readers (bounds-checked by callers) -------------
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
@@ -40,10 +45,15 @@ object Codecs {
     (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
 
   /** Container sniff by magic bytes: "bmp" | "png" | "jpeg" | "wav" |
-    * "gif" | "unknown". NULL-safe (a NULL binary cell sniffs "unknown").
+    * "gif" | "mp4" | "unknown". NULL-safe (a NULL binary cell sniffs
+    * "unknown"). MP4/ISO-BMFF has no fixed magic at offset 0 — the
+    * identifying invariant is the `ftyp` box type at offset 4 (the first
+    * box of every ISO-BMFF file per ISO 14496-12 §4.3).
     */
   def sniff(b: Array[Byte]): String =
     if (b == null) "unknown"
+    else if (b.length >= 8 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
+      b(7) == 'p') "mp4"
     else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') "gif"
     else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
@@ -130,6 +140,94 @@ object Codecs {
         le16(b, m.dataOffset + s * m.blockAlign).toShort.toInt
       }.toArray
     }
+
+  private def be64(b: Array[Byte], i: Int): Long =
+    ((be32(b, i) & 0xffffffffL) << 32) | (be32(b, i + 4) & 0xffffffffL)
+  private def fourCC(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
+  /** One ISO-BMFF box walk level: calls `visit(type, payloadStart,
+    * payloadEnd)` for each box in [from, to). Box header per ISO 14496-12
+    * §4.2: size BE32 + type 4CC; size==1 → 64-bit largesize follows;
+    * size==0 → box extends to the end of the enclosing scope. The same
+    * malformed-size guards as [[wavMeta]]'s chunk walk: a size that fails
+    * to advance the cursor (or overflows it) stops the walk instead of
+    * pinning an executor in an infinite loop on a corrupt payload.
+    */
+  private def walkBoxes(b: Array[Byte], from: Int, to: Int)
+      (visit: (String, Int, Int) => Unit): Unit = {
+    var i = from
+    var ok = true
+    while (ok && i + 8 <= to) {
+      val size32 = be32(b, i)
+      val (payload, end) =
+        if (size32 == 0) (i + 8L, to.toLong) // to end of scope
+        else if (size32 == 1 && i + 16 <= to) (i + 16L, i + be64(b, i + 8))
+        else (i + 8L, i + (size32 & 0xffffffffL))
+      if (end <= i || payload > end || end > to) ok = false
+      else {
+        visit(fourCC(b, i + 4), payload.toInt, end.toInt)
+        if (end.toInt <= i) ok = false else i = end.toInt
+      }
+    }
+  }
+
+  /** MP4/ISO-BMFF metadata straight from the box tree — no sample decode:
+    *   - `ftyp` (always the first box): major brand 4CC at payload+0;
+    *   - `moov`/`mvhd`: version byte at payload+0; v0 carries timescale
+    *     BE32 at payload+12 and duration BE32 at payload+16 (after
+    *     version/flags + two 32-bit times), v1 shifts them to +20/+24 with
+    *     a 64-bit duration (two 64-bit times precede them);
+    *   - `moov`/`trak`/`tkhd`: width/height as 16.16 fixed-point BE32 at
+    *     payload+76/+80 (v0; after the 36-byte matrix) or +88/+92 (v1);
+    *     the reported dims are the first track with a nonzero width
+    *     (audio tracks carry 0×0), track count is the number of `trak`
+    *     children.
+    * None for payloads that don't sniff as "mp4" or whose moov/mvhd never
+    * materializes (truncated or corrupt box tree).
+    */
+  def mp4Meta(b: Array[Byte]): Option[Mp4Meta] = {
+    if (sniff(b) != "mp4") return None
+    var brand = ""
+    var timescale = 0; var duration = 0L
+    var nTracks = 0; var width = 0; var height = 0
+    var sawMvhd = false
+    walkBoxes(b, 0, b.length) { (typ, p, end) =>
+      typ match {
+        case "ftyp" if p + 4 <= end => brand = fourCC(b, p)
+        case "moov" =>
+          walkBoxes(b, p, end) { (t2, p2, end2) =>
+            t2 match {
+              case "mvhd" if p2 + 20 <= end2 =>
+                sawMvhd = true
+                if (u8(b, p2) == 1 && p2 + 32 <= end2) {
+                  timescale = be32(b, p2 + 20); duration = be64(b, p2 + 24)
+                } else {
+                  timescale = be32(b, p2 + 12)
+                  duration = be32(b, p2 + 16) & 0xffffffffL
+                }
+              case "trak" =>
+                nTracks += 1
+                walkBoxes(b, p2, end2) { (t3, p3, end3) =>
+                  if (t3 == "tkhd") {
+                    val off = if (u8(b, p3) == 1) 88 else 76
+                    if (p3 + off + 8 <= end3 && width == 0) {
+                      val w = be32(b, p3 + off) >>> 16 // 16.16 fixed point
+                      if (w > 0) {
+                        width = w; height = be32(b, p3 + off + 4) >>> 16
+                      }
+                    }
+                  }
+                }
+              case _ => ()
+            }
+          }
+        case _ => ()
+      }
+    }
+    if (sawMvhd) Some(Mp4Meta(brand, timescale, duration, nTracks, width, height))
+    else None
+  }
 
   /** Full pixel decode via the JDK's built-in readers (BMP/PNG/JPEG/GIF).
     * None when no reader claims the bytes (or the cell is NULL) — the

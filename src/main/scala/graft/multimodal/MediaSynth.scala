@@ -141,8 +141,71 @@ object MediaSynth {
     out.toByteArray
   }
 
-  /** Total file size of a canonical 44-byte-header PCM WAV. */
-  def wavBytes(nFrames: Int, channels: Int): Int = 44 + nFrames * 2 * channels
+  private def be32(v: Int): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** Total file size of a canonical [[mp4]] skeleton: 24-byte ftyp +
+    * moov header + 108-byte mvhd v0 + one 8+84-byte trak/tkhd v0 per
+    * track — plain arithmetic for the oracle.
+    */
+  def mp4Bytes(nTracks: Int): Int = 24 + 8 + 108 + nTracks * (8 + 92)
+
+  /** Minimal ISO-BMFF / MP4 skeleton, written forward and independent of
+    * [[Codecs.mp4Meta]]'s box walk (the GIF/LZW differential precedent):
+    *   - `ftyp` (24 bytes): major brand "isom", minor version 0,
+    *     compatible brands "isom","mp42";
+    *   - `moov` containing an mvhd v0 (canonical 108 bytes: version/flags,
+    *     two zero times, timescale, duration, rate 1.0, volume 1.0,
+    *     reserved, identity matrix, predefined, next-track-id) and one
+    *     trak/tkhd v0 (92 bytes) per `(width, height)` in `tracks`, dims
+    *     as 16.16 fixed point, identity matrix, track ids 1..n.
+    * No mdat — a metadata skeleton is a valid BMFF file and the parser
+    * under test never reads samples.
+    */
+  def mp4(timescale: Int, durationTicks: Int,
+      tracks: Seq[(Int, Int)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(mp4Bytes(tracks.size))
+    // ftyp: size(4) + type(4) + major(4) + minor(4) + 2 compat brands(8)
+    out.write(be32(24)); out.write("ftyp".getBytes("US-ASCII"))
+    out.write("isom".getBytes("US-ASCII")); out.write(be32(0))
+    out.write("isom".getBytes("US-ASCII"))
+    out.write("mp42".getBytes("US-ASCII"))
+    // moov
+    out.write(be32(8 + 108 + tracks.size * (8 + 92)))
+    out.write("moov".getBytes("US-ASCII"))
+    // mvhd v0
+    out.write(be32(108)); out.write("mvhd".getBytes("US-ASCII"))
+    out.write(be32(0))                       // version 0 + flags
+    out.write(be32(0)); out.write(be32(0))   // creation, modification
+    out.write(be32(timescale)); out.write(be32(durationTicks))
+    out.write(be32(0x00010000))              // rate 1.0 (16.16)
+    out.write(be32(0x01000000))              // volume 1.0 (8.8 BE) + reserved16
+    for (_ <- 0 until 2) out.write(be32(0))  // reserved
+    out.write(be32(0x00010000)); out.write(be32(0)); out.write(be32(0)) // matrix
+    out.write(be32(0)); out.write(be32(0x00010000)); out.write(be32(0))
+    out.write(be32(0)); out.write(be32(0)); out.write(be32(0x40000000))
+    for (_ <- 0 until 6) out.write(be32(0))  // pre_defined
+    out.write(be32(tracks.size + 1))         // next_track_ID
+    // trak/tkhd v0 per track
+    tracks.zipWithIndex.foreach { case ((w, h), t) =>
+      out.write(be32(8 + 92)); out.write("trak".getBytes("US-ASCII"))
+      out.write(be32(92)); out.write("tkhd".getBytes("US-ASCII"))
+      out.write(be32(7))                     // version 0, flags: enabled|in-movie|in-preview
+      out.write(be32(0)); out.write(be32(0)) // creation, modification
+      out.write(be32(t + 1))                 // track_ID
+      out.write(be32(0))                     // reserved
+      out.write(be32(durationTicks))
+      for (_ <- 0 until 2) out.write(be32(0)) // reserved
+      out.write(be32(0))                     // layer + alternate_group
+      out.write(be32(0))                     // volume + reserved (video track)
+      out.write(be32(0x00010000)); out.write(be32(0)); out.write(be32(0)) // matrix
+      out.write(be32(0)); out.write(be32(0x00010000)); out.write(be32(0))
+      out.write(be32(0)); out.write(be32(0)); out.write(be32(0x40000000))
+      out.write(be32(w << 16)); out.write(be32(h << 16)) // 16.16 fixed
+    }
+    out.toByteArray
+  }
 
   /** Mono PCM16 RIFF/WAVE carrying caller-provided samples — the shaped-
     * payload writer behind q_media_audio_dedup (the WAV analogue of

@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * Decode routing: payloads whose magic bytes identify a supported container
   * take a REAL pure-JVM path end to end ([[Codecs]] — BMP/PNG/JPEG header
   * parse + `javax.imageio` pixel decode + resize; WAV chunk parse + PCM16
-  * sample extraction). Only unrecognized containers (e.g. video, which has
-  * no pure-JVM decoder in this container) fall back to the clearly-marked
-  * deterministic stub, at the same call sites a JNI codec would plug into.
+  * sample extraction; MP4/ISO-BMFF box-tree metadata walk). Only
+  * unrecognized containers — and video SAMPLE decode, which has no pure-JVM
+  * codec in this container — fall back to the clearly-marked deterministic
+  * stub, at the same call sites a JNI codec would plug into.
   *
   * Scale notes: binary payloads ride the normal columnar batches; decode is
   * a mapPartitions pass (no shuffle), so a 100 TB media corpus decodes at
@@ -52,10 +53,14 @@ object Multimodal {
       channels = 0)
   }
 
-  /** Per-payload metadata: REAL header parse for BMP/PNG/JPEG/WAV, stub for
-    * everything else. NULL payload cells decode as an empty payload (sniffs
-    * "unknown" → zero-byte stub row) rather than NPE-ing the task — the
-    * engine's NULL-not-garbage convention at the decode surface.
+  /** Per-payload metadata: REAL header parse for BMP/PNG/JPEG/WAV and a
+    * REAL ISO-BMFF box walk for MP4 (dims from the first video tkhd,
+    * `n_frames` = mvhd duration ticks clamped to Int, `sample_rate` = the
+    * mvhd timescale — ticks/timescale is the duration in seconds —
+    * `channels` = track count); stub for everything else. NULL payload
+    * cells decode as an empty payload (sniffs "unknown" → zero-byte stub
+    * row) rather than NPE-ing the task — the engine's NULL-not-garbage
+    * convention at the decode surface.
     */
   private[multimodal] def decodeMeta(id: Long, mediaType: String,
       rawBytes: Array[Byte]): MediaMeta = {
@@ -69,7 +74,15 @@ object Multimodal {
           MediaMeta(id, mediaType, bytes.length.toLong, width = 0, height = 0,
             n_frames = am.nSampleFrames, container = "wav",
             sample_rate = am.sampleRate, channels = am.channels)
-        case None => decodeMetaStub(id, mediaType, bytes)
+        case None => Codecs.mp4Meta(bytes) match {
+          case Some(vm) =>
+            MediaMeta(id, mediaType, bytes.length.toLong,
+              width = vm.width, height = vm.height,
+              n_frames = math.min(vm.durationTicks, Int.MaxValue.toLong).toInt,
+              container = "mp4", sample_rate = vm.timescale,
+              channels = vm.nTracks)
+          case None => decodeMetaStub(id, mediaType, bytes)
+        }
       }
     }
   }

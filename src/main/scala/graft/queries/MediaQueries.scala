@@ -212,8 +212,16 @@ object MediaQueries {
               sys.error(s"q_media_dedup: BMP decode failed for doc $id")))
           })
           .toDF("media_id", "phash")
+        // cap-free banding (ADVICE r10 #3): this query's SQL counts ALL
+        // hamming<=2 neighbours exactly, so the oracle-gated path cannot
+        // drop oversized 16-bit-chunk buckets the way the production
+        // default (maxBucket=1000) does. Safe here BY CONSTRUCTION: the
+        // fixture keys are 31-bit affine draws, so chunk keys are
+        // near-uniform over 2^16 and a bucket reaches 1000 only past
+        // ~65M docs — but the contract should not depend on that number.
         val pairs = graft.operators.Dedup
-          .hammingPairs(hashed, "media_id", "phash", maxHamming = 2)
+          .hammingPairs(hashed, "media_id", "phash", maxHamming = 2,
+            maxBucket = Int.MaxValue)
         val neigh = pairs.select(col("doc_a").as("media_id"))
           .unionAll(pairs.select(col("doc_b").as("media_id")))
           .groupBy(col("media_id")).agg(count(lit(1)).as("n_near"))
@@ -315,14 +323,60 @@ object MediaQueries {
               sys.error(s"q_media_audio_dedup: WAV fp failed for doc $id")))
           })
           .toDF("media_id", "audio_fp")
+        // cap-free for the same reason as q_media_dedup: the exact
+        // neighbour-count SQL admits no bucket capping (ADVICE r10 #3)
         val pairs = graft.operators.Dedup
-          .hammingPairs(hashed, "media_id", "audio_fp", maxHamming = 2)
+          .hammingPairs(hashed, "media_id", "audio_fp", maxHamming = 2,
+            maxBucket = Int.MaxValue)
         val neigh = pairs.select(col("doc_a").as("media_id"))
           .unionAll(pairs.select(col("doc_b").as("media_id")))
           .groupBy(col("media_id")).agg(count(lit(1)).as("n_near"))
         hashed.join(neigh, Seq("media_id"), "left")
           .select($"media_id", $"audio_fp",
             coalesce($"n_near", lit(0L)).as("n_near"))
+      }),
+
+    // ------------------------------------------------------------------
+    // VIDEO container metadata — the last uncovered modality (VERDICT r10
+    // #6): each doc forward-writes a minimal ISO-BMFF/MP4 skeleton
+    // (MediaSynth.mp4 — ftyp + moov/mvhd v0 + one tkhd v0 per track) whose
+    // every parameter is doc arithmetic, and the REAL box-tree walk
+    // (Codecs.mp4Meta: ftyp brand, mvhd timescale/duration, first video
+    // tkhd 16.16 dims, trak count) re-derives them through
+    // Multimodal.extractMeta's production routing. Odd docs carry a
+    // second zero-dim (audio-style) track, so "first track with nonzero
+    // width" is exercised, not just single-track files. The oracle
+    // recomputes byte counts (140 + 100 per track) and every field from
+    // the same arithmetic — writer and parser never share code, so a hash
+    // match certifies the byte-level BMFF logic. Same 100 TB shape as
+    // q_media_meta: one fused synthesize+decode mapPartitions pass, no
+    // shuffle, payloads never leave the executor.
+    QueryDef(
+      "q_media_video_meta",
+      Some("""SELECT doc_id AS media_id, 'video' AS media_type,
+             |  CAST(140 + 100 * (1 + doc_id % 2) AS BIGINT) AS n_bytes,
+             |  CAST(160 * (1 + doc_id % 8) AS INT) AS width,
+             |  CAST(90 * (1 + doc_id % 8) AS INT) AS height,
+             |  CAST(600 * (1 + doc_id % 4) + n_chars % 5000 AS INT) AS n_frames,
+             |  'mp4' AS container,
+             |  CAST(600 * (1 + doc_id % 4) AS INT) AS sample_rate,
+             |  CAST(1 + doc_id % 2 AS INT) AS channels
+             |FROM documents""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val payloads = docs(s, dir)
+          .select($"doc_id", $"n_chars").as[(Long, Long)]
+          .mapPartitions(_.map { case (id, nc) =>
+            val timescale = 600 * (1 + (id % 4).toInt)
+            val duration = timescale + (nc % 5000).toInt
+            val dim = 1 + (id % 8).toInt
+            val tracks = (160 * dim, 90 * dim) ::
+              (if (id % 2 == 1) List((0, 0)) else Nil) // odd: + audio track
+            (id, "video", MediaSynth.mp4(timescale, duration, tracks))
+          })
+          .toDF("media_id", "media_type", "payload")
+        Multimodal.extractMeta(payloads, "media_id", "media_type", "payload")
+          .toDF()
       })
   )
 }

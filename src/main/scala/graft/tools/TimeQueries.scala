@@ -3,14 +3,28 @@ package graft.tools
 import graft.{SparkEntry, Tables}
 import org.apache.spark.sql.SparkSession
 
-/** Dev harness: time the named declared queries N times each at a given
-  * SF (same noop-sink measurement as [[graft.Bench]]) and print per-run
-  * times + the median. For settling single-query tripwire flags without
-  * paying a full 3×178-query sweep.
+/** Dev harness: time the named queries N times each at a given SF (same
+  * noop-sink measurement as [[graft.Bench]]) and print per-run times + the
+  * median. For settling single-query tripwire flags without paying a full
+  * 3×190-query sweep. Accepts declared names AND the operator sub-timing
+  * names from [[graft.queries.ExtQueries.operatorOnly]] — bare
+  * (`q_stream_gate1`) or bench-suffixed (`q_stream_gate1_operator`) —
+  * so twin flags can be settled too (VERDICT r10 #2).
   *
   * Usage: runMain graft.tools.TimeQueries <sfDir> <repeats> <q1> [q2 ...]
   */
 object TimeQueries {
+
+  private def resolve(name: String):
+      (SparkSession, String) => org.apache.spark.sql.DataFrame = {
+    val ops = graft.queries.ExtQueries.operatorOnly
+    SparkEntry.queries.get(name)
+      .orElse(ops.get(name))
+      .orElse(ops.get(name.stripSuffix("_operator")))
+      .getOrElse(sys.error(s"unknown query: $name (not declared, not an " +
+        "operatorOnly sub-timing)"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val repeats = args(1).toInt
@@ -26,7 +40,7 @@ object TimeQueries {
     Tables.load(spark, sfDir, "lineitem").limit(1000)
       .groupBy("l_returnflag").count().count() // warmup
     names.foreach { name =>
-      val fn = SparkEntry.queries(name)
+      val fn = resolve(name)
       val ts = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -131,7 +131,10 @@ class BenchHeadlineSpec extends AnyFunSuite {
       .getOrElse(fail("bench_medians.tsv resource missing"))
     assert(sf === "sf0.1")
     assert(medians.nonEmpty)
-    val declared = SparkEntry.orderedQueryNames.toSet
+    // operator sub-timings are first-class tripwire rows since r11
+    // (VERDICT r10 #2): their suffixed names are valid snapshot keys
+    val declared = SparkEntry.orderedQueryNames.toSet ++
+      graft.queries.ExtQueries.operatorOnly.keySet.map(_ + "_operator")
     val stale = medians.keySet.diff(declared)
     assert(stale.isEmpty,
       s"snapshot has medians for undeclared queries (regen it): $stale")

@@ -188,5 +188,100 @@ class CodecsSpec extends AnyFunSuite {
       wav.sample_rate === 8000 && wav.channels === 1)
     val stub = Multimodal.decodeMeta(3L, "binary", "opaque".getBytes)
     assert(stub.container === "unknown" && stub.width >= 64)
+    val mp4 = Multimodal.decodeMeta(4L, "video", MediaSynth.mp4(600, 1234,
+      Seq((320, 180))))
+    assert(mp4.container === "mp4" && mp4.width === 320 && mp4.height === 180 &&
+      mp4.n_frames === 1234 && mp4.sample_rate === 600 && mp4.channels === 1)
+  }
+
+  // ---- MP4 / ISO-BMFF ------------------------------------------------
+
+  /** Hand-assembled BMFF with v1 mvhd and v1 tkhd — every byte written
+    * explicitly and independently of BOTH MediaSynth.mp4 (v0 writer) and
+    * Codecs.mp4Meta, so the v1 offset branch is a true golden test.
+    */
+  private def goldenMp4V1(timescale: Int, duration: Long,
+      w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Unit = { out.write((v >> 24) & 0xff); out.write((v >> 16) & 0xff)
+      out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def be64(v: Long): Unit = { be32((v >> 32).toInt); be32(v.toInt) }
+    be32(16); out.write("ftyp".getBytes); out.write("mp41".getBytes); be32(0)
+    // moov: mvhd v1 (120 bytes) + trak(8 + tkhd v1 104)
+    be32(8 + 120 + 8 + 104); out.write("moov".getBytes)
+    be32(120); out.write("mvhd".getBytes)
+    be32(0x01000000)          // version 1, flags 0
+    be64(0L); be64(0L)        // creation, modification (64-bit in v1)
+    be32(timescale); be64(duration)
+    be32(0x00010000); be32(0x01000000) // rate, volume+reserved
+    be32(0); be32(0)          // reserved
+    be32(0x00010000); be32(0); be32(0); be32(0); be32(0x00010000); be32(0)
+    be32(0); be32(0); be32(0x40000000)
+    for (_ <- 0 until 6) be32(0)
+    be32(2)                   // next_track_ID
+    be32(8 + 104); out.write("trak".getBytes)
+    be32(104); out.write("tkhd".getBytes)
+    be32(0x01000007)          // version 1, flags enabled|in-movie|in-preview
+    be64(0L); be64(0L)        // creation, modification
+    be32(1); be32(0)          // track_ID, reserved
+    be64(duration)            // duration (64-bit in v1)
+    be32(0); be32(0)          // reserved
+    be32(0); be32(0)          // layer/altgroup, volume/reserved
+    be32(0x00010000); be32(0); be32(0); be32(0); be32(0x00010000); be32(0)
+    be32(0); be32(0); be32(0x40000000)
+    be32(w << 16); be32(h << 16)
+    out.toByteArray
+  }
+
+  test("MP4 round-trip: forward-written v0 skeleton → box walk reads the " +
+    "exact parameters, incl. the multi-track first-video-dims rule") {
+    val one = MediaSynth.mp4(600, 4321, Seq((640, 360)))
+    assert(one.length === MediaSynth.mp4Bytes(1))
+    assert(Codecs.sniff(one) === "mp4")
+    assert(Codecs.mp4Meta(one) ===
+      Some(Codecs.Mp4Meta("isom", 600, 4321L, 1, 640, 360)))
+    // audio-style zero-dim track second: dims must come from the video one
+    val two = MediaSynth.mp4(1200, 99, Seq((1920, 1080), (0, 0)))
+    assert(two.length === MediaSynth.mp4Bytes(2))
+    assert(Codecs.mp4Meta(two) ===
+      Some(Codecs.Mp4Meta("isom", 1200, 99L, 2, 1920, 1080)))
+    // zero-dim track FIRST: the walk must skip it, not report 0x0
+    val flipped = MediaSynth.mp4(1200, 99, Seq((0, 0), (1280, 720)))
+    assert(Codecs.mp4Meta(flipped).map(m => (m.width, m.height, m.nTracks)) ===
+      Some((1280, 720, 2)))
+    assert(Codecs.mp4Meta(one).get.durationSeconds === 4321.0 / 600.0)
+  }
+
+  test("MP4 v1 mvhd/tkhd (64-bit times) parse through the shifted offsets") {
+    val g = goldenMp4V1(90000, 0x1_0000_0001L, 3840, 2160)
+    assert(Codecs.mp4Meta(g) ===
+      Some(Codecs.Mp4Meta("mp41", 90000, 0x1_0000_0001L, 1, 3840, 2160)))
+  }
+
+  test("malformed MP4 box sizes terminate the walk (no executor hang/crash)") {
+    val ok = MediaSynth.mp4(600, 10, Seq((64, 64)))
+    // size field that fails to advance (size < 8 but not 0/1) → stop
+    val stuck = ok.clone(); stuck(0) = 0; stuck(1) = 0; stuck(2) = 0; stuck(3) = 4
+    assert(Codecs.mp4Meta(stuck).isEmpty) // returned, didn't hang
+    // truncated mid-moov: walk stops at the buffer edge
+    val trunc = java.util.Arrays.copyOfRange(ok, 0, 40)
+    assert(Codecs.mp4Meta(trunc).isEmpty)
+    // size 0 = "to end of scope" on the LAST box is legal BMFF: patch the
+    // moov size to 0 — everything must still parse
+    val toEnd = ok.clone()
+    toEnd(24) = 0; toEnd(25) = 0; toEnd(26) = 0; toEnd(27) = 0
+    assert(Codecs.mp4Meta(toEnd) ===
+      Some(Codecs.Mp4Meta("isom", 600, 10L, 1, 64, 64)))
+    // largesize (size==1 + 64-bit length) on the ftyp box
+    val ftypLarge = new java.io.ByteArrayOutputStream()
+    ftypLarge.write(Array[Byte](0, 0, 0, 1))
+    ftypLarge.write("ftyp".getBytes)
+    ftypLarge.write(Array[Byte](0, 0, 0, 0, 0, 0, 0, 32)) // largesize 32
+    ftypLarge.write("avc1".getBytes); ftypLarge.write(Array[Byte](0, 0, 0, 0))
+    ftypLarge.write("avc1isom".getBytes)
+    val rest = java.util.Arrays.copyOfRange(ok, 24, ok.length) // the moov
+    val large = ftypLarge.toByteArray ++ rest
+    assert(Codecs.mp4Meta(large) ===
+      Some(Codecs.Mp4Meta("avc1", 600, 10L, 1, 64, 64)))
   }
 }
