@@ -190,6 +190,34 @@ object ExtQueries {
       |  SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
       |)""".stripMargin
 
+  /** The containment edge floor for the containment-aware cluster graph
+    * (q_dedup_canonical_containment): 0.8 of the SMALLER doc's shingles
+    * shared — near-total partial duplication, well above
+    * [[Dedup.containmentPairs]]' 0.5 default so a casual quote doesn't
+    * glue two clusters.
+    */
+  private val minContainEdge = 0.8
+
+  /** [[componentsCte]]'s containment-aware twin: edges are ≥0.3 Jaccard OR
+    * ≥[[minContainEdge]] containment (n_inter / min set size) over the SAME
+    * `pairs` relation — one shingle pass serves both edge classes in both
+    * engines (single-source rule with the Spark side's `where`).
+    */
+  private val componentsContainCte: String =
+    s"""edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.3
+      |     OR CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) >= ${minContainEdge}e0
+      |), und AS (
+      |  SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
+      |), reach(n, m) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT u.b, r.m FROM reach r JOIN und u ON u.a = r.n
+      |), comp AS (
+      |  SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
+      |)""".stripMargin
+
   private val qualityScoreSql: String =
     """CASE WHEN CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) > 0.0
       |         THEN CAST(length(regexp_extract_all(lower(text), '\b(the|and|is|of|to|a|in)\b')) AS DOUBLE)
@@ -2661,6 +2689,57 @@ object ExtQueries {
         val pairs = Dedup.jaccardPairs(d, "doc_id", "text")
         val comp = Components.connectedComponents(d.select("doc_id"), "doc_id",
           pairs, "doc_a", "doc_b")
+        val scored = d.select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        val w = Window.partitionBy(col("component"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        comp.join(scored, "doc_id")
+          .withColumn("rep_id", first(col("doc_id")).over(w))
+          .select(col("doc_id"), col("component"), col("quality"),
+            col("rep_id"), (col("doc_id") === col("rep_id")).as("keep"))
+      }),
+
+    // ------------------------------------------------------------------
+    // Containment-aware canonicalization (VERDICT r10 #7): the actionable
+    // consumer of q_containment's asymmetric-near-dup signal. Same
+    // quality-ranked representative selection as q_dedup_canonical, but
+    // the cluster graph adds the CONTAINMENT edge class — pairs where
+    // ≥0.8 of the smaller doc's shingles live in the other doc (a page
+    // quoted whole inside a longer page: Jaccard ≈ |small|/|large| sits
+    // under the 0.3 floor, so Jaccard-only canonicalization keeps BOTH
+    // copies). ZERO new shuffles vs q_dedup_canonical: both edge classes
+    // filter the ONE shared shinglePairs relation (jaccard and
+    // containment are two arithmetic predicates over the same
+    // (n_a, n_b, n_inter) row); only the edge set — and therefore the
+    // component merge — changes. The incremental drop
+    // (keep=false here minus keep=false there) is the containment
+    // pass's measured catch, recorded in SCALE.md per SF.
+    QueryDef(
+      "q_dedup_canonical_containment",
+      Some(s"""WITH RECURSIVE $jaccardPairsCte, $componentsContainCte, scored AS (
+             |  SELECT doc_id,
+             |  $qualityScoreSql
+             |    AS quality
+             |  FROM documents
+             |), ranked AS (
+             |  SELECT c.doc_id, c.component, s.quality,
+             |    first_value(c.doc_id) OVER (
+             |      PARTITION BY c.component ORDER BY s.quality DESC, c.doc_id) AS rep_id
+             |  FROM comp c JOIN scored s ON c.doc_id = s.doc_id
+             |)
+             |SELECT doc_id, component, quality, rep_id,
+             |       doc_id = rep_id AS keep
+             |FROM ranked""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val sp = Dedup.shinglePairs(d, "doc_id", "text")
+        val edges = sp.where(
+          col("n_inter").cast("double")
+              / (col("n_a") + col("n_b") - col("n_inter")).cast("double") >= 0.3
+            || col("n_inter").cast("double")
+              / least(col("n_a"), col("n_b")).cast("double") >= minContainEdge)
+        val comp = Components.connectedComponents(d.select("doc_id"), "doc_id",
+          edges, "doc_a", "doc_b")
         val scored = d.select(col("doc_id"),
           TextFunctions.qualityScore(col("text")).as("quality"))
         val w = Window.partitionBy(col("component"))
