@@ -135,6 +135,14 @@ object ExtQueries {
     * jaccard = bigint/bigint cast to double is a single IEEE division —
     * exact in both engines. Consumed by q_dedup_jaccard (pair list) and
     * q_dedup_clusters (transitive closure over the same graph).
+    *
+    * `pairs` is MATERIALIZED (r11 sf1 shakeout): DuckDB 1.0 inlines
+    * single-reference CTEs, so a consumer referencing the graph several
+    * times (q_pagerank's deg/ed legs, q_triangles' three-way edge join)
+    * re-runs the whole shingle join per reference — measured >55 min vs
+    * 10.5 s materialized on the 50k-doc shakeout corpus. Values are
+    * identical either way (it is an execution hint), so every hash gate
+    * is unaffected.
     */
   private val jaccardPairsCte: String =
     """sh AS (
@@ -150,7 +158,7 @@ object ExtQueries {
       |  SELECT doc_id, len(shs) AS n, unnest(shs) AS shingle FROM sh
       |), keep AS (
       |  SELECT shingle FROM ex GROUP BY 1 HAVING count(*) BETWEEN 2 AND 20
-      |), pairs AS (
+      |), pairs AS MATERIALIZED (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b,
       |         CAST(count(*) AS BIGINT) AS n_inter
       |  FROM ex a JOIN keep k ON a.shingle = k.shingle
@@ -174,10 +182,10 @@ object ExtQueries {
     * threshold and the symmetrization live in one place).
     */
   private val edgesCte: String =
-    """edges AS (
+    """edges AS MATERIALIZED (
       |  SELECT doc_a AS a, doc_b AS b FROM pairs
       |  WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.3
-      |), und AS (
+      |), und AS MATERIALIZED (
       |  SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
       |)""".stripMargin
 
@@ -204,11 +212,11 @@ object ExtQueries {
     * engines (single-source rule with the Spark side's `where`).
     */
   private val componentsContainCte: String =
-    s"""edges AS (
+    s"""edges AS MATERIALIZED (
       |  SELECT doc_a AS a, doc_b AS b FROM pairs
       |  WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.3
       |     OR CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) >= ${minContainEdge}e0
-      |), und AS (
+      |), und AS MATERIALIZED (
       |  SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
       |), reach(n, m) AS (
       |  SELECT doc_id, doc_id FROM documents
@@ -1999,13 +2007,18 @@ object ExtQueries {
     // via hex(encode(char)) in both engines. The input unions one
     // synthetic mixed-content row (punctuation, quotes, a multibyte é)
     // because the fixture corpus is clean alnum prose — without it the
-    // fallback branch would be dead in the oracle.
+    // fallback branch would be dead in the oracle. The synthetic id is
+    // NEGATIVE: doc_ids are non-negative at every scale, so it can never
+    // collide with a real document (the r11 sf1 shakeout caught the old
+    // 9000001 id colliding with a 50k-doc corpus — encodeFallback's
+    // doc-keyed aggregation then merges the two texts' counts while the
+    // per-row oracle keeps them apart).
     QueryDef(
       "q_bpe_fallback",
       Some(s"""WITH inp AS (
              |  SELECT doc_id, text FROM documents
              |  UNION ALL
-             |  SELECT 9000001, 'Trained: café & "quoted" tokens, the-end!'),
+             |  SELECT -1, 'Trained: café & "quoted" tokens, the-end!'),
              |words AS (
              |  SELECT doc_id,
              |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS ws
@@ -2019,7 +2032,7 @@ object ExtQueries {
         import s.implicits._
         val input = docs(s, dir).select($"doc_id", $"text")
           .unionByName(Seq(
-            (9000001L, "Trained: café & \"quoted\" tokens, the-end!"))
+            (-1L, "Trained: café & \"quoted\" tokens, the-end!"))
             .toDF("doc_id", "text"))
         Bpe.encodeFallback(input, "doc_id", "text", bpeEncodeMerges, bpeAlphabet)
       }),

@@ -8,13 +8,22 @@ oracle SQL in DuckDB over the same testdata parquet, sort columns by name and
 rows by all columns, then compare shape / dtypes / values (exact, and with
 1e-9 relative tolerance for floats so we can distinguish "ulp drift" from
 "real bug"). Dev tool only — the engine itself is pure Scala/Spark.
+Optional extras for large-SF shakeouts (round 11):
+  - extra args after the two dirs restrict the run to those query names;
+  - CROSSCHECK_BUDGET_S=<seconds> interrupts any single oracle exceeding
+    the budget and records it as TIMEOUT (a single-node oracle replay can
+    be iteration-bound at 10x data — recursive first-fit packing, inlined
+    CTE recomputation — where the engine side is fine; the shakeout
+    artifact should say so instead of hanging).
 """
-import json, sys, glob, os
+import json, sys, glob, os, threading
 import duckdb
 import pandas as pd
 import numpy as np
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])
+budget = float(os.environ.get("CROSSCHECK_BUDGET_S", "0") or 0)
 con = duckdb.connect()
 for p in glob.glob(os.path.join(sfdir, "*.parquet")):
     name = os.path.basename(p)[:-len(".parquet")]
@@ -28,16 +37,32 @@ def canon(df):
     return df
 
 fails = 0
+timeouts = 0
 for name in sorted(oracle):
+    if only and name not in only:
+        continue
     qdir = os.path.join(outdir, name)
     try:
         spark_df = canon(con.execute(
             f"SELECT * FROM read_parquet('{qdir}/*.parquet')").df())
-        duck_df = canon(con.execute(oracle[name]).df())
     except Exception as e:
-        print(f"FAIL {name}: load/exec error: {e}")
+        print(f"FAIL {name}: spark-result load error: {e}")
         fails += 1
         continue
+    timer = threading.Timer(budget, con.interrupt) if budget else None
+    try:
+        if timer: timer.start()
+        duck_df = canon(con.execute(oracle[name]).df())
+    except duckdb.InterruptException:
+        print(f"TIMEOUT {name}: oracle exceeded {budget:.0f}s (replay-bound, not compared)")
+        timeouts += 1
+        continue
+    except Exception as e:
+        print(f"FAIL {name}: oracle exec error: {e}")
+        fails += 1
+        continue
+    finally:
+        if timer: timer.cancel()
     if list(spark_df.columns) != list(duck_df.columns):
         print(f"FAIL {name}: columns {list(spark_df.columns)} vs {list(duck_df.columns)}")
         fails += 1
@@ -73,5 +98,7 @@ for name in sorted(oracle):
         fails += 1
     else:
         print(f"OK   {name} ({len(spark_df)} rows)")
-print(f"\n{fails} failures / {len(oracle)} queries")
+ran = len(only) if only else len(oracle)
+suffix = f" ({timeouts} oracle timeouts)" if timeouts else ""
+print(f"\n{fails} failures / {ran} queries{suffix}")
 sys.exit(1 if fails else 0)
