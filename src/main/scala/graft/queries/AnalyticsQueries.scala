@@ -548,7 +548,7 @@ object AnalyticsQueries {
       Some("""SELECT l_returnflag, l_linestatus,
              |  CAST(COUNT(*) AS BIGINT) AS n_rows,
              |  SUM(l_quantity) AS sum_qty,
-             |  FLOOR(SUM(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sum_price
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_price
              |FROM lineitem
              |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin),
       (s, dir) => {
@@ -557,7 +557,11 @@ object AnalyticsQueries {
           .cube($"l_returnflag", $"l_linestatus")
           .agg(count(lit(1)).as("n_rows"),
             sum($"l_quantity").as("sum_qty"),
-            (floor(sum($"l_extendedprice") * 100.0 + 0.5) / 100.0).as("sum_price"))
+            // exact order-free decimal sum — the post-sum FLOOR snap's
+            // drift margin broke on the grand-total cell at 6M rows
+            // (CoreQueries.exactSum rationale)
+            sum($"l_extendedprice".cast("decimal(38,2)")).cast("double")
+              .as("sum_price"))
       }),
 
     // ------------------------------------------------------------------

@@ -28,6 +28,22 @@ object CoreQueries {
   private def snap(c: Column, scale: Double): Column =
     floor(c * scale + 0.5).cast("double") / scale
 
+  /** Exact cross-engine price sum (r11 sf1 shakeout): each term is cast to
+    * DECIMAL(38,`dp`) — tie-free for doubles (a dyadic binary fraction can
+    * never sit exactly halfway between two decimal grid points), so both
+    * engines round identically — then summed EXACTLY (order-free) and cast
+    * once back to double (correctly rounded in both engines). Replaces the
+    * `snap`-after-double-sum convention for price columns, whose
+    * `drift ≪ grain/2` assumption breaks once a group's sum reaches
+    * ~grain × 5e13 (measured: q_agg_star's 25-nation revenue at 6M rows
+    * drifted 1.0e-4 against a 0.5e-4 margin; q_cube's grand total 1.0e-2
+    * against 0.5e-2). Value-identical to the snap at every SF where the
+    * assumption held — tested-SF hashes are byte-unchanged. SQL twin:
+    * `CAST(SUM(CAST(x AS DECIMAL(38,dp))) AS DOUBLE)`.
+    */
+  private def exactSum(term: Column, dp: Int): Column =
+    sum(term.cast(org.apache.spark.sql.types.DecimalType(38, dp))).cast("double")
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -185,7 +201,7 @@ object CoreQueries {
              |  CAST(COUNT(*) AS BIGINT) AS n_lines,
              |  SUM(l_quantity) AS sum_qty,
              |  AVG(l_quantity) AS avg_qty,
-             |  FLOOR(SUM(l_extendedprice * (1.0 - l_discount)) * 10000.0 + 0.5) / 10000.0 AS revenue
+             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue
              |FROM lineitem
              |JOIN orders   ON l_orderkey  = o_orderkey
              |JOIN customer ON o_custkey   = c_custkey
@@ -204,9 +220,10 @@ object CoreQueries {
             sum($"l_quantity").as("sum_qty"),
             avg($"l_quantity").as("avg_qty"),
             // true revenue is an exact multiple of 1e-4 (2-dec price × 2-dec
-            // discount); floor(x*1e4+0.5)/1e4 recovers it identically in both
-            // engines (IEEE-only ops, and FP sum drift ≪ the 0.5 floor margin)
-            snap(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 10000.0).as("revenue"))
+            // discount); the per-term DECIMAL(38,4) cast recovers it exactly
+            // and the decimal sum is order-free — see exactSum (the old
+            // post-sum snap's drift margin broke at 6M rows)
+            exactSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"))
       }),
 
     // ------------------------------------------------------------------
@@ -217,8 +234,8 @@ object CoreQueries {
       "q_agg_grouped_rules",
       Some("""SELECT o_custkey, o_orderstatus,
              |  CAST(COUNT(*) AS BIGINT) AS n_orders,
-             |  FLOOR(SUM(o_totalprice) * 100.0 + 0.5) / 100.0 AS total_price,
-             |  FLOOR(SUM(o_totalprice) * 100.0 + 0.5) / 100.0 > 0.0 AS rule_positive
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total_price,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) > 0.0 AS rule_positive
              |FROM orders
              |GROUP BY o_custkey, o_orderstatus""".stripMargin),
       (s, dir) => {
@@ -227,9 +244,9 @@ object CoreQueries {
           .groupBy($"o_custkey", $"o_orderstatus")
           .agg(
             count(lit(1)).as("n_orders"),
-            // true total is an exact 2-decimal value → floor-form round at
-            // scale 2 is boundary-free and engine-identical
-            snap(sum($"o_totalprice"), 100.0)
+            // true total is an exact 2-decimal value → the per-term decimal
+            // cast recovers it and the sum is order-free (exactSum)
+            exactSum($"o_totalprice", 2)
               .as("total_price"))
           .withColumn("rule_positive", $"total_price" > 0.0)
       }),
@@ -261,7 +278,7 @@ object CoreQueries {
       "q_bin_round",
       Some("""SELECT CAST(FLOOR(o_totalprice / 1000.0 + 0.5) AS BIGINT) AS price_bin,
              |  CAST(COUNT(*) AS BIGINT) AS n,
-             |  (FLOOR(SUM(o_totalprice) * 100.0 + 0.5) / 100.0) / COUNT(*) AS avg_price
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) / COUNT(*) AS avg_price
              |FROM orders
              |GROUP BY 1""".stripMargin),
       (s, dir) => {
@@ -270,9 +287,9 @@ object CoreQueries {
           .groupBy(floor($"o_totalprice" / 1000.0 + 0.5).as("price_bin"))
           .agg(
             count(lit(1)).as("n"),
-            // avg derived from the boundary-free rounded sum so both engines
-            // divide the identical numerator by the identical count
-            (snap(sum($"o_totalprice"), 100.0)
+            // avg derived from the exact decimal sum so both engines divide
+            // the identical numerator by the identical count
+            (exactSum($"o_totalprice", 2)
               / count(lit(1))).as("avg_price"))
       }),
 
@@ -527,7 +544,7 @@ object CoreQueries {
       Some("""SELECT CAST(year(o_orderdate) AS INT) AS yr,
              |       CAST(month(o_orderdate) AS INT) AS mo,
              |       CAST(COUNT(*) AS BIGINT) AS n_orders,
-             |       FLOOR(SUM(o_totalprice) * 100.0 + 0.5) / 100.0 AS total_price
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total_price
              |FROM orders GROUP BY 1, 2""".stripMargin),
       (s, dir) => {
         import s.implicits._
@@ -535,7 +552,7 @@ object CoreQueries {
           .groupBy(year($"o_orderdate").as("yr"), month($"o_orderdate").as("mo"))
           .agg(
             count(lit(1)).as("n_orders"),
-            snap(sum($"o_totalprice"), 100.0)
+            exactSum($"o_totalprice", 2)
               .as("total_price"))
       }),
 
@@ -670,14 +687,14 @@ object CoreQueries {
       Some("""SELECT CAST(year(o_orderdate) AS INT) AS yr,
              |       CAST(month(o_orderdate) AS INT) AS mo,
              |       CAST(COUNT(*) AS BIGINT) AS n_orders,
-             |       FLOOR(SUM(o_totalprice) * 100.0 + 0.5) / 100.0 AS sum_price
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_price
              |FROM orders GROUP BY ROLLUP (1, 2)""".stripMargin),
       (s, dir) => {
         import s.implicits._
         t(s, dir, "orders")
           .rollup(year($"o_orderdate").as("yr"), month($"o_orderdate").as("mo"))
           .agg(count(lit(1)).as("n_orders"),
-            snap(sum($"o_totalprice"), 100.0).as("sum_price"))
+            exactSum($"o_totalprice", 2).as("sum_price"))
       }),
 
     // ------------------------------------------------------------------
