@@ -265,6 +265,87 @@ object Ivf {
     } finally assigned.unpersist()
   }
 
+  /** Replay-safe [[refresh]] (r11, the OPERATIONS.md step-6 idempotency
+    * gap): plain `refresh` is an at-least-once parquet append — re-running
+    * a crashed day's batch double-appends every vector. This variant keys
+    * the batch on `idCol`:
+    *
+    *   1. anti-join the batch against the ids ALREADY IN the index (an
+    *      id-column-only scan — column pruning keeps vectors out of it);
+    *      surviving rows take the normal append + incremental-mean path;
+    *   2. if any batch rows were dropped as already-present, the previous
+    *      run may have died INSIDE the crash window (rows appended, sidecar
+    *      not yet updated) — so the sidecar entries for the dropped rows'
+    *      clusters are RECOMPUTED exactly from the at-rest data
+    *      (partition-pruned to those clusters), healing a stale sidecar
+    *      instead of silently carrying it.
+    *
+    * Rerunning the same batch any number of times converges to exactly one
+    * copy of each vector and a sidecar equal to the single-successful-run
+    * outcome. Cost over plain refresh: one id-only index scan per refresh,
+    * plus a per-touched-cluster mean recompute ONLY on a replay that
+    * actually healed something.
+    */
+  def refreshKeyed(spark: SparkSession, path: String, idCol: String,
+      vecCol: String, newDocs: DataFrame): Model = {
+    val existingIds = spark.read.parquet(s"$path/data").select(col(idCol))
+    // eager localCheckpoint, not persist: the anti-join READS the very
+    // layout the refresh is about to APPEND to — any lazy recomputation
+    // after the append would see its own output and dedup everything
+    // (the Maintenance.upsert merge-hazard rule); checkpoint-not-cache so
+    // memory pressure fails loudly instead of silently recomputing
+    val fresh = newDocs.join(existingIds, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    locally {
+      val nFresh = fresh.count()
+      val nBatch = newDocs.count()
+      val model =
+        if (nFresh > 0) refresh(spark, path, vecCol, fresh)
+        else loadModel(spark, path)
+      if (nFresh == nBatch) model
+      else {
+        // some batch rows were already present: heal the sidecar for their
+        // clusters from the at-rest data (exact per-cluster count + mean).
+        // The touched clusters come from the DATA's own partition column —
+        // re-assigning against current centroids could disagree with the
+        // assignment the crashed run actually wrote (centroids have moved)
+        val replayedIds = newDocs.select(col(idCol))
+          .join(fresh.select(col(idCol)), Seq(idCol), "left_anti")
+        val touched = spark.read.parquet(s"$path/data")
+          .join(replayedIds, Seq(idCol))
+          .select(col("cluster")).distinct().collect().map(_.getInt(0))
+        if (touched.isEmpty) model
+        else {
+          val dims = model.centroids.head.length
+          val aggs = count(lit(1)).as("n") +:
+            (0 until dims).map(j =>
+              avg(try_element_at(col(vecCol), lit(j + 1))).as(s"m$j"))
+          val stats = spark.read.parquet(s"$path/data")
+            .where(col("cluster").isin(touched.map(Integer.valueOf): _*))
+            .groupBy(col("cluster")).agg(aggs.head, aggs.tail: _*)
+            .collect()
+          val side = spark.read.parquet(s"$path/centroids")
+            .select(col("cluster"), col("centroid"), col("n_members")).collect()
+          val k = side.map(_.getInt(0)).max + 1
+          val cents = new Array[Array[Float]](k)
+          val counts = new Array[Long](k)
+          side.foreach { r =>
+            cents(r.getInt(0)) = r.getSeq[Float](1).toArray
+            counts(r.getInt(0)) = r.getLong(2)
+          }
+          stats.foreach { r =>
+            val c = r.getInt(0)
+            counts(c) = r.getLong(1)
+            cents(c) = Array.tabulate(dims)(j =>
+              if (r.isNullAt(j + 2)) 0.0f else r.getDouble(j + 2).toFloat)
+          }
+          writeCentroids(spark, cents, counts, path)
+          Model(cents)
+        }
+      }
+    }
+  }
+
   /** Load the trained coarse quantizer back from a [[writeClustered]] layout
     * (tiny driver-side read: k rows of dims floats).
     */

@@ -237,4 +237,65 @@ class RecallSpec extends SparkSpec {
     assert(recall2 >= 0.5,
       s"recall@20 after a second refresh = $recall2 (expected >= 0.5)")
   }
+
+  test("refreshKeyed: replaying a batch converges (no double-append) and a " +
+    "crash between the append and the sidecar write HEALS on rerun") {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    val path = Files.createTempDirectory("graft_ivf_keyed_").toString
+    val base = emb.where(col("vec_id") % 5 =!= 0)
+    val late = emb.where(col("vec_id") % 5 === 0)
+    val model = Ivf.train(base, "vec_id", "embedding", k = 8, iters = 2)
+    Ivf.writeClustered(base, "vec_id", "embedding", model, path)
+    def dataCount(): Long = spark.read.parquet(s"$path/data").count()
+    def sidecarTotal(): Long = spark.read.parquet(s"$path/centroids")
+      .agg(sum("n_members")).head().getLong(0)
+
+    // normal keyed refresh behaves like refresh
+    Ivf.refreshKeyed(spark, path, "vec_id", "embedding", late)
+    val n1 = dataCount()
+    assert(n1 === emb.count() && sidecarTotal() === n1)
+    // FULL replay of the same batch (the runbook's rerun-after-crash):
+    // zero rows appended, sidecar totals still exactly the corpus
+    Ivf.refreshKeyed(spark, path, "vec_id", "embedding", late)
+    assert(dataCount() === n1, "replay double-appended")
+    assert(sidecarTotal() === n1, "replay corrupted the sidecar totals")
+
+    // simulate the crash WINDOW: run a refresh (rows appended + sidecar
+    // advanced), then restore the sidecar to its pre-refresh bytes — the
+    // exact on-disk state of a job killed between step 1 and step 2
+    val more = emb.where(col("vec_id") % 10 === 3)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    def snapshotDir(src: String): Path = {
+      val dst = Files.createTempDirectory("graft_ivf_side_")
+      Files.walk(java.nio.file.Paths.get(src)).iterator().asScala
+        .filter(Files.isRegularFile(_)).foreach { p =>
+          Files.copy(p, dst.resolve(p.getFileName.toString))
+        }
+      dst
+    }
+    val saved = snapshotDir(s"$path/centroids")
+    Ivf.refresh(spark, path, "embedding", more)
+    // roll the sidecar back (stale counts/centroids, appended rows live)
+    Files.walk(java.nio.file.Paths.get(s"$path/centroids")).iterator().asScala
+      .filter(Files.isRegularFile(_)).foreach(Files.delete)
+    Files.walk(saved).iterator().asScala.filter(Files.isRegularFile(_))
+      .foreach(p => Files.copy(p,
+        java.nio.file.Paths.get(s"$path/centroids").resolve(p.getFileName.toString)))
+    assert(sidecarTotal() < dataCount(), "crash-window fixture not stale")
+
+    // the rerun must dedup every row AND heal the stale sidecar
+    Ivf.refreshKeyed(spark, path, "vec_id", "embedding", more)
+    val nAll = dataCount()
+    assert(nAll === emb.count() + more.count(), "heal path appended rows")
+    assert(sidecarTotal() === nAll,
+      "heal path left the sidecar counts stale")
+    // index still serves: the probe sees the late vector and holds recall
+    val got = ids(Ivf.probeClustered(spark, path, "vec_id", "embedding", q,
+      nProbe = 2, k = 20))
+    val grownTruth = ids(Similarity.bruteForceTopK(
+      emb.unionByName(more), "vec_id", "embedding", q, 20))
+    assert((got & grownTruth).size / 20.0 >= 0.5,
+      "post-heal recall@20 under the gate")
+  }
 }
