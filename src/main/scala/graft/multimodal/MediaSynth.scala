@@ -146,7 +146,8 @@ object MediaSynth {
       ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
 
   /** Total file size of a canonical [[mp4]] skeleton: 24-byte ftyp +
-    * moov header + 108-byte mvhd v0 + one 8+84-byte trak/tkhd v0 per
+    * moov header + 108-byte mvhd v0 + one 100-byte track (8-byte trak
+    * header + 92-byte tkhd v0 box incl. its own 8-byte header) per
     * track — plain arithmetic for the oracle.
     */
   def mp4Bytes(nTracks: Int): Int = 24 + 8 + 108 + nTracks * (8 + 92)

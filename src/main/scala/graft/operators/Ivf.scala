@@ -281,10 +281,16 @@ object Ivf {
     *      instead of silently carrying it.
     *
     * Rerunning the same batch any number of times converges to exactly one
-    * copy of each vector and a sidecar equal to the single-successful-run
-    * outcome. Cost over plain refresh: one id-only index scan per refresh,
-    * plus a per-touched-cluster mean recompute ONLY on a replay that
-    * actually healed something.
+    * copy of each vector and exact per-cluster counts/means for every
+    * touched cluster — the AT-REST fixed point. Note the heal recompute is
+    * the exact member mean, which can differ (bounded, one-time) from the
+    * single-successful-run sidecar value: plain refresh's incremental mean
+    * is anchored on the TRAINED centroid, which is generally not the member
+    * mean, so a replay that fires the heal branch moves the sidecar from
+    * the incremental estimate to the exact one and stays there (idempotent
+    * from the second run). Cost over plain refresh: one id-only index scan
+    * per refresh, plus a per-touched-cluster mean recompute ONLY on a
+    * replay that actually healed something.
     */
   def refreshKeyed(spark: SparkSession, path: String, idCol: String,
       vecCol: String, newDocs: DataFrame): Model = {

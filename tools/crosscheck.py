@@ -49,10 +49,22 @@ for name in sorted(oracle):
         print(f"FAIL {name}: spark-result load error: {e}")
         fails += 1
         continue
-    timer = threading.Timer(budget, con.interrupt) if budget else None
+    # the interrupt must not race a just-finished execute: if the oracle
+    # returns right at the budget edge, a bare Timer(con.interrupt) can fire
+    # AFTER execute() but BEFORE cancel(), interrupting the shared
+    # connection while no query runs (or the next loop's read_parquet) and
+    # recording a spurious FAIL. Two guards: each budgeted oracle runs on a
+    # DEDICATED cursor (shares the catalog/views, discarded right after, so
+    # a late interrupt can only ever land on a connection nothing reuses),
+    # and the timer callback checks a completion flag for the common case.
+    ocon = con.cursor() if budget else con
+    done = threading.Event()
+    timer = threading.Timer(
+        budget, lambda: None if done.is_set() else ocon.interrupt()) \
+        if budget else None
     try:
         if timer: timer.start()
-        duck_df = canon(con.execute(oracle[name]).df())
+        duck_df = canon(ocon.execute(oracle[name]).df())
     except duckdb.InterruptException:
         print(f"TIMEOUT {name}: oracle exceeded {budget:.0f}s (replay-bound, not compared)")
         timeouts += 1
@@ -62,7 +74,10 @@ for name in sorted(oracle):
         fails += 1
         continue
     finally:
-        if timer: timer.cancel()
+        done.set()
+        if timer:
+            timer.cancel()
+            ocon.close()
     if list(spark_df.columns) != list(duck_df.columns):
         print(f"FAIL {name}: columns {list(spark_df.columns)} vs {list(duck_df.columns)}")
         fails += 1
