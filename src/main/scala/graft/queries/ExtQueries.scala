@@ -343,12 +343,32 @@ object ExtQueries {
     * first-fit as a recursive CTE advancing one row per group per step.
     * Callers' WITH chain must be declared RECURSIVE. Shared by
     * q_pack_sequences (raw corpus) and q_prep_e2e (cleaned corpus).
+    *
+    * The `ppin` head is the oracle half of [[packTruthSlice]] (r12, VERDICT
+    * r11 #1): the recursive replay advances ONE row per group per step —
+    * iteration-serial, the sf1 shakeout's three oracle TIMEOUTs — so above
+    * [[maxFullPackDocs]] base docs BOTH engines pack the deterministic
+    * `doc_id % ceil(n/5000)` slice, keeping the replay's step count bounded
+    * (~[[maxFullPackDocs]]·chunks-per-doc/nGroups) at ANY corpus size.
+    * Below the threshold `ppin` is the identity, so tested-SF hashes are
+    * byte-unchanged.
+    *
+    * `pord` is `AS MATERIALIZED` (the q_pagerank CTE-re-inlining lesson,
+    * execution hint only): the recursion joins it once PER STEP, and
+    * DuckDB 1.0 otherwise re-inlines its entire upstream chain into every
+    * iteration — measured on q_prep_e2e at sf1, whose per-step chain is
+    * the whole cleaning funnel: >600 s inlined, 9.0 s materialized.
     */
   private def packCtes(rel: String, chunkSize: Int, capacity: Int,
       nGroups: Int): String =
-    s"""ptoks AS (
+    s"""ppn AS (SELECT count(*) AS n FROM documents),
+       |ppin AS (
+       |  SELECT doc_id, text FROM $rel, ppn
+       |  WHERE n <= $maxFullPackDocs
+       |     OR doc_id % CAST(ceil(n / ${maxFullPackDocs}e0) AS BIGINT) = 0),
+       |ptoks AS (
        |  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n
-       |  FROM $rel),
+       |  FROM ppin),
        |pchunks AS (
        |  SELECT doc_id, unnest(range(0, CAST(ceil(n / $chunkSize.0) AS INT))) AS chunk_id, n
        |  FROM ptoks WHERE n > 0),
@@ -357,7 +377,7 @@ object ExtQueries {
        |    CAST(least(n - chunk_id * $chunkSize, $chunkSize) AS INT) AS n_tokens,
        |    CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % $nGroups AS INT) AS grp
        |  FROM pchunks),
-       |pord AS (
+       |pord AS MATERIALIZED (
        |  SELECT doc_id, chunk_id, n_tokens, grp,
        |    row_number() OVER (PARTITION BY grp ORDER BY doc_id, chunk_id) AS rn
        |  FROM pc2),
@@ -460,34 +480,46 @@ object ExtQueries {
     val k = 20
     val minSim = 0.2
     /** Above this corpus size the two declared crossJoin-truth queries
-      * (q_sim_neardup / q_sim_clusters) certify on the deterministic
-      * `vec_id % 20` slice instead of the full all-pairs relation
-      * (VERDICT r9 #7): every tested SF (≤ 2000 vectors at sf0.1) stays
-      * UNDER the cutoff, so the driver's oracle hash and the committed
-      * bench medians are byte-identical — only an sf≥1 run crosses it,
-      * where the slice caps certification at (n/20)²/2 pairs (400× less
-      * than full truth) while the `_operator` twins keep carrying the
-      * production-scale surface.
+      * (q_sim_neardup / q_sim_clusters) certify on a deterministic vec_id
+      * slice instead of the full all-pairs relation (VERDICT r9 #7): every
+      * tested SF (≤ 2000 vectors at sf0.1) stays UNDER the cutoff, so the
+      * driver's oracle hash and the committed bench medians are
+      * byte-identical — only an sf≥1 run crosses it, while the `_operator`
+      * twins keep carrying the production-scale surface.
       */
     val maxFullTruthVectors = 10000L
+    /** Sliced vertex-set size the certification aims at ABOVE the cutoff
+      * (r12, VERDICT r11 #5): the slice modulus is `ceil(n / 2000)`, so the
+      * sliced truth is ~2000 vertices / ≤ ~2e6 crossJoin pairs at ANY
+      * corpus size — an absolute bound, where the previous fixed `% 20`
+      * stride still grew without bound (5e7-row slices at 10⁹ vectors).
+      */
+    val certSliceTarget = 2000L
   }
 
   /** The certification-truth input: full corpus at test SFs, the
-    * `vec_id % 20 = 0` slice (the q_decontaminate benchmark-slice
-    * convention) once the corpus outgrows [[SimParams.maxFullTruthVectors]].
-    * The count is one metadata-sized job; the decision is
-    * deterministic in the data, so reruns and resumes agree.
+    * `vec_id % ceil(n/2000) = 0` slice once the corpus outgrows
+    * [[SimParams.maxFullTruthVectors]] — the modulus DERIVES from the
+    * corpus count (r12, VERDICT r11 #5), so the sliced vertex set is
+    * ~[[SimParams.certSliceTarget]] rows at ANY n instead of growing as
+    * n/20. The count is one metadata-sized job; the decision and the
+    * modulus are deterministic in the data, so reruns and resumes agree,
+    * and `ceil` of an exact-below-2^53 integer divided by 2000e0 is the
+    * same IEEE op in both engines (the packTruthSlice argument).
     *
     * BOTH engines carry the identical guard (VERDICT r10 #1): the two
     * consuming oracles join over [[certSliceCte]] — an ANSI
     * count-guarded predicate over the same table — so the driver's hash
     * gate stays green on either side of the cutoff.
     * CertSliceSpec exercises the over-threshold branch of both queries
-    * against a sliced-oracle replay.
+    * against a sliced-oracle replay, at two different derived moduli.
     */
-  private def certTruthSlice(e: DataFrame): DataFrame =
-    if (e.count() <= SimParams.maxFullTruthVectors) e
-    else e.where(col("vec_id") % 20 === 0)
+  private def certTruthSlice(e: DataFrame): DataFrame = {
+    val n = e.count()
+    if (n <= SimParams.maxFullTruthVectors) e
+    else e.where(col("vec_id")
+      % lit(math.ceil(n / SimParams.certSliceTarget.toDouble).toLong) === 0)
+  }
 
   /** The oracle-side twin of [[certTruthSlice]] — data-dependent in the
     * same count, row-identical on both sides of the cutoff. A scalar
@@ -498,7 +530,41 @@ object ExtQueries {
     s"""emb_cert AS (
        |  SELECT * FROM embeddings
        |  WHERE (SELECT count(*) FROM embeddings) <= ${SimParams.maxFullTruthVectors}
-       |     OR vec_id % 20 = 0)""".stripMargin
+       |     OR vec_id % (SELECT CAST(ceil(count(*) / ${SimParams.certSliceTarget}e0) AS BIGINT)
+       |                  FROM embeddings) = 0)""".stripMargin
+
+  /** Above this BASE-corpus doc count the packing family (q_pack_sequences /
+    * q_pack_materialize / q_prep_e2e) certifies on a deterministic doc
+    * slice instead of the full corpus — the [[certTruthSlice]] convention
+    * applied to the one query family whose ORACLE is iteration-serial (the
+    * recursive first-fit replays one row per group per step; the sf1
+    * shakeout's three replay TIMEOUTs, VERDICT r11 #1). sf0.01 (500 docs)
+    * and sf0.1 (5000 docs) sit at or under the threshold, so every tested-SF
+    * hash and bench median is byte-unchanged; [[Corpus.packSequences]]
+    * itself stays full-corpus — packing scales fine in Spark (one exchange +
+    * a partition-local fold), only the cross-engine certification needs the
+    * bound.
+    */
+  private val maxFullPackDocs = 5000L
+
+  /** Spark half of the packing certification slice (oracle half: `ppin` in
+    * [[packCtes]]): modulus `ceil(n/5000)` derived from the `documents`
+    * count — ~[[maxFullPackDocs]] sliced docs at ANY corpus size (the r12
+    * absolute-cap convention), same IEEE ceil-of-division in both engines.
+    * The count is one metadata-sized job on the BASE table even when `rel`
+    * is a derived corpus (q_prep_e2e's kept set), so the guard never
+    * re-runs upstream machinery; the modulus filter lands on `rel` AFTER
+    * its own semantics (exact-dedup survivors, near-dup drops) are fixed —
+    * Catalyst cannot push a doc_id predicate below the funnel's
+    * aggregations, and the oracle applies it at the same point.
+    */
+  private def packTruthSlice(s: SparkSession, dir: String,
+      rel: DataFrame): DataFrame = {
+    val n = docs(s, dir).count()
+    if (n <= maxFullPackDocs) rel
+    else rel.where(col("doc_id")
+      % lit(math.ceil(n / maxFullPackDocs.toDouble).toLong) === 0)
+  }
 
   private def lshTopK0(e: DataFrame, q: Seq[Float]): DataFrame =
     Similarity.lshTopK(e, "vec_id", "embedding", q, dims = SimParams.dims,
@@ -515,17 +581,24 @@ object ExtQueries {
       minSim = SimParams.minSim, nTables = SimParams.nTables)
 
   /** q_quality_vs_dup's builder, shared by the declared form
-    * (`approxCuts = false` — EXACT percentile deciles, the oracle-gated
-    * semantics) and the `_operator` bench twin (`approxCuts = true` —
-    * `percentile_approx` with accuracy 10000, the documented 100×-scale
-    * drop-in whose decile cuts bound memory by the sketch instead of the
-    * value count). Identical plan everywhere except the one cut
-    * aggregate, so the sub-timing difference IS the swap's price.
+    * (`approxCuts = false` — EXACT decile cuts by deterministic rank
+    * selection, the oracle-gated semantics) and the `_operator` bench twin
+    * (`approxCuts = true` — `percentile_approx` with accuracy 10000, the
+    * documented sketch-bounded drop-in).
+    *
+    * The declared cuts follow the q_length_quantiles convention scaled to a
+    * GLOBAL order (r12, VERDICT r11 #2): the value at rank `ceil(n*q)`
+    * under total (q, doc_id) order, via [[Rank.globalRowNumber]] — one
+    * range shuffle at full parallelism + a 9-row broadcast, instead of
+    * `percentile`'s single aggregation buffer materializing the whole
+    * per-corpus value multiset (the ×5.2 sf1 growth outlier SCALE.md
+    * records). Exact at any scale, and the cuts are exact data values of
+    * the IEEE-portable qualityScore — no snap needed (the approx twin keeps
+    * its 1e-6 snap: sketch interpolation is not cross-engine-exact).
     */
   private def qualityVsDup(s: SparkSession, dir: String,
       approxCuts: Boolean): DataFrame = {
     import s.implicits._
-    val snap = (x: Column) => floor(x * lit(1000000) + lit(0.5)) / lit(1000000)
     val d = docs(s, dir)
     val comp = Components.connectedComponents(d.select("doc_id"), "doc_id",
       Dedup.jaccardPairs(d, "doc_id", "text"), "doc_a", "doc_b")
@@ -533,14 +606,36 @@ object ExtQueries {
     val dup = comp.join(sizes, Seq("component"))
       .select($"doc_id", ($"n_members" > 1).as("is_dup"))
     val sc = d.select($"doc_id", TextFunctions.qualityScore($"text").as("q"))
-    val fracs = "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)"
-    val cutAgg =
-      if (approxCuts) expr(s"percentile_approx(q, $fracs, 10000)")
-      else expr(s"percentile(q, $fracs)")
-    val th = sc
-      .agg(cutAgg.as("vs"))
-      .select(transform($"vs", v => snap(v)).as("vs"))
-    sc.join(dup, Seq("doc_id"))
+    // scored docs enter the binning WHERE q IS NOT NULL in BOTH engines (a
+    // doc without a score has no decile; NULL never >= any cut anyway)
+    val (scored, th) =
+      if (approxCuts) {
+        val snap = (x: Column) => floor(x * lit(1000000) + lit(0.5)) / lit(1000000)
+        val fracs = "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)"
+        (sc.where($"q".isNotNull),
+          sc.agg(expr(s"percentile_approx(q, $fracs, 10000)").as("vs"))
+            .select(transform($"vs", v => snap(v)).as("vs")))
+      } else {
+        // rank targets ceil(n * i/10): n is exact below 2^53, the product
+        // and ceil are the same IEEE ops in both engines (q_length_quantiles
+        // precedent). The 2-narrow-column projection is materialized ONCE
+        // (eager localCheckpoint, the q_pagerank lifecycle) and then feeds
+        // globalRowNumber's range sampling + shuffle, zipWithIndex's count
+        // job, the n scalar, AND the binning join — each would otherwise
+        // re-run qualityScore over the full corpus (measured 22.5 s vs
+        // 16.5 s checkpointed at sf1); 16 bytes/doc is the cheapest
+        // possible spelling of "sort the scores".
+        val nonNull = sc.where($"q".isNotNull).select($"doc_id", $"q")
+          .localCheckpoint(true)
+        val ranked = Rank.globalRowNumber(nonNull, Seq("q", "doc_id"), "rn")
+        val nRow = nonNull.agg(count(lit(1)).as("n"))
+        (nonNull,
+          ranked.crossJoin(broadcast(nRow))
+            .where((1 to 9).map(i =>
+              $"rn" === ceil($"n" * lit(i / 10.0)).cast("long")).reduce(_ || _))
+            .agg(sort_array(collect_list($"q")).as("vs")))
+      }
+    scored.join(dup, Seq("doc_id"))
       .crossJoin(broadcast(th))
       .select(size(filter($"vs", v => $"q" >= v)).as("bin"), $"is_dup")
       .groupBy($"bin").agg(
@@ -610,10 +705,9 @@ object ExtQueries {
     "q_sim_lsh" -> (lshTopKOp(_, _)),
     "q_sim_neardup" -> (nearDupPairsOp(_, _)),
     "q_dedup_incremental" -> (incrementalPairsOp(_, _)),
-    // the percentile_approx decile cut — the at-scale swap the declared
-    // form documents; benching both makes the swap's price a per-round
-    // measured artifact (the declared form keeps the EXACT percentile,
-    // which is what its oracle certifies)
+    // the percentile_approx decile cut — the sketch-bounded alternative to
+    // the declared form's exact-rank window cuts (r12); benching both keeps
+    // the exact-vs-sketch price a per-round measured artifact
     "q_quality_vs_dup" -> (qualityVsDup(_, _, approxCuts = true)),
     // declared minhash/simhash entries run the exact Jaccard truth side
     // in-plan for their recall flag — bench trends should also see the
@@ -1553,7 +1647,8 @@ object ExtQueries {
              |$packStatsSelect""".stripMargin),
       (s, dir) => {
         import s.implicits._
-        val chunks = Corpus.chunk(docs(s, dir), "doc_id", "text", chunkSize = 32)
+        val chunks = Corpus.chunk(packTruthSlice(s, dir, docs(s, dir)),
+          "doc_id", "text", chunkSize = 32)
         Corpus.packSequences(chunks, "doc_id", "chunk_id", "n_tokens",
             capacity = 256, nPartitions = 16)
           .groupBy($"seq_id")
@@ -1588,7 +1683,8 @@ object ExtQueries {
              |  ON p.doc_id = t.doc_id AND p.chunk_id = t.chunk_id
              |GROUP BY 1""".stripMargin),
       (s, dir) => {
-        val chunks = Corpus.chunk(docs(s, dir), "doc_id", "text", chunkSize = 32)
+        val chunks = Corpus.chunk(packTruthSlice(s, dir, docs(s, dir)),
+          "doc_id", "text", chunkSize = 32)
         val packed = Corpus.packSequences(chunks, "doc_id", "chunk_id",
           "n_tokens", capacity = 256, nPartitions = 16)
         Corpus.materializePacked(chunks, packed, "doc_id", "chunk_id")
@@ -3224,8 +3320,9 @@ object ExtQueries {
       (s, dir) => {
         // certTruthSlice: full corpus at every tested SF (output and
         // oracle hash unchanged — the oracle joins over the identically
-        // count-guarded emb_cert CTE); the % 20 certification slice above
-        // 10k vectors so the truth side stays bounded at sf≥1.
+        // count-guarded emb_cert CTE); the ~2000-vertex derived-modulus
+        // slice above 10k vectors so the truth side stays CONSTANT-bounded
+        // at any sf.
         // The FOUND side certifies on the same slice: below the cutoff
         // this is plan-identical to nearDupPairsOp (the _operator twin's
         // build); above it, slicing both sides keeps bucket occupancy at
@@ -3287,10 +3384,10 @@ object ExtQueries {
       (s, dir) => {
         // certTruthSlice (the q_sim_neardup convention): full corpus at
         // every tested SF — identical plan, oracle hash, bench medians —
-        // and the deterministic `% 20` vertex slice above 10k vectors, so
-        // sf≥1 certification clusters the sliced subgraph at (n/20)²/2
-        // truth pairs while the _x1/_x4 operator twins carry the
-        // LSH-bucketed production path over the full corpus
+        // and the deterministic derived-modulus vertex slice above 10k
+        // vectors, so sf≥1 certification clusters a ~2000-vertex subgraph
+        // (constant truth-pair budget at any n) while the _x1/_x4 operator
+        // twins carry the LSH-bucketed production path over the full corpus
         val e = certTruthSlice(emb(s, dir))
         val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
         val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
@@ -3345,7 +3442,7 @@ object ExtQueries {
       Some(s"""WITH RECURSIVE ${portableNearDropCte(shingleN = 3, nPerms = 32,
                  nBands = 8, minBands = 6, maxBucket = 50)},
              |${funnelReasonsCte(0.2, "'en', 'es', 'de'")},
-             |keptdocs AS (
+             |keptdocs AS MATERIALIZED (
              |  SELECT doc_id, text FROM reasons WHERE stage = 'kept'),
              |${packCtes("keptdocs", chunkSize = 32, capacity = 256, nGroups = 16)}
              |$packStatsSelect""".stripMargin),
@@ -3355,7 +3452,8 @@ object ExtQueries {
             minQuality = 0.2, keepLangs = Set("en", "es", "de"),
             portableHash = true)
           .where($"keep").select($"doc_id", $"text")
-        val chunks = Corpus.chunk(kept, "doc_id", "text", chunkSize = 32)
+        val chunks = Corpus.chunk(packTruthSlice(s, dir, kept),
+          "doc_id", "text", chunkSize = 32)
         Corpus.packSequences(chunks, "doc_id", "chunk_id", "n_tokens",
             capacity = 256, nPartitions = 16)
           .groupBy($"seq_id")
@@ -5460,18 +5558,20 @@ object ExtQueries {
     // cluster — the audit that tells a curator whether the quality score
     // actually separates boilerplate (which duplicates) from prose before
     // it is used as a mixture/budget knob. Composes three certified
-    // machines: qualityScore (IEEE-exact cross-engine), the q_drift_psi
-    // decile-cut discipline (exact percentiles snapped 1e-6, broadcast, a
-    // 9-element codegen filter bins each doc), and the shared CC relation
-    // (componentsCte → member counts). One pair-machinery pass + one
-    // decile agg; dup_rate is a single IEEE divide of exact counts.
+    // machines: qualityScore (IEEE-exact cross-engine), EXACT decile cuts
+    // by deterministic rank selection (r12 — the q_length_quantiles
+    // convention under global (q, doc_id) order via Rank.globalRowNumber:
+    // one range shuffle at full parallelism, replacing `percentile`'s
+    // single-buffer whole-corpus value multiset, the ×5.2 sf1 growth
+    // outlier; cuts are exact data values, so no snap), and the shared CC
+    // relation (componentsCte → member counts). One pair-machinery pass +
+    // one rank shuffle + one decile agg; dup_rate is a single IEEE divide
+    // of exact counts.
     QueryDef(
       "q_quality_vs_dup",
       Some {
-        val cuts = (1 to 9).map(i =>
-          s"FLOOR(quantile_cont(q, 0.${i}) * 1000000 + 0.5) / 1000000 AS v$i")
-          .mkString(",\n    ")
-        val list = (1 to 9).map(i => s"v$i").mkString("[", ", ", "]")
+        val targets = (1 to 9).map(i =>
+          s"CAST(ceil(n * 0.$i) AS BIGINT)").mkString(", ")
         s"""WITH RECURSIVE $jaccardPairsCte, $componentsCte,
            |sizes AS (
            |  SELECT component, CAST(count(*) AS BIGINT) AS n_members
@@ -5481,15 +5581,17 @@ object ExtQueries {
            |  $qualityScoreSql
            |    AS q
            |  FROM documents),
-           |thr AS (
-           |  SELECT $cuts
-           |  FROM sc),
-           |th AS (SELECT unnest($list) AS v FROM thr),
+           |qn AS (SELECT count(*) AS n FROM sc WHERE q IS NOT NULL),
+           |qr AS (
+           |  SELECT q, row_number() OVER (ORDER BY q, doc_id) AS rn
+           |  FROM sc WHERE q IS NOT NULL),
+           |th AS (SELECT q AS v FROM qr, qn WHERE rn IN ($targets)),
            |b AS (
            |  SELECT (SELECT CAST(count(*) AS INT) FROM th WHERE sc.q >= th.v) AS bin,
            |         s.n_members > 1 AS is_dup
            |  FROM sc JOIN comp c ON sc.doc_id = c.doc_id
-           |           JOIN sizes s USING (component))
+           |           JOIN sizes s USING (component)
+           |  WHERE sc.q IS NOT NULL)
            |SELECT bin,
            |  CAST(count(*) AS BIGINT) AS n_docs,
            |  CAST(count(CASE WHEN is_dup THEN 1 END) AS BIGINT) AS n_dup,

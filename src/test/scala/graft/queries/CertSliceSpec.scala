@@ -7,28 +7,33 @@ import scala.collection.mutable
 import graft.{SparkEntry, SparkSpec}
 
 /** Over-threshold gate for the `certTruthSlice` branch of the two declared
-  * crossJoin-truth queries (VERDICT r10 #1): a synthetic >10k-vector
-  * embeddings corpus pushes both `q_sim_neardup` and `q_sim_clusters` past
-  * `SimParams.maxFullTruthVectors`, and their output is cross-checked
+  * crossJoin-truth queries (VERDICT r10 #1, absolute cap r11 #5): synthetic
+  * >10k-vector embeddings corpora push `q_sim_neardup` and `q_sim_clusters`
+  * past `SimParams.maxFullTruthVectors`, and their output is cross-checked
   * against a sliced-oracle replay computed independently in plain Scala
   * with the same left-to-right double accumulation as `GraftCosine` /
   * DuckDB's `list_sum` — so the compare is bit-exact, not tolerance-based.
-  * The fixture is clustered (one-hot label axes + small deterministic
-  * noise) so within-cluster cosine ≈ 1 and cross-cluster ≈ 0: no pair sits
-  * near either threshold and the LSH recall flag is structurally safe.
+  * The slice modulus DERIVES from the corpus count (`ceil(n / 2000)` —
+  * ~2000 sliced vertices at any n); two fixtures at different counts
+  * exercise two different derived moduli (6 and 7), pinning the derivation
+  * itself and not one hardcoded stride. The fixtures are clustered (one-hot
+  * label axes + small deterministic noise) so within-cluster cosine ≈ 1 and
+  * cross-cluster ≈ 0: no pair sits near either threshold and the LSH recall
+  * flag is structurally safe.
   *
   * This is the branch the driver gate can never reach (every tested SF is
   * under the cutoff); without it the slice semantics — BOTH engines
-  * restricting to `vec_id % 20 = 0`, vertices included — were spec-free.
+  * restricting to the derived-modulus vertex set — were spec-free.
   */
 class CertSliceSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private val nVec = 10040 // > SimParams.maxFullTruthVectors = 10000
+  private val nVec = 10040L  // ceil(10040/2000) -> modulus 6
+  private val nVec2 = 12040L // ceil(12040/2000) -> modulus 7
   private val dims = 64
-  // coprime to the % 20 slice stride, so the sliced subset covers every
-  // cluster (~9.5 members each) instead of aliasing onto a handful
+  // coprime to both derived moduli (6 and 7), so each sliced subset covers
+  // every cluster instead of aliasing onto a handful
   private val nLabels = 53
 
   /** one-hot cluster axis + seedless sin-noise (the growth-twin
@@ -42,15 +47,19 @@ class CertSliceSpec extends SparkSpec {
     }
   }
 
-  private lazy val dir: String = {
+  private def writeFixture(n: Long): String = {
     val d = Files.createTempDirectory("graft_certslice_").toString
-    (0L until nVec.toLong).map(i => (i, vecOf(i).toSeq, (i % nLabels).toInt))
+    (0L until n).map(i => (i, vecOf(i).toSeq, (i % nLabels).toInt))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
     d
   }
 
-  private val slicedIds: Seq[Long] = 0L until nVec.toLong by 20L
+  private lazy val dir: String = writeFixture(nVec)
+  private lazy val dir2: String = writeFixture(nVec2)
+
+  private def modulusOf(n: Long): Long = math.ceil(n / 2000.0).toLong
+  private def slicedIdsOf(n: Long): Seq[Long] = 0L until n by modulusOf(n)
 
   /** Mirrors VectorExprs.dotNorms exactly: per-element float→double cast,
     * each accumulator summed left-to-right — bit-identical to the codegen
@@ -65,32 +74,45 @@ class CertSliceSpec extends SparkSpec {
     dd / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  private lazy val slicedPairs: Seq[(Long, Long, Double)] = {
-    val vs = slicedIds.map(i => i -> vecOf(i)).toMap
+  private def slicedPairsOf(n: Long): Seq[(Long, Long, Double)] = {
+    val ids = slicedIdsOf(n)
+    val vs = ids.map(i => i -> vecOf(i)).toMap
     for {
-      a <- slicedIds; b <- slicedIds if a < b
+      a <- ids; b <- ids if a < b
       c = cosExact(vs(a), vs(b)) if c >= 0.2
     } yield (a, b, c)
   }
 
-  test("q_sim_neardup over the cutoff: pairs come from the % 20 slice only " +
-    "and match the sliced-oracle replay bit-exact, recall flag TRUE") {
-    val rows = SparkEntry.queries("q_sim_neardup")(spark, dir).collect()
+  private def checkNearDup(fixtureDir: String, n: Long): Unit = {
+    val m = modulusOf(n)
+    val rows = SparkEntry.queries("q_sim_neardup")(spark, fixtureDir).collect()
     assert(rows.forall(_.getBoolean(3)),
       "recall_ok must hold on the sliced branch (oracle declares literal TRUE)")
     val got = rows.map(r => (r.getLong(0), r.getLong(1),
       java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
-    assert(got.forall { case (a, b, _) => a % 20 == 0 && b % 20 == 0 },
-      "a pair escaped the certification slice")
-    val want = slicedPairs.map { case (a, b, c) =>
+    assert(got.forall { case (a, b, _) => a % m == 0 && b % m == 0 },
+      s"a pair escaped the % $m certification slice")
+    val want = slicedPairsOf(n).map { case (a, b, c) =>
       (a, b, java.lang.Double.doubleToLongBits(c)) }.toSet
     assert(want.nonEmpty && got == want,
-      s"sliced truth mismatch: spark=${got.size} replay=${want.size} " +
-        s"onlySpark=${(got -- want).take(3)} onlyReplay=${(want -- got).take(3)}")
+      s"sliced truth mismatch at n=$n m=$m: spark=${got.size} " +
+        s"replay=${want.size} onlySpark=${(got -- want).take(3)} " +
+        s"onlyReplay=${(want -- got).take(3)}")
+  }
+
+  test("q_sim_neardup over the cutoff: pairs come from the derived-modulus " +
+    "slice only and match the sliced-oracle replay bit-exact (modulus 6)") {
+    checkNearDup(dir, nVec)
+  }
+
+  test("the modulus moves with the count: a 12040-vector corpus slices at " +
+    "% 7 and still matches the replay bit-exact") {
+    checkNearDup(dir2, nVec2)
   }
 
   test("q_sim_clusters over the cutoff: vertices AND edges are sliced; " +
     "components match a union-find replay of the sliced >= 0.4 graph") {
+    val slicedIds = slicedIdsOf(nVec)
     val parent = mutable.Map(slicedIds.map(i => i -> i): _*)
     def find(x: Long): Long =
       if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
@@ -112,12 +134,13 @@ class CertSliceSpec extends SparkSpec {
   }
 
   test("the oracle SQL carries the same guard as the Spark plan: " +
-    "count-gated at 10000, % 20 slice, on BOTH queries") {
+    "count-gated at 10000, count-derived modulus, on BOTH queries") {
     for (q <- Seq("q_sim_neardup", "q_sim_clusters")) {
       val sql = SparkEntry.oracleSql(q)
       assert(sql.contains("(SELECT count(*) FROM embeddings) <= 10000"),
         s"$q oracle lost the count guard")
-      assert(sql.contains("vec_id % 20 = 0"), s"$q oracle lost the slice")
+      assert(sql.contains("CAST(ceil(count(*) / 2000e0) AS BIGINT)"),
+        s"$q oracle lost the derived modulus")
       assert(sql.contains("emb_cert"), s"$q oracle no longer joins the " +
         "count-guarded CTE")
     }
