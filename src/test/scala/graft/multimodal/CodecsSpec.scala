@@ -284,4 +284,45 @@ class CodecsSpec extends AnyFunSuite {
     assert(Codecs.mp4Meta(large) ===
       Some(Codecs.Mp4Meta("avc1", 600, 10L, 1, 64, 64)))
   }
+
+  test("mp4Frames walks self-delimiting BMP samples out of the mdat and " +
+    "returns the exact frame bytes in order") {
+    val f0 = MediaSynth.bmpPixels(8, 8, (x, y) =>
+      if ((x + y) % 2 == 0) (255, 255, 255) else (0, 0, 0))
+    val f1 = MediaSynth.bmp(4, 4, 10, 20, 30) // different size than f0
+    val v = MediaSynth.mp4WithFrames(600, 600, Seq((8, 8)), Seq(f0, f1))
+    // the skeleton metadata is untouched by the appended mdat
+    assert(Codecs.mp4Meta(v) === Some(Codecs.Mp4Meta("isom", 600, 600L, 1, 8, 8)))
+    val frames = Codecs.mp4Frames(v).get
+    assert(frames.size === 2)
+    assert(frames(0).toSeq === f0.toSeq && frames(1).toSeq === f1.toSeq)
+    // each slice is independently decodable
+    assert(frames.forall(Codecs.decodeImage(_).isDefined))
+    // no mdat at all -> zero frames, not an error (a metadata-only skeleton)
+    assert(Codecs.mp4Frames(MediaSynth.mp4(600, 600, Seq((8, 8)))) ===
+      Some(Vector()))
+  }
+
+  test("malformed mdat samples return None (no executor hang, no wild slice)") {
+    val f0 = MediaSynth.bmp(4, 4, 1, 2, 3)
+    val ok = MediaSynth.mp4WithFrames(600, 600, Seq((4, 4)), Seq(f0))
+    val mdatPayload = ok.length - f0.length // first sample offset
+    // sample magic corrupted -> None
+    val badMagic = ok.clone(); badMagic(mdatPayload) = 'X'
+    assert(Codecs.mp4Frames(badMagic).isEmpty)
+    // declared sample size overruns the box -> None (never slices past it)
+    val badSize = ok.clone()
+    badSize(mdatPayload + 2) = -1; badSize(mdatPayload + 3) = -1
+    badSize(mdatPayload + 4) = -1; badSize(mdatPayload + 5) = 0x7f
+    assert(Codecs.mp4Frames(badSize).isEmpty)
+    // declared size below the 54-byte header (cannot advance) -> None
+    val tiny = ok.clone()
+    tiny(mdatPayload + 2) = 8; tiny(mdatPayload + 3) = 0
+    tiny(mdatPayload + 4) = 0; tiny(mdatPayload + 5) = 0
+    assert(Codecs.mp4Frames(tiny).isEmpty)
+    // a frame count past maxFrames stops at the cap instead of ballooning
+    val many = MediaSynth.mp4WithFrames(600, 600, Seq((4, 4)),
+      Seq.fill(10)(f0))
+    assert(Codecs.mp4Frames(many, maxFrames = 3).get.size === 3)
+  }
 }
