@@ -42,10 +42,19 @@ object Bench {
     * tripwire): first line is the scale-factor basename the numbers were
     * measured at, each following line `name<TAB>median_sec`. Returns None
     * when the resource is absent (fresh checkout before the first recorded
-    * sweep).
+    * sweep). A per-SF snapshot (`bench_medians_<sf>.tsv`, r12 — the sf1
+    * sweep record) wins over the default when the run's SF has one, so
+    * regression detection exists at every recorded scale, not only sf0.1.
     */
-  private[graft] def loadCommittedMedians(): Option[(String, Map[String, Double])] = {
-    val in = getClass.getResourceAsStream("/graft/bench_medians.tsv")
+  private[graft] def loadCommittedMedians(
+      sfBase: String = ""): Option[(String, Map[String, Double])] = {
+    val specific =
+      if (sfBase.nonEmpty)
+        getClass.getResourceAsStream(s"/graft/bench_medians_$sfBase.tsv")
+      else null
+    val in =
+      if (specific != null) specific
+      else getClass.getResourceAsStream("/graft/bench_medians.tsv")
     if (in == null) None
     else try {
       val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
@@ -257,7 +266,7 @@ object Bench {
     // regression tripwire vs the committed snapshot — only comparable when
     // this run's scale factor matches the snapshot's
     val sfBase = new java.io.File(sfDir).getName
-    val (regressionBaseline, regressions) = loadCommittedMedians() match {
+    val (regressionBaseline, regressions) = loadCommittedMedians(sfBase) match {
       case Some((sf, base)) if sf == sfBase =>
         // declared queries AND operator sub-timings share one tripwire:
         // the suffixed names never collide with declared names, and a

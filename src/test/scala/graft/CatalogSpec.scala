@@ -28,4 +28,20 @@ class CatalogSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"declared queries missing a catalog row: $missing")
     assert(stale.isEmpty, s"catalog rows for undeclared queries: $stale")
   }
+
+  test("SURVEY.md current-totals line states the exact declared and twin " +
+    "counts (VERDICT r11 #8: no hand-maintained count outside a pinned file)") {
+    val survey = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+      "UTF-8")
+    val decl = "declared queries: (\\d+)".r.findFirstMatchIn(survey)
+    val twins = "operator bench twins: (\\d+)".r.findFirstMatchIn(survey)
+    assert(decl.nonEmpty && twins.nonEmpty,
+      "SURVEY.md lost its 'Current surface totals' line")
+    assert(decl.get.group(1).toInt === SparkEntry.queries.size,
+      "SURVEY declared-query total drifted from SparkEntry.queries")
+    assert(twins.get.group(1).toInt ===
+      graft.queries.ExtQueries.operatorOnly.size,
+      "SURVEY operator-twin total drifted from ExtQueries.operatorOnly")
+  }
 }

@@ -91,6 +91,33 @@ class DailyJobSpec extends SparkSpec {
       .select(xxhash64(col("building_id"), col("zone_id")).as("doc_id"),
         col("text"))
 
+  /** Deterministic 8-dim embedding per doc for the step-6 index leg —
+    * hash-derived features in [-1, 1), seedless and rerun-stable.
+    */
+  private def embed(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id").as("vec_id"),
+      array((0 until 8).map(j =>
+        (pmod(xxhash64(col("text"), lit(j)), lit(1000)).cast("double")
+          / 500.0 - 1.0).cast("float")): _*).as("embedding"))
+
+  /** Copy a flat dir's regular files aside / back — the RecallSpec sidecar
+    * crash-window trick: restoring the centroid sidecar to its
+    * pre-refresh bytes after a refresh IS the on-disk state of a job
+    * killed between the data append and the sidecar commit.
+    */
+  private def copyFlat(src: String, dst: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(Paths.get(src)).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .foreach(p => Files.copy(p, dst.resolve(p.getFileName.toString),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+  }
+  private def clearFlat(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(Paths.get(dir)).iterator().asScala
+      .filter(Files.isRegularFile(_)).foreach(Files.delete(_))
+  }
+
   private def md5s(dir: Path): Map[String, String] = {
     if (!Files.exists(dir)) return Map.empty
     val md = MessageDigest.getInstance("MD5")
@@ -109,7 +136,8 @@ class DailyJobSpec extends SparkSpec {
     */
   private def dailyJob(arrivalDir: Path, zonesStore: String,
       metersStore: String, rollupDir: String, publishDir: String,
-      indexedDocs: Option[DataFrame], crashBeforeRollup: Boolean): DataFrame = {
+      indexedDocs: Option[DataFrame], crashBeforeRollup: Boolean,
+      indexDir: Option[String] = None): DataFrame = {
     // step 1: ingest
     val runs = Extract.extractRuns(spark, arrivalDir.toString)
     val zonesRaw = runs.map(_.zones).reduce(_ unionByName _)
@@ -153,6 +181,26 @@ class DailyJobSpec extends SparkSpec {
         newIds.contains(r.getLong(1))),
         "incremental dedup emitted a pair among already-indexed docs")
     }
+    // step 6: index maintenance — refreshKeyed folds the day's vectors in
+    // (already-present ids anti-joined away: a re-delivered correction or
+    // a replayed day never double-appends). Runs BEFORE the sim's kill
+    // point so ONE kill covers both crash windows: on the crash attempt
+    // the sidecar is rolled back to its pre-refresh bytes right after the
+    // refresh — the exact on-disk state of a job killed between the data
+    // append and the sidecar commit (the RecallSpec trick).
+    indexDir.foreach { idx =>
+      val saved =
+        if (crashBeforeRollup) {
+          val s = Files.createTempDirectory("graft_daily_sidecar_")
+          copyFlat(s"$idx/centroids", s); Some(s)
+        } else None
+      graft.operators.Ivf.refreshKeyed(spark, idx, "vec_id", "embedding",
+        embed(asDocs(zonesRaw)))
+      saved.foreach { s =>
+        clearFlat(s"$idx/centroids"); copyFlat(s.toString,
+          Paths.get(s"$idx/centroids"))
+      }
+    }
     if (crashBeforeRollup) return zonesDay // ---- CRASH (kill -9 stand-in)
     // step 4b: rollup refresh — COMPLETE current data for touched months,
     // read back from the store (the refresh contract), never the delta
@@ -184,18 +232,41 @@ class DailyJobSpec extends SparkSpec {
     val day1Files = md5s(untouchedPartition)
     assert(day1Files.nonEmpty, s"expected data files under $untouchedPartition")
 
-    // ---- day 2, attempt 1: killed right after the warehouse commit
+    // ---- step-6 bootstrap: day-1 docs become the at-rest IVF layout the
+    // daily job refreshes (OPERATIONS.md: full retrain is the weekly job,
+    // the daily cadence is refreshKeyed)
+    val idxDir = s"$root/ivf_index"
+    val day1Emb = embed(asDocs(day1Zones))
+    graft.operators.Ivf.writeClustered(day1Emb, "vec_id", "embedding",
+      graft.operators.Ivf.train(day1Emb, "vec_id", "embedding", k = 3,
+        iters = 2), idxDir)
+    val nDay1Docs = day1Emb.count() // 3 buildings x 3 zones
+
+    // ---- day 2, attempt 1: killed right after the warehouse commit —
+    // which for the index leg means AFTER the step-6 data append and
+    // BEFORE its sidecar commit (the sim rolls the sidecar back)
     val indexed = asDocs(day1Zones)
     dailyJob(day2Dir, zonesStore, metersStore, rollupDir, publish2,
-      indexedDocs = Some(indexed), crashBeforeRollup = true)
+      indexedDocs = Some(indexed), crashBeforeRollup = true,
+      indexDir = Some(idxDir))
     // the kill window: store already advanced, rollup still shows day 1
     assert(spark.read.parquet(rollupDir).select("month").distinct()
       .as[String].collect().toSet === Set("2024-01"),
       "rollup must still be the day-1 state inside the crash window")
+    // ... and the index is in ITS crash window: day-2's new vectors are
+    // at rest, the sidecar still counts day 1 only
+    def idxCount(): Long = spark.read.parquet(s"$idxDir/data").count()
+    def sidecarTotal(): Long = spark.read.parquet(s"$idxDir/centroids")
+      .agg(sum("n_members")).head().getLong(0)
+    assert(idxCount() === nDay1Docs + 2 * 3,
+      "crash window: B4/B5 vectors must already be appended")
+    assert(sidecarTotal() === nDay1Docs,
+      "crash window: the sidecar must still be the day-1 state")
 
     // ---- day 2, rerun from the top (the idempotency contract)
     val day2Zones = dailyJob(day2Dir, zonesStore, metersStore, rollupDir,
-      publish2, indexedDocs = Some(indexed), crashBeforeRollup = false)
+      publish2, indexedDocs = Some(indexed), crashBeforeRollup = false,
+      indexDir = Some(idxDir))
 
     // gate A: warehouse equals the single-shot truth (upsert semantics
     // applied once over all data: day-2 keys replace, others carry)
@@ -240,6 +311,50 @@ class DailyJobSpec extends SparkSpec {
     assert(diff.getOrElse("added", 0L) === 2L * 48 * 3)
     assert(diff.getOrElse("changed", 0L) === 24L * 3)
     assert(diff.getOrElse("removed", 0L) === 0L)
+
+    // gate E (step 6): the index healed inside the same kill-and-rerun the
+    // warehouse survived — exactly one copy of every vector (the B1
+    // correction's doc_ids were already indexed and must NOT re-append),
+    // sidecar counts equal to the at-rest truth per cluster, and the
+    // sidecar means at the heal fixed point (exact member means — the
+    // refreshKeyed scaladoc contract), so a FURTHER replay is a no-op
+    val nFinal = idxCount()
+    assert(nFinal === nDay1Docs + 2 * 3,
+      "rerun double-appended or dropped index vectors")
+    assert(sidecarTotal() === nFinal, "rerun left the sidecar stale")
+    val atRest = spark.read.parquet(s"$idxDir/data")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("true_n"),
+        array((0 until 8).map(j =>
+          avg(element_at(col("embedding"), j + 1))): _*).as("true_mean"))
+    val side = spark.read.parquet(s"$idxDir/centroids")
+      .join(atRest, Seq("cluster"), "full_outer").collect()
+    side.foreach { r =>
+      assert(!r.isNullAt(1) == !r.isNullAt(3),
+        s"sidecar/at-rest cluster set mismatch: $r")
+      if (!r.isNullAt(3)) {
+        assert(r.getLong(r.fieldIndex("n_members")) ===
+          r.getLong(r.fieldIndex("true_n")), s"stale sidecar count: $r")
+        val got = r.getSeq[Float](r.fieldIndex("centroid"))
+        val want = r.getSeq[Double](r.fieldIndex("true_mean"))
+        got.zip(want).foreach { case (g, w) =>
+          assert(math.abs(g - w) <= 1e-5,
+            s"sidecar centroid not at the member-mean fixed point: $g vs $w")
+        }
+      }
+    }
+    // replay convergence: a third refresh of the same batch changes nothing
+    graft.operators.Ivf.refreshKeyed(spark, idxDir, "vec_id", "embedding",
+      embed(asDocs(day2Zones)))
+    assert(idxCount() === nFinal && sidecarTotal() === nFinal,
+      "an extra replay moved the index off its fixed point")
+    // the healed index still serves: a day-2 vector's self-probe hits
+    val qRow = embed(asDocs(day2Zones)).orderBy("vec_id").head()
+    val hits = graft.operators.Ivf.probeClustered(spark, idxDir, "vec_id",
+      "embedding", qRow.getSeq[Float](1), nProbe = 2, k = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(hits.contains(qRow.getLong(0)),
+      "post-heal probe lost the queried day-2 vector")
 
     // step-7 artifact really published and re-readable
     assert(spark.read.json(publish2).count() ===
