@@ -4687,11 +4687,22 @@ object ExtQueries {
     // before the exchange), and the vote is a probe-keyed count over
     // 10·|probes| rows. Self-matches excluded (leave-one-out). Fully
     // hash-oracled.
+    //
+    // The probe modulus derives from the count (r12 — caught by the first
+    // full sf1 sweep: the fixed % 23 made |probes| grow with n, turning
+    // the broadcast-probe scan QUADRATIC — ×59.5 on ×10 data, 39.7 s).
+    // max(23, ceil(n/100)) bounds the eval at ~100 probes at ANY corpus
+    // size (the certTruthSlice discipline — a fixed probe BUDGET is the
+    // statistically-equivalent eval and keeps the scan linear; 4-5 s at
+    // sf1). At ≤ 2300 vectors the max() keeps the historical 23, so every
+    // tested-SF hash, plan and median is unchanged.
     QueryDef(
       "q_knn_vote",
       Some("""WITH p AS (
              |  SELECT vec_id AS probe_id, label AS true_label, embedding AS pv
-             |  FROM embeddings WHERE vec_id % 23 = 0),
+             |  FROM embeddings
+             |  WHERE vec_id % greatest(23, (SELECT CAST(ceil(count(*) / 100e0) AS BIGINT)
+             |                               FROM embeddings)) = 0),
              |c AS (
              |  SELECT p.probe_id, p.true_label, e.vec_id, e.label,
              |    list_sum(list_transform(range(1, len(e.embedding)+1),
@@ -4720,7 +4731,8 @@ object ExtQueries {
       (s, dir) => {
         import s.implicits._
         val e = emb(s, dir)
-        val probes = e.where($"vec_id" % 23 === 0)
+        val probeMod = math.max(23L, math.ceil(e.count() / 100.0).toLong)
+        val probes = e.where($"vec_id" % probeMod === 0)
           .select($"vec_id".as("probe_id"), $"label".as("true_label"),
             $"embedding".as("pv"))
         val w = Window.partitionBy($"probe_id")

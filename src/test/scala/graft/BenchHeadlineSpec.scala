@@ -140,4 +140,21 @@ class BenchHeadlineSpec extends AnyFunSuite {
       s"snapshot has medians for undeclared queries (regen it): $stale")
     medians.values.foreach(v => assert(v > 0))
   }
+
+  test("per-SF snapshot resolution (r12, VERDICT r11 #4): an sf1 run loads " +
+    "the sf1 snapshot, other SFs fall back to the default") {
+    val (sf1, m1) = Bench.loadCommittedMedians("sf1")
+      .getOrElse(fail("bench_medians_sf1.tsv resource missing"))
+    assert(sf1 === "sf1", "the sf1 run must resolve its OWN snapshot, so " +
+      "the regression tripwire compares sf1 medians against sf1 medians")
+    assert(m1.nonEmpty)
+    val declared = SparkEntry.orderedQueryNames.toSet ++
+      graft.queries.ExtQueries.operatorOnly.keySet.map(_ + "_operator")
+    val stale = m1.keySet.diff(declared)
+    assert(stale.isEmpty, s"sf1 snapshot has undeclared names: $stale")
+    m1.values.foreach(v => assert(v > 0))
+    // an SF with no specific snapshot falls back to the default resource —
+    // whose header then mismatches the run and skips the tripwire cleanly
+    assert(Bench.loadCommittedMedians("sf0.001").map(_._1) === Some("sf0.1"))
+  }
 }
