@@ -83,12 +83,11 @@ object Maintenance {
     import org.apache.spark.sql.functions._
     events.groupBy(date_format(col("ts"), "yyyy-MM").as("month"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        // 1e-12-quantized decimal sum (Exact.dec12 rationale): the
+        // 1e-12-quantized picounit sum (Exact.pico12 rationale): the
         // incremental-refresh ≡ full-rebuild gate compares these totals
         // exactly, and only an order-free sum makes that equality hold by
         // construction rather than by accumulation-order luck
-        sum(graft.functions.Exact.dec12(col("value"))).cast("double")
-          .as("sum_value"))
+        graft.functions.Exact.sum12(col("value")).as("sum_value"))
   }
 
   /** Full (re)build of the at-rest monthly rollup. */

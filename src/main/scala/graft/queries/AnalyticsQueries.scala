@@ -78,7 +78,7 @@ object AnalyticsQueries {
     // model-input pipeline runs over an event log: activity volume, event-
     // type breadth, distinct active days (calendar dates in the UTC session
     // — the q_calendar convention), value total (order-free 1e-12-quantized
-    // decimal sum — Exact.dec12, r12 — snapped only as output formatting),
+    // decimal sum — Exact.pico12, r12 — snapped only as output formatting),
     // and first/last activity as exact µs instants. ONE
     // partial-agg shuffle keyed on user_id; at 100 TB this is the cheapest
     // possible per-entity featurization shape.
@@ -88,7 +88,7 @@ object AnalyticsQueries {
              |  CAST(COUNT(*) AS BIGINT) AS n_events,
              |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
              |  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
-             |  FLOOR(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS total_value,
+             |  FLOOR(CAST(SUM(CAST(FLOOR(value * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 * 1000000 + 0.5) / 1000000 AS total_value,
              |  epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS first_us,
              |  epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS last_us
              |FROM events GROUP BY user_id""".stripMargin),
@@ -98,7 +98,7 @@ object AnalyticsQueries {
           count(lit(1)).as("n_events"),
           countDistinct($"event_type").as("n_types"),
           countDistinct(to_date($"ts")).as("n_days"),
-          (floor(sum(Exact.dec12($"value")).cast("double") * lit(1000000)
+          (floor(Exact.sum12($"value") * lit(1000000)
             + lit(0.5)) / lit(1000000))
             .as("total_value"),
           unix_micros(min($"ts")).as("first_us"),
@@ -148,14 +148,14 @@ object AnalyticsQueries {
       Some("""SELECT CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS INT) AS hour_of_day,
              |  event_type,
              |  CAST(COUNT(*) AS BIGINT) AS n_events,
-             |  FLOOR(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000 AS avg_value
+             |  FLOOR(CAST(SUM(CAST(FLOOR(value * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 / COUNT(*) * 1000000 + 0.5) / 1000000 AS avg_value
              |FROM events GROUP BY 1, 2""".stripMargin),
       (s, dir) => {
         import s.implicits._
         t(s, dir, "events")
           .groupBy(hour($"ts").as("hour_of_day"), $"event_type")
           .agg(count(lit(1)).as("n_events"),
-            (floor(sum(Exact.dec12($"value")).cast("double") / count(lit(1))
+            (floor(Exact.sum12($"value") / count(lit(1))
               * lit(1000000) + lit(0.5))
               / lit(1000000)).as("avg_value"))
       }),
@@ -391,7 +391,7 @@ object AnalyticsQueries {
     // generator does the 1→2 expansion inline (no shuffle until the agg);
     // the oracle derives the same two window starts arithmetically
     // (floor-to-slide minus {0, slide}) and UNION ALLs them. Counts exact;
-    // value sums aggregate 1e-12-quantized decimals (Exact.dec12, r12),
+    // value sums aggregate 1e-12-quantized decimals (Exact.pico12, r12),
     // the 2-decimal snap is output formatting only.
     QueryDef(
       "q_window_hopping",
@@ -404,14 +404,14 @@ object AnalyticsQueries {
              |  SELECT event_type, value, ts_us - ts_us % 1800000000 - 1800000000 FROM e)
              |SELECT w AS window_start_us, event_type,
              |  CAST(COUNT(*) AS BIGINT) AS n_events,
-             |  FLOOR(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS sum_value
+             |  FLOOR(CAST(SUM(CAST(FLOOR(value * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 * 100.0 + 0.5) / 100.0 AS sum_value
              |FROM x GROUP BY 1, 2""".stripMargin),
       (s, dir) => {
         import s.implicits._
         t(s, dir, "events")
           .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
           .agg(count(lit(1)).as("n_events"),
-            (floor(sum(Exact.dec12($"value")).cast("double") * 100.0 + 0.5)
+            (floor(Exact.sum12($"value") * 100.0 + 0.5)
               / 100.0).as("sum_value"))
           .select(unix_micros($"window.start").as("window_start_us"),
             $"event_type", $"n_events", $"sum_value")
@@ -423,7 +423,7 @@ object AnalyticsQueries {
     // with Δt from lead(). One window + one agg on the same key = the
     // window's sort carries into the agg, single shuffle. Δt is exact
     // integer µs; the v·Δt numerator sums 1e-12-quantized decimals
-    // (Exact.dec12, r12 — order-free, so the ratio is bit-identical
+    // (Exact.pico12, r12 — order-free, so the ratio is bit-identical
     // cross-engine) and the 1e-6 snap is output formatting only.
     QueryDef(
       "q_time_weighted",
@@ -436,7 +436,7 @@ object AnalyticsQueries {
              |  FROM e)
              |SELECT user_id,
              |  CAST(SUM(dt) AS BIGINT) AS total_us,
-             |  FLOOR(CAST(SUM(CAST(value * dt AS DECIMAL(38,12))) AS DOUBLE) / SUM(dt) * 1000000 + 0.5) / 1000000 AS twa
+             |  FLOOR(CAST(SUM(CAST(FLOOR(value * 1e12 + 0.5) AS DECIMAL(38,0)) * dt) AS DOUBLE) / 1e12 / SUM(dt) * 1000000 + 0.5) / 1000000 AS twa
              |FROM d WHERE dt IS NOT NULL
              |GROUP BY 1 HAVING SUM(dt) > 0""".stripMargin),
       (s, dir) => {
@@ -448,10 +448,14 @@ object AnalyticsQueries {
           .where($"dt".isNotNull)
           .groupBy($"user_id")
           .agg(sum($"dt").as("total_us"),
-            sum(Exact.dec12($"value" * $"dt")).cast("double").as("num"))
+            // quantize the VALUE, then weight by the exact integer dt —
+            // the product stays exact decimal and never needs its own
+            // quantization (which would overflow pico12's long floor)
+            sum(Exact.pico12($"value") * $"dt").cast("double").as("num"))
           .where($"total_us" > 0)
           .select($"user_id", $"total_us",
-            (floor($"num" / $"total_us" * 1000000.0 + 0.5) / 1000000.0).as("twa"))
+            (floor($"num" / lit(1e12) / $"total_us" * 1000000.0 + 0.5)
+              / 1000000.0).as("twa"))
       }),
 
     // ------------------------------------------------------------------
@@ -741,7 +745,7 @@ object AnalyticsQueries {
     // bursty users aggregate a genuinely different set than q_moving_avg's
     // ROWS frame. Same one-shuffle window shape; the frame CONTENT is
     // deterministic (exact µs bounds), the sum inside it aggregates
-    // 1e-12-quantized decimals (Exact.dec12, r12) with the 2-decimal snap
+    // 1e-12-quantized decimals (Exact.pico12, r12) with the 2-decimal snap
     // as output formatting.
     QueryDef(
       "q_range_window",
@@ -751,7 +755,7 @@ object AnalyticsQueries {
              |  FROM events)
              |SELECT event_id, user_id, ts_us,
              |  CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
-             |  FLOOR(CAST(SUM(CAST(value AS DECIMAL(38,12))) OVER w AS DOUBLE) * 100.0 + 0.5) / 100.0 AS sum_1h
+             |  FLOOR(CAST(SUM(CAST(FLOOR(value * 1e12 + 0.5) AS DECIMAL(38,0))) OVER w AS DOUBLE) / 1e12 * 100.0 + 0.5) / 100.0 AS sum_1h
              |FROM e
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
              |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin),
@@ -763,8 +767,8 @@ object AnalyticsQueries {
           .select($"event_id", $"user_id", $"value", unix_micros($"ts").as("ts_us"))
           .select($"event_id", $"user_id", $"ts_us",
             count(lit(1)).over(w).as("n_1h"),
-            (floor(sum(Exact.dec12($"value")).over(w).cast("double") * 100.0
-              + 0.5) / 100.0).as("sum_1h"))
+            (floor(sum(Exact.pico12($"value")).over(w).cast("double")
+              / lit(1e12) * 100.0 + 0.5) / 100.0).as("sum_1h"))
       }),
 
     // ------------------------------------------------------------------

@@ -349,15 +349,15 @@ object CoreQueries {
     // the streaming path (streaming/Streaming.windowedTypeAgg) so the same
     // logical shape is oracle-checked. window().start of a 1-hour tumbling
     // window == date_trunc('hour'); compared as epoch µs per the events-ns
-    // convention. Sums of events.value aggregate 1e-12-quantized decimals
-    // (Exact.dec12, r12) — order-free bit-identical at any scale — with the
-    // 2-decimal snap kept as pure output formatting.
+    // convention. Sums of events.value aggregate IEEE-portable picounit
+    // integers (Exact.pico12, r12) — order-free bit-identical at any
+    // scale — with the 2-decimal snap kept as pure output formatting.
     QueryDef(
       "q_window_tumbling",
       Some("""SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
              |  event_type,
              |  CAST(COUNT(*) AS BIGINT) AS n_events,
-             |  FLOOR(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS sum_value,
+             |  FLOOR(CAST(SUM(CAST(FLOOR(value * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 * 100.0 + 0.5) / 100.0 AS sum_value,
              |  MAX(value) AS peak_value
              |FROM events
              |GROUP BY 1, 2""".stripMargin),
@@ -367,7 +367,7 @@ object CoreQueries {
           .groupBy(window($"ts", "1 hour"), $"event_type")
           .agg(
             count(lit(1)).as("n_events"),
-            snap(sum(Exact.dec12($"value")).cast("double"), 100.0).as("sum_value"),
+            snap(Exact.sum12($"value"), 100.0).as("sum_value"),
             max($"value").as("peak_value"))
           .select(
             unix_micros($"window.start").as("window_start_us"),

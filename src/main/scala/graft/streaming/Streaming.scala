@@ -130,13 +130,13 @@ object Streaming {
       .groupBy(window(col("ts"), window_, slide), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        // 1e-12-quantized decimal sum (Exact.dec12 rationale): a streaming
-        // agg folds values in ARRIVAL order, so an order-dependent double
-        // sum would differ between a replayed and a single-run stream —
-        // decimal partial aggregation makes the window total bit-identical
-        // under any batch boundaries, matching the batch twin exactly
-        sum(graft.functions.Exact.dec12(col("value"))).cast("double")
-          .as("sum_value"),
+        // 1e-12-quantized picounit sum (Exact.pico12 rationale): a
+        // streaming agg folds values in ARRIVAL order, so an
+        // order-dependent double sum would differ between a replayed and
+        // a single-run stream — exact decimal partial aggregation makes
+        // the window total bit-identical under any batch boundaries,
+        // matching the batch twin exactly
+        graft.functions.Exact.sum12(col("value")).as("sum_value"),
         max(col("value")).as("peak_value"))
       .select(
         col("window.start").as("window_start"),
