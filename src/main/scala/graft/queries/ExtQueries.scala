@@ -616,9 +616,10 @@ object ExtQueries {
           sc.agg(expr(s"percentile_approx(q, $fracs, 10000)").as("vs"))
             .select(transform($"vs", v => snap(v)).as("vs")))
       } else {
-        // rank targets ceil(n * i/10): n is exact below 2^53, the product
-        // and ceil are the same IEEE ops in both engines (q_length_quantiles
-        // precedent). The 2-narrow-column projection is materialized ONCE
+        // rank targets ceil(n * i/10): n is exact below 2^53 and the oracle
+        // renders the same double constant (${i/10.0}e0), so the product and
+        // ceil are the same IEEE ops in both engines BY CONSTRUCTION
+        // (q_length_quantiles precedent). The 2-narrow-column projection is materialized ONCE
         // (eager localCheckpoint, the q_pagerank lifecycle) and then feeds
         // globalRowNumber's range sampling + shuffle, zipWithIndex's count
         // job, the n scalar, AND the binning join — each would otherwise
@@ -1902,9 +1903,9 @@ object ExtQueries {
              |    COUNT(*) OVER (PARTITION BY source) AS n
              |  FROM w)
              |SELECT source,
-             |  MAX(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT) THEN nw END) AS p25_words,
-             |  MAX(CASE WHEN rn = CAST(ceil(n * 0.50) AS BIGINT) THEN nw END) AS p50_words,
-             |  MAX(CASE WHEN rn = CAST(ceil(n * 0.90) AS BIGINT) THEN nw END) AS p90_words
+             |  MAX(CASE WHEN rn = CAST(ceil(n * 0.25e0) AS BIGINT) THEN nw END) AS p25_words,
+             |  MAX(CASE WHEN rn = CAST(ceil(n * 0.5e0) AS BIGINT) THEN nw END) AS p50_words,
+             |  MAX(CASE WHEN rn = CAST(ceil(n * 0.9e0) AS BIGINT) THEN nw END) AS p90_words
              |FROM r GROUP BY source""".stripMargin),
       (s, dir) => {
         import s.implicits._
@@ -5582,8 +5583,13 @@ object ExtQueries {
     QueryDef(
       "q_quality_vs_dup",
       Some {
+        // ${i / 10.0} renders the EXACT double the Spark side multiplies by
+        // (lit(i / 10.0)); the e0 suffix keeps DuckDB from lexing it as
+        // DECIMAL — same IEEE constant, same multiply, same ceil in both
+        // engines by construction (ADVICE r12: a bare 0.$i was exact-DECIMAL
+        // arithmetic that only agreed by error analysis)
         val targets = (1 to 9).map(i =>
-          s"CAST(ceil(n * 0.$i) AS BIGINT)").mkString(", ")
+          s"CAST(ceil(n * ${i / 10.0}e0) AS BIGINT)").mkString(", ")
         s"""WITH RECURSIVE $jaccardPairsCte, $componentsCte,
            |sizes AS (
            |  SELECT component, CAST(count(*) AS BIGINT) AS n_members

@@ -107,27 +107,33 @@ class DailyJobSpec extends SparkSpec {
     */
   private def copyFlat(src: String, dst: Path): Unit = {
     import scala.jdk.CollectionConverters._
-    Files.walk(Paths.get(src)).iterator().asScala
+    val walk = Files.walk(Paths.get(src))
+    try walk.iterator().asScala
       .filter(Files.isRegularFile(_))
       .foreach(p => Files.copy(p, dst.resolve(p.getFileName.toString),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+    finally walk.close()
   }
   private def clearFlat(dir: String): Unit = {
     import scala.jdk.CollectionConverters._
-    Files.walk(Paths.get(dir)).iterator().asScala
+    val walk = Files.walk(Paths.get(dir))
+    try walk.iterator().asScala
       .filter(Files.isRegularFile(_)).foreach(Files.delete(_))
+    finally walk.close()
   }
 
   private def md5s(dir: Path): Map[String, String] = {
     if (!Files.exists(dir)) return Map.empty
     val md = MessageDigest.getInstance("MD5")
     import scala.jdk.CollectionConverters._
-    Files.walk(dir).iterator().asScala
+    val walk = Files.walk(dir)
+    try walk.iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
       .map { p =>
         md.reset()
         p.toString -> java.util.HexFormat.of().formatHex(md.digest(Files.readAllBytes(p)))
       }.toMap
+    finally walk.close()
   }
 
   /** One daily run, OPERATIONS.md order; `crashBeforeRollup` kills the job

@@ -268,20 +268,30 @@ class RecallSpec extends SparkSpec {
       .withColumn("vec_id", col("vec_id") + 1000000L)
     def snapshotDir(src: String): Path = {
       val dst = Files.createTempDirectory("graft_ivf_side_")
-      Files.walk(java.nio.file.Paths.get(src)).iterator().asScala
+      val walk = Files.walk(java.nio.file.Paths.get(src))
+      try walk.iterator().asScala
         .filter(Files.isRegularFile(_)).foreach { p =>
           Files.copy(p, dst.resolve(p.getFileName.toString))
         }
+      finally walk.close()
       dst
     }
     val saved = snapshotDir(s"$path/centroids")
     Ivf.refresh(spark, path, "embedding", more)
     // roll the sidecar back (stale counts/centroids, appended rows live)
-    Files.walk(java.nio.file.Paths.get(s"$path/centroids")).iterator().asScala
-      .filter(Files.isRegularFile(_)).foreach(Files.delete)
-    Files.walk(saved).iterator().asScala.filter(Files.isRegularFile(_))
-      .foreach(p => Files.copy(p,
-        java.nio.file.Paths.get(s"$path/centroids").resolve(p.getFileName.toString)))
+    locally {
+      val walk = Files.walk(java.nio.file.Paths.get(s"$path/centroids"))
+      try walk.iterator().asScala
+        .filter(Files.isRegularFile(_)).foreach(Files.delete)
+      finally walk.close()
+    }
+    locally {
+      val walk = Files.walk(saved)
+      try walk.iterator().asScala.filter(Files.isRegularFile(_))
+        .foreach(p => Files.copy(p,
+          java.nio.file.Paths.get(s"$path/centroids").resolve(p.getFileName.toString)))
+      finally walk.close()
+    }
     assert(sidecarTotal() < dataCount(), "crash-window fixture not stale")
 
     // the rerun must dedup every row AND heal the stale sidecar
