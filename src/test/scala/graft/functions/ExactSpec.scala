@@ -85,6 +85,36 @@ class ExactSpec extends SparkSpec {
       "double sums no longer order-sensitive on the pool — weak fixture")
   }
 
+  test("the domain bound is enforced, not documentation (r13, VERDICT r12 " +
+    "#3): in-domain values next to the 9e6 cliff still quantize exactly, " +
+    "out-of-domain values fail LOUDLY instead of saturating silently") {
+    // just under the enforced bound: the portable rule still holds bit-exact
+    val nearBound = Seq(8999999.999999, -8999999.875, Exact.maxAbs - 1.0,
+      1.0 - Exact.maxAbs)
+    val got = nearBound.toDF("v")
+      .select(Exact.pico12(col("v")).cast("string")).as[String].collect()
+    nearBound.zip(got).foreach { case (d, s) =>
+      assert(new JBigDecimal(s).doubleValue() == math.floor(d * 1e12 + 0.5),
+        s"near-bound pico12($d) = $s")
+    }
+    // at/over the bound: the row errors — the saturation class
+    // (Spark LONG floor clamps, DuckDB DOUBLE floor doesn't) can never
+    // ship a silently-wrong total
+    for (bad <- Seq(Exact.maxAbs, 9.3e6, -1.0e7, 1.0e18)) {
+      val e = intercept[Exception] {
+        Seq(bad).toDF("v").agg(Exact.sum12(col("v"))).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("pico12")),
+        s"out-of-domain $bad did not raise the pico12 domain error: $e")
+    }
+    // NULL still passes through as NULL, exactly as the bare floor did
+    val nullRow = Seq[Option[Double]](None, Some(2.5)).toDF("v")
+      .select(Exact.pico12(col("v"))).collect()
+    assert(nullRow.count(_.isNullAt(0)) == 1)
+  }
+
   test("per-term quantization error is bounded by 5e-13 + ~2 ulp of the " +
     "scaled term — at/below the value domain's own resolution") {
     pool.foreach { d =>
