@@ -267,10 +267,32 @@ object Codecs {
   /** Full pixel decode via the JDK's built-in readers (BMP/PNG/JPEG/GIF).
     * None when no reader claims the bytes (or the cell is NULL) — the
     * caller's stub seam.
+    *
+    * Uses an EXPLICIT in-memory ImageInputStream (r13): the
+    * `ImageIO.read(InputStream)` convenience spools every call through a
+    * TEMP FILE by default (`FileCacheImageInputStream` — getUseCache()
+    * is true out of the box), which at one decode per document means the
+    * per-doc cost is dominated by file creation syscalls and varies with
+    * filesystem state — the shape behind the driver-flagged
+    * q_media_resize bench wobble. The MemoryCache stream keeps decode
+    * heap-only and deterministic in cost, without flipping the JVM-global
+    * `ImageIO.setUseCache` switch on library consumers.
     */
   def decodeImage(b: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (b == null) None
-    else Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(b)))
+    else {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new ByteArrayInputStream(b))
+      // ImageIO.read(ImageInputStream) closes the stream itself once a
+      // reader claims it (JDK behavior, despite the javadoc); the guarded
+      // close below only matters on the no-reader path, where the stream
+      // is still open — a second close on MemoryCacheImageInputStream
+      // throws IOException("closed"), so swallow exactly that.
+      try Option(javax.imageio.ImageIO.read(iis))
+      finally {
+        try iis.close() catch { case _: java.io.IOException => () }
+      }
+    }
 
   /** REAL resize: decode → bilinear Graphics2D resample → PNG re-encode.
     * Headless-safe (BufferedImage rasters never touch a display).
@@ -286,7 +308,12 @@ object Codecs {
         g.drawImage(img, 0, 0, targetW, targetH, null)
       } finally g.dispose()
       val baos = new ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(out, "png", baos)
+      // explicit in-memory ImageOutputStream for the same reason as
+      // decodeImage: the OutputStream convenience overload writes through
+      // a FileCacheImageOutputStream temp file per call
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+      try javax.imageio.ImageIO.write(out, "png", ios)
+      finally { ios.flush(); ios.close() }
       baos.toByteArray
     }
 }
