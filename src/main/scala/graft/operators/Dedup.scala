@@ -303,9 +303,29 @@ object Dedup {
     * hex digits (60 bits, always positive in a signed 64-bit lane) reduced
     * mod [[PortablePrime]]. DuckDB replays it as
     * `CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT) % p`.
+    *
+    * Since r13 the hot signature path computes this value inside
+    * [[graft.functions.expr.PortableMinSig]] (same bytes, same digest,
+    * same reduction — gated bit-equal by OperatorsSpec); this Column
+    * spelling remains the readable contract and serves one-off scalar use.
     */
   private def portableBaseHash(shingle: Column): Column =
     md5PrefixLong(shingle, 15) % PortablePrime
+
+  /** The one-pass native signature expression (r13, VERDICT r12 #4): all
+    * `nPerms` portable minimums in a single row-local loop — no shingle
+    * explode, no aggregation exchange. NULL for docs with fewer than
+    * `shingleN` tokens (exactly the docs the explode pipeline emitted no
+    * row for). Wrapped in [[longArrayBarrier]] by callers before any
+    * filter, so predicate pushdown can't clone the loop into a scan-side
+    * filter (the arrayBarrier discipline).
+    */
+  private def portableSigExpr(toks: Column, shingleN: Int, nPerms: Int): Column = {
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    val (as, bs) = (0 until nPerms).map(portableCoef).unzip
+    B.column(graft.functions.expr.GraftPortableMinSig(
+      B.expression(toks), shingleN, as.toArray, bs.toArray))
+  }
 
   /** [[minhashBandBuckets]] with the ENGINE-PORTABLE hash family: md5-based
     * base hash + affine permutations mod 2^31−1 instead of 32 seeded
@@ -321,32 +341,33 @@ object Dedup {
     * stays the 64-bit xxhash64 family; this family is for
     * oracle-certified runs and cross-engine reproducibility.
     *
-    * Same scale shape as the default family: shingles explode once, the
-    * per-perm mins combine map-side, the shuffle carries one row per
-    * (doc × perm). The base hash is ONE md5 per shingle row; the 32
-    * affine transforms ride the aggregation as multiply-mod terms.
+    * Scale shape since r13: the signature is computed in ONE row-local
+    * pass ([[portableSigExpr]] — shingle bytes → md5 → affine mins, no
+    * 500×-the-corpus shingle explode, no aggregation exchange; measured
+    * ~8 s → <1 s at sf1), so the stage's only exchange is the band-bucket
+    * shuffle of one (doc × band) row. Values are bit-identical to the
+    * previous explode+min-agg spelling — every committed oracle/spec
+    * pinning the draws is unchanged, and OperatorsSpec gates the native
+    * loop against the declarative Column spelling directly.
     */
   def portableBandBuckets(tokenized: DataFrame, shingleN: Int = 3,
       nPerms: Int = 32, nBands: Int = 8): DataFrame = {
     require(nBands >= 1 && nBands <= nPerms && nPerms % nBands == 0,
       s"nBands ($nBands) must divide nPerms ($nPerms)")
     val rowsPerBand = nPerms / nBands
-    val sh = tokenized
-      .select(col("doc_id"),
-        explode(arrayBarrier(shinglesFromTokens(col("toks"), shingleN))).as("shingle"))
-      .select(col("doc_id"), portableBaseHash(col("shingle")).as("u"))
-    val sig = sh.groupBy(col("doc_id")).agg(
-      min((lit(portableCoef(0)._1) * col("u") + lit(portableCoef(0)._2))
-        % PortablePrime).as("h0"),
-      (1 until nPerms).map { i =>
-        val (a, b) = portableCoef(i)
-        min((lit(a) * col("u") + lit(b)) % PortablePrime).as(s"h$i")
-      }: _*)
+    val sig = portableSignatures(tokenized, shingleN, nPerms)
     sig.select(col("doc_id"), explode(array((0 until nBands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand)
-          .map(i => col(s"h$i")): _*).as("bucket"))
+          .map(i => element_at(col("sig"), i + 1).cast("string")): _*).as("bucket"))
     }: _*)).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+      // one explicit bucket-keyed exchange (the Jaccard-candidates
+      // convention): groupPairs reads this relation TWICE (count-first cap,
+      // then pairing) and the r12 plan's signature-agg exchange no longer
+      // exists to be reused — without this both passes would re-run the
+      // signature loop; with it the second pass is a ReusedExchange, and
+      // the downstream (band, bucket) aggregation/join need no new shuffle
+      .repartition(col("band"), col("bucket"))
   }
 
   /** The portable family's raw signature vector (doc_id, sig ARRAY<long>
@@ -359,17 +380,12 @@ object Dedup {
     * empty set is undefined), matching the band-bucket behavior.
     */
   def portableSignatures(tokenized: DataFrame, shingleN: Int = 3,
-      nPerms: Int = 32): DataFrame = {
-    val sh = tokenized
+      nPerms: Int = 32): DataFrame =
+    tokenized
       .select(col("doc_id"),
-        explode(arrayBarrier(shinglesFromTokens(col("toks"), shingleN))).as("shingle"))
-      .select(col("doc_id"), portableBaseHash(col("shingle")).as("u"))
-    sh.groupBy(col("doc_id")).agg(
-      array((0 until nPerms).map { i =>
-        val (a, b) = portableCoef(i)
-        min((lit(a) * col("u") + lit(b)) % PortablePrime)
-      }: _*).as("sig"))
-  }
+        longArrayBarrier(
+          portableSigExpr(col("toks"), shingleN, nPerms)).as("sig"))
+      .where(col("sig").isNotNull)
 
   /** Analytic LSH S-curve (MMDS §3.4.2): the probability that a pair whose
     * per-permutation agreement probability is `s` — by the MinHash

@@ -40,6 +40,51 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
   }
 
+  test("one-pass native portable signatures are BIT-IDENTICAL to the " +
+    "declarative explode+min spelling on a real corpus plus edge docs " +
+    "(r13 — the gate that lets the hot path replace the Column pipeline)") {
+    // the r12 declarative spelling, re-built verbatim as the reference:
+    // explode shingles -> md5-prefix base hash -> 32 affine min-aggs
+    val p = 2147483647L
+    def declarative(tok: org.apache.spark.sql.DataFrame, shingleN: Int,
+        nPerms: Int): Map[Long, Seq[Long]] =
+      tok.select($"doc_id",
+          explode(TextFunctions.arrayBarrier(
+            TextFunctions.shinglesFromTokens($"toks", shingleN))).as("shingle"))
+        .select($"doc_id",
+          (TextFunctions.md5PrefixLong($"shingle", 15) % p).as("u"))
+        .groupBy($"doc_id").agg(
+          array((0 until nPerms).map { i =>
+            val (a, b) = Dedup.portableCoef(i)
+            min((lit(a) * $"u" + lit(b)) % p)
+          }: _*).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+    val edge = Seq(
+      (100000L, "one two"),                    // < shingleN tokens: NO signature
+      (100001L, "one two three"),              // exactly shingleN: one shingle
+      (100002L, "a a a a a a"),                // repeated shingle values
+      (100003L, "naïve café über tokens here"),// multi-byte UTF-8 in the digest
+      (100004L, "  spaced   out\ttokens\nhere now  ")) // tokenizer whitespace
+      .toDF("doc_id", "text")
+    val corpus = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text").unionAll(edge)
+    val tok = corpus.select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+
+    for ((n, perms) <- Seq((3, 32), (2, 16))) {
+      val want = declarative(tok, n, perms)
+      val got = Dedup.portableSignatures(tok, n, perms)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(want.nonEmpty && got.keySet == want.keySet,
+        s"doc sets differ at n=$n: onlyNative=${(got.keySet -- want.keySet).take(3)} " +
+          s"onlyDeclarative=${(want.keySet -- got.keySet).take(3)}")
+      if (n == 3) // "one two" has no 3-shingle but exactly one 2-shingle
+        assert(!got.contains(100000L), "a short doc produced a signature")
+      val diffs = got.collect { case (id, s) if want(id) != s => id }
+      assert(diffs.isEmpty, s"signature mismatch for docs ${diffs.take(3)} at n=$n")
+    }
+  }
+
   test("portable MinHash family mirrors the xxhash family's behavior and " +
     "stays recall-sane on the fixture corpus") {
     // tiny corpus: the portable family must find the same structure the
@@ -262,7 +307,7 @@ class OperatorsSpec extends SparkSpec {
     "(below the shingle horizon) via the content-hash fallback") {
     // "yes or no" has 3 tokens < shingleN=4 → zero 4-gram shingles → no
     // LSH signature; before the fallback an exact copy passed silently
-    val bench = Seq((100L, "yes or no")).toDF("doc_id", "text")
+    val bench = Seq((100000L, "yes or no")).toDF("doc_id", "text")
     val corpus = Seq(
       (1L, "yes or no"),              // exact short copy → must flag
       (2L, "yes or  NO "),            // token-normalized same → must flag
@@ -572,8 +617,8 @@ class OperatorsSpec extends SparkSpec {
       (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e")
     }.toDF("doc_id", "text")
     val bench = Seq(
-      (100L, "w3a w3b w3c w3d zzz"),  // doc 3 shares two 3-grams
-      (101L, "w7c w7d w7e tail"))     // doc 7 shares one
+      (100000L, "w3a w3b w3c w3d zzz"),  // doc 3 shares two 3-grams
+      (100001L, "w7c w7d w7e tail"))     // doc 7 shares one
       .toDF("bid", "btext")
     val exact = Dedup.decontaminate(docs, "doc_id", "text", bench, "btext")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
