@@ -528,10 +528,19 @@ object Streaming {
           .localCheckpoint()
         try {
           if (!passing.isEmpty) {
+            // coalesce the per-batch append: without it every micro-batch
+            // lands shuffle.partitions (32) tiny files and the next probe's
+            // listing cost climbs all the way to the compaction point —
+            // the r13 soak measured per-batch latency growing 3.9 → 8.4 s
+            // across a 10-batch window from file count alone. A batch's
+            // band rows are micro-batch-sized; 4 files keeps the append
+            // parallel enough while the listing stays flat (compaction
+            // still owns the long-run bucket-clustered layout).
             graft.etl.Maintenance.appendManifested(
               bands.join(passing.select(col("__doc_id").as("doc_id")),
                   Seq("doc_id"), "left_semi")
-                .withColumn("batch_id", lit(batchId)),
+                .withColumn("batch_id", lit(batchId))
+                .coalesce(4),
               indexDir)
             passing.drop("__doc_id")
               .withColumn("ingest_batch", lit(batchId))

@@ -1,0 +1,71 @@
+package graft.tools
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only shakeout-corpus generator (r13, VERDICT r12 #5): multiplies the
+  * DOCUMENT/EMBEDDING tables ×m from a base SF dir — the heavy families are
+  * all corpus-side — and symlinks the other tables unchanged (facts stay at
+  * the base scale). Copies follow the growth-twin conventions (ExtQueries
+  * docsTimes/embTimes): ids shift by c·10⁷ (the base ids stay < 10⁷), text
+  * carries a copy-distinct perturbation token (boundaries and hashes
+  * shift — a bigger crawl, not m replicas piling into identical buckets),
+  * embeddings get the seedless sin(id, copy, dim)·0.05 perturbation.
+  * `n_chars` is recomputed as length(text) so columns that derive fixture
+  * parameters from it stay consistent; `lang`/`source`/`label` carry from
+  * the base row.
+  *
+  * Usage: runMain graft.tools.GenScaleCorpus <baseDir> <outDir> <m>
+  */
+object GenScaleCorpus {
+  def main(args: Array[String]): Unit = {
+    val baseDir = args(0)
+    val outDir = args(1)
+    val m = args(2).toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+
+    val d = Tables.load(spark, baseDir, "documents")
+    (0 until m).map { c =>
+      if (c == 0) d
+      else d.select(
+        (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+        concat(col("text"), lit(s" c$c v"), col("doc_id") % 97).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val e = Tables.load(spark, baseDir, "embeddings")
+    (0 until m).map { c =>
+      if (c == 0) e
+      else e.select(
+        (col("vec_id") + lit(c * 10000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x + sin((col("vec_id") * (c * 7 + 1) + i).cast("double")) * lit(0.05))
+            .cast("float")).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    for (t <- Tables.dims ++ Tables.facts) {
+      val link = java.nio.file.Paths.get(outDir, s"$t.parquet")
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(baseDir, s"$t.parquet"))
+    }
+    println(s"[gen] $outDir: documents x$m, embeddings x$m from $baseDir; " +
+      "other tables symlinked")
+    spark.stop()
+  }
+}
