@@ -177,6 +177,18 @@ object Bench {
 
     def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         name: String): Double = {
+      // Release the previous query's leftover storage blocks BEFORE the
+      // timer starts: queries that localCheckpoint internally (CC loops,
+      // pagerank, the exact-rank cuts) leave blocks pinned until the driver
+      // GCs the RDD handles, and ContextCleaner's periodic GC defaults to
+      // 30 min — across a 195-query sweep at large SF the accumulation
+      // squeezes execution memory and can kill the executor outright (an
+      // r13 sf10 ladder died mid-query exactly this way). Cleanup is
+      // untimed; every query is measured from a clean block manager, which
+      // also stops one query's leftovers from distorting the next one's
+      // timing.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune projection-only
       // work, timing a select-heavy query as a bare row count

@@ -7,14 +7,24 @@ import org.apache.spark.sql.functions._
 /** Dev-only shakeout-corpus generator (r13, VERDICT r12 #5): multiplies the
   * DOCUMENT/EMBEDDING tables ×m from a base SF dir — the heavy families are
   * all corpus-side — and symlinks the other tables unchanged (facts stay at
-  * the base scale). Copies follow the growth-twin conventions (ExtQueries
-  * docsTimes/embTimes): ids shift by c·10⁷ (the base ids stay < 10⁷), text
-  * carries a copy-distinct perturbation token (boundaries and hashes
-  * shift — a bigger crawl, not m replicas piling into identical buckets),
-  * embeddings get the seedless sin(id, copy, dim)·0.05 perturbation.
-  * `n_chars` is recomputed as length(text) so columns that derive fixture
-  * parameters from it stay consistent; `lang`/`source`/`label` carry from
-  * the base row.
+  * the base scale). Ids shift by c·10⁷ (the base ids stay < 10⁷);
+  * embeddings get the seedless sin(id, copy, dim)·0.05 perturbation
+  * (the embTimes convention); `n_chars` is recomputed as length(text) so
+  * columns that derive fixture parameters from it stay consistent;
+  * `lang`/`source`/`label` carry from the base row.
+  *
+  * Text copies suffix EVERY whitespace token with a copy marker
+  * (`foo` → `foo_c17`) rather than appending one trailing token (the
+  * docsTimes m ≤ 4 convention): a trailing token leaves every internal
+  * shingle byte-identical across copies, so shingle document frequency
+  * multiplies ×m and at m ≫ maxDf the whole rare-feature family
+  * (jaccard/containment/winnow candidates, maxDf = 20) degenerates to ZERO
+  * pairs — the first sf10 ladder measured exactly that (45 s of shingle
+  * exchange, pairs=0). Per-token suffixes keep copies one-token-per-token
+  * isomorphic to the base doc, so each copy reproduces the base pair
+  * structure at base df (total pairs ≈ m × base — the linear shape of a
+  * genuinely bigger crawl), and cross-copy shingle overlap is zero.
+  * Copy 0 stays byte-identical to the base corpus.
   *
   * Usage: runMain graft.tools.GenScaleCorpus <baseDir> <outDir> <m>
   */
@@ -38,7 +48,7 @@ object GenScaleCorpus {
       if (c == 0) d
       else d.select(
         (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
-        concat(col("text"), lit(s" c$c v"), col("doc_id") % 97).as("text"),
+        regexp_replace(col("text"), "(\\S+)", s"$$1_c$c").as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
       .withColumn("n_chars", length(col("text")).cast("long"))

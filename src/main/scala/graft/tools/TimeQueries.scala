@@ -42,6 +42,15 @@ object TimeQueries {
     names.foreach { name =>
       val fn = resolve(name)
       val ts = (1 to repeats).map { _ =>
+        // Release the PREVIOUS run's leftover storage blocks before timing:
+        // queries that localCheckpoint internally (CC, pagerank, rank cuts)
+        // leave their blocks pinned until the driver GCs the RDD handles,
+        // and ContextCleaner's periodic GC defaults to 30 min — an sf10
+        // ladder accumulated ten heavy queries' checkpoints and died with
+        // executor OOM mid-query (r13). Cleanup runs OUTSIDE the timed
+        // window; each query is measured from a clean block manager.
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9

@@ -27,7 +27,10 @@ budget = float(os.environ.get("CROSSCHECK_BUDGET_S", "0") or 0)
 con = duckdb.connect()
 for p in glob.glob(os.path.join(sfdir, "*.parquet")):
     name = os.path.basename(p)[:-len(".parquet")]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    # driver-written testdata is a single parquet FILE per table; corpora
+    # from graft.tools.GenScaleCorpus are Spark parquet DIRECTORIES
+    pat = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{pat}')")
 
 oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
 
