@@ -26,13 +26,25 @@ import org.apache.spark.sql.functions._
   * genuinely bigger crawl), and cross-copy shingle overlap is zero.
   * Copy 0 stays byte-identical to the base corpus.
   *
-  * Usage: runMain graft.tools.GenScaleCorpus <baseDir> <outDir> <m>
+  * An optional fourth arg multiplies the FACT tables too (the r11 sf1
+  * convention — facts id-shifted, dims carried): order keys and event ids
+  * shift by c·10⁷ consistently across orders/lineitem so the join keys
+  * stay aligned; user_id shifts by c·10⁴ (base user ids sit under 10⁴) so
+  * per-user series keep their base cardinality and the USER population
+  * grows — the bigger-crawl shape, not deeper per-key skew; dim foreign
+  * keys (custkey/partkey/suppkey) are carried so every copy references the
+  * same dims and star fan-out grows ×m. Timestamps/prices carry, so
+  * per-window densities grow ×m — the growth a real deployment sees.
+  * Without the arg, facts are symlinked at base scale.
+  *
+  * Usage: runMain graft.tools.GenScaleCorpus <baseDir> <outDir> <m> [mFacts]
   */
 object GenScaleCorpus {
   def main(args: Array[String]): Unit = {
     val baseDir = args(0)
     val outDir = args(1)
     val m = args(2).toInt
+    val mFacts = if (args.length > 3) args(3).toInt else 1
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -68,14 +80,32 @@ object GenScaleCorpus {
       .repartition(4)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
-    for (t <- Tables.dims ++ Tables.facts) {
+    if (mFacts > 1) {
+      def times(name: String, shifted: (org.apache.spark.sql.DataFrame, Int)
+          => org.apache.spark.sql.DataFrame): Unit = {
+        val base = Tables.load(spark, baseDir, name)
+        (0 until mFacts).map(c => if (c == 0) base else shifted(base, c))
+          .reduce(_ unionByName _)
+          .repartition(8)
+          .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      }
+      times("orders", (f, c) => f
+        .withColumn("o_orderkey", col("o_orderkey") + lit(c * 10000000L)))
+      times("lineitem", (f, c) => f
+        .withColumn("l_orderkey", col("l_orderkey") + lit(c * 10000000L)))
+      times("events", (f, c) => f
+        .withColumn("event_id", col("event_id") + lit(c * 10000000L))
+        .withColumn("user_id", col("user_id") + lit(c * 10000L)))
+    }
+    val linked = Tables.dims ++ (if (mFacts > 1) Nil else Tables.facts)
+    for (t <- linked) {
       val link = java.nio.file.Paths.get(outDir, s"$t.parquet")
       java.nio.file.Files.deleteIfExists(link)
       java.nio.file.Files.createSymbolicLink(link,
         java.nio.file.Paths.get(baseDir, s"$t.parquet"))
     }
-    println(s"[gen] $outDir: documents x$m, embeddings x$m from $baseDir; " +
-      "other tables symlinked")
+    println(s"[gen] $outDir: documents x$m, embeddings x$m, facts x$mFacts " +
+      s"from $baseDir; dims symlinked")
     spark.stop()
   }
 }
