@@ -40,6 +40,41 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.GenScaleCorpus <baseDir> <outDir> <m> [mFacts]
   */
 object GenScaleCorpus {
+
+  /** ×m document copies with per-token copy suffixes (see object doc). The
+    * committed `bench_medians_sf1.tsv` baseline was measured on corpora
+    * built by exactly this transformation — GenScaleCorpusSpec pins the
+    * three properties the baseline's comparability rests on (id-disjoint
+    * copies, shingle-df scale-invariance, ×m pair growth), so a silent
+    * convention change invalidating the snapshot fails a spec, not a
+    * future round's tripwire triage.
+    */
+  def docCopies(d: org.apache.spark.sql.DataFrame, m: Int)
+      : org.apache.spark.sql.DataFrame =
+    (0 until m).map { c =>
+      if (c == 0) d
+      else d.select(
+        (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"$$1_c$c").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  /** ×m embedding copies: id-shifted with the seedless sin perturbation
+    * (the ExtQueries embTimes convention, label carried).
+    */
+  def embCopies(e: org.apache.spark.sql.DataFrame, m: Int)
+      : org.apache.spark.sql.DataFrame =
+    (0 until m).map { c =>
+      if (c == 0) e
+      else e.select(
+        (col("vec_id") + lit(c * 10000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x + sin((col("vec_id") * (c * 7 + 1) + i).cast("double")) * lit(0.05))
+            .cast("float")).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+
   def main(args: Array[String]): Unit = {
     val baseDir = args(0)
     val outDir = args(1)
@@ -55,28 +90,11 @@ object GenScaleCorpus {
 
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
 
-    val d = Tables.load(spark, baseDir, "documents")
-    (0 until m).map { c =>
-      if (c == 0) d
-      else d.select(
-        (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
-        regexp_replace(col("text"), "(\\S+)", s"$$1_c$c").as("text"),
-        col("lang"), col("source"), col("n_chars"))
-    }.reduce(_ unionByName _)
-      .withColumn("n_chars", length(col("text")).cast("long"))
+    docCopies(Tables.load(spark, baseDir, "documents"), m)
       .repartition(8)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
-    val e = Tables.load(spark, baseDir, "embeddings")
-    (0 until m).map { c =>
-      if (c == 0) e
-      else e.select(
-        (col("vec_id") + lit(c * 10000000L)).as("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          (x + sin((col("vec_id") * (c * 7 + 1) + i).cast("double")) * lit(0.05))
-            .cast("float")).as("embedding"),
-        col("label"))
-    }.reduce(_ unionByName _)
+    embCopies(Tables.load(spark, baseDir, "embeddings"), m)
       .repartition(4)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
