@@ -37,6 +37,12 @@ object Verify {
           .forEach(p => Files.deleteIfExists(p))
         finally walk.close()
       }
+      // Release the previous query's leftover storage blocks (the Bench
+      // discipline, r13): internally-checkpointed queries pin blocks until
+      // driver GC, and a 195-query session at large SF accumulates enough
+      // to exhaust execution memory (an sf10 ladder died exactly this way).
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       // repartition(1), not coalesce(1): coalesce would propagate
       // single-partition parallelism back through the whole query
       try fn(spark, sfDir).repartition(1).write.mode("overwrite")
