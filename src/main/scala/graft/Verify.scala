@@ -58,7 +58,12 @@ object Verify {
       .map { case (k, v) => s"${JsonOut.quote(k)}: ${JsonOut.quote(v.take(500))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/_failed.json"), failedJson)
+    // A filtered run must also filter the oracle sidecar: a full
+    // oracle_sql.json over a partial dump would let a later unfiltered
+    // crosscheck pass STALE parquet (from an older build) for the
+    // unselected queries — the exact failure the stale-delete above guards
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${JsonOut.quote(k)}: ${JsonOut.quote(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

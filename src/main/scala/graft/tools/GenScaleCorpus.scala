@@ -90,6 +90,32 @@ object GenScaleCorpus {
 
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
 
+    // Copy-disjointness preconditions, asserted instead of assumed (r14):
+    // the c·10⁷ / c·10⁴ id shifts and the `_c<k>` token suffix are only
+    // collision-free when the BASE corpus stays inside its domain. Running
+    // the generator on an already-multiplied corpus (stacking sf10 → sf30)
+    // or unusual text would silently emit colliding ids / shingles and
+    // invalidate every growth ratio downstream — fail fast here instead.
+    def assertMaxId(name: String, idCol: String, shift: Long): Unit = {
+      val mx = Tables.load(spark, baseDir, name)
+        .agg(max(col(idCol))).head.getLong(0)
+      require(mx < shift,
+        s"$name.$idCol max=$mx >= shift=$shift — base corpus is not " +
+          "shift-disjoint (already multiplied?); refusing to emit collisions")
+    }
+    assertMaxId("documents", "doc_id", 10000000L)
+    assertMaxId("embeddings", "vec_id", 10000000L)
+    if (mFacts > 1) {
+      assertMaxId("orders", "o_orderkey", 10000000L)
+      assertMaxId("events", "event_id", 10000000L)
+      assertMaxId("events", "user_id", 10000L)
+    }
+    val suffixed = Tables.load(spark, baseDir, "documents")
+      .filter(col("text").rlike("\\S+_c\\d+(\\s|$)")).limit(1).count()
+    require(suffixed == 0,
+      "base documents.text already carries _c<k>-suffixed tokens " +
+        "(already multiplied?); copies would not be shingle-disjoint")
+
     docCopies(Tables.load(spark, baseDir, "documents"), m)
       .repartition(8)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
@@ -118,7 +144,16 @@ object GenScaleCorpus {
     val linked = Tables.dims ++ (if (mFacts > 1) Nil else Tables.facts)
     for (t <- linked) {
       val link = java.nio.file.Paths.get(outDir, s"$t.parquet")
-      java.nio.file.Files.deleteIfExists(link)
+      // a previous mFacts>1 run leaves a REAL parquet directory here, and
+      // deleteIfExists on a non-empty directory throws — remove it
+      // recursively (symlinks delete as plain entries, never followed)
+      if (java.nio.file.Files.isDirectory(link,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        val walk = java.nio.file.Files.walk(link)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      } else java.nio.file.Files.deleteIfExists(link)
       java.nio.file.Files.createSymbolicLink(link,
         java.nio.file.Paths.get(baseDir, s"$t.parquet"))
     }

@@ -116,7 +116,14 @@ for name in sorted(oracle):
         fails += 1
     else:
         print(f"OK   {name} ({len(spark_df)} rows)")
-ran = len(only) if only else len(oracle)
+# count only filter names that actually exist in oracle_sql.json: a
+# typo'd name is skipped by the loop guard and must not inflate the
+# denominator ("0 failures / 12 queries" overstating coverage)
+unknown = sorted(only - oracle.keys())
+if unknown:
+    print(f"WARN: {len(unknown)} filter name(s) match no oracle entry: {unknown}")
+    fails += len(unknown)
+ran = len(only & oracle.keys()) if only else len(oracle)
 suffix = f" ({timeouts} oracle timeouts)" if timeouts else ""
 print(f"\n{fails} failures / {ran} queries{suffix}")
 sys.exit(1 if fails else 0)
