@@ -97,6 +97,57 @@ object Bench {
     }.sortBy { case (_, med, base) => base - med }
   }
 
+  /** One annotated regression flag (r14, VERDICT r13 #1): three rounds
+    * running, a hot driver epoch wrote phantom regressions into the
+    * artifact of record (r13: 14 flags incl. a ×7.7 that re-measured at
+    * 1.1×) while `bench_validity` still read "clean". Each flag now
+    * carries its own 3-sweep min..max and a post-sweep quiet re-measure,
+    * so the artifact itself distinguishes "the epoch was hot when this
+    * query's sweeps ran" from "the plan regressed".
+    */
+  private[graft] final case class RegFlag(name: String, med: Double,
+      base: Double, swMin: Double, swMax: Double, remeasure: Double,
+      status: String) {
+    def detail: String = {
+      def r3(x: Double): Double = math.rint(x * 1000) / 1000
+      val re = if (remeasure >= 0) s";re=${r3(remeasure)}" else ""
+      s"${r3(base)}->${r3(med)};sw=${r3(swMin)}..${r3(swMax)}$re;$status"
+    }
+  }
+
+  /** Flag adjudication from the post-sweep re-measure: `transient` when the
+    * quiet single run lands back under the tripwire's own thresholds
+    * (1.5× ratio or the 0.3 s floor — the same rules that raised the flag),
+    * `confirmed` when it reproduces on a clean epoch, and explicitly
+    * `-under-contention` / `contended-epoch` when the sweeps themselves were
+    * contended, so no flag ever reaches the artifact unannotated.
+    */
+  private[graft] def flagStatus(base: Double, remeasure: Double,
+      validity: String): String =
+    if (remeasure >= 0) {
+      if (remeasure <= 1.5 * base || (remeasure - base) < 0.3) "transient"
+      else if (validity == "clean") "confirmed"
+      else "confirmed-under-contention"
+    } else if (validity == "clean") "unremeasured"
+    else "contended-epoch"
+
+  private[graft] def annotateFlags(regs: Seq[(String, Double, Double)],
+      minMax: Map[String, (Double, Double)], remeasure: Map[String, Double],
+      validity: String): Seq[RegFlag] =
+    regs.map { case (name, med, base) =>
+      val (mn, mx) = minMax.getOrElse(name, (med, med))
+      val re = remeasure.getOrElse(name, -1.0)
+      RegFlag(name, med, base, mn, mx, re, flagStatus(base, re, validity))
+    }
+
+  /** Sweep-dispersion classifier. r13 tightened nothing and a 1.341
+    * dispersion read "clean" while the driver epoch wrote a ×7.7 phantom;
+    * identical work three times should agree well inside 1.3, so ≥ 1.3 now
+    * reads "contended" (r6's genuinely-contended epoch measured 7.7).
+    */
+  private[graft] def classifyValidity(dispersion: Double): String =
+    if (dispersion > 0 && dispersion < 1.3) "clean" else "contended"
+
   private def jnum(x: Double): String = {
     val r = math.rint(x * 1000) / 1000
     if (r == r.toLong) r.toLong.toString else r.toString
@@ -122,25 +173,30 @@ object Bench {
   private[graft] def compactLine(results: Seq[(String, Double)],
       subtimings: Seq[(String, Double)],
       sweepTotals: Seq[Double], dispersion: Double, validity: String,
-      regressions: Seq[(String, Double, Double)], regressionBaseline: String,
+      regressions: Seq[RegFlag], regressionBaseline: String,
       sfDir: String): String = {
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedNames = results.filter(_._2 < 0).map(_._1)
-    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (n, t) => n -> r3(t) }
     // caps keep the worst case bounded: a mass-failure round (the exact
     // case the tail window exists for) must not push the one parsable
     // object out of the window with its own failure list
-    val failedShown = failedNames.take(20)
-    val regShown = regressions.take(8)
-      .map { case (n, med, base) => n -> s"${r3(base)}->${r3(med)}" }
+    val failedShown = failedNames.take(16)
+    // each shown flag carries its own sweep min..max, the post-sweep quiet
+    // re-measure, and the adjudication status (VERDICT r13 #1) — the data
+    // a reader needs to tell a hot epoch from a real plan regression
+    // without leaving the artifact of record
+    val regShown = regressions.take(6).map(f => f.name -> f.detail)
     s"""{"metric":"total","value":${r3(total)},"unit":"sec"""" +
       s""","value_operator_graded":${r3(operatorGradedTotal(results, subtimings))}""" +
       s""","n_queries":${results.size}""" +
       s""","n_failed":${failedNames.size}""" +
       s""","failed":[${failedShown.map(JsonOut.quote).mkString(",")}]""" +
       s""","n_regressions":${regressions.size}""" +
+      s""","n_regressions_confirmed":${
+        regressions.count(_.status.startsWith("confirmed"))}""" +
       s""","regressions":${jmap(regShown.map { case (n, v) => (n, v: Any) })}""" +
       s""","regression_baseline":${JsonOut.quote(regressionBaseline)}""" +
       s""","sweep_totals":[${sweepTotals.map(t => jnum(r3(t))).mkString(",")}]""" +
@@ -273,12 +329,12 @@ object Bench {
     val sweepTotals = sweeps.map(sweepTotal)
     val dispersion =
       if (sweepTotals.min > 0) sweepTotals.max / sweepTotals.min else -1.0
-    val validity = if (dispersion > 0 && dispersion <= 1.5) "clean" else "contended"
+    val validity = classifyValidity(dispersion)
 
     // regression tripwire vs the committed snapshot — only comparable when
     // this run's scale factor matches the snapshot's
     val sfBase = new java.io.File(sfDir).getName
-    val (regressionBaseline, regressions) = loadCommittedMedians(sfBase) match {
+    val (regressionBaseline, rawRegressions) = loadCommittedMedians(sfBase) match {
       case Some((sf, base)) if sf == sfBase =>
         // declared queries AND operator sub-timings share one tripwire:
         // the suffixed names never collide with declared names, and a
@@ -289,6 +345,29 @@ object Bench {
       case None => ("none", Nil)
     }
 
+    // Post-sweep re-measure of the flagged queries (VERDICT r13 #1c): one
+    // quiet run each AFTER all sweeps, from a clean block manager, so a
+    // flag raised under sweep-epoch contention adjudicates itself in the
+    // artifact. Capped at 16 (above r13's 14-flag worst case; a mass-flag
+    // round beyond that stays bounded — uncapped flags report status from
+    // validity alone). Each flag also carries its own 3-sweep min..max.
+    val sweepMinMax: Map[String, (Double, Double)] =
+      (SparkEntry.orderedQueryNames.zipWithIndex.map { case (name, i) =>
+        val ts = sweeps.map(_(i)._2)
+        name -> (ts.min, ts.max)
+      } ++ subRuns.map { case (name, ts) => name -> (ts.min, ts.max) }).toMap
+    val remeasured: Map[String, Double] = rawRegressions.take(16)
+      .map { case (name, _, _) =>
+        val fn =
+          if (name.endsWith("_operator"))
+            graft.queries.ExtQueries.operatorOnly
+              .get(name.stripSuffix("_operator"))
+          else SparkEntry.queries.get(name)
+        name -> fn.map(f => runOne(f, s"$name re-measure")).getOrElse(-1.0)
+      }.toMap
+    val regressions = annotateFlags(rawRegressions, sweepMinMax, remeasured,
+      validity)
+
     val json = s"""{"metric":"total","value":$total,"unit":"sec"""" +
       s""","value_operator_graded":${operatorGradedTotal(results, subtimings)}""" +
       s""","queries":${jmap(results.map { case (n, t) => (n, t: Any) })}""" +
@@ -296,8 +375,7 @@ object Bench {
       s""","subtimings":${jmap(subtimings.map { case (n, t) => (n, t: Any) })}""" +
       s""","subtiming_spread":${jmap(subSpreads.map { case (n, t) => (n, t: Any) })}""" +
       s""","plan_hashes":${jmap(planHashes.map { case (n, h) => (n, h: Any) })}""" +
-      s""","regressions":${jmap(regressions.map { case (n, med, base) =>
-        (n, s"$base->$med": Any) })}""" +
+      s""","regressions":${jmap(regressions.map(f => (f.name, f.detail: Any)))}""" +
       s""","regression_baseline":${JsonOut.quote(regressionBaseline)}""" +
       s""","sweep_totals":[${sweepTotals.mkString(",")}]""" +
       s""","sweep_dispersion":$dispersion""" +

@@ -20,23 +20,70 @@ class BenchHeadlineSpec extends AnyFunSuite {
   private val subtimings = Bench.operatorSubs.values.toSeq.sorted.map(_ -> 1.25)
 
   private def headline(results: Seq[(String, Double)],
-      regressions: Seq[(String, Double, Double)] = Nil): String =
+      regressions: Seq[Bench.RegFlag] = Nil): String =
     Bench.compactLine(results, subtimings, Seq(98.0, 99.5, 101.0), 1.03,
       "clean", regressions, "sf0.1", "/root/testdata/sf0.1")
 
   test("worst-case compact headline stays inside the driver tail window") {
     // every declared query failed AND every regression slot used — the
     // exact round where the tail window matters most must still hold one
-    // complete JSON object with room to spare
+    // complete JSON object with room to spare. Flag details use worst-width
+    // numbers and the longest status so the bound is honest.
     val allFailed = mkResults(200, -1.0)
-    val regs = (0 until 50).map(i => (f"q_regressed_query_$i%03d", 9.876, 1.234))
+    val regs = (0 until 50).map(i => Bench.RegFlag(
+      f"q_regressed_query_$i%03d", 9999.876, 1234.234, 9.123, 9999.999,
+      8888.888, "confirmed-under-contention"))
     val line = headline(allFailed, regs)
     assert(line.length <= 1900, s"compact line is ${line.length} chars")
     val node = mapper.readTree(line)
     assert(node.get("n_failed").asInt() === 200)
-    assert(node.get("failed").size() === 20)     // capped, count complete
+    assert(node.get("failed").size() === 16)     // capped, count complete
     assert(node.get("n_regressions").asInt() === 50)
-    assert(node.get("regressions").size() === 8) // capped, count complete
+    assert(node.get("n_regressions_confirmed").asInt() === 50)
+    assert(node.get("regressions").size() === 6) // capped, count complete
+    // each shown flag carries base->med, its own sweep span, the re-measure,
+    // and the adjudication status (VERDICT r13 #1a/#1c)
+    val detail = node.get("regressions").get("q_regressed_query_000").asText()
+    assert(detail === "1234.234->9999.876;sw=9.123..9999.999;re=8888.888;" +
+      "confirmed-under-contention")
+  }
+
+  test("flag adjudication: re-measure and epoch validity annotate every " +
+    "flag (a contended simulation yields zero unannotated flags)") {
+    // re-measure back under the tripwire thresholds → transient
+    assert(Bench.flagStatus(base = 5.29, remeasure = 6.1, "clean") === "transient")
+    assert(Bench.flagStatus(base = 1.0, remeasure = 1.2, "contended") === "transient")
+    // sub-floor move on a tiny query → transient even at a high ratio
+    assert(Bench.flagStatus(base = 0.1, remeasure = 0.35, "clean") === "transient")
+    // reproduces on a quiet re-run → confirmed, epoch noted when contended
+    assert(Bench.flagStatus(base = 1.0, remeasure = 4.0, "clean") === "confirmed")
+    assert(Bench.flagStatus(base = 1.0, remeasure = 4.0, "contended") ===
+      "confirmed-under-contention")
+    // no re-measure available (beyond the cap / builder missing)
+    assert(Bench.flagStatus(base = 1.0, remeasure = -1.0, "clean") === "unremeasured")
+    assert(Bench.flagStatus(base = 1.0, remeasure = -1.0, "contended") ===
+      "contended-epoch")
+    // the r13 driver epoch, simulated: dispersion 1.341 under the new
+    // classifier is contended, and every flag raised there self-annotates
+    val regs = Seq(("q_a", 40.79, 5.29), ("q_b", 13.7, 6.9), ("q_c", 4.2, 2.0))
+    val minMax = Map("q_a" -> (6.2, 41.0), "q_b" -> (7.0, 14.1))
+    val re = Map("q_a" -> 6.57, "q_b" -> 6.86)
+    val flags = Bench.annotateFlags(regs, minMax, re, "contended")
+    assert(flags.map(_.status) === Seq("transient", "transient", "contended-epoch"))
+    assert(flags.forall(_.status.nonEmpty), "no flag may reach the artifact unannotated")
+    assert(flags.head.detail === "5.29->40.79;sw=6.2..41.0;re=6.57;transient")
+    // a flag with no recorded sweeps degrades to med..med, never throws
+    assert(flags(2).swMin === 4.2 && flags(2).swMax === 4.2)
+  }
+
+  test("validity classifier: dispersion >= 1.3 reads contended (r13's " +
+    "1.341 epoch wrote a x7.7 phantom under the old 1.5 gate)") {
+    assert(Bench.classifyValidity(1.03) === "clean")
+    assert(Bench.classifyValidity(1.29) === "clean")
+    assert(Bench.classifyValidity(1.3) === "contended")
+    assert(Bench.classifyValidity(1.341) === "contended")
+    assert(Bench.classifyValidity(7.7) === "contended")
+    assert(Bench.classifyValidity(-1.0) === "contended") // failed sweeps
   }
 
   test("driver tail capture: last line of the final 2000 chars parses") {
