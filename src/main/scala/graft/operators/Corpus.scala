@@ -363,23 +363,74 @@ object Corpus {
     * collect_list (the [[graft.operators.Dedup.scrubDupSpans]] pattern) —
     * deterministic under any partitioning, ANSI-replayable as
     * `string_agg(... ORDER BY doc, chunk)`.
+    *
+    * Training-artifact metadata (r14, VERDICT r13 #7): a packed row that is
+    * only (seq_id, text) cannot drive cross-document attention masking —
+    * the trainer needs WHERE each document lands inside the sequence. Three
+    * boundary columns ride the same sorted-struct collect, emitted as
+    * deterministic ';'-joined strings (offsets in TOKENS within the packed
+    * sequence, [start, end) half-open) so the DuckDB hash oracle covers
+    * every byte of them:
+    *  - `chunk_offsets`   — `doc:chunk:start-end` per chunk, pack order:
+    *    full provenance, chunk granularity;
+    *  - `doc_boundaries`  — `doc:start-end` once per document (its chunks
+    *    are contiguous in (doc, chunk) order by construction): the
+    *    attention-mask block structure;
+    *  - `loss_mask_spans` — `start-end` once per document: the spans loss
+    *    IS computed over; everything past the last end up to `capacity`
+    *    is padding, which a trainer masks implicitly.
+    * The per-seq windows partition on `seq_id` — bounded rows per
+    * partition (≤ capacity / min chunk size), no corpus-wide sort.
     */
   def materializePacked(chunks: DataFrame, packed: DataFrame,
       idCol: String, chunkIdCol: String,
       chunkTextCol: String = "chunk_text",
-      nTokensCol: String = "n_tokens"): DataFrame =
-    chunks
+      nTokensCol: String = "n_tokens"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("seq_id"))
+      .orderBy(col(idCol), col(chunkIdCol))
+    val wd = Window.partitionBy(col("seq_id"), col(idCol))
+    val off = chunks
       .select(col(idCol), col(chunkIdCol), col(chunkTextCol),
         col(nTokensCol))
       .join(packed.select(col(idCol), col(chunkIdCol), col("seq_id")),
         Seq(idCol, chunkIdCol))
-      .groupBy(col("seq_id"))
+      .withColumn("__start", coalesce(sum(col(nTokensCol).cast("long"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__end", col("__start") + col(nTokensCol).cast("long"))
+      // first chunk of its document within this sequence (null-safe: the
+      // sequence's first row has no lag value)
+      .withColumn("__doc_head", !(lag(col(idCol), 1).over(w) <=> col(idCol)))
+      .withColumn("__doc_start", min(col("__start")).over(wd))
+      .withColumn("__doc_end", max(col("__end")).over(wd))
+    def joined(mk: org.apache.spark.sql.Column,
+        headOnly: Boolean): org.apache.spark.sql.Column = {
+      val entry = struct(col(idCol), col(chunkIdCol), mk.as("__s"))
+      concat_ws(";", transform(
+        array_sort(collect_list(
+          if (headOnly) when(col("__doc_head"), entry) else entry)),
+        s => s.getField("__s")))
+    }
+    off.groupBy(col("seq_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(col(nTokensCol).cast("long")).as("n_tokens"),
         concat_ws(" ", transform(
           array_sort(collect_list(
             struct(col(idCol), col(chunkIdCol), col(chunkTextCol)))),
-          s => s.getField(chunkTextCol))).as("seq_text"))
+          s => s.getField(chunkTextCol))).as("seq_text"),
+        joined(concat(col(idCol).cast("string"), lit(":"),
+          col(chunkIdCol).cast("string"), lit(":"),
+          col("__start").cast("string"), lit("-"),
+          col("__end").cast("string")), headOnly = false)
+          .as("chunk_offsets"),
+        joined(concat(col(idCol).cast("string"), lit(":"),
+          col("__doc_start").cast("string"), lit("-"),
+          col("__doc_end").cast("string")), headOnly = true)
+          .as("doc_boundaries"),
+        joined(concat(col("__doc_start").cast("string"), lit("-"),
+          col("__doc_end").cast("string")), headOnly = true)
+          .as("loss_mask_spans"))
+  }
 
   /** Order-invariant corpus content checksum — the reproducibility
     * primitive a pipeline run signs its output with: `(n_docs,

@@ -1662,9 +1662,13 @@ object ExtQueries {
     // MATERIALIZED packing (Corpus.materializePacked): the pack assignment
     // joined back to the chunk text — one row per training sequence with
     // its concatenated text in (doc, chunk) order, the physical artifact a
-    // training job writes. Fully oracled: DuckDB replays the recursive
-    // pack, re-slices each chunk's tokens, and string_agg's them in the
-    // same order; the hash compare covers every byte of every sequence.
+    // training job writes; since r14 it also carries the trainer-facing
+    // boundary metadata (chunk offsets, per-doc boundaries, loss-mask
+    // spans — token offsets, [start,end) half-open, ';'-joined strings so
+    // the hash compare covers them byte-for-byte). Fully oracled: DuckDB
+    // replays the recursive pack, re-slices each chunk's tokens,
+    // string_agg's them in the same order, and re-derives the offsets with
+    // the same running-sum window.
     QueryDef(
       "q_pack_materialize",
       Some(s"""WITH RECURSIVE ${packCtes("documents", chunkSize = 32,
@@ -1675,13 +1679,36 @@ object ExtQueries {
              |pctext AS (
              |  SELECT c.doc_id, c.chunk_id, c.n_tokens,
              |    array_to_string(x.t[c.chunk_id*32+1 : c.chunk_id*32+32], ' ') AS chunk_text
-             |  FROM pc2 c JOIN ptext x ON c.doc_id = x.doc_id)
-             |SELECT CAST(p.grp AS BIGINT) * 1099511627776 + p.seq AS seq_id,
+             |  FROM pc2 c JOIN ptext x ON c.doc_id = x.doc_id),
+             |pjoin AS (
+             |  SELECT CAST(p.grp AS BIGINT) * 1099511627776 + p.seq AS seq_id,
+             |    t.doc_id, t.chunk_id, t.n_tokens, t.chunk_text
+             |  FROM ppack p JOIN pctext t
+             |    ON p.doc_id = t.doc_id AND p.chunk_id = t.chunk_id),
+             |poff AS (
+             |  SELECT *,
+             |    COALESCE(SUM(n_tokens) OVER (PARTITION BY seq_id
+             |      ORDER BY doc_id, chunk_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start,
+             |    (LAG(doc_id) OVER (PARTITION BY seq_id
+             |      ORDER BY doc_id, chunk_id) IS DISTINCT FROM doc_id) AS doc_head
+             |  FROM pjoin),
+             |poff2 AS (
+             |  SELECT *, tok_start + n_tokens AS tok_end,
+             |    MIN(tok_start) OVER (PARTITION BY seq_id, doc_id) AS doc_start,
+             |    MAX(tok_start + n_tokens) OVER (PARTITION BY seq_id, doc_id) AS doc_end
+             |  FROM poff)
+             |SELECT seq_id,
              |  CAST(count(*) AS BIGINT) AS n_chunks,
-             |  CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens,
-             |  string_agg(t.chunk_text, ' ' ORDER BY t.doc_id, t.chunk_id) AS seq_text
-             |FROM ppack p JOIN pctext t
-             |  ON p.doc_id = t.doc_id AND p.chunk_id = t.chunk_id
+             |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             |  string_agg(chunk_text, ' ' ORDER BY doc_id, chunk_id) AS seq_text,
+             |  string_agg(doc_id || ':' || chunk_id || ':' || tok_start || '-' || tok_end,
+             |    ';' ORDER BY doc_id, chunk_id) AS chunk_offsets,
+             |  string_agg(CASE WHEN doc_head THEN doc_id || ':' || doc_start || '-' || doc_end END,
+             |    ';' ORDER BY doc_id, chunk_id) AS doc_boundaries,
+             |  string_agg(CASE WHEN doc_head THEN doc_start || '-' || doc_end END,
+             |    ';' ORDER BY doc_id, chunk_id) AS loss_mask_spans
+             |FROM poff2
              |GROUP BY 1""".stripMargin),
       (s, dir) => {
         val chunks = Corpus.chunk(packTruthSlice(s, dir, docs(s, dir)),

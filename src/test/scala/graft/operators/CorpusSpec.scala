@@ -170,6 +170,46 @@ class CorpusSpec extends SparkSpec {
       "an oversized chunk must not share its sequence")
   }
 
+  test("materializePacked boundary metadata: offsets are the in-order " +
+    "token prefix sums, doc boundaries merge contiguous chunks, loss " +
+    "spans cover every token exactly once") {
+    import spark.implicits._
+    // hand-checkable: doc 1 has chunks of 3+2 tokens, doc 2 one of 4 — all
+    // fit one capacity-16 sequence in (doc, chunk) order:
+    //   d1c0 [0,3)  d1c1 [3,5)  d2c0 [5,9)
+    val chunks = Seq(
+      (1L, 0, "a b c", 3), (1L, 1, "d e", 2), (2L, 0, "f g h i", 4))
+      .toDF("doc_id", "chunk_id", "chunk_text", "n_tokens")
+    val packed = Corpus.packSequences(chunks, "doc_id", "chunk_id",
+      "n_tokens", capacity = 16, nPartitions = 1)
+    val m = Corpus.materializePacked(chunks, packed, "doc_id", "chunk_id")
+    assert(m.count() == 1)
+    val r = m.head()
+    assert(r.getAs[String]("seq_text") === "a b c d e f g h i")
+    assert(r.getAs[String]("chunk_offsets") === "1:0:0-3;1:1:3-5;2:0:5-9")
+    assert(r.getAs[String]("doc_boundaries") === "1:0-5;2:5-9")
+    assert(r.getAs[String]("loss_mask_spans") === "0-5;5-9")
+    assert(r.getAs[Long]("n_tokens") === 9L && r.getAs[Long]("n_chunks") === 3L)
+    // loss spans tile [0, n_tokens) with no gap or overlap on a larger
+    // corpus too: spans per sequence are contiguous and start at 0
+    val chunks2 = Corpus.chunk(docs, "doc_id", "text", chunkSize = 4)
+    val packed2 = Corpus.packSequences(chunks2, "doc_id", "chunk_id",
+      "n_tokens", capacity = 16, nPartitions = 4)
+    val bad = Corpus.materializePacked(chunks2, packed2, "doc_id", "chunk_id")
+      .select($"n_tokens", split($"loss_mask_spans", ";").as("spans"))
+      .as[(Long, Seq[String])].collect()
+      .filter { case (n, spans) =>
+        val ses = spans.map { sp =>
+          val Array(a, b) = sp.split("-"); (a.toLong, b.toLong) }
+        ses.head._1 != 0L || ses.last._2 != n ||
+          ses.sliding(2).exists {
+            case Seq((_, e), (s2, _)) => e != s2
+            case _ => false
+          }
+      }
+    assert(bad.isEmpty, s"non-tiling loss spans: ${bad.mkString(", ")}")
+  }
+
   test("precedence: a low-quality duplicate reports quality, not dup") {
     import spark.implicits._
     val d = Seq((0L, "12345 67890"), (1L, "12345 67890")).toDF("doc_id", "text")
