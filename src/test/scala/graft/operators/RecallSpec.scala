@@ -66,6 +66,32 @@ class RecallSpec extends SparkSpec {
       "full-width probe must equal the brute-force top-20 exactly")
   }
 
+  test("derived-k sizing (VERDICT r13 #5): the sf1 operating point is a " +
+    "fixed point, growth is sqrt(n), and the floor holds tiny corpora") {
+    // calibration: the r13-pinned sf1 build (20k vectors, k=8) reproduces
+    // itself under the derivation — the prose rule made executable
+    assert(Ivf.derivedK(20000) === 8)
+    // sqrt growth beyond the calibration point
+    assert(Ivf.derivedK(200000) === 9)     // sf10 embeddings
+    assert(Ivf.derivedK(2000000) === 29)
+    assert(Ivf.derivedK(250000000L) === 317)
+    // k0 floors the fixture scales (sqrt would give 1)
+    assert(Ivf.derivedK(500) === 8)
+    assert(Ivf.derivedK(0) === 8)
+    // monotone in n: a bigger corpus never gets a smaller index
+    val ks = Seq(1L, 500L, 20000L, 200000L, 2000000L, 20000000L)
+      .map(Ivf.derivedK(_))
+    assert(ks === ks.sorted, s"derivedK not monotone: $ks")
+    // trainSized wires the derivation end-to-end: at fixture scale the
+    // floor binds, so the model is the k=8 shape RecallSpec gates above
+    val model = Ivf.trainSized(emb, "vec_id", "embedding", iters = 2)
+    assert(model.k === 8)
+    val got = ids(Ivf.topK(emb, "vec_id", "embedding", model, q,
+      nProbe = 4, k = 20))
+    assert((got & bruteTop20).size / 20.0 >= 0.5,
+      "trainSized recall@20 under the declared-query gate")
+  }
+
   test("embedding near-dup pairs recall vs exact all-pairs at the same " +
     "threshold (same params as q_sim_neardup)") {
     // exact ground truth: all (a < b) pairs with cosine >= 0.2 — a genuine
