@@ -372,6 +372,39 @@ object Maintenance {
     } finally up.unpersist(blocking = false)
   }
 
+  /** Partition-scoped REBUILD commit (r14, VERDICT r13 #4): replace the
+    * full content of the `touched` partitions with `rows`, crash-atomically
+    * via the manifest. This is the refresh shape for stores whose
+    * partition content derives WHOLESALE from an upstream corpus group —
+    * the near-dup band index, a pack-group prep store: when a group's
+    * membership changes (docs added, changed, REMOVED), the group is
+    * recomputed from its current upstream truth and committed as a unit.
+    * Key-carry upsert cannot express the removal half (a carried key is
+    * exactly what retraction must drop); a rebuild retracts naturally.
+    * Idempotent by construction — a replay recomputes identical content —
+    * which is what makes crash-rerun-from-the-top safe for the prep chain
+    * (PrepJobSpec). Partitions not in `touched` keep their exact files; a
+    * touched partition with no rows in `rows` commits EMPTY (its old files
+    * drop from the manifest). Rows outside the touched set are rejected
+    * loudly — they would land in partitions the manifest doesn't re-list,
+    * becoming invisible-but-stored orphans.
+    */
+  def rebuildPartitionsManifested(rows: DataFrame, partitionCol: String,
+      storeDir: String, touched: Seq[Any]): Seq[String] = {
+    require(touched.nonEmpty, "touched partition values must be non-empty")
+    val spark = rows.sparkSession
+    val r = rows.persist()
+    try {
+      val present = r.select(partitionCol).distinct().collect().map(_.get(0))
+      val stray = present.filterNot(p =>
+        touched.exists(t => (t == null && p == null) || (t != null && t == p)))
+      require(stray.isEmpty,
+        s"rebuildPartitionsManifested: rows carry partition values outside " +
+          s"the touched set: ${stray.take(5).mkString(", ")}")
+      stageAndCommitPartitions(spark, r, partitionCol, storeDir, touched)
+    } finally r.unpersist(blocking = false)
+  }
+
   /** Apply a CDC change batch ([[applyCdc]] semantics: highest-seq wins,
     * a winning literal `"D"` deletes) to a manifest-committed store —
     * the keyed-store sibling of [[upsertManifested]], with DELETE support:
