@@ -595,18 +595,19 @@ object Maintenance {
     * plain-directory compaction has. Old files become orphans;
     * [[vacuumManifested]] reclaims them.
     */
-  def replaceManifested(rows: DataFrame, storeDir: String): Unit =
-    commitFlat(rows, storeDir, replace = true)
+  def replaceManifested(rows: DataFrame, storeDir: String,
+      writeOptions: Map[String, String] = Map.empty): Unit =
+    commitFlat(rows, storeDir, replace = true, writeOptions)
 
   private def commitFlat(rows: DataFrame, storeDir: String,
-      replace: Boolean): Unit = {
+      replace: Boolean, writeOptions: Map[String, String] = Map.empty): Unit = {
     val spark = rows.sparkSession
     val (fs, _) = fsFor(spark, storeDir)
     val mdir = new org.apache.hadoop.fs.Path(s"$storeDir/_manifest")
     val version = latestManifestVersion(fs, mdir)
     val live = liveFiles(spark, storeDir).map(_.stripPrefix(s"$storeDir/data/"))
     val before = dataFilesOnDisk(spark, storeDir)
-    rows.write.mode("append").parquet(s"$storeDir/data")
+    rows.write.options(writeOptions).mode("append").parquet(s"$storeDir/data")
     val staged = (dataFilesOnDisk(spark, storeDir) -- before).toSeq.sorted
     val next = (if (replace) staged else (live ++ staged).sorted)
     publishManifest(fs, mdir, version, next, storeDir)

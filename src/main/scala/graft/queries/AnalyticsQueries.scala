@@ -997,16 +997,22 @@ object AnalyticsQueries {
     // failure modes are exercised deterministically.
     QueryDef(
       "q_try_cast",
+      // (doc_id % 1000): the overflow the query DEMONSTRATES must live in
+      // the CAST (INT range), never in the long multiply feeding it —
+      // try_cast does not guard its operand, and ANSI long multiply threw
+      // for real at the sf10 ladder's shifted id domain (ids ≈ 10⁹ ×
+      // 10¹¹ > Long.Max). The bounded form is id-domain-safe to 10¹⁵ in
+      // both engines and still exceeds INT range for every non-zero value.
       Some("""SELECT doc_id,
              |  TRY_CAST(substr(text, 1, 1) AS INT) AS first_char_int,
-             |  TRY_CAST(doc_id * 100000000000 AS INT) AS overflow_int,
+             |  TRY_CAST(doc_id % 1000 * 100000000000 AS INT) AS overflow_int,
              |  TRY_CAST(substr(text, 1, 4) AS DOUBLE) AS prefix_double
              |FROM documents""".stripMargin),
       (s, dir) =>
         t(s, dir, "documents").selectExpr(
           "doc_id",
           "try_cast(substr(text, 1, 1) AS INT) AS first_char_int",
-          "try_cast(doc_id * 100000000000 AS INT) AS overflow_int",
+          "try_cast(doc_id % 1000 * 100000000000 AS INT) AS overflow_int",
           "try_cast(substr(text, 1, 4) AS DOUBLE) AS prefix_double")),
 
     // ------------------------------------------------------------------

@@ -630,11 +630,23 @@ object Streaming {
     * micro-batch appends one small file, so a long-running gate accumulates
     * thousands of tiny files and the per-batch probe's scan goes
     * listing-bound. Compaction rewrites the index `repartitionByRange` on
-    * `(band, bucket)` — one range shuffle of the (doc_id, band, bucket,
-    * batch_id) relation, giving both a bounded file count and
-    * bucket-clustered row groups (min/max on `bucket` lets the probe's scan
-    * skip row groups) — and `dropDuplicates` folds away any replay-
-    * duplicated band rows. Published via the manifest-committed store
+    * `(band, bucket)` PLUS `sortWithinPartitions` and a bounded parquet
+    * row-group size — one range shuffle of the (doc_id, band, bucket,
+    * batch_id) relation. The three knobs are load-bearing together (r14,
+    * measured in SoakProbeCost / SCALE.md): range partitioning alone gives
+    * FILE-level disjointness only (rows inside a file arrive unsorted, so
+    * every row group's min/max spans the file's whole range — a selective
+    * probe still scanned ~40% of the index, growing linearly); the
+    * within-partition sort plus `rowGroupBytes`-sized groups make row-group
+    * stats tight disjoint sub-ranges, and the measured selective-probe scan
+    * goes FLAT (~10⁵ rows regardless of index size) while `flat` layouts
+    * scan the full index. The full-batch streaming probe is layout-
+    * invariant by construction — a batch's bucket keys are uniform over
+    * the hash space, so no static pruning can skip anything; its linear
+    * term is bounded by the batch-side broadcast (the index is never
+    * shuffled) and this compaction's file-count bound. `dropDuplicates`
+    * folds away any replay-duplicated band rows. Published via the
+    * manifest-committed store
     * ([[graft.etl.Maintenance.replaceManifested]]): the commit is ONE
     * atomic manifest rename, so a gate batch racing the compaction reads
     * the complete old index or the complete new one — never an absent or
@@ -648,7 +660,7 @@ object Streaming {
     * @return (live files before, live files after) per the manifests
     */
   def compactNearDupIndex(spark: SparkSession, indexDir: String,
-      targetPartitions: Int = 32): (Int, Int) = {
+      targetPartitions: Int = 32, rowGroupBytes: Long = 256L << 10): (Int, Int) = {
     import graft.etl.Maintenance
     if (Maintenance.manifestVersion(spark, indexDir) == 0L) return (0, 0)
     val before = Maintenance.manifestFileCount(spark, indexDir)
@@ -659,8 +671,14 @@ object Streaming {
     Maintenance.replaceManifested(
       Maintenance.readManifested(spark, indexDir)
         .dropDuplicates()
-        .repartitionByRange(targetPartitions, col("band"), col("bucket")),
-      indexDir)
+        .repartitionByRange(targetPartitions, col("band"), col("bucket"))
+        .sortWithinPartitions(col("band"), col("bucket")),
+      indexDir,
+      // small row groups are what give min/max skipping sub-file
+      // granularity on this narrow 4-column relation; the per-group
+      // footer overhead is noise at these widths (measured, SCALE.md r14)
+      Map("parquet.block.size" -> rowGroupBytes.toString,
+        "parquet.page.size" -> (64 << 10).toString))
     (before, Maintenance.manifestFileCount(spark, indexDir))
   }
 

@@ -480,6 +480,20 @@ class StreamingSpec extends SparkSpec {
     assert(nb > na, s"expected fewer files, got $nb -> $na")
     assert(na <= 2)
     assert(idxRows() == rowsBefore) // logical content untouched
+    // the compacted layout is (band, bucket)-sorted WITHIN each file —
+    // the property that makes row-group min/max stats tight disjoint
+    // sub-ranges, which is what lets a selective probe's pushed predicate
+    // skip row groups (r14; the flat-vs-clustered curves live in SCALE.md)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(input_file_name())
+      .orderBy(monotonically_increasing_id())
+    val unsorted = graft.etl.Maintenance.readManifested(spark, idx)
+      .withColumn("pb", lag($"band", 1).over(w))
+      .withColumn("pk", lag($"bucket", 1).over(w))
+      .where($"pb".isNotNull &&
+        ($"pb" > $"band" || ($"pb" === $"band" && $"pk" > $"bucket")))
+    assert(unsorted.isEmpty,
+      "compacted index files are not (band, bucket)-sorted within files")
     // a LATER batch carrying batch-0's content still collides with the
     // compacted index (new batch id — only a same-id replay is exempt)
     val replay = Seq((100L, "unique content batch 0 alpha beta gamma delta " +
