@@ -379,8 +379,19 @@ object Corpus {
     *  - `loss_mask_spans` — `start-end` once per document: the spans loss
     *    IS computed over; everything past the last end up to `capacity`
     *    is padding, which a trainer masks implicitly.
-    * The per-seq windows partition on `seq_id` — bounded rows per
-    * partition (≤ capacity / min chunk size), no corpus-wide sort.
+    * ONE window pass, one exchange total: every offset column (running
+    * start, doc head/last flags, and the running-max doc start) shares a
+    * single (seq_id)-partitioned (doc, chunk)-ordered WindowExec — doc
+    * spans are emitted at each document's LAST chunk row, whose own `end`
+    * IS the doc end and whose running max over head-row starts IS the doc
+    * start (starts are monotone within a sequence, so the most recent
+    * head's start is always the current doc's). The following
+    * groupBy(seq_id) reuses the window's hash partitioning, so the
+    * boundary columns cost no extra shuffle over the r8 shape (a first
+    * cut used a second (seq_id, doc) window — two more exchanges and
+    * ~2.4× the query's bench cost; the running-max form measured back at
+    * the r8 baseline). Bounded rows per partition (≤ capacity / min
+    * chunk size), no corpus-wide sort.
     */
   def materializePacked(chunks: DataFrame, packed: DataFrame,
       idCol: String, chunkIdCol: String,
@@ -389,7 +400,7 @@ object Corpus {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("seq_id"))
       .orderBy(col(idCol), col(chunkIdCol))
-    val wd = Window.partitionBy(col("seq_id"), col(idCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
     val off = chunks
       .select(col(idCol), col(chunkIdCol), col(chunkTextCol),
         col(nTokensCol))
@@ -398,17 +409,18 @@ object Corpus {
       .withColumn("__start", coalesce(sum(col(nTokensCol).cast("long"))
         .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("__end", col("__start") + col(nTokensCol).cast("long"))
-      // first chunk of its document within this sequence (null-safe: the
-      // sequence's first row has no lag value)
+      // first/last chunk of its document within this sequence (null-safe:
+      // the sequence's boundary rows have no lag/lead value)
       .withColumn("__doc_head", !(lag(col(idCol), 1).over(w) <=> col(idCol)))
-      .withColumn("__doc_start", min(col("__start")).over(wd))
-      .withColumn("__doc_end", max(col("__end")).over(wd))
+      .withColumn("__doc_last", !(lead(col(idCol), 1).over(w) <=> col(idCol)))
+      .withColumn("__doc_start",
+        max(when(col("__doc_head"), col("__start"))).over(run))
     def joined(mk: org.apache.spark.sql.Column,
-        headOnly: Boolean): org.apache.spark.sql.Column = {
+        lastOnly: Boolean): org.apache.spark.sql.Column = {
       val entry = struct(col(idCol), col(chunkIdCol), mk.as("__s"))
       concat_ws(";", transform(
         array_sort(collect_list(
-          if (headOnly) when(col("__doc_head"), entry) else entry)),
+          if (lastOnly) when(col("__doc_last"), entry) else entry)),
         s => s.getField("__s")))
     }
     off.groupBy(col("seq_id"))
@@ -421,14 +433,14 @@ object Corpus {
         joined(concat(col(idCol).cast("string"), lit(":"),
           col(chunkIdCol).cast("string"), lit(":"),
           col("__start").cast("string"), lit("-"),
-          col("__end").cast("string")), headOnly = false)
+          col("__end").cast("string")), lastOnly = false)
           .as("chunk_offsets"),
         joined(concat(col(idCol).cast("string"), lit(":"),
           col("__doc_start").cast("string"), lit("-"),
-          col("__doc_end").cast("string")), headOnly = true)
+          col("__end").cast("string")), lastOnly = true)
           .as("doc_boundaries"),
         joined(concat(col("__doc_start").cast("string"), lit("-"),
-          col("__doc_end").cast("string")), headOnly = true)
+          col("__end").cast("string")), lastOnly = true)
           .as("loss_mask_spans"))
   }
 
