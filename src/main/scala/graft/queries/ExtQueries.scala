@@ -88,6 +88,42 @@ object ExtQueries {
     *     (the winnowing dedup rule).
     * Verified bit-identical on all 54,500 exploded fingerprints at sf0.01.
     */
+  /** Above this BASE-corpus doc count the packing family (q_pack_sequences /
+    * q_pack_materialize / q_prep_e2e) and, since r14, the replay-bound
+    * scalar family (q_fingerprint_winnow / q_dedup_winnow / q_bpe_fallback)
+    * certify on a deterministic doc slice instead of the full corpus — the
+    * [[certTruthSlice]] convention applied to the query families whose
+    * ORACLE replay cost is unbounded in corpus size (the recursive
+    * first-fit replays one row per group per step — the sf1 shakeout's
+    * three replay TIMEOUTs, VERDICT r11 #1; the winnow hash-chain and
+    * byte-fallback regex replays cost ∝ corpus bytes × chain length — the
+    * first FULL sf10 crosscheck's three TIMEOUTs, r14). sf0.01 (500 docs)
+    * and sf0.1 (5000 docs) sit at or under the threshold, so every
+    * tested-SF hash and bench median is byte-unchanged; the Spark
+    * operators stay full-corpus — they scale fine (map-only / one
+    * exchange), only the cross-engine certification needs the bound.
+    * (Declared before the guard strings below — same-object vals
+    * initialize in declaration order.)
+    */
+  private val maxFullPackDocs = 5000L
+
+  /** Replay-bound-oracle guard, shared CTE head (r14, the packTruthSlice
+    * convention generalized): the winnow/byte-fallback replays are per-doc
+    * map work in Spark but cost the SQL oracle ∝ corpus bytes × chain
+    * length, and the first FULL sf10 crosscheck timed all three out at
+    * 500k docs. Above [[maxFullPackDocs]] BASE docs both engines certify
+    * the `doc_id % ceil(n/5000)` slice — winnow pair mass is id-UNIFORM
+    * (measured at sf0.01: pair distances spread over the whole id range,
+    * no adjacency structure like the media noise groups), so the modulus
+    * slice keeps ~thousands of designed pairs at any scale instead of
+    * degenerating (WinnowSliceSpec proves nonzero pairs + bit-exact
+    * replay over threshold).
+    */
+  private[queries] val docReplayGuardSql: String =
+    s"""WHERE (SELECT count(*) FROM documents) <= $maxFullPackDocs
+       |     OR doc_id % (SELECT CAST(ceil(count(*) / ${maxFullPackDocs}e0) AS BIGINT)
+       |                  FROM documents) = 0""".stripMargin
+
   private val winnowFpsCte: String = {
     val poly =
       """( ord(s[i])::HUGEINT * 74051159531521793
@@ -101,6 +137,7 @@ object ExtQueries {
         |           ) % 18446744073709551616::HUGEINT""".stripMargin
     s"""WITH norm AS (
        |  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS s FROM documents
+       |  $docReplayGuardSql
        |), h AS (
        |  SELECT doc_id,
        |    list_transform(range(1, len(s) - 6), i ->
@@ -532,20 +569,6 @@ object ExtQueries {
        |  WHERE (SELECT count(*) FROM embeddings) <= ${SimParams.maxFullTruthVectors}
        |     OR vec_id % (SELECT CAST(ceil(count(*) / ${SimParams.certSliceTarget}e0) AS BIGINT)
        |                  FROM embeddings) = 0)""".stripMargin
-
-  /** Above this BASE-corpus doc count the packing family (q_pack_sequences /
-    * q_pack_materialize / q_prep_e2e) certifies on a deterministic doc
-    * slice instead of the full corpus — the [[certTruthSlice]] convention
-    * applied to the one query family whose ORACLE is iteration-serial (the
-    * recursive first-fit replays one row per group per step; the sf1
-    * shakeout's three replay TIMEOUTs, VERDICT r11 #1). sf0.01 (500 docs)
-    * and sf0.1 (5000 docs) sit at or under the threshold, so every tested-SF
-    * hash and bench median is byte-unchanged; [[Corpus.packSequences]]
-    * itself stays full-corpus — packing scales fine in Spark (one exchange +
-    * a partition-local fold), only the cross-engine certification needs the
-    * bound.
-    */
-  private val maxFullPackDocs = 5000L
 
   /** Spark half of the packing certification slice (oracle half: `ppin` in
     * [[packCtes]]): modulus `ceil(n/5000)` derived from the `documents`
@@ -2180,8 +2203,13 @@ object ExtQueries {
     // per-row oracle keeps them apart).
     QueryDef(
       "q_bpe_fallback",
+      // the replay guard slices only the DOCUMENTS leg (r14 — the byte-
+      // expansion replay is the costliest per-byte oracle in the suite);
+      // the synthetic mixed-content row stays unconditional, so the
+      // fallback branch is live at every scale
       Some(s"""WITH inp AS (
              |  SELECT doc_id, text FROM documents
+             |  $docReplayGuardSql
              |  UNION ALL
              |  SELECT -1, 'Trained: café & "quoted" tokens, the-end!'),
              |words AS (
@@ -2195,7 +2223,8 @@ object ExtQueries {
              |FROM words""".stripMargin),
       (s, dir) => {
         import s.implicits._
-        val input = docs(s, dir).select($"doc_id", $"text")
+        val input = packTruthSlice(s, dir, docs(s, dir))
+          .select($"doc_id", $"text")
           .unionByName(Seq(
             (-1L, "Trained: café & \"quoted\" tokens, the-end!"))
             .toDF("doc_id", "text"))
@@ -2344,7 +2373,7 @@ object ExtQueries {
              |  FROM fps)""".stripMargin),
       (s, dir) => {
         import s.implicits._
-        docs(s, dir)
+        packTruthSlice(s, dir, docs(s, dir))
           .select(
             $"doc_id",
             TextFunctions.longArrayBarrier(
@@ -2371,7 +2400,8 @@ object ExtQueries {
              |           JOIN dfp b ON b.f = a.f AND a.doc_id < b.doc_id
              |GROUP BY 1, 2
              |HAVING count(*) >= 2""".stripMargin),
-      (s, dir) => Dedup.winnowPairs(docs(s, dir), "doc_id", "text")),
+      (s, dir) => Dedup.winnowPairs(packTruthSlice(s, dir, docs(s, dir)),
+        "doc_id", "text")),
 
     // ------------------------------------------------------------------
     // TF-IDF: top-5 salient terms per document. tf and df are exact counts
