@@ -121,6 +121,12 @@ object Bench {
     * `confirmed` when it reproduces on a clean epoch, and explicitly
     * `-under-contention` / `contended-epoch` when the sweeps themselves were
     * contended, so no flag ever reaches the artifact unannotated.
+    * `remeasure == -1.0` means the quiet re-run RAN and errored (runOne's
+    * failure sentinel) — a regression-into-failure, reported as its own
+    * `remeasure-failed` status; "never re-measured" (beyond the 16-flag
+    * cap / builder missing) uses the distinct -2.0 sentinel so the two
+    * cases can't masquerade as each other in the artifact (r15,
+    * ADVICE r14).
     */
   private[graft] def flagStatus(base: Double, remeasure: Double,
       validity: String): String =
@@ -128,7 +134,8 @@ object Bench {
       if (remeasure <= 1.5 * base || (remeasure - base) < 0.3) "transient"
       else if (validity == "clean") "confirmed"
       else "confirmed-under-contention"
-    } else if (validity == "clean") "unremeasured"
+    } else if (remeasure == -1.0) "remeasure-failed"
+    else if (validity == "clean") "unremeasured"
     else "contended-epoch"
 
   private[graft] def annotateFlags(regs: Seq[(String, Double, Double)],
@@ -136,7 +143,7 @@ object Bench {
       validity: String): Seq[RegFlag] =
     regs.map { case (name, med, base) =>
       val (mn, mx) = minMax.getOrElse(name, (med, med))
-      val re = remeasure.getOrElse(name, -1.0)
+      val re = remeasure.getOrElse(name, -2.0)
       RegFlag(name, med, base, mn, mx, re, flagStatus(base, re, validity))
     }
 
@@ -363,7 +370,9 @@ object Bench {
             graft.queries.ExtQueries.operatorOnly
               .get(name.stripSuffix("_operator"))
           else SparkEntry.queries.get(name)
-        name -> fn.map(f => runOne(f, s"$name re-measure")).getOrElse(-1.0)
+        // -2.0 = builder missing (never ran); runOne's own -1.0 = ran and
+        // FAILED — flagStatus reports the two differently
+        name -> fn.map(f => runOne(f, s"$name re-measure")).getOrElse(-2.0)
       }.toMap
     val regressions = annotateFlags(rawRegressions, sweepMinMax, remeasured,
       validity)

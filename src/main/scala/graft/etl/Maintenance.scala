@@ -396,8 +396,14 @@ object Maintenance {
     val r = rows.persist()
     try {
       val present = r.select(partitionCol).distinct().collect().map(_.get(0))
+      // compare via the partition-ADDRESSING normalization (the same
+      // partitionDirName stageAndCommitPartitions uses), not universal
+      // equality on boxed values: a caller passing Seq(1L) for an int
+      // partition column must match the partition its rows will land in,
+      // not the runtime box (ADVICE r14)
+      val touchedDirs = touched.map(partitionDirName(partitionCol, _)).toSet
       val stray = present.filterNot(p =>
-        touched.exists(t => (t == null && p == null) || (t != null && t == p)))
+        touchedDirs.contains(partitionDirName(partitionCol, p)))
       require(stray.isEmpty,
         s"rebuildPartitionsManifested: rows carry partition values outside " +
           s"the touched set: ${stray.take(5).mkString(", ")}")

@@ -59,9 +59,15 @@ class BenchHeadlineSpec extends AnyFunSuite {
     assert(Bench.flagStatus(base = 1.0, remeasure = 4.0, "clean") === "confirmed")
     assert(Bench.flagStatus(base = 1.0, remeasure = 4.0, "contended") ===
       "confirmed-under-contention")
-    // no re-measure available (beyond the cap / builder missing)
-    assert(Bench.flagStatus(base = 1.0, remeasure = -1.0, "clean") === "unremeasured")
+    // re-measure RAN but errored (runOne's -1.0) → its own status, so a
+    // regression-into-failure is visible in the artifact (ADVICE r14)
+    assert(Bench.flagStatus(base = 1.0, remeasure = -1.0, "clean") ===
+      "remeasure-failed")
     assert(Bench.flagStatus(base = 1.0, remeasure = -1.0, "contended") ===
+      "remeasure-failed")
+    // no re-measure available (beyond the cap / builder missing) → -2.0
+    assert(Bench.flagStatus(base = 1.0, remeasure = -2.0, "clean") === "unremeasured")
+    assert(Bench.flagStatus(base = 1.0, remeasure = -2.0, "contended") ===
       "contended-epoch")
     // the r13 driver epoch, simulated: dispersion 1.341 under the new
     // classifier is contended, and every flag raised there self-annotates

@@ -495,4 +495,22 @@ class MaintenanceSpec extends SparkSpec {
     assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
       4L -> "changed", 5L -> "changed", 6L -> "added", 7L -> "changed"))
   }
+
+  test("rebuildPartitionsManifested: touched values match by partition " +
+    "ADDRESS, not runtime box — Seq(1L) vs an int column commits; a true " +
+    "stray still rejects") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_rebuild_box_").toString
+    val rows = Seq((1, "a"), (1, "b")).toDF("p", "v")
+    // int column, Long touched values: dir names match (p=1), so this must
+    // commit instead of rejecting every row as stray (ADVICE r14)
+    Maintenance.rebuildPartitionsManifested(rows, "p", store, Seq(1L))
+    assert(Maintenance.readManifested(spark, store).count() === 2)
+    // a genuinely-untouched partition value still rejects loudly
+    val ex = intercept[IllegalArgumentException] {
+      Maintenance.rebuildPartitionsManifested(
+        Seq((2, "c")).toDF("p", "v"), "p", store, Seq(1L))
+    }
+    assert(ex.getMessage.contains("outside the touched set"))
+  }
 }
