@@ -269,7 +269,7 @@ object Maintenance {
   // table format available uses that instead.
   // -------------------------------------------------------------------
 
-  private def fsFor(spark: SparkSession, dir: String) = {
+  private[graft] def fsFor(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
@@ -277,7 +277,7 @@ object Maintenance {
   private val manifestRe = "^v(\\d{8})\\.txt$".r
 
   /** Latest committed manifest version, 0 if none. */
-  private def latestManifestVersion(
+  private[graft] def latestManifestVersion(
       fs: org.apache.hadoop.fs.FileSystem,
       manifestDir: org.apache.hadoop.fs.Path): Long =
     if (!fs.exists(manifestDir)) 0L
@@ -286,7 +286,7 @@ object Maintenance {
       .foldLeft(0L)(math.max)
 
   /** Live data files (absolute paths) per the latest committed manifest. */
-  private def liveFiles(spark: SparkSession, storeDir: String): Seq[String] = {
+  private[graft] def liveFiles(spark: SparkSession, storeDir: String): Seq[String] = {
     val (fs, _) = fsFor(spark, storeDir)
     val mdir = new org.apache.hadoop.fs.Path(s"$storeDir/_manifest")
     val v = latestManifestVersion(fs, mdir)
@@ -302,7 +302,7 @@ object Maintenance {
   /** All committed parquet files currently under the data dir, as paths
     * RELATIVE to it (the manifest's key space).
     */
-  private def dataFilesOnDisk(spark: SparkSession, storeDir: String): Set[String] = {
+  private[graft] def dataFilesOnDisk(spark: SparkSession, storeDir: String): Set[String] = {
     val (fs, _) = fsFor(spark, storeDir)
     val dataPath = new org.apache.hadoop.fs.Path(s"$storeDir/data")
     if (!fs.exists(dataPath)) Set.empty
@@ -494,7 +494,7 @@ object Maintenance {
     * partition it is ABOUT to delete without any staged file to learn the
     * name from.
     */
-  private def partitionDirName(partitionCol: String, v: Any): String = {
+  private[graft] def partitionDirName(partitionCol: String, v: Any): String = {
     val s =
       if (v == null) "__HIVE_DEFAULT_PARTITION__"
       else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -623,7 +623,7 @@ object Maintenance {
     * claim of the version slot (a lost claim = loud concurrent-writer
     * failure, never a corrupted store).
     */
-  private def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
       mdir: org.apache.hadoop.fs.Path, version: Long, lines: Seq[String],
       storeDir: String): Unit = {
     fs.mkdirs(mdir)

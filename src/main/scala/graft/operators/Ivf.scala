@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.etl.Maintenance
 import graft.functions.VectorNative.{cosine, dot}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -203,14 +204,107 @@ object Ivf {
       .groupBy(col("cluster")).count().collect()
       .foreach(r => counts(r.getInt(0)) = r.getLong(1))
     writeCentroids(spark, model.centroids, counts, path)
+    // A full rebuild RESETS any retraction fence ([[removeKeyed]]) — the
+    // data overwrite above already deleted the fenced files, so a stale
+    // manifest would point at nothing; drop it and the versioned sidecars
+    // LAST so a crash mid-rebuild fails loudly (fenced readers see missing
+    // files) instead of silently serving half a corpus. A full rebuild is
+    // not crash-atomic — rerunning writeClustered is its recovery, as with
+    // any mode("overwrite") write.
+    val (fs, _) = Maintenance.fsFor(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_manifest"), true)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      if (st.getPath.getName.startsWith("centroids_v"))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  // ---- retraction fence (r15, VERDICT r14 #1) --------------------------
+  //
+  // A plain [[writeClustered]] layout can only ever GROW (refresh appends);
+  // retraction needs to REWRITE the touched cluster partitions, and a
+  // rewrite on a bare directory has an unavoidable crash window (partition
+  // deleted, replacement not yet visible). [[removeKeyed]] therefore
+  // upgrades the store, on first retraction, to the same manifest fence
+  // [[Maintenance]]'s stores use: `$path/_manifest/vNNNNNNNN.txt` lists the
+  // live data files, readers resolve through it, and every mutation commits
+  // with ONE atomic manifest rename. The centroid sidecar is VERSION-PAIRED
+  // (`centroids_vNNNNNNNN`, written BEFORE the manifest rename), so data
+  // view and sidecar always advance together: a kill anywhere inside a
+  // mutation leaves the previous version fully consistent — both halves —
+  // and a replay-from-the-top recomputes identical content with no heal
+  // logic. A store that never retracts keeps the plain layout unchanged.
+
+  /** Latest fence version of an index store; 0 = plain (unfenced) layout. */
+  private def fenceVersion(spark: SparkSession, path: String): Long =
+    Maintenance.manifestVersion(spark, path)
+
+  private def sidecarPath(path: String, version: Long): String =
+    if (version == 0L) s"$path/centroids"
+    else f"$path/centroids_v$version%08d"
+
+  /** Read the index corpus — manifest-fenced when the store has been
+    * through a retraction, plain directory listing otherwise. Every probe
+    * and maintenance read resolves through this, so staged-but-uncommitted
+    * files (a crashed mutation's orphans) are invisible by construction.
+    */
+  def readData(spark: SparkSession, path: String): DataFrame = {
+    val v = fenceVersion(spark, path)
+    if (v == 0L) spark.read.parquet(s"$path/data")
+    else {
+      val files = Maintenance.liveFiles(spark, path)
+      require(files.nonEmpty,
+        s"IVF index at $path is fenced (v$v) but lists no live files — " +
+          "every vector was retracted; rebuild with writeClustered")
+      spark.read.option("basePath", s"$path/data").parquet(files: _*)
+    }
+  }
+
+  /** Current sidecar as (centroids, member counts), version-resolved. */
+  private def readSidecar(spark: SparkSession,
+      path: String): (Array[Array[Float]], Array[Long]) = {
+    val sp = sidecarPath(path, fenceVersion(spark, path))
+    val side = spark.read.parquet(sp)
+      .select(col("cluster"), col("centroid"), col("n_members")).collect()
+    require(side.nonEmpty, s"no centroids at $sp")
+    val k = side.map(_.getInt(0)).max + 1
+    val cents = new Array[Array[Float]](k)
+    val counts = new Array[Long](k)
+    side.foreach { r =>
+      cents(r.getInt(0)) = r.getSeq[Float](1).toArray
+      counts(r.getInt(0)) = r.getLong(2)
+    }
+    (cents, counts)
+  }
+
+  /** Commit a mutation against a FENCED store as the next version: write
+    * the version-paired sidecar first, then publish the manifest whose
+    * rename makes sidecar + data view visible atomically together. `staged`
+    * are newly-written data files (relative paths) to add; partitions named
+    * in `dropDirs` drop their previous files (their replacement content, if
+    * any, is in `staged`).
+    */
+  private def commitFenced(spark: SparkSession, path: String,
+      cents: Array[Array[Float]], counts: Array[Long],
+      staged: Seq[String], dropDirs: Set[String]): Unit = {
+    val (fs, _) = Maintenance.fsFor(spark, path)
+    val mdir = new org.apache.hadoop.fs.Path(s"$path/_manifest")
+    val v = Maintenance.latestManifestVersion(fs, mdir)
+    val dataBase = s"$path/data/"
+    val kept = Maintenance.liveFiles(spark, path).map(_.stripPrefix(dataBase))
+      .filterNot(f => dropDirs.contains(f.takeWhile(_ != '/')))
+    writeCentroids(spark, cents, counts, path, v + 1)
+    Maintenance.publishManifest(fs, mdir, v, (kept ++ staged).sorted, path)
   }
 
   /** Centroid sidecar: one tiny file of (cluster, centroid, n_members) —
     * n_members carries the weights [[refresh]] needs to fold new vectors
-    * into a centroid as an exact incremental mean.
+    * into a centroid as an exact incremental mean. `version` > 0 writes the
+    * fence-paired sidecar ([[removeKeyed]] stores); 0 the plain one.
     */
   private def writeCentroids(spark: SparkSession, cents: Array[Array[Float]],
-      counts: Array[Long], path: String): Unit = {
+      counts: Array[Long], path: String, version: Long = 0L): Unit = {
     import spark.implicits._
     cents.zipWithIndex
       .map { case (c, i) => (i, c.toSeq, counts(i)) }.toSeq
@@ -220,7 +314,7 @@ object Ivf {
       // matters, switch to repartition(1) so upstream parallelism is
       // preserved — do not let this pattern migrate to data-sized writes
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/centroids")
+      .write.mode("overwrite").parquet(sidecarPath(path, version))
   }
 
   /** Incremental index maintenance — fold `newDocs` into a [[writeClustered]]
@@ -251,16 +345,8 @@ object Ivf {
     */
   def refresh(spark: SparkSession, path: String, vecCol: String,
       newDocs: DataFrame): Model = {
-    val side = spark.read.parquet(s"$path/centroids")
-      .select(col("cluster"), col("centroid"), col("n_members")).collect()
-    require(side.nonEmpty, s"no centroids at $path/centroids")
-    val k = side.map(_.getInt(0)).max + 1
-    val cents = new Array[Array[Float]](k)
-    val counts = new Array[Long](k)
-    side.foreach { r =>
-      cents(r.getInt(0)) = r.getSeq[Float](1).toArray
-      counts(r.getInt(0)) = r.getLong(2)
-    }
+    val fenceV = fenceVersion(spark, path)
+    val (cents, counts) = readSidecar(spark, path)
     val model = Model(cents)
     val dims = cents.head.length
 
@@ -271,6 +357,12 @@ object Ivf {
       .select(newDocs.columns.map(col) :+ col("cluster"): _*)
       .persist()
     try {
+      // on a FENCED store the appended files stay invisible until the
+      // commitFenced publish below — which upgrades refresh's documented
+      // at-least-once append to an atomic commit (a crash before the
+      // publish leaves the previous version intact and replayable)
+      val before =
+        if (fenceV > 0) Maintenance.dataFilesOnDisk(spark, path) else Set.empty[String]
       assigned.write.mode("append").partitionBy("cluster").parquet(s"$path/data")
       val aggs = count(lit(1)).as("n_new") +:
         (0 until dims).map(j =>
@@ -287,7 +379,11 @@ object Ivf {
         }
         counts(c) = tot
       }
-      writeCentroids(spark, cents, counts, path)
+      if (fenceV > 0) {
+        val staged = (Maintenance.dataFilesOnDisk(spark, path) -- before)
+          .toSeq.sorted
+        commitFenced(spark, path, cents, counts, staged, Set.empty)
+      } else writeCentroids(spark, cents, counts, path)
       Model(cents)
     } finally assigned.unpersist()
   }
@@ -321,7 +417,7 @@ object Ivf {
     */
   def refreshKeyed(spark: SparkSession, path: String, idCol: String,
       vecCol: String, newDocs: DataFrame): Model = {
-    val existingIds = spark.read.parquet(s"$path/data").select(col(idCol))
+    val existingIds = readData(spark, path).select(col(idCol))
     // eager localCheckpoint, not persist: the anti-join READS the very
     // layout the refresh is about to APPEND to — any lazy recomputation
     // after the append would see its own output and dedup everything
@@ -344,7 +440,7 @@ object Ivf {
         // assignment the crashed run actually wrote (centroids have moved)
         val replayedIds = newDocs.select(col(idCol))
           .join(fresh.select(col(idCol)), Seq(idCol), "left_anti")
-        val touched = spark.read.parquet(s"$path/data")
+        val touched = readData(spark, path)
           .join(replayedIds, Seq(idCol))
           .select(col("cluster")).distinct().collect().map(_.getInt(0))
         if (touched.isEmpty) model
@@ -353,29 +449,111 @@ object Ivf {
           val aggs = count(lit(1)).as("n") +:
             (0 until dims).map(j =>
               avg(try_element_at(col(vecCol), lit(j + 1))).as(s"m$j"))
-          val stats = spark.read.parquet(s"$path/data")
+          val stats = readData(spark, path)
             .where(col("cluster").isin(touched.map(Integer.valueOf): _*))
             .groupBy(col("cluster")).agg(aggs.head, aggs.tail: _*)
             .collect()
-          val side = spark.read.parquet(s"$path/centroids")
-            .select(col("cluster"), col("centroid"), col("n_members")).collect()
-          val k = side.map(_.getInt(0)).max + 1
-          val cents = new Array[Array[Float]](k)
-          val counts = new Array[Long](k)
-          side.foreach { r =>
-            cents(r.getInt(0)) = r.getSeq[Float](1).toArray
-            counts(r.getInt(0)) = r.getLong(2)
-          }
+          val (cents, counts) = readSidecar(spark, path)
           stats.foreach { r =>
             val c = r.getInt(0)
             counts(c) = r.getLong(1)
             cents(c) = Array.tabulate(dims)(j =>
               if (r.isNullAt(j + 2)) 0.0f else r.getDouble(j + 2).toFloat)
           }
-          writeCentroids(spark, cents, counts, path)
+          // fenced store: the heal is a sidecar-only version bump (same
+          // live file set); plain store: the in-place sidecar overwrite
+          if (fenceVersion(spark, path) > 0)
+            commitFenced(spark, path, cents, counts, Nil, Set.empty)
+          else writeCentroids(spark, cents, counts, path)
           Model(cents)
         }
       }
+    }
+  }
+
+  /** RETRACT vectors from a written index by id (r15, VERDICT r14 #1 — the
+    * takedown/GDPR leg [[graft.etl.Maintenance.snapshotDiff]] removals
+    * need: docs left the doc store and the near-dup band index, but the
+    * ANN index kept serving their vectors forever). Appends can share a
+    * directory; retraction cannot — it must REWRITE the touched cluster
+    * partitions — so the first removal upgrades the store to the manifest
+    * fence (see the fence section above) and every subsequent mutation
+    * commits atomically:
+    *
+    *   1. the touched clusters come from an (id, cluster)-only scan of the
+    *      LIVE view joined to the removal ids — column-pruned, the vectors
+    *      never move;
+    *   2. each touched cluster's SURVIVING rows are staged as new files
+    *      (append-only — the live files are never modified), and their
+    *      exact member count + mean are recomputed from that same staged
+    *      relation (one aggregation, O(k×dims) to the driver) — the same
+    *      at-rest fixed point [[refreshKeyed]]'s heal converges to. A
+    *      cluster emptied by the removal keeps its old centroid at
+    *      n_members = 0 (the [[train]] empty-cluster convention), so probe
+    *      routing stays total;
+    *   3. the version-paired sidecar is written, THEN one manifest rename
+    *      publishes data view + sidecar together.
+    *
+    * Crash-replay idempotent with no journal and no heal: a kill anywhere
+    * before the rename leaves the previous version fully consistent (the
+    * removed ids still live, the staged orphans invisible), and a replay
+    * from the top recomputes identical content; after the rename the ids
+    * are gone, so a replay finds zero touched clusters and is a no-op.
+    * Orphaned staged files from crashed attempts are reclaimed by
+    * [[graft.etl.Maintenance.vacuumManifested]] (same layout contract).
+    * Ids in `removals` that are not in the index are ignored. Returns the
+    * updated model.
+    */
+  def removeKeyed(spark: SparkSession, path: String, idCol: String,
+      vecCol: String, removals: DataFrame): Model = {
+    if (fenceVersion(spark, path) == 0L) {
+      // ---- fence bootstrap (first retraction of a plain store): v1 is the
+      // store exactly as it stands — current files, current sidecar. The
+      // sidecar copy goes FIRST: a kill between the two writes leaves a
+      // plain store (v1 unpublished) and the replay overwrites the copy.
+      val files = Maintenance.dataFilesOnDisk(spark, path).toSeq.sorted
+      require(files.nonEmpty, s"no IVF data at $path/data")
+      val (cents, counts) = readSidecar(spark, path)
+      writeCentroids(spark, cents, counts, path, 1L)
+      val (fs, _) = Maintenance.fsFor(spark, path)
+      Maintenance.publishManifest(fs,
+        new org.apache.hadoop.fs.Path(s"$path/_manifest"), 0L, files, path)
+    }
+    val data = readData(spark, path)
+    val ids = removals.select(col(idCol)).distinct()
+    val touched = data.select(col(idCol), col("cluster"))
+      .join(ids, Seq(idCol))
+      .select(col("cluster")).distinct().collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) loadModel(spark, path) // replay fixed point: no-op
+    else {
+      val (cents, counts) = readSidecar(spark, path)
+      val dims = cents.head.length
+      val kept = data
+        .where(col("cluster").isin(touched.map(Integer.valueOf): _*))
+        .join(ids, Seq(idCol), "left_anti")
+        .persist()
+      try {
+        val before = Maintenance.dataFilesOnDisk(spark, path)
+        kept.write.mode("append").partitionBy("cluster")
+          .parquet(s"$path/data")
+        val staged = (Maintenance.dataFilesOnDisk(spark, path) -- before)
+          .toSeq.sorted
+        val aggs = count(lit(1)).as("n") +:
+          (0 until dims).map(j =>
+            avg(try_element_at(col(vecCol), lit(j + 1))).as(s"m$j"))
+        val stats = kept.groupBy(col("cluster")).agg(aggs.head, aggs.tail: _*)
+          .collect()
+        touched.foreach(c => counts(c) = 0L) // emptied unless stats say else
+        stats.foreach { r =>
+          val c = r.getInt(0)
+          counts(c) = r.getLong(1)
+          cents(c) = Array.tabulate(dims)(j =>
+            if (r.isNullAt(j + 2)) cents(c)(j) else r.getDouble(j + 2).toFloat)
+        }
+        commitFenced(spark, path, cents, counts, staged,
+          touched.map(c => Maintenance.partitionDirName("cluster", c)).toSet)
+        Model(cents)
+      } finally kept.unpersist()
     }
   }
 
@@ -383,9 +561,10 @@ object Ivf {
     * (tiny driver-side read: k rows of dims floats).
     */
   def loadModel(spark: SparkSession, path: String): Model = {
-    val rows = spark.read.parquet(s"$path/centroids")
+    val sp = sidecarPath(path, fenceVersion(spark, path))
+    val rows = spark.read.parquet(sp)
       .orderBy(col("cluster")).select(col("centroid")).collect()
-    require(rows.nonEmpty, s"no centroids at $path/centroids")
+    require(rows.nonEmpty, s"no centroids at $sp")
     Model(rows.map(_.getSeq[Float](0).toArray))
   }
 
@@ -397,7 +576,7 @@ object Ivf {
   def probeClustered(spark: SparkSession, path: String, idCol: String,
       vecCol: String, query: Seq[Float], nProbe: Int, k: Int): DataFrame = {
     val probes = loadModel(spark, path).nearestClusters(query, nProbe)
-    spark.read.parquet(s"$path/data")
+    readData(spark, path)
       .where(col("cluster").isin(probes: _*))
       .select(col(idCol), col("cluster"),
         cosine(col(vecCol), vecLit(query)).as("cosine_sim"))
@@ -438,7 +617,7 @@ object Ivf {
     val pq = query.map(x =>
       if (qscale == 0.0) 0 else math.floor(x.toDouble / qscale + 0.5).toInt)
     val pqLit = array(pq.map(lit(_)): _*)
-    val data = spark.read.parquet(s"$path/data")
+    val data = readData(spark, path)
       .where(col("cluster").isin(probes: _*))
     val cand = data
       .select(col(idCol),
@@ -451,6 +630,45 @@ object Ivf {
         cosine(col(vecCol), vecLit(query)).as("cosine_sim"))
       .orderBy(col("cosine_sim").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Serving-knob sibling of [[derivedK]] (r15, VERDICT r14 #4): the
+    * measured operating points were prose until now — this makes the
+    * default serve path execute them. SCALE.md r14 (regenerated-corpus
+    * numbers, `ProbeRecallDerived`): a ~10⁴-vector index needs nProbe=6
+    * for ≥ 0.9 mean recall@20 (sf1/20k: 0.756 @ 4, 0.922 @ 6 — small
+    * corpora REACH across cell boundaries for their top-k); from ~10⁵
+    * vectors up, derived-√n-k at nProbe=4 clears 0.9 with growing margin
+    * (sf10/200k: 0.987; sf30/600k: 1.000) while the probed fraction ≈ 4/k
+    * keeps shrinking. Capped at k — probing more cells than exist is the
+    * brute scan.
+    */
+  def derivedNProbe(n: Long, k: Int): Int = {
+    require(n >= 0 && k >= 1)
+    math.min(k, if (n < 100000L) 6 else 4)
+  }
+
+  /** [[probeClustered]] with nProbe DERIVED from the index's own sidecar
+    * (n = Σ n_members, k = centroid count) — the self-describing serve
+    * path: callers at unknown scale never ship a fixture knob to an index
+    * three decades bigger. One extra tiny sidecar read per probe.
+    */
+  def probeClusteredSized(spark: SparkSession, path: String, idCol: String,
+      vecCol: String, query: Seq[Float], k: Int): DataFrame = {
+    val (cents, counts) = readSidecar(spark, path)
+    probeClustered(spark, path, idCol, vecCol, query,
+      derivedNProbe(counts.sum, cents.length), k)
+  }
+
+  /** [[probeClusteredQuantized]] with the sidecar-derived nProbe (and the
+    * RecallSpec-gated rerank = 3k default).
+    */
+  def probeClusteredQuantizedSized(spark: SparkSession, path: String,
+      idCol: String, vecCol: String, qCol: String, query: Seq[Float],
+      k: Int): DataFrame = {
+    val (cents, counts) = readSidecar(spark, path)
+    probeClusteredQuantized(spark, path, idCol, vecCol, qCol, query,
+      derivedNProbe(counts.sum, cents.length), k, rerank = 3 * k)
   }
 
   /** IVF top-k: cosine-rank only the `nProbe` clusters nearest the query.

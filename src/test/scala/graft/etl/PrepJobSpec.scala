@@ -141,6 +141,17 @@ class PrepJobSpec extends SparkSpec {
     (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
+  /** Deterministic per-doc embedding (seedless-sin convention), TEXT-
+    * dependent so a changed doc carries a changed vector — the property
+    * that makes "retract old, fold new" observable in the index content.
+    */
+  private def embedOf(docsDf: DataFrame): DataFrame =
+    docsDf.select($"doc_id".as("vec_id"),
+      org.apache.spark.sql.functions.transform(
+        sequence(lit(1), lit(8)), j =>
+          sin(($"doc_id" * 31 + j * 7 + length($"text")).cast("double"))
+            .cast("float")).as("embedding"))
+
   // ---- byte-identity probe (the DailyJobSpec md5s helper) -------------
   private def md5s(dir: Path): Map[String, String] = {
     if (!Files.exists(dir)) return Map.empty
@@ -164,12 +175,14 @@ class PrepJobSpec extends SparkSpec {
   }
 
   /** Day-2 incremental prep, killed at `crash` ("afterDocs" = inside the
-    * index-refresh window; "midPack" = inside the pack window after ONE
-    * shard's commit; "none" = run to completion). Always restarts from the
-    * top with the same two snapshots — the idempotency contract.
+    * index-refresh window; "midVec" = between the vector index's two
+    * atomic commits (retraction committed, survivors not yet folded);
+    * "midPack" = inside the pack window after ONE shard's commit; "none" =
+    * run to completion). Always restarts from the top with the same two
+    * snapshots — the idempotency contract.
     */
   private def prepDay2(docStore: String, indexDir: String,
-      prepStore: String, crash: String): Unit = {
+      prepStore: String, ivfDir: String, crash: String): Unit = {
     // step 1: snapshot diff — only added+changed re-enter; removed retract
     val diff = Maintenance.snapshotDiff(v1, v2, Seq("doc_id"), Seq("text"))
     val reenter = diff.where($"status".isin("added", "changed"))
@@ -232,6 +245,19 @@ class PrepJobSpec extends SparkSpec {
     if (crash == "afterDocs") return // ---- KILL (index-refresh window)
     Maintenance.rebuildPartitionsManifested(bandRows(docRows), "pgrp",
       indexDir, tg.map(Int.box))
+    // step 3c: ANN index maintenance (r15, VERDICT r14 #1 — the leg that
+    // was missing: docs retracted from the doc store and band index kept
+    // being SERVED by vector probes). Retraction first — removeKeyed
+    // commits crash-atomically and a replay re-retracts a re-entered id's
+    // stale copy — then the survivors' CURRENT vectors fold in
+    // (refreshKeyed: fresh ids append, replayed ids dedup). Both commits
+    // are individually atomic; the WINDOW between them is what the midVec
+    // kill exercises.
+    graft.operators.Ivf.removeKeyed(spark, ivfDir, "vec_id", "embedding",
+      excluded.select($"doc_id".as("vec_id")))
+    if (crash == "midVec") return // ---- KILL (between the vector commits)
+    graft.operators.Ivf.refreshKeyed(spark, ivfDir, "vec_id", "embedding",
+      embedOf(survivors))
     // steps 4-6: chunk + pack + shard, committed one shard at a time (the
     // per-shard cadence a large store runs — each commit crash-atomic,
     // the WINDOW between commits is what the midPack kill exercises)
@@ -244,15 +270,17 @@ class PrepJobSpec extends SparkSpec {
     } finally excluded.unpersist(blocking = false)
   }
 
-  test("two-day corpus-prep run with kills inside the index-refresh and " +
-    "pack windows: rerun converges to the single-shot truth, untouched " +
-    "shards stay byte-identical, checksums match") {
+  test("two-day corpus-prep run with kills inside the index-refresh, " +
+    "vector-retraction, and pack windows: rerun converges to the " +
+    "single-shot truth, untouched shards stay byte-identical, checksums " +
+    "match, retracted vectors unprobeable") {
     val root = Files.createTempDirectory("graft_prep_")
     val docStore = s"$root/docs"
     val indexDir = s"$root/index"
     val prepStore = s"$root/prep"
+    val ivfDir = s"$root/ivf"
 
-    // ---- day 1: bootstrap all three stores from clean(v1)
+    // ---- day 1: bootstrap all four stores from clean(v1)
     val kept1 = withGrp(cleanAll(v1).where($"keep").select("doc_id", "text"))
       .localCheckpoint()
     val allG = (0 until G).map(Int.box)
@@ -263,6 +291,12 @@ class PrepJobSpec extends SparkSpec {
       "pgrp", prepStore, allG)
     assert(kept1.select("doc_id").as[Long].collect().toSet ===
       Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L))
+    val emb1 = embedOf(kept1)
+    graft.operators.Ivf.writeClustered(emb1, "vec_id", "embedding",
+      graft.operators.Ivf.train(emb1, "vec_id", "embedding", k = 3,
+        iters = 2), ivfDir)
+    def ivfIds(): Set[Long] = graft.operators.Ivf.readData(spark, ivfDir)
+      .select("vec_id").as[Long].collect().toSet
 
     // day-1 byte snapshot of the shards day 2 will NOT touch
     val touched2 = Seq(3L, 4L, 10L, 15L, 20L, 21L, 22L, 23L, 24L)
@@ -279,7 +313,7 @@ class PrepJobSpec extends SparkSpec {
     assert(day1Files.nonEmpty, "expected data files in untouched shards")
 
     // ---- day 2, attempt 1: killed inside the index-refresh window
-    prepDay2(docStore, indexDir, prepStore, crash = "afterDocs")
+    prepDay2(docStore, indexDir, prepStore, ivfDir, crash = "afterDocs")
     val docsAfter1 = Maintenance.readManifested(spark, docStore)
     assert(docsAfter1.where($"doc_id" === 20L).count() === 1,
       "crash window: day-2 survivor must already be in the doc store")
@@ -290,9 +324,22 @@ class PrepJobSpec extends SparkSpec {
       "crash window: the index must still be the day-1 state")
     assert(idxAfter1.where($"doc_id" === 20L).count() === 0,
       "crash window: day-2 bands must not be committed yet")
+    assert(ivfIds().contains(3L),
+      "crash window: the vector index must still be the day-1 state")
 
-    // ---- day 2, attempt 2: killed inside the pack window
-    prepDay2(docStore, indexDir, prepStore, crash = "midPack")
+    // ---- day 2, attempt 2: killed between the vector index's two commits
+    // (retraction published, survivors not yet folded)
+    prepDay2(docStore, indexDir, prepStore, ivfDir, crash = "midVec")
+    locally {
+      val mid = ivfIds()
+      assert(!mid.contains(3L) && !mid.contains(10L),
+        "midVec window: retracted vectors must already be unprobeable")
+      assert(!mid.contains(20L),
+        "midVec window: day-2 survivor vectors must not be folded yet")
+    }
+
+    // ---- day 2, attempt 3: killed inside the pack window
+    prepDay2(docStore, indexDir, prepStore, ivfDir, crash = "midPack")
     assert(Maintenance.readManifested(spark, indexDir)
       .where($"doc_id" === 3L).count() === 0,
       "after attempt 2 the index must be refreshed (doc 3 retracted)")
@@ -306,8 +353,8 @@ class PrepJobSpec extends SparkSpec {
         prepTruth.exceptAll(prepMid).isEmpty),
       "midPack kill left no open window to heal")
 
-    // ---- day 2, rerun from the top: heals both windows
-    prepDay2(docStore, indexDir, prepStore, crash = "none")
+    // ---- day 2, rerun from the top: heals all three windows
+    prepDay2(docStore, indexDir, prepStore, ivfDir, crash = "none")
 
     // gate A: doc store ≡ single-shot clean(v2) kept set + checksum triple
     assert(kept2Truth.select("doc_id").as[Long].collect().toSet ===
@@ -332,13 +379,43 @@ class PrepJobSpec extends SparkSpec {
         .select(idxTruth.columns.map(col): _*),
       idxTruth, "band index")
 
-    // gate D: shards day 2 never touched are byte-identical through both
-    // crashes and the rerun, in all three stores
+    // gate D: shards day 2 never touched are byte-identical through all
+    // crashes and the rerun, in all three pgrp stores
     assert(shardFiles() === day1Files,
       "day 2 crash/rerun rewrote files in an untouched shard")
 
+    // gate F: the vector index ≡ from-scratch embeddings of the v2 kept
+    // set — removed/changed docs' OLD vectors retracted, survivors' NEW
+    // vectors folded — and a full-width post-heal probe serves retracted
+    // ids NEVER and every kept id exactly once
+    sameRows(graft.operators.Ivf.readData(spark, ivfDir)
+        .select("vec_id", "embedding"),
+      embedOf(kept2Truth), "vector index")
+    locally {
+      val qv = embedOf(kept2Truth.where($"doc_id" === 1L))
+        .head().getSeq[Float](1)
+      val served = graft.operators.Ivf.probeClustered(spark, ivfDir,
+        "vec_id", "embedding", qv, nProbe = 3, k = 50)
+        .select("vec_id").as[Long].collect()
+      assert(served.toSet === kept2Truth.select("doc_id").as[Long]
+        .collect().toSet, "full-width probe is not the v2 kept set")
+      assert(served.length === served.toSet.size,
+        "post-heal probe served a vector twice")
+      // sidecar ≡ at-rest truth after the heal: per-cluster counts exact
+      val counts = graft.operators.Ivf.readData(spark, ivfDir)
+        .groupBy($"cluster").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val v = Maintenance.manifestVersion(spark, ivfDir)
+      spark.read.parquet(f"$ivfDir/centroids_v$v%08d").collect()
+        .foreach { r =>
+          assert(r.getLong(r.fieldIndex("n_members")) ===
+            counts.getOrElse(r.getInt(0), 0L),
+            s"sidecar count stale for cluster ${r.getInt(0)}")
+        }
+    }
+
     // gate E: a further full replay is a content no-op
-    prepDay2(docStore, indexDir, prepStore, crash = "none")
+    prepDay2(docStore, indexDir, prepStore, ivfDir, crash = "none")
     sameRows(Maintenance.readManifested(spark, docStore)
         .select("doc_id", "text", "pgrp"),
       kept2Truth.select("doc_id", "text", "pgrp"),
@@ -346,5 +423,8 @@ class PrepJobSpec extends SparkSpec {
     sameRows(Maintenance.readManifested(spark, prepStore)
         .select(prepTruth.columns.map(col): _*),
       prepTruth, "prep store after extra replay")
+    sameRows(graft.operators.Ivf.readData(spark, ivfDir)
+        .select("vec_id", "embedding"),
+      embedOf(kept2Truth), "vector index after extra replay")
   }
 }

@@ -92,6 +92,38 @@ class RecallSpec extends SparkSpec {
       "trainSized recall@20 under the declared-query gate")
   }
 
+  test("derived-nProbe serving knob (r15, VERDICT r14 #4): the measured " +
+    "operating points are executable, capped at k, and the sized probe " +
+    "reads them from the index's own sidecar") {
+    // SCALE.md r14 operating points (regenerated-corpus numbers): a
+    // ~1e4-vector index needs 6 probes for >= 0.9 mean recall@20 (sf1:
+    // 0.756 @ 4, 0.922 @ 6); from 1e5 vectors up, 4 clears it with
+    // growing margin (sf10/200k: 0.987, sf30/600k: 1.000)
+    assert(Ivf.derivedNProbe(20000, 8) === 6)
+    assert(Ivf.derivedNProbe(200000, 9) === 4)
+    assert(Ivf.derivedNProbe(600000, 16) === 4)
+    assert(Ivf.derivedNProbe(2000000, 29) === 4)
+    // capped at k: probing more cells than exist is just the brute scan
+    assert(Ivf.derivedNProbe(50, 3) === 3)
+    assert(Ivf.derivedNProbe(500, 8) === 6)
+    // the self-describing serve path: the sized probe must be EXACTLY the
+    // explicit probe at the sidecar-derived knob (fixture corpus: n=500
+    // members, k=8 cells -> nProbe=6), so serving never ships a fixture
+    // knob to an index three decades bigger
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_sized_")
+      .toString
+    val model = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    Ivf.writeClustered(emb, "vec_id", "embedding", model, path)
+    val sized = ids(Ivf.probeClusteredSized(spark, path, "vec_id",
+      "embedding", q, k = 20))
+    assert(sized === ids(Ivf.probeClustered(spark, path, "vec_id",
+      "embedding", q, nProbe = 6, k = 20)),
+      "sized probe disagrees with the explicit probe at the derived knob")
+    // and the DEFAULT serve path holds the recall gate at fixture scale
+    assert((sized & bruteTop20).size / 20.0 >= 0.5,
+      "default (sized) serve path under the recall gate")
+  }
+
   test("embedding near-dup pairs recall vs exact all-pairs at the same " +
     "threshold (same params as q_sim_neardup)") {
     // exact ground truth: all (a < b) pairs with cosine >= 0.2 — a genuine
