@@ -2740,12 +2740,19 @@ object ExtQueries {
     // frames both engines, never a lookahead). Ordered string_agg ≡
     // sorted-struct collect (pos is a distinct int key), NULLs skipped by
     // both. Fully DuckDB-oracled including all-covered and sub-span docs.
+    // Above maxFullPackDocs BASE docs both engines certify the
+    // packTruthSlice (r15: the sf30 oracle rebuilt 1.5M cleaned texts
+    // through an ordered string_agg over a 150M-row token relation and
+    // died on the harness memory wall — the same replay-bound class the
+    // winnow guard bounds; the Spark operator itself stays full-corpus
+    // everywhere it is USED, only this certification slices).
     QueryDef(
       "q_scrub_spans",
       Some("""WITH tok AS (
              |  SELECT doc_id,
              |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
              |  FROM documents
+             |""".stripMargin + docReplayGuardSql + """
              |), sh AS (
              |  SELECT doc_id, CASE WHEN len(t) >= 8
              |         THEN list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))
@@ -2775,7 +2782,8 @@ object ExtQueries {
              |  CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed,
              |  COALESCE(a.cleaned_text, '') AS cleaned_text
              |FROM tok t LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin),
-      (s, dir) => Dedup.scrubDupSpans(docs(s, dir), "doc_id", "text")),
+      (s, dir) => Dedup.scrubDupSpans(packTruthSlice(s, dir, docs(s, dir)),
+        "doc_id", "text")),
 
     // ------------------------------------------------------------------
     // Longest duplicated RUN per doc (Dedup.dupRunStats): gaps-and-islands

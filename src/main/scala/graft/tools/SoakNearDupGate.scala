@@ -86,6 +86,44 @@ object SoakNearDupGate {
         val (before, after) = Streaming.compactNearDupIndex(spark, indexDir)
         println(f"[soak] compaction after batch $b: files $before -> $after " +
           f"in ${(System.nanoTime() - t1) / 1e9}%.2f s")
+        // Selective-probe scan rows against the REAL at-rest index (r15,
+        // VERDICT r14 #6): r14 measured the flat row-group-skip curve on
+        // SYNTHETIC indexes offline (SoakProbeCost); this measures it on
+        // the soak's own compacted index as it grows. One indexed doc's 8
+        // (band, bucket) literals pushed; AQE off around the probe so the
+        // scan node's numOutputRows (rows surviving row-group pruning) is
+        // directly addressable on a plain plan tree.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try {
+          val atRest = Maintenance.readManifested(spark, indexDir)
+          val keys = atRest.where(col("doc_id") === 7L)
+            .select("band", "bucket").collect()
+            .map(r => (r.getInt(0), r.getLong(1)))
+          if (keys.nonEmpty) {
+            val pred = keys.map { case (bb, vv) =>
+              (col("band") === bb) && (col("bucket") === vv)
+            }.reduce(_ || _)
+            val probe = Maintenance.readManifested(spark, indexDir)
+              .where(pred).select("doc_id", "band", "bucket")
+            val t2 = System.nanoTime()
+            probe.collect()
+            val ms = (System.nanoTime() - t2) / 1e6
+            def scans(p: org.apache.spark.sql.execution.SparkPlan)
+                : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+              (p match {
+                case s: org.apache.spark.sql.execution.FileSourceScanExec
+                  if s.relation.location.rootPaths
+                    .exists(_.toString.contains(indexDir)) => Seq(s)
+                case _ => Seq.empty
+              }) ++ p.children.flatMap(scans) ++ p.subqueries.flatMap(scans)
+            val found = scans(probe.queryExecution.executedPlan)
+            require(found.nonEmpty, "no index scan in the probe plan")
+            val scanned = found.map(_.metrics("numOutputRows").value).sum
+            val idxRows = Maintenance.readManifested(spark, indexDir).count()
+            println(f"[soak] selective probe after compaction: index_rows=" +
+              f"$idxRows%9d scan_rows=$scanned%8d wall=$ms%7.1f ms")
+          }
+        } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
       }
     }
     val total = spark.read.parquet(outDir).count()

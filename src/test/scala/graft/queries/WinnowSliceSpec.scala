@@ -84,11 +84,27 @@ class WinnowSliceSpec extends SparkSpec {
       assert(sqlIds === (0L until 6000L by 2).toSet,
         "guard SQL selects a different id set than the Spark-side modulus")
     } finally spark.catalog.dropTempView("documents")
-    for (q <- Seq("q_fingerprint_winnow", "q_dedup_winnow", "q_bpe_fallback")) {
+    for (q <- Seq("q_fingerprint_winnow", "q_dedup_winnow", "q_bpe_fallback",
+        "q_scrub_spans")) {
       assert(SparkEntry.oracleSql(q)
         .contains("doc_id % (SELECT CAST(ceil(count(*)"),
         s"$q oracle lost the replay guard")
     }
+  }
+
+  test("q_scrub_spans joins the guard family (r15, the sf30 oracle memory " +
+    "wall): over threshold the slice fires AND keeps nonzero scrub mass") {
+    val out = SparkEntry.queries("q_scrub_spans")(spark, corpusDir)
+      .select("doc_id", "n_removed").as[(Long, Long)].collect()
+    assert(out.nonEmpty && out.forall(_._1 % 2 == 0),
+      "scrub output must contain exactly modulus-surviving docs")
+    // the designed shared passages (ids 4g and 4g+2, both even) duplicate
+    // 8-grams INSIDE the slice — a slice that zeroed the dup-span mass
+    // would certify nothing (the media-slice lesson)
+    assert(out.exists(_._2 > 0),
+      "slice degenerated the dup-span mass to zero removed tokens")
+    // and docs keep their full token accounting (per-doc semantics intact)
+    assert(out.length === 3000, "slice size must be the surviving id set")
   }
 
   test("at or under the threshold the slice is the identity (committed " +

@@ -25,6 +25,12 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 only = set(sys.argv[3:])
 budget = float(os.environ.get("CROSSCHECK_BUDGET_S", "0") or 0)
 con = duckdb.connect()
+# an in-memory connection has NO spill path — an oracle whose working set
+# exceeds memory_limit dies with "Failed to allocate block" instead of
+# spilling (seen on 7 sf30 oracles, r15); give it a disk temp dir and a
+# bounded limit so large-SF oracles trade time for memory like Spark does
+con.execute("SET temp_directory='/tmp/duck_spill'")
+con.execute("SET memory_limit='48GB'")
 for p in glob.glob(os.path.join(sfdir, "*.parquet")):
     name = os.path.basename(p)[:-len(".parquet")]
     # driver-written testdata is a single parquet FILE per table; corpora
