@@ -554,6 +554,23 @@ object Maintenance {
         case _ => ()
       }
     }
+    // IVF stores pair each manifest version with a `centroids_vNNNNNNNN`
+    // sidecar dir ([[graft.operators.Ivf]]'s fence); superseded versions
+    // and crashed-attempt temps are orphans exactly like old manifests
+    // (r16, ADVICE r15 — they previously accumulated unboundedly). Flat
+    // stores have no such dirs — the match is simply empty there. A
+    // version ABOVE latest is a crashed attempt's staged sidecar (vacuum
+    // runs under the same single-maintainer contract as mutations, so no
+    // live writer owns it); its replay rewrites it from scratch.
+    val sidecarRe = "^centroids_v(\\d{8})$".r
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    fs.listStatus(root).foreach { st =>
+      st.getPath.getName match {
+        case sidecarRe(ver) if ver.toLong != v => fs.delete(st.getPath, true)
+        case n if n.startsWith("centroids_.tmp-") => fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
     orphans.size
   }
 

@@ -284,6 +284,18 @@ object Ivf {
     * are newly-written data files (relative paths) to add; partitions named
     * in `dropDirs` drop their previous files (their replacement content, if
     * any, is in `staged`).
+    *
+    * The sidecar lands via write-to-unique-temp + one rename into the
+    * versioned slot (r16, ADVICE r15): a racing writer that finds the slot
+    * occupied checks the manifest — if v+1 is already published it fails
+    * LOUDLY without touching the winner's referenced sidecar (the direct
+    * overwrite this replaced could clobber it before losing the manifest
+    * claim). An occupied slot with the manifest still at v is a crashed
+    * attempt's orphan (single-maintainer contract: no live racer during a
+    * replay), deleted and replaced — which keeps crash-replay idempotent.
+    * Residual window, documented not closed: two writers racing INSIDE the
+    * orphan-check-to-rename instant can still interleave; the
+    * single-maintainer contract is what actually excludes that.
     */
   private def commitFenced(spark: SparkSession, path: String,
       cents: Array[Array[Float]], counts: Array[Long],
@@ -294,7 +306,19 @@ object Ivf {
     val dataBase = s"$path/data/"
     val kept = Maintenance.liveFiles(spark, path).map(_.stripPrefix(dataBase))
       .filterNot(f => dropDirs.contains(f.takeWhile(_ != '/')))
-    writeCentroids(spark, cents, counts, path, v + 1)
+    val tmpSide = s"$path/centroids_.tmp-${java.util.UUID.randomUUID()}"
+    writeCentroidsTo(spark, cents, counts, tmpSide)
+    val tmpP = new org.apache.hadoop.fs.Path(tmpSide)
+    val target = new org.apache.hadoop.fs.Path(sidecarPath(path, v + 1))
+    if (fs.exists(target)) {
+      if (Maintenance.latestManifestVersion(fs, mdir) > v) {
+        fs.delete(tmpP, true)
+        throw new IllegalStateException(
+          s"sidecar commit v${v + 1} lost a race — concurrent writer on $path")
+      }
+      fs.delete(target, true) // crashed-attempt orphan; replay rewrites it
+    }
+    require(fs.rename(tmpP, target), s"sidecar rename failed: $tmpSide -> $target")
     Maintenance.publishManifest(fs, mdir, v, (kept ++ staged).sorted, path)
   }
 
@@ -304,7 +328,11 @@ object Ivf {
     * fence-paired sidecar ([[removeKeyed]] stores); 0 the plain one.
     */
   private def writeCentroids(spark: SparkSession, cents: Array[Array[Float]],
-      counts: Array[Long], path: String, version: Long = 0L): Unit = {
+      counts: Array[Long], path: String, version: Long = 0L): Unit =
+    writeCentroidsTo(spark, cents, counts, sidecarPath(path, version))
+
+  private def writeCentroidsTo(spark: SparkSession, cents: Array[Array[Float]],
+      counts: Array[Long], dir: String): Unit = {
     import spark.implicits._
     cents.zipWithIndex
       .map { case (c, i) => (i, c.toSeq, counts(i)) }.toSeq
@@ -314,7 +342,7 @@ object Ivf {
       // matters, switch to repartition(1) so upstream parallelism is
       // preserved — do not let this pattern migrate to data-sized writes
       .coalesce(1)
-      .write.mode("overwrite").parquet(sidecarPath(path, version))
+      .write.mode("overwrite").parquet(dir)
   }
 
   /** Incremental index maintenance — fold `newDocs` into a [[writeClustered]]
@@ -499,26 +527,18 @@ object Ivf {
     * removed ids still live, the staged orphans invisible), and a replay
     * from the top recomputes identical content; after the rename the ids
     * are gone, so a replay finds zero touched clusters and is a no-op.
-    * Orphaned staged files from crashed attempts are reclaimed by
+    * Orphaned staged files from crashed attempts — data files AND
+    * superseded/staged `centroids_v*` sidecars (r16) — are reclaimed by
     * [[graft.etl.Maintenance.vacuumManifested]] (same layout contract).
     * Ids in `removals` that are not in the index are ignored. Returns the
     * updated model.
     */
   def removeKeyed(spark: SparkSession, path: String, idCol: String,
       vecCol: String, removals: DataFrame): Model = {
-    if (fenceVersion(spark, path) == 0L) {
-      // ---- fence bootstrap (first retraction of a plain store): v1 is the
-      // store exactly as it stands — current files, current sidecar. The
-      // sidecar copy goes FIRST: a kill between the two writes leaves a
-      // plain store (v1 unpublished) and the replay overwrites the copy.
-      val files = Maintenance.dataFilesOnDisk(spark, path).toSeq.sorted
-      require(files.nonEmpty, s"no IVF data at $path/data")
-      val (cents, counts) = readSidecar(spark, path)
-      writeCentroids(spark, cents, counts, path, 1L)
-      val (fs, _) = Maintenance.fsFor(spark, path)
-      Maintenance.publishManifest(fs,
-        new org.apache.hadoop.fs.Path(s"$path/_manifest"), 0L, files, path)
-    }
+    // the touched set comes from the CURRENT view (plain or fenced — both
+    // resolve the same live files) BEFORE any layout mutation, so a batch
+    // with zero matching ids is a pure no-op: it must not upgrade a plain
+    // store to the fenced layout as a side effect (r16, ADVICE r15)
     val data = readData(spark, path)
     val ids = removals.select(col(idCol)).distinct()
     val touched = data.select(col(idCol), col("cluster"))
@@ -526,9 +546,28 @@ object Ivf {
       .select(col("cluster")).distinct().collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) loadModel(spark, path) // replay fixed point: no-op
     else {
+      if (fenceVersion(spark, path) == 0L) {
+        // ---- fence bootstrap (first EFFECTIVE retraction of a plain
+        // store): v1 is the store exactly as it stands — current files,
+        // current sidecar. The sidecar copy goes FIRST: a kill between the
+        // two writes leaves a plain store (v1 unpublished) and the replay
+        // overwrites the copy. `data` read above still resolves the same
+        // files after the bootstrap — v1 lists exactly the plain listing.
+        val files = Maintenance.dataFilesOnDisk(spark, path).toSeq.sorted
+        require(files.nonEmpty, s"no IVF data at $path/data")
+        val (cents, counts) = readSidecar(spark, path)
+        writeCentroids(spark, cents, counts, path, 1L)
+        val (fs, _) = Maintenance.fsFor(spark, path)
+        Maintenance.publishManifest(fs,
+          new org.apache.hadoop.fs.Path(s"$path/_manifest"), 0L, files, path)
+      }
       val (cents, counts) = readSidecar(spark, path)
       val dims = cents.head.length
-      val kept = data
+      // re-resolve through the fence: the surviving rows APPEND into the
+      // same directory they scan, so the scan must carry the explicit
+      // manifest file list (the plain `data` read above is only used for
+      // the touched-set probe, which finishes before any write)
+      val kept = readData(spark, path)
         .where(col("cluster").isin(touched.map(Integer.valueOf): _*))
         .join(ids, Seq(idCol), "left_anti")
         .persist()

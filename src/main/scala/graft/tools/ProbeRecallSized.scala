@@ -43,8 +43,11 @@ object ProbeRecallSized {
 
     val allIds = emb.select("vec_id").orderBy("vec_id")
       .collect().map(_.getLong(0))
-    val stride = math.max(1, allIds.length / nQueries)
-    val qids = (0 until nQueries).map(i => allIds(i * stride))
+    // a corpus smaller than nQueries clamps stride to 1 — cap the query
+    // count at the corpus size so i*stride stays in bounds
+    val nq = math.min(nQueries, allIds.length)
+    val stride = math.max(1, allIds.length / nq)
+    val qids = (0 until nq).map(i => allIds(i * stride))
 
     def ids(df: DataFrame): Set[Long] =
       df.select("vec_id").collect().map(_.getLong(0)).toSet

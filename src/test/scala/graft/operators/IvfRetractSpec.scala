@@ -187,6 +187,56 @@ class IvfRetractSpec extends SparkSpec {
       === live, "vacuum changed the live view")
   }
 
+  test("a removal batch with ZERO matching ids against a PLAIN store is a " +
+    "pure no-op: no fence bootstrap, layout byte-identical (r16, ADVICE r15)") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_ivf_rm_noop_").toString
+    val model = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    Ivf.writeClustered(emb, "vec_id", "embedding", model, path)
+    val before = liveFileNames(path)
+    Ivf.removeKeyed(spark, path, "vec_id", "embedding",
+      Seq(999999999L, 888888888L).toDF("vec_id"))
+    assert(!Files.exists(Paths.get(s"$path/_manifest")),
+      "no-op removal bootstrapped the fence on a plain store")
+    assert(!Files.exists(Paths.get(f"$path/centroids_v${1L}%08d")),
+      "no-op removal staged a versioned sidecar on a plain store")
+    assert(liveFileNames(path) === before, "no-op removal changed the data view")
+    assert(Ivf.readData(spark, path).count() === emb.count())
+  }
+
+  test("vacuumManifested reclaims superseded versioned sidecars — only the " +
+    "latest manifest's pair survives, and the store still serves (r16, " +
+    "ADVICE r15)") {
+    val path = Files.createTempDirectory("graft_ivf_rm_vac_").toString
+    val model = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    Ivf.writeClustered(emb, "vec_id", "embedding", model, path)
+    // three fenced mutations: bootstrap(v1)+removal(v2), removal(v3),
+    // refresh heal-free append path not needed — removals alone version
+    Ivf.removeKeyed(spark, path, "vec_id", "embedding",
+      emb.where(col("vec_id") % 13 === 0).select("vec_id"))
+    Ivf.removeKeyed(spark, path, "vec_id", "embedding",
+      emb.where(col("vec_id") % 13 === 1).select("vec_id"))
+    val v = Maintenance.manifestVersion(spark, path)
+    assert(v >= 3L, s"expected >=3 fenced versions, got $v")
+    def versionedSidecars(): Set[String] = {
+      val d = new java.io.File(path)
+      d.listFiles().map(_.getName).filter(_.matches("centroids_v\\d{8}")).toSet
+    }
+    assert(versionedSidecars().size >= 2,
+      "precondition: multiple versioned sidecars should have accumulated")
+    val expected = ids(Ivf.probeClustered(spark, path, "vec_id", "embedding",
+      Similarity.vectorOf(spark, emb, "vec_id", "embedding", 1L),
+      nProbe = 8, k = 20))
+    Maintenance.vacuumManifested(spark, path)
+    assert(versionedSidecars() === Set(f"centroids_v$v%08d"),
+      s"vacuum left superseded sidecars: ${versionedSidecars()}")
+    // the surviving pair still serves identically
+    assert(ids(Ivf.probeClustered(spark, path, "vec_id", "embedding",
+      Similarity.vectorOf(spark, emb, "vec_id", "embedding", 1L),
+      nProbe = 8, k = 20)) === expected, "vacuum changed probe results")
+    assertSidecarTruth(path, dims = 8, touchedOnly = Some(Set.empty))
+  }
+
   test("retracting every member of a cluster keeps probe routing total " +
     "(empty cluster: n_members=0, centroid retained) and the fenced store " +
     "still serves atomic refreshes and partition-pruned probes") {

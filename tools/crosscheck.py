@@ -30,7 +30,13 @@ con = duckdb.connect()
 # spilling (seen on 7 sf30 oracles, r15); give it a disk temp dir and a
 # bounded limit so large-SF oracles trade time for memory like Spark does
 con.execute("SET temp_directory='/tmp/duck_spill'")
-con.execute("SET memory_limit='48GB'")
+# cap DuckDB below physical RAM: a hard-coded 48GB on a smaller host would
+# raise the cap ABOVE DuckDB's safe default and trade the loud allocation
+# failure for an OS-level OOM kill. Env override for unusual hosts; the
+# default is min(48GB — this 128GiB box's proven setting — 40% of phys).
+_phys_gb = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") / 2**30
+_mem_gb = int(os.environ.get("CROSSCHECK_MEM_GB", min(48, int(_phys_gb * 0.4)) or 1))
+con.execute(f"SET memory_limit='{_mem_gb}GB'")
 for p in glob.glob(os.path.join(sfdir, "*.parquet")):
     name = os.path.basename(p)[:-len(".parquet")]
     # driver-written testdata is a single parquet FILE per table; corpora
