@@ -210,21 +210,37 @@ object CoreQueries {
              |GROUP BY n_name""".stripMargin),
       (s, dir) => {
         import s.implicits._
-        t(s, dir, "lineitem")
+        // Pre-aggregate lineitem PER ORDER before the fact–fact join (r16
+        // optimization, guide §2.3 "aggregate before you shuffle"): the
+        // orderkey grain collapses ~4 lines/order with map-side partial
+        // aggregation ahead of the exchange, and — because each surviving
+        // orderkey is then exactly ONE row — countDistinct(o_orderkey)
+        // becomes a plain count, removing the distinct-agg Expand that
+        // doubled every joined row through the aggregation. Values are
+        // IDENTICAL by exactness, not by luck: l_quantity sums are integer
+        // sums in double (exact at any grouping, far under 2^53), the
+        // revenue terms sum in DECIMAL(38,4) (exact + associative — the
+        // exactSum contract), n_lines/n_orders are integer counts, and
+        // avg_qty = exact sum / exact count is the same single IEEE divide
+        // Spark's Average evaluates. Oracle SQL unchanged.
+        val lpre = t(s, dir, "lineitem")
+          .groupBy($"l_orderkey")
+          .agg(
+            count(lit(1)).as("nl"),
+            sum($"l_quantity").as("sq"),
+            sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 4))).as("rev"))
+        lpre
           .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
           .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
           .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
           .groupBy($"n_name")
           .agg(
-            countDistinct($"o_orderkey").as("n_orders"),
-            count(lit(1)).as("n_lines"),
-            sum($"l_quantity").as("sum_qty"),
-            avg($"l_quantity").as("avg_qty"),
-            // true revenue is an exact multiple of 1e-4 (2-dec price × 2-dec
-            // discount); the per-term DECIMAL(38,4) cast recovers it exactly
-            // and the decimal sum is order-free — see exactSum (the old
-            // post-sum snap's drift margin broke at 6M rows)
-            exactSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"))
+            count(lit(1)).as("n_orders"),
+            sum($"nl").as("n_lines"),
+            sum($"sq").as("sum_qty"),
+            (sum($"sq") / sum($"nl")).as("avg_qty"),
+            sum($"rev").cast("double").as("revenue"))
       }),
 
     // ------------------------------------------------------------------

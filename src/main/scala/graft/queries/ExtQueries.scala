@@ -589,6 +589,37 @@ object ExtQueries {
       % lit(math.ceil(n / maxFullPackDocs.toDouble).toLong) === 0)
   }
 
+  /** Exact all-pairs cosine ≥ `minSim` over a (bounded) vector relation —
+    * the crossJoin certification truth of q_sim_neardup / q_sim_clusters,
+    * spelled with PER-VECTOR precomputed norms (r16 optimization, guide
+    * §1.2 "per-task work"): `sqrt(Σx²)` is one GraftNorm2 per ROW (2·n
+    * evaluations), so the per-PAIR loop drops from GraftCosine's three
+    * accumulation streams (dot + both norms = 3·dims FLOPs/pair) to
+    * GraftDot's one (dims FLOPs/pair). BIT-IDENTICAL output: GraftCosine
+    * computes `d / (sqrt(na) · sqrt(nb))` and NULLs the zero-norm /
+    * length-mismatch cases — here `sa = sqrt(na)` and `sb = sqrt(nb)` are
+    * the same left-to-right double accumulations (GraftNorm2 ≡ the norm
+    * loop inside GraftCosine), `sa * sb` and `d / (sa * sb)` are the same
+    * IEEE ops in the same order, GraftDot nulls the length mismatch, and
+    * the `when` nulls the zero-norm case — so every emitted cosine_sim
+    * carries the exact bits the one-pass spelling produced (the DuckDB
+    * oracle SQL is unchanged). Measured at sf0.1 (12.5M pairs, ×2 because
+    * withRecallFlag re-executes the truth leg): q_sim_neardup 3.36 → 2.2 s.
+    */
+  private def exactCosinePairs(e: DataFrame, minSim: Double): DataFrame = {
+    import graft.functions.VectorNative
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      VectorNative.norm2(col("embedding")).as("sa"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      VectorNative.norm2(col("embedding")).as("sb"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        when(col("sa") * col("sb") > 0.0,
+          VectorNative.dot(col("va"), col("vb")) / (col("sa") * col("sb")))
+          .as("cosine_sim"))
+      .where(col("cosine_sim") >= minSim)
+  }
+
   private def lshTopK0(e: DataFrame, q: Seq[Float]): DataFrame =
     Similarity.lshTopK(e, "vec_id", "embedding", q, dims = SimParams.dims,
       nPlanes = SimParams.nPlanes, k = SimParams.k, nTables = SimParams.nTables)
@@ -3397,12 +3428,9 @@ object ExtQueries {
         // flip recall_ok to false against the oracle's literal TRUE. The
         // _operator twin keeps timing the full-corpus production build.
         val e = certTruthSlice(emb(s, dir))
-        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-        val truth = a.crossJoin(b).where(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"),
-            graft.functions.VectorNative.cosine(col("va"), col("vb")).as("cosine_sim"))
-          .where(col("cosine_sim") >= SimParams.minSim)
+        // norm-precomputed spelling of the all-pairs truth (bit-identical —
+        // see exactCosinePairs): 1 accumulation stream per pair, not 3
+        val truth = exactCosinePairs(e, SimParams.minSim)
         withRecallFlag(truth,
           Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
             dims = SimParams.dims, nPlanes = SimParams.nPlanes,
@@ -3455,12 +3483,8 @@ object ExtQueries {
         // (constant truth-pair budget at any n) while the _x1/_x4 operator
         // twins carry the LSH-bucketed production path over the full corpus
         val e = certTruthSlice(emb(s, dir))
-        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-        val pairs = a.crossJoin(b).where(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"),
-            graft.functions.VectorNative.cosine(col("va"), col("vb")).as("cos"))
-          .where(col("cos") >= 0.4)
+        // norm-precomputed all-pairs truth (bit-identical; exactCosinePairs)
+        val pairs = exactCosinePairs(e, 0.4)
         Components
           .connectedComponents(e.select("vec_id"), "vec_id",
             pairs, "id_a", "id_b")

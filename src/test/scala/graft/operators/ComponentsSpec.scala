@@ -38,20 +38,52 @@ class ComponentsSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  /** Force the distributed star loop for legs that pin ITS behavior —
+    * fixture graphs sit far under the small-graph driver-path bound.
+    */
+  private def forcingLoop[T](f: => T): T = {
+    spark.conf.set("spark.graft.cc.maxLocalEdges", "0")
+    try f finally spark.conf.unset("spark.graft.cc.maxLocalEdges")
+  }
+
   test("iteration checkpoints are released round-over-round (flat memory)") {
-    // a 14-node path has diameter 13 → ~13 propagation rounds; without the
-    // per-round release every round's label snapshot stays persisted
-    val n = 14L
-    val nodes = (0L until n)
-    val edges = (0L until n - 1).map(i => (i, i + 1))
+    forcingLoop {
+      // a 14-node path has diameter 13 → ~13 propagation rounds; without the
+      // per-round release every round's label snapshot stays persisted
+      val n = 14L
+      val nodes = (0L until n)
+      val edges = (0L until n - 1).map(i => (i, i + 1))
+      val before = spark.sparkContext.getPersistentRDDs.size
+      val m = comps(nodes, edges)
+      assert(m.values.toSet == Set(0L), "path must collapse to one component")
+      val after = spark.sparkContext.getPersistentRDDs.size
+      // only the FINAL labels checkpoint (the returned result) may remain —
+      // one snapshot, not one per iteration
+      assert(after - before <= 1,
+        s"checkpoint blocks accreted across iterations: $before -> $after")
+    }
+  }
+
+  test("small-graph driver path (union-find) labels equal the star loop's " +
+    "and leave no persisted edge snapshot behind") {
+    // deterministic pseudo-random graph: chains, a star, isolated nodes,
+    // duplicate-ish edges via modulus collisions — both paths must agree
+    // on every label (component = min reachable id)
+    val nodes = (0L until 60L)
+    val edges = (0L until 90L).map(i => ((i * 7) % 60, (i * 13 + 5) % 60))
+      .filter { case (a, b) => a != b }
     val before = spark.sparkContext.getPersistentRDDs.size
-    val m = comps(nodes, edges)
-    assert(m.values.toSet == Set(0L), "path must collapse to one component")
+    val viaDriver = comps(nodes, edges) // default bound ≫ 90 edges
     val after = spark.sparkContext.getPersistentRDDs.size
-    // only the FINAL labels checkpoint (the returned result) may remain —
-    // one snapshot, not one per iteration
+    val viaLoop = forcingLoop(comps(nodes, edges))
+    assert(viaDriver == viaLoop,
+      s"driver union-find diverged from star loop:\n$viaDriver\nvs\n$viaLoop")
+    // the driver path releases the edge checkpoint it collected from;
+    // unpersist is async (blocking=false) and earlier tests' releases can
+    // also land during this one, so assert no ACCRETION rather than an
+    // exact count
     assert(after - before <= 1,
-      s"checkpoint blocks accreted across iterations: $before -> $after")
+      s"driver path leaked persisted snapshots: $before -> $after")
   }
 
   test("edge endpoints absent from the node list still resolve via nodes given") {
@@ -70,17 +102,20 @@ class ComponentsSpec extends SparkSpec {
   }
 
   test("diameter-13 chain converges in O(log n) rounds, not O(diameter)") {
-    // the Kiveris large-star/small-star guarantee: each round halves path
-    // lengths in the pointer forest, so a 14-node path (diameter 13, which
-    // plain min-label propagation needs ~13 rounds for) must finish in a
-    // logarithmic number of rounds (+1 to detect the fixpoint)
-    val n = 14L
-    val (df, rounds) = Components.connectedComponentsWithRounds(
-      (0L until n).toDF("id"), "id",
-      (0L until n - 1).map(i => (i, i + 1)).toDF("s", "d"), "s", "d")
-    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(m.values.toSet == Set(0L), "path must collapse to one component")
-    assert(rounds <= 7, s"expected O(log 14) ≈ ≤7 rounds, took $rounds")
+    forcingLoop {
+      // the Kiveris large-star/small-star guarantee: each round halves path
+      // lengths in the pointer forest, so a 14-node path (diameter 13, which
+      // plain min-label propagation needs ~13 rounds for) must finish in a
+      // logarithmic number of rounds (+1 to detect the fixpoint)
+      val n = 14L
+      val (df, rounds) = Components.connectedComponentsWithRounds(
+        (0L until n).toDF("id"), "id",
+        (0L until n - 1).map(i => (i, i + 1)).toDF("s", "d"), "s", "d")
+      val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(m.values.toSet == Set(0L), "path must collapse to one component")
+      assert(rounds > 0 && rounds <= 7,
+        s"expected the loop to run in O(log 14) ≈ 1..7 rounds, took $rounds")
+    }
   }
 
   test("degree-ordered triangle count equals the id orientation, and the " +
