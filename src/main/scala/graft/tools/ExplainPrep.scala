@@ -16,12 +16,20 @@ object ExplainPrep {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("q_prep_e2e")
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
-    val spark = SparkSession.builder().master("local[8]")
+    val builder = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
-      .getOrCreate()
+    // trailing key=value args become session confs (dev knob, e.g.
+    // spark.graft.cc.maxLocalEdges=0 to print the distributed-loop plan)
+    args.drop(2).foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => builder.config(k, v)
+        case _ => sys.error(s"expected key=value conf override, got: $kv")
+      }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString

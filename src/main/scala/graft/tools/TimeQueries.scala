@@ -28,14 +28,19 @@ object TimeQueries {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val repeats = args(1).toInt
-    val names = args.drop(2).toSeq
-    val spark = SparkSession.builder()
+    // args containing '=' are session conf overrides (dev knob, mirrors
+    // ExplainPrep); the rest are query names
+    val (confs, names) = args.drop(2).toSeq.partition(_.contains("="))
+    val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
-      .getOrCreate()
+    confs.foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.load(spark, sfDir, "lineitem").limit(1000)
       .groupBy("l_returnflag").count().count() // warmup
