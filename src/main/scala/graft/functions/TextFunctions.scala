@@ -180,6 +180,37 @@ object TextFunctions {
     */
   def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
 
+  /** Native one-pass form of the hot-path shingle sandwich (r16): with
+    * `distinct = true` this IS `arrayBarrier(array_distinct(
+    * shinglesFromTokens(toks, n)))` — same strings, same first-occurrence
+    * order, same empty-array short-doc branch, same optimizer-barrier
+    * contract — computed in one codegen'd row-local loop instead of
+    * interpreted HOFs plus a per-row UDF round-trip (ShinglesExprSpec gates
+    * bit-equality against the declarative chain). With `distinct = false`
+    * it replaces `arrayBarrier(shinglesFromTokens(toks, n))`. One caveat
+    * inherited by design: a NULL token array yields NULL rather than the
+    * chain's `[]` — indistinguishable under every consumer (explode /
+    * `size > 0` filters); callers that would surface the array itself
+    * should keep the declarative chain.
+    */
+  def shinglesNative(toks: Column, n: Int, distinct: Boolean = true): Column = {
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    B.column(graft.functions.expr.GraftShingles(B.expression(toks), n, distinct))
+  }
+
+  /** Native one-pass 64-bit SimHash over a token array (r16): replaces
+    * [[graft.operators.Dedup.simhash]]'s token explode + 64-conditional-sum
+    * aggregation with one row-local vote loop — bit-identical output
+    * (integer votes are order-independent; same xxhash64 seed-42 draws;
+    * SimhashExprSpec gates equality against the aggregation spelling).
+    * NULL for empty/NULL token arrays — the docs the explode pipeline
+    * emitted no row for; callers filter `isNotNull`.
+    */
+  def simhashNative(toks: Column): Column = {
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    B.column(graft.functions.expr.GraftSimhash(B.expression(toks)))
+  }
+
   /** PII scrubbing — the redaction pass an LLM training pipeline runs before
     * anything else sees the text: emails → `<EMAIL>`, IPv4 addresses →
     * `<IP>`, then NANP-style phone numbers → `<PHONE>`, as three chained

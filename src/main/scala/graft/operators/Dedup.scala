@@ -59,13 +59,13 @@ object Dedup {
     def distinctShingles(df: DataFrame, c: String) =
       df.select(tokens(col(c)).as("toks"))
         .select(explode(
-          arrayBarrier(array_distinct(shinglesFromTokens(col("toks"), shingleN))))
+          shinglesNative(col("toks"), shingleN))
           .as("shingle"))
     val benchShingles = distinctShingles(benchmark, benchTextCol).distinct()
     val hits = docs
       .select(col(idCol), tokens(col(textCol)).as("toks"))
       .select(col(idCol), explode(
-        arrayBarrier(array_distinct(shinglesFromTokens(col("toks"), shingleN))))
+        shinglesNative(col("toks"), shingleN))
         .as("shingle"))
       .join(broadcast(benchShingles), "shingle")
       .groupBy(col(idCol))
@@ -104,7 +104,7 @@ object Dedup {
     def distinctShingles(df: DataFrame, c: String) =
       df.select(tokens(col(c)).as("toks"))
         .select(explode(
-          arrayBarrier(array_distinct(shinglesFromTokens(col("toks"), shingleN))))
+          shinglesNative(col("toks"), shingleN))
           .as("shingle"))
     val benchShingles = distinctShingles(benchmark, benchTextCol).distinct()
     // two actions on the SMALL side only: size, then build. The blob is the
@@ -118,7 +118,7 @@ object Dedup {
     val hits = docs
       .select(col(idCol), tokens(col(textCol)).as("toks"))
       .select(col(idCol), explode(
-        arrayBarrier(array_distinct(shinglesFromTokens(col("toks"), shingleN))))
+        shinglesNative(col("toks"), shingleN))
         .as("shingle"))
       .where(bloomMightContain(blob, col("shingle")))
       .join(benchShingles.hint("shuffle_hash"), "shingle")
@@ -220,8 +220,15 @@ object Dedup {
   def minhashPairsFromTokens(tokenized: DataFrame,
       shingleN: Int = 3, nPerms: Int = 32, nBands: Int = 8,
       maxBucket: Int = 50, derivePerms: Boolean = false): DataFrame =
+    // explicit bucket-keyed exchange (the portableBandBuckets convention,
+    // r16): groupPairs reads the band relation TWICE (count-first cap,
+    // then pairing) and the signature-aggregation exchange that used to be
+    // the shared materialization point no longer exists (the signature is
+    // a map-side native loop now) — without this both passes would re-run
+    // the signature pipeline; with it the second pass is a ReusedExchange
     groupPairs(minhashBandBuckets(tokenized, shingleN, nPerms, nBands,
-        derivePerms),
+        derivePerms)
+        .repartition(col("band"), col("bucket")),
         Seq("band", "bucket"), col("doc_id"), maxBucket)
       .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
@@ -261,24 +268,33 @@ object Dedup {
     require(nBands >= 1 && nBands <= nPerms && nPerms % nBands == 0,
       s"nBands ($nBands) must divide nPerms ($nPerms)")
     val rowsPerBand = nPerms / nBands
-    val shRaw = tokenized
+    // ONE row-local signature loop per doc (GraftXxMinSig, r16 — the
+    // portableSigExpr convention applied to the production xxhash64
+    // family): no shingle explode, no nPerms-min aggregation exchange, and
+    // the shingle's string hash computes once per occurrence instead of
+    // once per PERMUTATION (the Column spelling re-hashed the string bytes
+    // under each seed — ~nPerms× the string-hash work). Draw values are
+    // bit-identical (XxHash64's left-to-right fold replayed exactly, min
+    // is duplicate/order-insensitive) — gated by XxMinSigSpec against the
+    // explode+aggregate spelling for both derivePerms families.
+    val sig = tokenized
       .select(col("doc_id"),
-        explode(arrayBarrier(shinglesFromTokens(col("toks"), shingleN))).as("shingle"))
-    // derived path: one string hash per shingle row materialized in this
-    // projection, so the nPerms aggregate draws below hash a fixed-width
-    // long, never the string again
-    val sh =
-      if (derivePerms) shRaw.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      else shRaw
-    val sig = sh.groupBy(col("doc_id")).agg(
-      min(xxhash64(col("shingle"), lit(0))).as("h0"),
-      (1 until nPerms).map(seed =>
-        min(xxhash64(col("shingle"), lit(seed))).as(s"h$seed")): _*)
+        xxMinSig(col("toks"), shingleN, nPerms, derivePerms).as("sig"))
+      .where(col("sig").isNotNull)
     sig.select(col("doc_id"), explode(array((0 until nBands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(((b * rowsPerBand until (b + 1) * rowsPerBand)
-          .map(i => col(s"h$i")) :+ lit(b).cast("long")): _*).as("bucket"))
+          .map(i => element_at(col("sig"), i + 1)) :+ lit(b).cast("long")): _*)
+          .as("bucket"))
     }: _*)).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Column bridge for [[graft.functions.expr.GraftXxMinSig]]. */
+  private def xxMinSig(toks: Column, shingleN: Int, nPerms: Int,
+      derivePerms: Boolean): Column = {
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    B.column(graft.functions.expr.GraftXxMinSig(
+      B.expression(toks), shingleN, nPerms, derivePerms))
   }
 
   /** The engine-PORTABLE MinHash family's modulus: the Mersenne prime
@@ -508,26 +524,20 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document: per-token xxhash64, each bit votes ±1,
-    * the sign of each bit-sum forms the fingerprint. Built as 64 conditional
-    * sums in one aggregation — single shuffle on doc id, fully codegen'd.
+    * the sign of each bit-sum forms the fingerprint. Computed in one
+    * row-local native vote loop (GraftSimhash, r16) — map-only, no token
+    * explode, no aggregation exchange.
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
-      explode(arrayBarrier(tokens(col(textCol)))).as("token"))
-      .withColumn("h", xxhash64(col("token")))
-    val bitSums = (0 until 64).map { j =>
-      // bitwiseAND, not % 2: Spark % follows the dividend's sign, so a
-      // negative odd hash gives -1 and bit 0's vote would be wrong for
-      // half of all tokens
-      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"b$j")
-    }
-    val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val hash = (0 until 64).map { j =>
-      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    sums.select(col("doc_id"), hash.as("simhash"))
-  }
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // one row-local vote loop per doc (GraftSimhash, r16) — no token
+    // explode, no 64-aggregate exchange; bit-identical to the aggregation
+    // spelling it replaced (integer votes are order-independent; same
+    // xxhash64 seed-42 draws; gated by SimhashExprSpec). isNotNull
+    // reproduces "token-less docs have no hash row" (the explode pipeline
+    // emitted no aggregation group for them).
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), simhashNative(col("toks")).as("simhash"))
+      .where(col("simhash").isNotNull)
 
   /** Hamming-banded near-dup pairs over ANY precomputed 64-bit hash column
     * (SimHash, perceptual image hashes — any fingerprint whose similarity
@@ -643,7 +653,7 @@ object Dedup {
     val byDoc = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .select(col("doc_id"),
-        arrayBarrier(array_distinct(shinglesFromTokens(col("toks"), shingleN))).as("shs"))
+        shinglesNative(col("toks"), shingleN).as("shs"))
       .select(col("doc_id"), col("shs"), explode(col("shs")).as("shingle"))
       .select(col("doc_id"), size(col("shs")).as("n"), col("shingle"))
       .repartition(col("shingle"))
@@ -715,7 +725,7 @@ object Dedup {
       // which would make the two exchange copies canonicalize unequal)
       .where(col("doc_id").isNotNull)
       .select(col("doc_id"),
-        arrayBarrier(array_distinct(shinglesFromTokens(col("toks"), spanN))).as("spans"))
+        shinglesNative(col("toks"), spanN).as("spans"))
       .select(col("doc_id"), size(col("spans")).as("n_spans"),
         explode(col("spans")).as("span"))
       .repartition(col("span"))
@@ -760,7 +770,7 @@ object Dedup {
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .where(col("doc_id").isNotNull)
       .select(col("doc_id"),
-        arrayBarrier(array_distinct(shinglesFromTokens(col("toks"), shingleN)))
+        shinglesNative(col("toks"), shingleN)
           .as("shs"))
       .select(col("doc_id"), size(col("shs")).as("n_shingles"),
         explode(col("shs")).as("shingle"))
@@ -802,7 +812,7 @@ object Dedup {
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .where(col("doc_id").isNotNull)
       .select(col("doc_id"),
-        explode(arrayBarrier(array_distinct(shinglesFromTokens(col("toks"), spanN))))
+        explode(shinglesNative(col("toks"), spanN))
           .as("span"))
       .groupBy(col("span"))
       .agg(count(lit(1)).as("df"), min(col("doc_id")).as("example_doc"))
@@ -837,7 +847,7 @@ object Dedup {
       .where(col("doc_id").isNotNull)
     val pos = toked
       .select(col("doc_id"),
-        arrayBarrier(shinglesFromTokens(col("toks"), spanN)).as("spans"))
+        shinglesNative(col("toks"), spanN, distinct = false).as("spans"))
       .select(col("doc_id"), posexplode(col("spans")))
       .withColumnRenamed("col", "span")
       .repartition(col("span"))
@@ -901,7 +911,7 @@ object Dedup {
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .where(col("doc_id").isNotNull)
       .select(col("doc_id"),
-        arrayBarrier(shinglesFromTokens(col("toks"), spanN)).as("spans"))
+        shinglesNative(col("toks"), spanN, distinct = false).as("spans"))
       .select(col("doc_id"), posexplode(col("spans")))
       .withColumnRenamed("col", "span")
       .repartition(col("span"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.TextFunctions.{arrayBarrier, shinglesFromTokens, tokens}
+import graft.functions.TextFunctions.{arrayBarrier, shinglesNative, tokens}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -68,7 +68,7 @@ object Lm {
       .select(col("doc_id"),
         // barrier: see TextFunctions.arrayBarrier — without it the inferred
         // Generate guard re-runs the tokenize→shingle chain at the scan
-        explode(arrayBarrier(shinglesFromTokens(col("toks"), 2))).as("bigram"))
+        explode(shinglesNative(col("toks"), 2, distinct = false)).as("bigram"))
       // semantically a no-op (substring_index is null only for null input):
       // the w₁ join downstream INFERS this constraint and pushes it below
       // the exchange of whichever consumer derives w — stating it here

@@ -1916,8 +1916,8 @@ object ExtQueries {
         import s.implicits._
         docs(s, dir)
           .select(TextFunctions.tokens($"text").as("toks"))
-          .select(explode(TextFunctions.arrayBarrier(
-            TextFunctions.shinglesFromTokens($"toks", 2))).as("bigram"))
+          .select(explode(TextFunctions.shinglesNative(
+            $"toks", 2, distinct = false)).as("bigram"))
           .groupBy($"bigram")
           .agg(count(lit(1)).as("n"))
           .orderBy($"n".desc, $"bigram")
@@ -4061,8 +4061,8 @@ object ExtQueries {
         // re-running the scan+shingle subtree (the q_source_divergence
         // lesson — both count aggs here branch-point at their own agg
         // exchange, one ReusedExchange per extra consumer)
-        val bc0 = tok.select(explode(TextFunctions.arrayBarrier(
-            TextFunctions.shinglesFromTokens($"toks", 2))).as("bg"))
+        val bc0 = tok.select(explode(TextFunctions.shinglesNative(
+            $"toks", 2, distinct = false)).as("bg"))
           .where($"bg".isNotNull &&
             split($"bg", " ").getItem(0).isNotNull &&
             split($"bg", " ").getItem(1).isNotNull)
@@ -4948,8 +4948,7 @@ object ExtQueries {
         val cand = broadcast(
           Dedup.jaccardPairs(d, "doc_id", "text").select($"doc_a", $"doc_b"))
         val tok = d.select($"doc_id", TextFunctions.tokens($"text").as("toks"))
-        val shd = tok.select($"doc_id", explode(TextFunctions.arrayBarrier(
-            array_distinct(TextFunctions.shinglesFromTokens($"toks", 3))))
+        val shd = tok.select($"doc_id", explode(TextFunctions.shinglesNative($"toks", 3))
             .as("shingle"))
         val sizes = shd.groupBy($"doc_id").agg(count(lit(1)).as("n"))
         val ti = cand

@@ -584,8 +584,15 @@ object Streaming {
     * and always drops. Shared by [[applyNearDedupBatch]] and the bench
     * twin, so the knob Bench times is literally the streaming gate's code.
     */
-  private[graft] def batchCollisions(bands: DataFrame,
-      minBandsGate: Int): DataFrame =
+  private[graft] def batchCollisions(bands0: DataFrame,
+      minBandsGate: Int): DataFrame = {
+    // explicit bucket-keyed exchange (r16, the minhashPairsFromTokens
+    // convention): both arms read the band relation twice (keeper agg +
+    // join back, or the self-join's two sides) and the signature
+    // aggregation that used to be the shared materialization point is now
+    // a map-side native loop — one repartition restores single execution
+    // of the signature pipeline via ReusedExchange
+    val bands = bands0.repartition(col("band"), col("bucket"))
     if (minBandsGate == 1) {
       // the smallest doc id in each bucket is the keeper
       val keeper = bands.groupBy(col("band"), col("bucket"))
@@ -602,6 +609,7 @@ object Streaming {
           max((col("band") === -1).cast("int")).as("__exact"))
         .where(col("__nb") >= minBandsGate || col("__exact") === 1)
         .select(col("doc_id")).distinct()
+  }
 
   /** One-batch form of the near-dup gate's admission decision (no index, no
     * side effects): returns the kept rows of `batch` under the given

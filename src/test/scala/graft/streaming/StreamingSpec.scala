@@ -464,10 +464,16 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     val idx = Files.createTempDirectory("graft_compact_idx_").toString
     val out = Files.createTempDirectory("graft_compact_out_").toString
-    // simulate many tiny per-batch appends: 6 batches of distinct docs
+    // simulate many tiny per-batch appends: 6 batches of docs with DISJOINT
+    // token sets, so every batch is admitted and appends its own index file
+    // (r16: the old shared-boilerplate texts were near-dups of each other —
+    // batches 2..5 were gate-DROPPED and appended nothing, which only
+    // produced >2 files because the pre-native signature pipeline happened
+    // to write 2 files per append; the fixture now makes the file
+    // accumulation it claims to simulate)
     (0 until 6).foreach { b =>
-      val docs = Seq((b * 10L + 1, s"unique content batch $b alpha beta gamma delta " +
-        s"epsilon zeta eta theta b$b")).toDF("doc_id", "text")
+      val docs = Seq((b * 10L + 1,
+        (0 until 10).map(i => s"tok${b}w$i").mkString(" "))).toDF("doc_id", "text")
       Streaming.applyNearDedupBatch(docs, "doc_id", "text", idx, out, 3, 16, 8,
         batchId = b)
     }
@@ -496,8 +502,8 @@ class StreamingSpec extends SparkSpec {
       "compacted index files are not (band, bucket)-sorted within files")
     // a LATER batch carrying batch-0's content still collides with the
     // compacted index (new batch id — only a same-id replay is exempt)
-    val replay = Seq((100L, "unique content batch 0 alpha beta gamma delta " +
-      s"epsilon zeta eta theta b0")).toDF("doc_id", "text")
+    val replay = Seq((100L,
+      (0 until 10).map(i => s"tok0w$i").mkString(" "))).toDF("doc_id", "text")
     val outRows = spark.read.parquet(out).count()
     Streaming.applyNearDedupBatch(replay, "doc_id", "text", idx, out, 3, 16, 8,
       batchId = 6)
