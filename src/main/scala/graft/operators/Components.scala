@@ -243,16 +243,19 @@ object Components {
     * rather than computed 1−damping (1.0−0.85 in IEEE is not the double
     * nearest 0.15 — a cross-engine differential would chase that phantom).
     *
-    * Scale shape: the (src, dst, outdeg) relation is `localCheckpoint`ed
-    * ONCE — the edge list is usually the output of the whole near-dup
-    * candidate pipeline, and `iters` lazy re-executions of it is the plan
-    * this method exists to avoid (the [[connectedComponents]] trade) — then
-    * each iteration is one src-keyed join of the node-sized rank relation
-    * and one dst-keyed partial-agg sum; the node spine and the scalar n
-    * ride as a crossJoin'd one-row broadcast. Ranks snap to 1e-9 per
-    * iteration so both engines iterate on IDENTICAL values (contribution
-    * sums reorder across partitionings; unsnapped drift would compound
-    * geometrically through the iterations).
+    * Scale shape: the (src, dst, outdeg) relation and the (id, n) node
+    * spine are each anchored on ONE explicit src-/id-keyed exchange — the
+    * edge list is usually the output of the whole near-dup candidate
+    * pipeline, and `iters` lazy re-executions of it is the plan this
+    * method exists to avoid (ReusedExchange dedups every reference; the
+    * [[connectedComponents]] trade) — and the anchors double as the
+    * co-partitioning that lets each iteration run as ONE dst-keyed
+    * partial-agg shuffle (the rank join and the teleport join are
+    * exchange-free against the anchored keys). The scalar n rides as a
+    * crossJoin'd one-row broadcast. Ranks snap to 1e-9 per iteration so
+    * both engines iterate on IDENTICAL values (contribution sums reorder
+    * across partitionings; unsnapped drift would compound geometrically
+    * through the iterations).
     */
   def pageRank(nodes: DataFrame, idCol: String, edges: DataFrame,
       srcCol: String, dstCol: String, iters: Int,
@@ -262,18 +265,35 @@ object Components {
       floor(x * lit(1000000000) + lit(0.5)) / lit(1000000000)
     val deg = edges.groupBy(col(srcCol).as("src"))
       .agg(count(lit(1)).as("deg"))
-    val ed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .join(deg, Seq("src"))
-      .localCheckpoint(false)
-    // the (id, n) node spine is checkpointed ONCE (r16 optimization): every
-    // iteration's teleport term references ids × n, and the lazy spelling
-    // re-ran the node scan + the count aggregation + its broadcast per
-    // iteration (iters + 1 times in the final plan) — node-sized
-    // materialization, same lifecycle as `ed`, identical values (n is the
-    // same count; the per-iteration arithmetic is unchanged)
+    // Both loop-invariant relations are checkpointed ONCE, repartitioned on
+    // their JOIN key, through the partitioning-KEEPING checkpoint (r17,
+    // guide §2.4): stock `localCheckpoint` wraps the blocks in a LogicalRDD
+    // with UnknownPartitioning, so the r16 shape re-shuffled both relations
+    // in EVERY iteration — three exchanges per iteration. With the captured
+    // HashPartitioning, every iteration's rank join (ed.src = pr.id, pr
+    // inheriting base's id-partitioning through the previous iteration's
+    // join) and teleport join (base.id = c.dst, c already hash-partitioned
+    // by the contribution aggregation) plan WITHOUT their own exchanges —
+    // each iteration pays exactly ONE shuffle (the contribution sum).
+    // N is pinned to the session's shuffle parallelism (scale-adaptive
+    // conf, never a literal) so the checkpointed anchors and the
+    // per-iteration aggregation exchanges stay co-partitioned.
+    //
+    // Values unchanged: repartition is semantically a no-op, and the
+    // per-iteration snap9 already absorbs the contribution sum's
+    // partitioning-dependent reorder (the documented cross-engine contract
+    // — DuckDB sums in a different order than any Spark partitioning).
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    val nPart = nodes.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    val ed = B.localCheckpointPartitioned(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .join(deg, Seq("src"))
+        .repartition(nPart, col("src")))
     val ids = nodes.select(col(idCol).as("id"))
-    val base = ids.crossJoin(broadcast(ids.agg(count(lit(1)).as("n"))))
-      .localCheckpoint(false)
+    val base = B.localCheckpointPartitioned(
+      ids.crossJoin(broadcast(ids.agg(count(lit(1)).as("n"))))
+        .repartition(nPart, col("id")))
     var pr = base
       .select(col("id"), snap9(lit(1.0) / col("n").cast("double")).as("r"))
     for (_ <- 1 to iters) {

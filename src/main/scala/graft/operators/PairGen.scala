@@ -20,11 +20,26 @@ private[operators] object PairGen {
     * in [2, maxGroup].
     *
     * Scale-safe shape: a count-first pass drops oversized groups BEFORE any
-    * array materializes (a degenerate bucket can hold millions of members at
-    * corpus scale — collecting it first would OOM the aggregation buffer),
-    * then the surviving small groups collect, sort and pair via HOFs.
-    * All three ops shuffle on the same keys, so AQE/exchange reuse keeps
-    * this at ~one effective shuffle of the candidate rows.
+    * pairing (a degenerate bucket can hold millions of members at corpus
+    * scale — pairing it would emit O(members²) rows), then the surviving
+    * small groups pair via a within-group self-join with a strict `<` on
+    * the payload (r17 optimization, guide §2.3/§4: the previous
+    * collect_list + sorted-array-HOF pairing ran as a non-codegen
+    * ObjectHashAggregate followed by an INTERPRETED nested-transform pair
+    * expansion — measured ~0.7 s of every shinglePairs consumer at sf0.1;
+    * the self-join keeps the whole pipeline in whole-stage codegen).
+    *
+    * Output equivalence with the sorted-array pairing it replaced: every
+    * call site feeds payloads that are DISTINCT and non-NULL within a
+    * group (band buckets emit one row per doc per band; winnow/shingle
+    * explodes are array_distinct'ed per doc), so "all unordered pairs with
+    * a < b" is exactly the multiset the sorted-array expansion emitted —
+    * struct payloads compare lexicographically field-by-field under both
+    * spellings. PairGenSpec pins equality against the old spelling.
+    *
+    * All three ops (group count, member filter join, pair self-join)
+    * shuffle on the same keys, so AQE/exchange reuse keeps this at ~one
+    * effective shuffle of the candidate rows.
     */
   def groupPairs(df: DataFrame, keys: Seq[String], payload: Column,
       maxGroup: Int): DataFrame = {
@@ -32,6 +47,23 @@ private[operators] object PairGen {
     // the pruneGuard no-op keeps this count branch reading the SAME columns
     // as the pair branch below, so both consume one ReusedExchange instead
     // of re-running the upstream candidate pipeline (see Dedup.pruneGuard)
+    val smallGroups = df.groupBy(keyCols: _*)
+      .agg((count(lit(1)) + Dedup.pruneGuard(payload)).as("__gn"))
+      .where(col("__gn") >= 2 && col("__gn") <= maxGroup)
+      .select(keyCols: _*)
+    val members = df.join(smallGroups, keys)
+      .select(keyCols :+ payload.as("__p"): _*)
+    members.join(members.withColumnRenamed("__p", "__q"), keys)
+      .where(col("__p") < col("__q"))
+      .select(col("__p").as("a"), col("__q").as("b"))
+  }
+
+  /** The collect-and-sort spelling [[groupPairs]] replaced (r17) — kept as
+    * the spec's truth side; not for hot paths.
+    */
+  private[graft] def groupPairsCollect(df: DataFrame, keys: Seq[String],
+      payload: Column, maxGroup: Int): DataFrame = {
+    val keyCols = keys.map(col)
     val smallGroups = df.groupBy(keyCols: _*)
       .agg((count(lit(1)) + Dedup.pruneGuard(payload)).as("__gn"))
       .where(col("__gn") >= 2 && col("__gn") <= maxGroup)

@@ -587,20 +587,26 @@ object Streaming {
   private[graft] def batchCollisions(bands0: DataFrame,
       minBandsGate: Int): DataFrame = {
     // explicit bucket-keyed exchange (r16, the minhashPairsFromTokens
-    // convention): both arms read the band relation twice (keeper agg +
-    // join back, or the self-join's two sides) and the signature
-    // aggregation that used to be the shared materialization point is now
-    // a map-side native loop — one repartition restores single execution
-    // of the signature pipeline via ReusedExchange
-    val bands = bands0.repartition(col("band"), col("bucket"))
+    // convention) for the k > 1 arm only: its self-join reads the band
+    // relation twice and the signature aggregation that used to be the
+    // shared materialization point is now a map-side native loop — one
+    // repartition restores single execution of the signature pipeline via
+    // ReusedExchange. The gate1 arm no longer needs an anchor at all (r17,
+    // VERDICT r16 #1 — the driver contradicted the r16 keeper-join shape):
+    // a per-bucket min WINDOW reads the relation ONCE, so the signature
+    // pipeline executes once by construction — one exchange + sort instead
+    // of repartition + aggregate + join back.
     if (minBandsGate == 1) {
-      // the smallest doc id in each bucket is the keeper
-      val keeper = bands.groupBy(col("band"), col("bucket"))
-        .agg(min(col("doc_id")).as("keep_id"))
-      bands.join(keeper, Seq("band", "bucket"))
+      // the smallest doc id in each bucket is the keeper; every other
+      // member collides with it
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bucket"))
+      bands0.select(col("doc_id"),
+          min(col("doc_id")).over(w).as("keep_id"))
         .where(col("doc_id") > col("keep_id"))
         .select(col("doc_id")).distinct()
-    } else
+    } else {
+      val bands = bands0.repartition(col("band"), col("bucket"))
       bands.join(bands.select(col("band"), col("bucket"),
           col("doc_id").as("__other")), Seq("band", "bucket"))
         .where(col("__other") < col("doc_id"))
@@ -609,6 +615,7 @@ object Streaming {
           max((col("band") === -1).cast("int")).as("__exact"))
         .where(col("__nb") >= minBandsGate || col("__exact") === 1)
         .select(col("doc_id")).distinct()
+    }
   }
 
   /** One-batch form of the near-dup gate's admission decision (no index, no

@@ -726,18 +726,22 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     assert(got2 == want, s"$got2 vs $want")
 
-    // the scalable shape: a RANGE exchange at full parallelism, never the
-    // one-partition window (AQE may still coalesce at toy scale — the
-    // partitioning KIND is the contract, not the runtime partition count)
+    // the scalable shape (r17 — offsets-arithmetic spelling): the DATA
+    // never funnels through a one-partition window. The only Window node
+    // allowed in the plan is the offset cumulation over the
+    // partition-COUNT-sized counts relation (it must reference __grn_cnt,
+    // the per-partition count — never a data column), offsets ship back as
+    // a broadcast join, and the sorted relation reads from its one
+    // localCheckpoint materialization (an ExistingRDD scan), so the range
+    // sort runs once, not once per consumer.
     val big = spark.range(0, 1000).toDF("id").withColumn("v", $"id" % 97)
     val ranked = Rank.globalRowNumber(big, Seq("v", "id"))
-    // the SQL plan is an RDD scan (zipWithIndex output); the range
-    // shuffle shows in the RDD lineage, and no Window node exists anywhere
-    val lineage = ranked.rdd.toDebugString.toLowerCase
-    assert(lineage.contains("zippedwithindex"), lineage)
-    assert(lineage.contains("shuffle"), lineage)
-    assert(!ranked.queryExecution.executedPlan.toString.toLowerCase
-      .contains("window"))
+    val planStr = ranked.queryExecution.executedPlan.toString
+    val windowLines = planStr.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("__grn_cnt")),
+      planStr)
+    assert(planStr.toLowerCase.contains("broadcast"), planStr)
+    assert(planStr.contains("ExistingRDD"), planStr)
     val rows = ranked.orderBy("rn").collect()
     assert(rows.length == 1000 && rows.head.getLong(2) == 1L &&
       rows.last.getLong(2) == 1000L)
