@@ -61,7 +61,11 @@ object Shingles {
       UTF8String.concatWs(Sep, parts: _*)
     }
     if (distinct) {
-      val seen = new java.util.LinkedHashSet[UTF8String](math.min(m * 2, 1 << 16))
+      // capacity clamped via Long math (ADVICE r16 #1): m * 2 in Int
+      // overflows negative for a >2^30-shingle doc and the constructor
+      // would throw instead of processing it
+      val seen = new java.util.LinkedHashSet[UTF8String](
+        math.min(math.max(m.toLong, 8L) * 2L, 1L << 16).toInt)
       var i = 0
       while (i < m) { seen.add(make(i)); i += 1 }
       new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size))

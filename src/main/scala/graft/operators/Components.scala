@@ -114,7 +114,7 @@ object Components {
     * labels for non-isolated nodes ship back as one in-memory relation and
     * isolated nodes label themselves through the caller's left join.
     */
-  private def localUnionFind(rows: Array[org.apache.spark.sql.Row]): Map[Long, Long] = {
+  private def localUnionFind(rows: Array[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -125,15 +125,14 @@ object Components {
       }
       r
     }
-    rows.foreach { row =>
-      val (a, b) = (row.getLong(0), row.getLong(1))
+    rows.foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))
       // attach the larger root under the smaller: roots stay the class min,
       // so no second pass is needed to relabel to min-reachable-id
       if (ra < rb) parent(rb) = ra
       else if (rb < ra) parent(ra) = rb
     }
-    val touched = rows.iterator.flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
+    val touched = rows.iterator.flatMap { case (a, b) => Iterator(a, b) }
     touched.map(n => n -> find(n)).toMap
   }
 
@@ -191,11 +190,14 @@ object Components {
     val maxLocal = nodes.sparkSession.conf
       .get("spark.graft.cc.maxLocalEdges", defaultMaxLocalEdges.toString).toLong
     if (prev._1 > 0L && prev._1 <= maxLocal) {
-      // bounded by the count just measured (≤ maxLocal rows of two longs)
-      val labelMap = localUnionFind(e.collect())
-      releaseCheckpoint(e) // nothing downstream references the edge snapshot
       val sess = nodes.sparkSession
       import sess.implicits._
+      // bounded by the count just measured (≤ maxLocal rows of two longs);
+      // collected as PRIMITIVE tuples (ADVICE r16 #3) — a Row collect
+      // materializes one GenericRow + two boxed longs per edge (tens of MB
+      // at the bound), the typed collect is two longs per edge
+      val labelMap = localUnionFind(e.as[(Long, Long)].collect())
+      releaseCheckpoint(e) // nothing downstream references the edge snapshot
       val labelRel = labelMap.toSeq.toDF("n", "pcomp")
       val labels = universe
         .join(broadcast(labelRel), Seq("n"), "left")
@@ -263,8 +265,15 @@ object Components {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
     val snap9 = (x: org.apache.spark.sql.Column) =>
       floor(x * lit(1000000000) + lit(0.5)) / lit(1000000000)
+    // pruneGuard (the Dedup.groupPairs convention, r17): the degree branch
+    // must read BOTH edge columns like the join branch below, or column
+    // pruning rewrites the two copies of the upstream edge pipeline
+    // differently and they canonicalize unequal — the whole candidate
+    // pipeline would execute once per branch instead of sharing its last
+    // exchange. pruneGuard adds exactly 0 to the count.
     val deg = edges.groupBy(col(srcCol).as("src"))
-      .agg(count(lit(1)).as("deg"))
+      .agg((count(lit(1)) +
+        Dedup.pruneGuard(struct(col(srcCol), col(dstCol)))).as("deg"))
     // Both loop-invariant relations are checkpointed ONCE, repartitioned on
     // their JOIN key, through the partitioning-KEEPING checkpoint (r17,
     // guide §2.4): stock `localCheckpoint` wraps the blocks in a LogicalRDD
@@ -314,8 +323,11 @@ object Components {
     * it once.
     */
   def degreeOf(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
-    pairs.select(col(aCol).as("id"))
-      .union(pairs.select(col(bCol).as("id")))
+    // single-pass symmetrization (r17): union-of-two-projections executes
+    // the pair relation once per branch when it isn't materialized (column
+    // pruning de-canonicalizes the copies); one explode emits the same
+    // endpoint multiset from one execution
+    pairs.select(explode(array(col(aCol), col(bCol))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
 
   /** Degree-ordered acyclic orientation of an undirected pair list — the

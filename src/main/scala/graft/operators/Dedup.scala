@@ -574,7 +574,15 @@ object Dedup {
     groupPairs(chunks, Seq("chunk", "key"), col("ds"), maxBucket)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.__h").bitwiseXOR(col("b.__h"))).as("hamming"))
-      .where(col("hamming") <= maxHamming)
+    // threshold filters on pair-agg outputs ride inside coalesce (r17, the
+    // groupPairs convention): a bare null-intolerant comparison makes the
+    // optimizer infer isnotnull on the agg's GROUPING keys (payload fields)
+    // and push them into the pair self-join's two pipeline copies in a late
+    // batch — the count branch's copy stays unfiltered and the three copies
+    // canonicalize unequal, re-executing the candidate pipeline. Values are
+    // identical: these columns are never NULL (counts and sizes of
+    // surviving pairs).
+      .where(coalesce(col("hamming") <= maxHamming, lit(false)))
       .distinct()
   }
 
@@ -602,7 +610,15 @@ object Dedup {
     groupPairs(fp, Seq("fp"), col("doc_id"), maxDf)
       .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
-      .where(col("n_shared") >= minShared)
+    // threshold filters on pair-agg outputs ride inside coalesce (r17, the
+    // groupPairs convention): a bare null-intolerant comparison makes the
+    // optimizer infer isnotnull on the agg's GROUPING keys (payload fields)
+    // and push them into the pair self-join's two pipeline copies in a late
+    // batch — the count branch's copy stays unfiltered and the three copies
+    // canonicalize unequal, re-executing the candidate pipeline. Values are
+    // identical: these columns are never NULL (counts and sizes of
+    // surviving pairs).
+      .where(coalesce(col("n_shared") >= minShared, lit(false)))
   }
 
   /** N-gram Jaccard near-dup pairs via rare-shingle candidate generation:
@@ -623,7 +639,15 @@ object Dedup {
       .withColumn("jaccard",
         col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
-      .where(col("jaccard") >= minJaccard)
+    // threshold filters on pair-agg outputs ride inside coalesce (r17, the
+    // groupPairs convention): a bare null-intolerant comparison makes the
+    // optimizer infer isnotnull on the agg's GROUPING keys (payload fields)
+    // and push them into the pair self-join's two pipeline copies in a late
+    // batch — the count branch's copy stays unfiltered and the three copies
+    // canonicalize unequal, re-executing the candidate pipeline. Values are
+    // identical: these columns are never NULL (counts and sizes of
+    // surviving pairs).
+      .where(coalesce(col("jaccard") >= minJaccard, lit(false)))
       .select("doc_a", "doc_b", "n_inter", "jaccard")
 
   /** The shared rare-shingle pair base under [[jaccardPairs]] and
@@ -687,7 +711,15 @@ object Dedup {
       .withColumn("containment",
         col("n_inter").cast("double") /
           least(col("n_a"), col("n_b")).cast("double"))
-      .where(col("containment") >= minContainment)
+    // threshold filters on pair-agg outputs ride inside coalesce (r17, the
+    // groupPairs convention): a bare null-intolerant comparison makes the
+    // optimizer infer isnotnull on the agg's GROUPING keys (payload fields)
+    // and push them into the pair self-join's two pipeline copies in a late
+    // batch — the count branch's copy stays unfiltered and the three copies
+    // canonicalize unequal, re-executing the candidate pipeline. Values are
+    // identical: these columns are never NULL (counts and sizes of
+    // surviving pairs).
+      .where(coalesce(col("containment") >= minContainment, lit(false)))
       .withColumn("asymmetric", col("jaccard") < 0.3)
   }
 

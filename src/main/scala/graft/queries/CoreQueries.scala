@@ -227,6 +227,10 @@ object CoreQueries {
           .groupBy($"l_orderkey")
           .agg(
             count(lit(1)).as("nl"),
+            // the avg denominator counts NON-NULL quantities (ADVICE r16
+            // #2): AVG(l_quantity) skips NULLs, count(*) would not —
+            // identical on TPC-H's non-null column, kept faithful anyway
+            count($"l_quantity").as("cq"),
             sum($"l_quantity").as("sq"),
             sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
               .cast(org.apache.spark.sql.types.DecimalType(38, 4))).as("rev"))
@@ -239,7 +243,7 @@ object CoreQueries {
             count(lit(1)).as("n_orders"),
             sum($"nl").as("n_lines"),
             sum($"sq").as("sum_qty"),
-            (sum($"sq") / sum($"nl")).as("avg_qty"),
+            (sum($"sq") / sum($"cq")).as("avg_qty"),
             sum($"rev").cast("double").as("revenue"))
       }),
 

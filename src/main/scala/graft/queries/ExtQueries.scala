@@ -4121,8 +4121,13 @@ object ExtQueries {
         import s.implicits._
         val d = docs(s, dir)
         val pairs = Dedup.jaccardPairs(d, "doc_id", "text")
-        val und = pairs.select($"doc_a".as("id"))
-          .union(pairs.select($"doc_b".as("id")))
+        // single-pass symmetrization (r17): the union-of-two-projections
+        // spelling executed the WHOLE pair pipeline once per branch —
+        // column pruning rewrites each copy differently (doc_a vs doc_b),
+        // so the copies canonicalize unequal and nothing reuses. One
+        // explode of the 2-array emits the same endpoint multiset from ONE
+        // execution.
+        val und = pairs.select(explode(array($"doc_a", $"doc_b")).as("id"))
         d.select($"doc_id")
           .join(und.groupBy($"id").agg(count(lit(1)).as("cnt")),
             $"doc_id" === $"id", "left")
@@ -4249,8 +4254,12 @@ object ExtQueries {
         import s.implicits._
         val d = docs(s, dir)
         val pairs = Dedup.jaccardPairs(d, "doc_id", "text")
-        val und = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-          .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+        // single-pass symmetrization (r17, the q_graph_degree fix): the
+        // union spelling re-ran the pair pipeline once per direction
+        val und = pairs.select(explode(array(
+            struct($"doc_a".as("src"), $"doc_b".as("dst")),
+            struct($"doc_b".as("src"), $"doc_a".as("dst")))).as("e"))
+          .select($"e.src".as("src"), $"e.dst".as("dst"))
         Components.pageRank(d.select($"doc_id"), "doc_id",
             und, "src", "dst", iters = 3)
           .select($"id".as("doc_id"), $"pagerank")

@@ -280,8 +280,12 @@ object MediaQueries {
         val pairs = graft.operators.Dedup
           .hammingPairs(hashed, "media_id", "phash", maxHamming = 2,
             maxBucket = Int.MaxValue)
-        val neigh = pairs.select(col("doc_a").as("media_id"))
-          .unionAll(pairs.select(col("doc_b").as("media_id")))
+        // single-pass symmetrization (r17): the unionAll spelling executed
+        // the hammingPairs pipeline once per branch (column pruning
+        // de-canonicalizes the two copies); one explode of the 2-array
+        // emits the same endpoint multiset from one execution
+        val neigh = pairs
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("media_id"))
           .groupBy(col("media_id")).agg(count(lit(1)).as("n_near"))
         hashed.join(neigh, Seq("media_id"), "left")
           .select($"media_id", $"phash",
@@ -388,8 +392,12 @@ object MediaQueries {
         val pairs = graft.operators.Dedup
           .hammingPairs(hashed, "media_id", "audio_fp", maxHamming = 2,
             maxBucket = Int.MaxValue)
-        val neigh = pairs.select(col("doc_a").as("media_id"))
-          .unionAll(pairs.select(col("doc_b").as("media_id")))
+        // single-pass symmetrization (r17): the unionAll spelling executed
+        // the hammingPairs pipeline once per branch (column pruning
+        // de-canonicalizes the two copies); one explode of the 2-array
+        // emits the same endpoint multiset from one execution
+        val neigh = pairs
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("media_id"))
           .groupBy(col("media_id")).agg(count(lit(1)).as("n_near"))
         hashed.join(neigh, Seq("media_id"), "left")
           .select($"media_id", $"audio_fp",
@@ -501,8 +509,12 @@ object MediaQueries {
         val pairs = graft.operators.Dedup
           .hammingPairs(hashed.select($"media_id", $"video_fp"),
             "media_id", "video_fp", maxHamming = 2, maxBucket = Int.MaxValue)
-        val neigh = pairs.select(col("doc_a").as("media_id"))
-          .unionAll(pairs.select(col("doc_b").as("media_id")))
+        // single-pass symmetrization (r17): the unionAll spelling executed
+        // the hammingPairs pipeline once per branch (column pruning
+        // de-canonicalizes the two copies); one explode of the 2-array
+        // emits the same endpoint multiset from one execution
+        val neigh = pairs
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("media_id"))
           .groupBy(col("media_id")).agg(count(lit(1)).as("n_near"))
         hashed.join(neigh, Seq("media_id"), "left")
           .select($"media_id", $"video_fp", $"n_frames_decoded",
